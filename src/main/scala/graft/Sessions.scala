@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to build a correctly-configured local SparkSession.
+  *
+  * Settings chosen for oracle parity + local[32] throughput:
+  *  - UTC session timezone (DuckDB oracle compares naive timestamps)
+  *  - shuffle.partitions sized to cores, not the 200 default
+  *  - AQE on (runtime coalescing + skew-join handling — the knobs that
+  *    also matter on a real 1000-executor cluster)
+  */
+object Sessions {
+  def local(appName: String = "graft", cores: String = defaultCores): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+}

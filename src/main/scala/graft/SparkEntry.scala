@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 (plus the
+  * training-data-pipeline operators) to a DataFrame program over the
+  * TESTDATA tables; `oracleSql` holds the DuckDB-equivalent SQL for each
+  * oracle-checkable query. Non-SQL-expressible ops (hash-seeded sketches)
+  * carry no oracle → rows-only check + ScalaTest invariants.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map[String, Q](
+    "q1_agg"          -> (Relational.q1Agg _),
+    "q2_drilldown"    -> (Relational.q2Drilldown _),
+    "q3_antijoin"     -> (Relational.q3AntiJoin _),
+    "q4_files_browse" -> (Relational.q4FilesBrowse _),
+    "q5_latest_per_key" -> (Relational.q5LatestPerKey _),
+    "q6_page"         -> (Relational.q6Page _),
+    "q7_join_agg"     -> (Relational.q7JoinAgg _),
+    "q8_setops"       -> (Relational.q8SetOps _),
+    "q9_predicates"   -> (Relational.q9Predicates _),
+    "q10_rollup"      -> (Relational.q10Rollup _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"          -> Relational.q1Sql,
+    "q2_drilldown"    -> Relational.q2Sql,
+    "q3_antijoin"     -> Relational.q3Sql,
+    "q4_files_browse" -> Relational.q4Sql,
+    "q5_latest_per_key" -> Relational.q5Sql,
+    "q6_page"         -> Relational.q6Sql,
+    "q7_join_agg"     -> Relational.q7Sql,
+    "q8_setops"       -> Relational.q8Sql,
+    "q9_predicates"   -> Relational.q9Sql,
+    "q10_rollup"      -> Relational.q10Sql,
+  )
 }
