@@ -30,6 +30,13 @@ object SparkEntry {
     "q8_setops"       -> (Relational.q8SetOps _),
     "q9_predicates"   -> (Relational.q9Predicates _),
     "q10_rollup"      -> (Relational.q10Rollup _),
+    "q11_partition_stats"     -> (Metadata.q11PartitionStats _),
+    "q12_table_summary"       -> (Metadata.q12TableSummary _),
+    "q13_files_browse"        -> (Metadata.q13FilesBrowse _),
+    "q14_missing_files"       -> (Metadata.q14MissingFiles _),
+    "q15_optimize_candidates" -> (Metadata.q15OptimizeCandidates _),
+    "q16_s3_parse"            -> (Metadata.q16S3Parse _),
+    "q17_claim_oldest"        -> (Metadata.q17ClaimOldest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -43,5 +50,12 @@ object SparkEntry {
     "q8_setops"       -> Relational.q8Sql,
     "q9_predicates"   -> Relational.q9Sql,
     "q10_rollup"      -> Relational.q10Sql,
+    "q11_partition_stats"     -> Metadata.q11Sql,
+    "q12_table_summary"       -> Metadata.q12Sql,
+    "q13_files_browse"        -> Metadata.q13Sql,
+    "q14_missing_files"       -> Metadata.q14Sql,
+    "q15_optimize_candidates" -> Metadata.q15Sql,
+    "q16_s3_parse"            -> Metadata.q16Sql,
+    "q17_claim_oldest"        -> Metadata.q17Sql,
   )
 }

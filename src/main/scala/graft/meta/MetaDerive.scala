@@ -1,0 +1,113 @@
+package graft.meta
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic simulation of the reference's Iceberg metadata substrate
+  * (CatalogScanner in SURVEY.md §7.1), derived purely from the TESTDATA
+  * `lineitem` table so every downstream metadata query has an exact DuckDB
+  * oracle.
+  *
+  * Model: `lineitem` is "a partitioned table" with a hidden day transform
+  * on l_shipdate (partition fields year/month/day, reference
+  * iceberg_client.go:476-496); each partition's rows are bucketed into up
+  * to 8 "data files" by l_orderkey % 8; a file's size is the exact decimal
+  * sum of its rows' l_extendedprice (stable across engines, unlike double
+  * sums). File paths follow the usual object-store layout so path-parsing
+  * operators (F16) have realistic input.
+  *
+  * At 100 TB this frame is the `<tbl>.files` Iceberg metadata table (or a
+  * distributed FS listing): same schema, same downstream plans — only this
+  * derivation swaps out.
+  */
+object MetaDerive {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Small-file scoring config used by the oracle-checked queries: fixed
+    * `now` (freshness guard needs determinism) and a threshold sized to
+    * the synthetic file sizes (~3 rows × ~35k price each). */
+  val cfg: SmallFiles.Config = SmallFiles.Config(
+    thresholdBytes = 60000L, minCount = 2, minSharePercent = 25, delayHours = 96)
+  val fixedNow: Instant = Instant.parse("2001-06-05T00:00:00Z")
+  // cutoffDay(fixedNow, 96h) = 2001-06-01
+
+  /** The `$files`-shaped frame (reference S6 input, iceberg_client.go:163-220). */
+  def files(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .withColumn("year", date_format($"l_shipdate", "yyyy"))
+      .withColumn("month", date_format($"l_shipdate", "MM"))
+      .withColumn("day", date_format($"l_shipdate", "dd"))
+      .withColumn("file_id", pmod($"l_orderkey", lit(8)).cast("int"))
+      .groupBy($"year", $"month", $"day", $"file_id")
+      .agg(
+        count(lit(1)).as("record_count"),
+        sum(money($"l_extendedprice")).as("file_size"))
+      .withColumn("file_path", concat(
+        lit("s3://lake/main/lineitem/year="), $"year",
+        lit("/month="), $"month", lit("/day="), $"day",
+        lit("/file-"), $"file_id", lit(".parquet")))
+      .withColumn("content", lit(0))
+      .withColumn("file_format", lit("PARQUET"))
+  }
+
+  /** Shared SQL CTE for the DuckDB oracles — the exact same derivation. */
+  val filesCte: String =
+    """WITH files AS (
+      |  SELECT strftime(l_shipdate, '%Y') AS year,
+      |         strftime(l_shipdate, '%m') AS month,
+      |         strftime(l_shipdate, '%d') AS day,
+      |         CAST(l_orderkey % 8 AS INT) AS file_id,
+      |         count(*) AS record_count,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS file_size,
+      |         's3://lake/main/lineitem/year=' || strftime(l_shipdate, '%Y') ||
+      |           '/month=' || strftime(l_shipdate, '%m') ||
+      |           '/day=' || strftime(l_shipdate, '%d') ||
+      |           '/file-' || CAST(l_orderkey % 8 AS INT) || '.parquet' AS file_path,
+      |         0 AS content, 'PARQUET' AS file_format
+      |  FROM lineitem GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
+
+  /** Per-partition stats + needs_optimize scoring (reference S6+A7:
+    * iceberg_client.go:163-220 → service_iceberg.go:189-236). One
+    * hash-aggregate over `files`, flag computed as a codegen'd column
+    * expression — no UDF, no collect. */
+  def partitionStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    files(spark, d)
+      .where($"content" === 0)
+      .groupBy($"year", $"month", $"day")
+      .agg(
+        sum($"record_count").as("record_count"),
+        count(lit(1)).as("file_count"),
+        sum($"file_size").as("total_size"),
+        SmallFiles.smallCountAgg($"file_size", cfg).as("small_count"))
+      .withColumn("part_date",
+        to_date(concat_ws("-", $"year", lpad($"month", 2, "0"), lpad($"day", 2, "0"))))
+      .withColumn("needs_optimize",
+        SmallFiles.needsOptimizeCol($"small_count", $"file_count", $"part_date", cfg, fixedNow))
+  }
+
+  /** Matching oracle CTE (extends filesCte). */
+  val partitionStatsCte: String = filesCte + "," +
+    """
+      | parts AS (
+      |  SELECT year, month, day,
+      |         sum(record_count) AS record_count,
+      |         count(*) AS file_count,
+      |         sum(file_size) AS total_size,
+      |         count(*) FILTER (WHERE file_size < 60000) AS small_count,
+      |         CAST(year || '-' || lpad(month, 2, '0') || '-' || lpad(day, 2, '0') AS DATE) AS part_date
+      |  FROM files WHERE content = 0 GROUP BY 1, 2, 3
+      | ),
+      | scored AS (
+      |  SELECT *, (small_count >= 2 AND small_count * 100 >= file_count * 25
+      |             AND NOT (part_date IS NOT NULL AND part_date > DATE '2001-06-01')) AS needs_optimize
+      |  FROM parts
+      | )""".stripMargin
+}

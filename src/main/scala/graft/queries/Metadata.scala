@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.MetaDerive
+
+/** Metadata-engine query surface (SURVEY.md §2 rows S6-S8, A1, A3, A7,
+  * J2, O1/O3/O4, F3/F9/F16) over the deterministic derived metadata of
+  * [[MetaDerive]]. Every query here has an exact DuckDB oracle built on
+  * the same CTE derivation.
+  *
+  * Scale notes: all plans are scan → single hash-aggregate (map-side
+  * partial) → small result; the anti-join shuffles once on file_path; at
+  * 100 TB the `files` input is the Iceberg `.files` metadata table which
+  * is itself partition-pruned by (database, table).
+  */
+object Metadata {
+
+  /** S6+A3+A7: per-partition file stats with needs_optimize scoring. */
+  def q11PartitionStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    MetaDerive.partitionStats(spark, d)
+      .select($"year", $"month", $"day", $"record_count", $"file_count",
+        $"total_size", $"small_count", $"needs_optimize")
+      .orderBy($"year", $"month", $"day")
+  }
+
+  val q11Sql: String = MetaDerive.partitionStatsCte +
+    """
+      |SELECT year, month, day, record_count, file_count, total_size,
+      |       small_count, needs_optimize
+      |FROM scored ORDER BY year, month, day""".stripMargin
+
+  /** A1 table summary: COUNT/SUM/COALESCE/MAX over partition stats
+    * (reference service_metadata.go:36-66). */
+  def q12TableSummary(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    MetaDerive.partitionStats(spark, d)
+      .agg(
+        count(lit(1)).as("partition_count"),
+        coalesce(sum($"file_count"), lit(0L)).as("file_count"),
+        coalesce(sum($"record_count"), lit(0L)).as("record_count"),
+        coalesce(sum($"total_size"), lit(0).cast("decimal(18,2)")).as("total_size"),
+        coalesce(max($"needs_optimize"), lit(false)).as("needs_optimize"))
+  }
+
+  val q12Sql: String = MetaDerive.partitionStatsCte +
+    """
+      |SELECT count(*) AS partition_count,
+      |       coalesce(sum(file_count), 0) AS file_count,
+      |       coalesce(sum(record_count), 0) AS record_count,
+      |       coalesce(sum(total_size), CAST(0 AS DECIMAL(18,2))) AS total_size,
+      |       coalesce(max(needs_optimize), false) AS needs_optimize
+      |FROM scored""".stripMargin
+
+  /** S8+O1+P6+F9: files browse for one selected partition month —
+    * content=0 filter, canonical `{k=v}` partition rendering, ORDER BY
+    * size DESC, path ASC (reference service_browse_files.go:193-215,
+    * 261-347). */
+  def q13FilesBrowse(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    MetaDerive.files(spark, d)
+      .where($"content" === 0 && $"year" === "1996" && $"month" === "03")
+      .withColumn("partition", concat(
+        lit("{day="), $"day", lit(", month="), $"month", lit(", year="), $"year", lit("}")))
+      .select($"file_path", $"file_format", $"partition", $"record_count", $"file_size")
+      .orderBy($"file_size".desc, $"file_path".asc)
+  }
+
+  val q13Sql: String = MetaDerive.filesCte +
+    """
+      |SELECT file_path, file_format,
+      |       '{day=' || day || ', month=' || month || ', year=' || year || '}' AS partition,
+      |       record_count, file_size
+      |FROM files WHERE content = 0 AND year = '1996' AND month = '03'
+      |ORDER BY file_size DESC, file_path ASC""".stripMargin
+
+  /** J2+S11: missing-file integrity check — expected file keys minus a
+    * simulated object-store listing (every file-3 of day 15 "lost") →
+    * left_anti (reference service_file_integrity.go:62-75). */
+  def q14MissingFiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val expected = MetaDerive.files(spark, d).select($"file_path", $"file_id", $"day")
+    val listed = expected.where(!($"file_id" === 3 && $"day" === "15")).select($"file_path")
+    expected.join(listed, Seq("file_path"), "left_anti")
+      .select($"file_path")
+      .orderBy($"file_path")
+  }
+
+  val q14Sql: String = MetaDerive.filesCte +
+    """
+      |SELECT file_path FROM files
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM files l
+      |  WHERE NOT (l.file_id = 3 AND l.day = '15') AND l.file_path = files.file_path)
+      |ORDER BY file_path""".stripMargin
+
+  /** F3+P4+O6: the EnqueueOptimize planning query — needs_optimize
+    * partitions within a date range via CONCAT/LPAD date assembly,
+    * ordered by the assembled date (reference service_tasks.go:233-254). */
+  def q15OptimizeCandidates(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val datePath = concat($"year", lit("-"), lpad($"month", 2, "0"),
+      lit("-"), lpad($"day", 2, "0"))
+    MetaDerive.partitionStats(spark, d)
+      .where($"needs_optimize" === true)
+      .withColumn("date_path", datePath)
+      .where($"date_path" >= "1996-01-01" && $"date_path" <= "1997-12-31")
+      .select($"year", $"month", $"day", $"date_path", $"file_count", $"small_count")
+      .orderBy($"date_path")
+  }
+
+  val q15Sql: String = MetaDerive.partitionStatsCte +
+    """
+      |SELECT year, month, day,
+      |       year || '-' || lpad(month, 2, '0') || '-' || lpad(day, 2, '0') AS date_path,
+      |       file_count, small_count
+      |FROM scored
+      |WHERE needs_optimize
+      |  AND year || '-' || lpad(month, 2, '0') || '-' || lpad(day, 2, '0') >= '1996-01-01'
+      |  AND year || '-' || lpad(month, 2, '0') || '-' || lpad(day, 2, '0') <= '1997-12-31'
+      |ORDER BY date_path""".stripMargin
+
+  /** F16: S3 URI parsing — scheme/bucket/key extraction + per-prefix file
+    * counts (reference service_file_integrity.go:155-192). */
+  def q16S3Parse(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val uriRe = "^(s3a?n?)://([^/]+)/(.*)$"
+    MetaDerive.files(spark, d)
+      .withColumn("scheme", regexp_extract($"file_path", uriRe, 1))
+      .withColumn("bucket", regexp_extract($"file_path", uriRe, 2))
+      .withColumn("key", regexp_extract($"file_path", uriRe, 3))
+      .withColumn("table_prefix", regexp_extract($"key", "^([^/]+/[^/]+)/", 1))
+      .groupBy($"scheme", $"bucket", $"table_prefix")
+      .agg(count(lit(1)).as("n_files"), min($"key").as("first_key"))
+      .orderBy($"scheme", $"bucket", $"table_prefix")
+  }
+
+  val q16Sql: String = MetaDerive.filesCte +
+    """
+      |SELECT regexp_extract(file_path, '^(s3a?n?)://([^/]+)/(.*)$', 1) AS scheme,
+      |       regexp_extract(file_path, '^(s3a?n?)://([^/]+)/(.*)$', 2) AS bucket,
+      |       regexp_extract(regexp_extract(file_path, '^(s3a?n?)://([^/]+)/(.*)$', 3),
+      |                      '^([^/]+/[^/]+)/', 1) AS table_prefix,
+      |       count(*) AS n_files,
+      |       min(regexp_extract(file_path, '^(s3a?n?)://([^/]+)/(.*)$', 3)) AS first_key
+      |FROM files GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** O3: claim-oldest-queued analog — earliest event of a kind-set with a
+    * deterministic tiebreak (reference service_task_queue.go:271). */
+  def q17ClaimOldest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, d)
+      .where($"event_type".isin("click", "view"))
+      .select($"event_id", $"user_id", $"event_type",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy($"ts_s".asc, $"event_id".asc)
+      .limit(1)
+  }
+
+  val q17Sql: String =
+    """SELECT event_id, user_id, event_type,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM events WHERE event_type IN ('click', 'view')
+      |ORDER BY ts_s ASC, event_id ASC LIMIT 1""".stripMargin
+}
