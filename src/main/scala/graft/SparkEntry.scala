@@ -37,6 +37,18 @@ object SparkEntry {
     "q15_optimize_candidates" -> (Metadata.q15OptimizeCandidates _),
     "q16_s3_parse"            -> (Metadata.q16S3Parse _),
     "q17_claim_oldest"        -> (Metadata.q17ClaimOldest _),
+    "q20_dedup_exact"         -> (TrainingData.q20DedupExact _),
+    "q21_ngram_jaccard"       -> (TrainingData.q21NgramJaccard _),
+    "q22_minhash_lsh"         -> (TrainingData.q22MinhashLsh _),
+    "q23_simhash_pairs"       -> (TrainingData.q23SimhashPairs _),
+    "q24_embedding_neardup"   -> (TrainingData.q24EmbeddingNearDup _),
+    "q25_ann_topk"            -> (TrainingData.q25AnnTopK _),
+    "q26_ann_lsh"             -> (TrainingData.q26AnnLsh _),
+    "q27_token_stats"         -> (TrainingData.q27TokenStats _),
+    "q28_quality"             -> (TrainingData.q28Quality _),
+    "q29_langid"              -> (TrainingData.q29LangId _),
+    "q30_fingerprint"         -> (TrainingData.q30Fingerprint _),
+    "q31_ann_ivf"             -> (TrainingData.q31AnnIvf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -57,5 +69,13 @@ object SparkEntry {
     "q15_optimize_candidates" -> Metadata.q15Sql,
     "q16_s3_parse"            -> Metadata.q16Sql,
     "q17_claim_oldest"        -> Metadata.q17Sql,
+    "q20_dedup_exact"         -> TrainingData.q20Sql,
+    "q21_ngram_jaccard"       -> TrainingData.q21Sql,
+    "q22_minhash_lsh"         -> TrainingData.q22Sql,
+    "q24_embedding_neardup"   -> TrainingData.q24Sql,
+    "q25_ann_topk"            -> TrainingData.q25Sql,
+    "q27_token_stats"         -> TrainingData.q27Sql,
+    "q28_quality"             -> TrainingData.q28Sql,
+    "q29_langid"              -> TrainingData.q29Sql,
   )
 }

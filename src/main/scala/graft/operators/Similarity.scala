@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact, the oracle). Scale path:
+  * random-hyperplane LSH bucketing — candidates share a signature
+  * prefix, so the per-query join touches a small bucket instead of the
+  * full corpus; recall is verified against brute force in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two equal-length array columns —
+    * zip_with + left-to-right aggregate, fully codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalize a float-array column into a double array. */
+  def normalized(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    transform(d, x => x / norm)
+  }
+
+  /** Brute-force cosine top-k per query vector: queries × corpus cross
+    * join (broadcast the queries — the small side), window top-k.
+    * Output: (query_id, neighbor_id) set per query, rank-free so float
+    * rounding can never reorder compared output. */
+  def bruteForceTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
+    val queries = e.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = broadcast(queries).join(e, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dot($"qv", $"v").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= k)
+      .select($"query_id", $"neighbor_id")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  def bruteForceTopKSql(k: Int, nQueries: Int): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id FROM ranked WHERE rn <= $k
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  val LshPlanes = 6
+
+  /** Random-hyperplane signature: bit p = sign(dot(v, h_p)) where h_p is
+    * a deterministic pseudo-random unit direction derived from xxhash64 —
+    * no driver-side randomness, reproducible across executors. */
+  def lshSignature(v: Column, dim: Int): Column = {
+    (0 until LshPlanes).map { p =>
+      // plane component j ∈ {-1, +1} from bit of a hash of (p, j):
+      // dot(v, h_p) = Σ_j v[j] * sign_pj  — computed via aggregate over
+      // the element index.
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, j) => when(xxhash64(lit(p), j).bitwiseAND(1) === 1, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce[Column](_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: hash every vector to a signature bucket; per
+    * query, probe every bucket within Hamming distance 2 of its own
+    * signature (multi-probe LSH: 1 + 6 + 15 = 22 of 64 buckets ≈ 1/3 of
+    * the corpus — neighbors at cosine ≈ 0.4 flip each plane with
+    * p ≈ 0.35, so P(≤2 flips of 6) ≈ 0.65). Approximate — recall vs
+    * brute force asserted in SimilaritySpec; no SQL oracle (hash-seeded). */
+  def annLsh(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", normalized($"embedding").as("v"))
+      .withColumn("sig", lshSignature($"v", dim))
+    val flips1 = (0 until LshPlanes).map(p => $"sig".bitwiseXOR(shiftleft(lit(1), p)))
+    val flips2 = for {
+      p <- 0 until LshPlanes; q <- (p + 1) until LshPlanes
+    } yield $"sig".bitwiseXOR(shiftleft(lit(1), p)).bitwiseXOR(shiftleft(lit(1), q))
+    val probes = ($"sig" +: flips1) ++ flips2
+    val queries = e.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"),
+        explode(array(probes: _*)).as("probe"))
+    val scored = broadcast(queries).join(e,
+        $"probe" === $"sig" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dot($"qv", $"v").as("cos"))
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= k)
+      .select($"query_id", $"neighbor_id")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** IVF-style ANN: deterministic coarse quantizer (first `nCentroids`
+    * vectors as centroids), every vector assigned to its nearest centroid;
+    * a query probes its `nProbe` nearest centroid lists only — the
+    * classic inverted-file layout where at scale each centroid list is a
+    * partition and probing prunes (nCentroids-nProbe)/nCentroids of the
+    * corpus. Approximate → no SQL oracle; recall bound in SimilaritySpec. */
+  def annIvf(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
+    val cents = e.where($"vec_id" < nCentroids)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos", dot($"v", $"cv"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where($"rn" === 1)
+      .select($"vec_id", $"v", $"cent_id")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cent_id".asc)
+    val qprobes = e.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", dot($"qv", $"cv"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where($"rn" <= nProbe)
+      .select($"query_id", $"qv", $"cent_id")
+    val scored = qprobes.join(assigned, Seq("cent_id"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), dot($"qv", $"v").as("cos"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rn", row_number().over(wTop))
+      .where($"rn" <= k)
+      .select($"query_id", $"neighbor_id")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+}

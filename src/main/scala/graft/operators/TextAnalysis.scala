@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators: token statistics, quality scoring,
+  * language-ID heuristic, document fingerprinting. All single-pass
+  * column expressions / one hash-aggregate — the 100 TB plan is scan →
+  * project → (optional) agg with no shuffle beyond the final groupBy.
+  */
+object TextAnalysis {
+
+  /** Per-language corpus statistics: doc counts, token counts (whitespace
+    * + BPE-ish estimate), char stats. */
+  def tokenStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(tokens($"text")))
+      .withColumn("n_bpe", approxBpeTokenCount($"text"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_bpe").as("total_bpe_tokens"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
+  val tokenStatsSql: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars, string_split(lower(text), ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT lang, n_chars, len(toks) AS n_tokens,
+      |         (SELECT sum(CAST(ceil(len(x.t) / 4.0) AS INT)) FROM unnest(toks) AS x(t)) AS n_bpe
+      |  FROM t
+      |)
+      |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |       sum(n_bpe) AS total_bpe_tokens, min(n_tokens) AS min_tokens,
+      |       max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality scoring: length bounds, stopword ratio,
+    * mean word length — flag documents a training pipeline would keep.
+    * Ratios are int/int double divisions (bit-identical across engines). */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("stop_count", tokenMatchCount(toks, stopwords))
+      .withColumn("stop_ratio", $"stop_count".cast("double") / $"n_tokens")
+      .withColumn("mean_word_len",
+        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .withColumn("keep",
+        $"n_tokens".between(20, 1000) && $"stop_ratio" < 0.3 && $"mean_word_len" < 12.0)
+      .select($"doc_id", $"lang", $"n_tokens", $"stop_count", $"stop_ratio",
+        $"mean_word_len", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang, len(toks) AS n_tokens,
+       |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS stop_count,
+       |         n_chars
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, n_tokens, stop_count,
+       |       CAST(stop_count AS DOUBLE) / n_tokens AS stop_ratio,
+       |       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_word_len,
+       |       (n_tokens BETWEEN 20 AND 1000
+       |        AND CAST(stop_count AS DOUBLE) / n_tokens < 0.3
+       |        AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens < 12.0) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "la", "los", "y"))
+
+  /** Language-ID: score each language by marker-token hits; predict the
+    * argmax (ties → lexicographically first), 'und' when nothing hits.
+    * Evaluated against the stored lang label per language. */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(spark, d)
+      .withColumn("s_en", tokenMatchCount(toks, langMarkers(0)._2))
+      .withColumn("s_de", tokenMatchCount(toks, langMarkers(1)._2))
+      .withColumn("s_fr", tokenMatchCount(toks, langMarkers(2)._2))
+      .withColumn("s_es", tokenMatchCount(toks, langMarkers(3)._2))
+    val best = greatest($"s_en", $"s_de", $"s_fr", $"s_es")
+    scored
+      .withColumn("predicted",
+        when(best === 0, "und")
+          .when($"s_de" === best, "de")
+          .when($"s_en" === best, "en")
+          .when($"s_es" === best, "es")
+          .otherwise("fr"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val langIdSql: String =
+    """WITH t AS (
+      |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT lang,
+      |         len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS s_en,
+      |         len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de,
+      |         len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS s_fr,
+      |         len(list_filter(toks, x -> x IN ('el','la','los','y'))) AS s_es
+      |  FROM t
+      |), p AS (
+      |  SELECT lang,
+      |         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+      |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+      |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      |              ELSE 'fr' END AS predicted
+      |  FROM s
+      |)
+      |SELECT lang, predicted, count(*) AS n_docs
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Winnowing document fingerprint: k-gram hashes, sliding-window
+    * minimum (window w) → distinct fingerprint set per doc. Hash-seeded
+    * (xxhash64) → rows-only + TextAnalysisSpec invariants. */
+  def fingerprint(spark: SparkSession, d: String, k: Int = 4, w: Int = 5): DataFrame =
+    fingerprintOf(Tables.documents(spark, d), k, w)
+
+  def fingerprintOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kgrams = docs
+      .select($"doc_id", posexplode(graft.functions.TextFunctions.shingles($"text", k)))
+      .withColumnRenamed("pos", "i")
+      .withColumn("h", xxhash64($"col"))
+      .select($"doc_id", $"i", $"h")
+    // winnowing: fingerprint = min hash of each window of w consecutive
+    // k-gram hashes → distinct mins. Window via self-join on index range
+    // stays fully distributed (no per-doc collect).
+    val wins = kgrams.as("g")
+      .join(kgrams.as("m"),
+        $"g.doc_id" === $"m.doc_id" &&
+          $"m.i".between($"g.i", $"g.i" + (w - 1)))
+      .groupBy($"g.doc_id".as("doc_id"), $"g.i".as("win"))
+      .agg(min($"m.h").as("fp"))
+    wins.select($"doc_id", $"fp").distinct()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"), min($"fp").as("min_fp"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline query surface: dedup family, similarity
+  * search, text analysis. Thin wiring over the operators in
+  * `graft.operators`; thresholds fixed here so the DuckDB oracles are
+  * reproducible.
+  */
+object TrainingData {
+
+  // -- dedup family ---------------------------------------------------
+
+  def q20DedupExact(spark: SparkSession, d: String): DataFrame =
+    Dedup.exact(spark, d)
+  val q20Sql: String = Dedup.exactSql
+
+  def q21NgramJaccard(spark: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(spark, d, threshold = 0.6)
+  val q21Sql: String = Dedup.ngramJaccardSql(0.6)
+
+  /** LSH candidates verified with exact Jaccard → equals brute force
+    * (whp; band catch probability 1-1e-14 at j=0.8), so the brute-force
+    * SQL is a valid oracle. */
+  def q22MinhashLsh(spark: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(spark, d, threshold = 0.8)
+  val q22Sql: String = Dedup.ngramJaccardSql(0.8)
+
+  /** Hash-seeded signature pairs — rows-only check; invariants in
+    * DedupSpec. */
+  def q23SimhashPairs(spark: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(spark, d, maxHamming = 7)
+
+  def q24EmbeddingNearDup(spark: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(spark, d, threshold = 0.4)
+  val q24Sql: String = Dedup.embeddingNearDupSql(0.4)
+
+  // -- similarity search ----------------------------------------------
+
+  def q25AnnTopK(spark: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(spark, d, k = 5, nQueries = 10)
+  val q25Sql: String = Similarity.bruteForceTopKSql(5, 10)
+
+  /** Approximate LSH variant — rows-only; recall asserted in
+    * SimilaritySpec. */
+  def q26AnnLsh(spark: SparkSession, d: String): DataFrame =
+    Similarity.annLsh(spark, d, k = 5, nQueries = 10)
+
+  /** IVF-bucketed ANN (the preferred scale path) — rows-only; recall
+    * asserted in SimilaritySpec. */
+  def q31AnnIvf(spark: SparkSession, d: String): DataFrame =
+    Similarity.annIvf(spark, d, k = 5, nQueries = 10)
+
+  // -- text analysis ---------------------------------------------------
+
+  def q27TokenStats(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenStats(spark, d)
+  val q27Sql: String = TextAnalysis.tokenStatsSql
+
+  def q28Quality(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(spark, d)
+  val q28Sql: String = TextAnalysis.qualityScoreSql
+
+  def q29LangId(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(spark, d)
+  val q29Sql: String = TextAnalysis.langIdSql
+
+  /** Winnowing fingerprints — hash-seeded, rows-only. */
+  def q30Fingerprint(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(spark, d)
+}

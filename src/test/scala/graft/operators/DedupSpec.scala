@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants for the hash-seeded dedup operators that have no SQL
+  * oracle, plus LSH-equals-brute-force on the oracle-checked path. */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds exactly the brute-force Jaccard>=0.8 pairs (sf0.01)") {
+    val brute = pairs(Dedup.ngramJaccard(spark, sfDirMid, 0.8))
+    val lsh = pairs(Dedup.minhashLsh(spark, sfDirMid, 0.8))
+    assert(brute.nonEmpty, "test corpus must contain planted near-dups")
+    assert(lsh == brute)
+  }
+
+  test("simhash pairs cover the strong Jaccard near-dups (sf0.01)") {
+    val strong = pairs(Dedup.ngramJaccard(spark, sfDirMid, 0.9))
+    val sim = pairs(Dedup.simhashPairs(spark, sfDirMid, maxHamming = 7))
+    assert(strong.nonEmpty)
+    val covered = strong.intersect(sim)
+    // SimHash is an approximate sketch: with ~80 shingle features per
+    // doc, bit sums near zero flip easily, so even j>=0.9 pairs can land
+    // at Hamming ~8-10. Demand >=60% coverage at the lossless-block
+    // cutoff of 7 — MinHash LSH (exact-verified) is the precision path.
+    assert(covered.size * 10 >= strong.size * 6,
+      s"simhash covered ${covered.size}/${strong.size}")
+  }
+
+  test("identical texts get identical simhash; near-dup pair is close in Hamming") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhashOf(docs).collect()
+      .map { case Row(id: Long, s: Long) => id -> s }.toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("exact dedup groups: keeper is the minimum doc id and groups have >1 member") {
+    val rows = Dedup.exact(spark, sfDirMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 1)
+      assert(r.getAs[Long]("keeper") <= r.getAs[Long]("last_dup"))
+    }
+  }
+
+  test("embedding near-dup emits ordered unique pairs") {
+    val rows = Dedup.embeddingNearDup(spark, sfDirMid, 0.4).collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.forall { case (a, b) => a < b })
+    assert(ps.distinct.length == ps.length)
+  }
+}
