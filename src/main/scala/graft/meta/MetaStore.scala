@@ -1,0 +1,62 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SaveMode, SparkSession}
+
+/** Parquet-backed metadata store — the Spark-native replacement for the
+  * reference's MySQL cache (SURVEY.md §7.1 MetaStore; DDL under
+  * backend/build/migrations/). One directory per metadata table
+  * (`tables`, `partitions`, `snapshots`, `files`, `tasks`, `settings`).
+  *
+  * Scale posture: the metadata tables would be partitioned by
+  * (database, table) on a real deployment so per-table refresh/queries
+  * prune; at test scale they are small single-directory tables. All
+  * mutations are whole-slice overwrites (the reference's
+  * DELETE+INSERT refresh pattern, service_refresh.go:111-199) —
+  * format-level atomic per table, single-writer by design (the
+  * reference is also a single process).
+  */
+final class MetaStore(val spark: SparkSession, val root: String) {
+
+  def path(name: String): String = s"$root/$name"
+
+  def write[T](name: String, ds: Dataset[T], mode: SaveMode = SaveMode.Overwrite): Unit =
+    ds.write.mode(mode).parquet(path(name))
+
+  def exists(name: String): Boolean =
+    new java.io.File(new java.net.URI("file://" + path(name)).getPath).exists() ||
+      new java.io.File(path(name)).exists()
+
+  /** Read a metadata table; empty typed Dataset when absent. */
+  def read[T: Encoder](name: String): Dataset[T] = {
+    val enc = implicitly[Encoder[T]]
+    if (exists(name))
+      spark.read.schema(enc.schema).parquet(path(name)).as[T]
+    else
+      spark.emptyDataset[T]
+  }
+
+  def readDf(name: String): DataFrame =
+    spark.read.parquet(path(name))
+
+  def tables: Dataset[Model.TableMeta] = read[Model.TableMeta]("tables")(MetaStore.tableMetaEnc)
+  def partitions: Dataset[Model.PartitionStat] = read[Model.PartitionStat]("partitions")(MetaStore.partitionStatEnc)
+  def snapshots: Dataset[Model.SnapshotMeta] = read[Model.SnapshotMeta]("snapshots")(MetaStore.snapshotMetaEnc)
+  def files: Dataset[Model.FileMeta] = read[Model.FileMeta]("files")(MetaStore.fileMetaEnc)
+  def tasks: Dataset[Model.TaskRow] = read[Model.TaskRow]("tasks")(MetaStore.taskRowEnc)
+  def settings: Dataset[Model.Setting] = read[Model.Setting]("settings")(MetaStore.settingEnc)
+
+  /** Setting lookup with reference defaults (service_settings.go:15-23). */
+  def setting(key: String, default: String): String = {
+    if (!exists("settings")) return default
+    settings.filter(_.key == key).take(1).headOption.map(_.value).getOrElse(default)
+  }
+}
+
+object MetaStore {
+  implicit val tableMetaEnc: Encoder[Model.TableMeta] = Encoders.product[Model.TableMeta]
+  implicit val partitionStatEnc: Encoder[Model.PartitionStat] = Encoders.product[Model.PartitionStat]
+  implicit val snapshotMetaEnc: Encoder[Model.SnapshotMeta] = Encoders.product[Model.SnapshotMeta]
+  implicit val fileMetaEnc: Encoder[Model.FileMeta] = Encoders.product[Model.FileMeta]
+  implicit val taskRowEnc: Encoder[Model.TaskRow] = Encoders.product[Model.TaskRow]
+  implicit val settingEnc: Encoder[Model.Setting] = Encoders.product[Model.Setting]
+}

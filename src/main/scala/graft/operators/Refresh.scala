@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+import graft.meta.{MetaStore, Model, PartitionModel, SmallFiles}
+
+/** M5: the catalog → MetaStore refresh ETL (reference
+  * service_refresh.go): per table, rebuild the `tables` row and the
+  * `partitions`/`snapshots` slices; tables present in the store but
+  * absent from the live catalog are cascade-deleted (J1 stale diff,
+  * service_refresh.go:82-88, 297-316).
+  *
+  * The "live catalog" here is a directory of parquet tables (TESTDATA
+  * layout); with a real Iceberg catalog the describe/scan calls swap to
+  * `spark.catalog` + `.files`/`.snapshots` metadata tables behind the
+  * same interface.
+  */
+object Refresh {
+
+  /** Describe + refresh one live parquet table into the store. */
+  def refreshTable(store: MetaStore, database: String, name: String,
+      dataPath: String, now: Instant): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+    import MetaStore._
+
+    val df = spark.read.parquet(dataPath)
+    val columns = df.schema.fields.toSeq.map(f =>
+      Model.TableColumn(f.name, f.dataType.simpleString))
+    val row = Model.TableMeta(database, name, columns,
+      partitions = Seq.empty, currentSnapshotId = None,
+      updatedAt = Timestamp.from(now))
+
+    val others = store.tables.collect().toSeq
+      .filterNot(t => t.database == database && t.name == name)
+    store.write("tables", spark.createDataset(others :+ row))
+  }
+
+  /** Full refresh: refresh every live table, then cascade-delete stale
+    * store entries (tables/partitions/snapshots/files for (db, name)
+    * pairs no longer live). */
+  def fullRefresh(store: MetaStore, database: String,
+      liveTables: Map[String, String], now: Instant): Seq[(String, String)] = {
+    val spark = store.spark
+    import spark.implicits._
+    import MetaStore._
+
+    liveTables.foreach { case (name, path) =>
+      refreshTable(store, database, name, path, now)
+    }
+
+    // J1 stale diff: stored minus live → cascade delete.
+    val live = liveTables.keySet
+    val stale = store.tables.collect().toSeq
+      .filter(t => t.database == database && !live.contains(t.name))
+      .map(t => (t.database, t.name))
+    if (stale.nonEmpty) {
+      val staleSet = stale.toSet
+      store.write("tables", spark.createDataset(
+        store.tables.collect().toSeq.filterNot(t => staleSet((t.database, t.name)))))
+      if (store.exists("partitions"))
+        store.write("partitions", spark.createDataset(
+          store.partitions.collect().toSeq.filterNot(p => staleSet((p.database, p.table)))))
+      if (store.exists("snapshots"))
+        store.write("snapshots", spark.createDataset(
+          store.snapshots.collect().toSeq.filterNot(s => staleSet((s.database, s.table)))))
+      if (store.exists("files"))
+        store.write("files", spark.createDataset(
+          store.files.collect().toSeq.filterNot(f => staleSet((f.database, f.table)))))
+    }
+    stale
+  }
+
+  /** Rebuild the `partitions` slice of one table from a `files`-shaped
+    * manifest already in the store (the reference's ListPartitions +
+    * needs_optimize scoring, service_iceberg.go:117-170). */
+  def refreshPartitions(store: MetaStore, database: String, table: String,
+      snapshotId: Long, cfg: SmallFiles.Config, now: Instant): Unit =
+    Maintenance.rollbackToSnapshot(store, database, table, snapshotId, cfg, now)
+
+  /** Expand a table's partition-spec (the reference DescribeTable path,
+    * S4) — surfaced here so spec expansion is part of refresh. */
+  def describePartitionSpec(fields: Seq[PartitionModel.SpecField]): Either[String, Seq[Model.PartitionField]] =
+    PartitionModel.expandSpec(fields)
+}

@@ -1,0 +1,122 @@
+package graft.queue
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SaveMode
+
+import graft.meta.{MetaStore, Model}
+import graft.meta.Model.{TaskRow, TaskStatus}
+
+/** Maintenance task queue over MetaStore.tasks — re-expression of the
+  * reference's MySQL queue (service_task_queue.go):
+  *
+  *  - enqueue: insert queued row (go:52-69)
+  *  - claim: running-count gate < concurrency, oldest-queued first,
+  *    queued→running CAS (go:222-313; serializable tx → here a
+  *    driver-side lock, faithful to the reference's single process,
+  *    SURVEY.md §7.4 #1)
+  *  - complete: shallow last-wins result merge, success/error (go:315-359)
+  *  - retry: error && !retried → mark retried, insert clone (go:166-202)
+  *  - flush: delete terminal rows (go:537-555)
+  *  - counts: GROUP BY status over {queued, running} (go:411-443)
+  *
+  * State lives in the parquet `tasks` table; mutual exclusion lives in
+  * this object (in-JVM lock). Mutations rewrite the whole table — tasks
+  * are control-plane metadata (thousands of rows, not data-plane scale).
+  */
+final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now()) {
+
+  import store.spark.implicits._
+  import MetaStore.taskRowEnc
+
+  private val lock = new Object
+  private def now(): Timestamp = Timestamp.from(clock())
+
+  private def all(): Seq[TaskRow] = store.tasks.collect().toSeq
+
+  private def save(rows: Seq[TaskRow]): Unit =
+    store.write("tasks", store.spark.createDataset(rows), SaveMode.Overwrite)
+
+  def enqueue(database: String, table: String, kind: String, engine: String,
+      input: Map[String, String]): Long = lock.synchronized {
+    require(Model.TaskKind.all.contains(kind), s"unknown task kind: $kind")
+    val rows = all()
+    val id = rows.map(_.id).maxOption.getOrElse(0L) + 1
+    save(rows :+ TaskRow(id, database, table, kind, engine,
+      startedAt = now(), pickedUpAt = None, finishedAt = None,
+      status = TaskStatus.Queued, retried = false, errorMessage = None,
+      input = input, result = Map.empty))
+    id
+  }
+
+  /** Claim the oldest queued task iff running < concurrency. */
+  def claim(concurrency: Int): Option[TaskRow] = lock.synchronized {
+    val rows = all()
+    if (rows.count(_.status == TaskStatus.Running) >= concurrency) None
+    else rows.filter(_.status == TaskStatus.Queued)
+      .sortBy(t => (t.startedAt.getTime, t.id)).headOption.map { t =>
+        val claimed = t.copy(status = TaskStatus.Running, pickedUpAt = Some(now()))
+        save(rows.map(r => if (r.id == t.id) claimed else r))
+        claimed
+      }
+  }
+
+  /** Complete a running task: merge result (shallow, last wins —
+    * reference F13, service_task_queue.go:397-409), set terminal status. */
+  def complete(id: Long, result: Map[String, String], error: Option[String]): Boolean =
+    lock.synchronized {
+      val rows = all()
+      rows.find(t => t.id == id && t.status == TaskStatus.Running) match {
+        case None => false
+        case Some(t) =>
+          val done = t.copy(
+            status = if (error.isDefined) TaskStatus.Error else TaskStatus.Success,
+            errorMessage = error,
+            finishedAt = Some(now()),
+            result = t.result ++ result)
+          save(rows.map(r => if (r.id == id) done else r))
+          true
+      }
+    }
+
+  /** Retry an errored, not-yet-retried task: flag the original and
+    * enqueue a fresh clone with the same input. Returns the clone id. */
+  def retry(id: Long): Option[Long] = lock.synchronized {
+    val rows = all()
+    rows.find(t => t.id == id && t.status == TaskStatus.Error && !t.retried).map { t =>
+      val cloneId = rows.map(_.id).max + 1
+      val clone = TaskRow(cloneId, t.database, t.table, t.kind, t.engine,
+        startedAt = now(), pickedUpAt = None, finishedAt = None,
+        status = TaskStatus.Queued, retried = false, errorMessage = None,
+        input = t.input, result = Map.empty)
+      save(rows.map(r => if (r.id == id) r.copy(retried = true) else r) :+ clone)
+      cloneId
+    }
+  }
+
+  /** Delete terminal tasks; returns how many were removed. */
+  def flush(): Long = lock.synchronized {
+    val rows = all()
+    val (gone, keep) = rows.partition(t =>
+      t.status == TaskStatus.Success || t.status == TaskStatus.Error)
+    save(keep)
+    gone.size.toLong
+  }
+
+  /** status → count for the live statuses (A4). */
+  def counts(): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    store.tasks
+      .filter(col("status").isin(TaskStatus.Queued, TaskStatus.Running))
+      .groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Paginated list + total (A5, service_task_queue.go:469-507). */
+  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) = {
+    val filtered = all().filter(t => statuses.isEmpty || statuses.contains(t.status))
+      .sortBy(t => (-t.startedAt.getTime, -t.id))
+    (filtered.slice(offset, offset + limit), filtered.size.toLong)
+  }
+}

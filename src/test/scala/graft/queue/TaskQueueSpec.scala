@@ -1,0 +1,74 @@
+package graft.queue
+
+import java.nio.file.Files
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.SparkSpec
+import graft.meta.{MetaStore, Model}
+
+/** Queue semantics ported from the reference
+  * (service_task_queue.go): claim gating, oldest-first order,
+  * result merge, retry-once, flush. */
+class TaskQueueSpec extends SparkSpec {
+
+  private def newQueue(): TaskQueue = {
+    val tick = new AtomicLong(0)
+    val clock = () => Instant.parse("2026-01-01T00:00:00Z")
+      .plusSeconds(tick.incrementAndGet())
+    new TaskQueue(new MetaStore(spark, Files.createTempDirectory("queue").toString), clock)
+  }
+
+  test("claim respects the running-count concurrency gate") {
+    val q = newQueue()
+    q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map("from" -> "2026-01-01"))
+    q.enqueue("db", "t", Model.TaskKind.ExpireSnapshots, "spark", Map.empty)
+    val first = q.claim(concurrency = 1)
+    assert(first.exists(_.kind == Model.TaskKind.Optimize)) // oldest first
+    assert(q.claim(concurrency = 1).isEmpty)                // gate closed
+    assert(q.claim(concurrency = 2).isDefined)              // higher limit admits
+  }
+
+  test("complete merges results shallow last-wins and sets terminal status") {
+    val q = newQueue()
+    val id = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    val t = q.claim(1).get
+    assert(t.id == id)
+    assert(q.complete(id, Map("rewritten" -> "5", "stage" -> "one"), None))
+    // completing twice fails (no longer running)
+    assert(!q.complete(id, Map.empty, None))
+    val (rows, _) = q.list(Seq(Model.TaskStatus.Success), 10, 0)
+    assert(rows.head.result == Map("rewritten" -> "5", "stage" -> "one"))
+    assert(rows.head.finishedAt.isDefined)
+  }
+
+  test("retry clones an errored task once and only once") {
+    val q = newQueue()
+    val id = q.enqueue("db", "t", Model.TaskKind.RemoveOrphanFiles, "spark", Map("k" -> "v"))
+    q.claim(1)
+    q.complete(id, Map.empty, Some("boom"))
+    val cloneId = q.retry(id)
+    assert(cloneId.isDefined && cloneId.get != id)
+    assert(q.retry(id).isEmpty) // already retried
+    val clone = q.claim(1).get
+    assert(clone.id == cloneId.get && clone.input == Map("k" -> "v"))
+  }
+
+  test("counts groups live statuses; flush removes terminal rows") {
+    val q = newQueue()
+    val a = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    q.claim(1)
+    assert(q.counts() == Map(Model.TaskStatus.Queued -> 1L, Model.TaskStatus.Running -> 1L))
+    q.complete(a, Map.empty, None)
+    assert(q.flush() == 1)
+    assert(q.counts() == Map(Model.TaskStatus.Queued -> 1L))
+  }
+
+  test("unknown task kind is rejected") {
+    val q = newQueue()
+    intercept[IllegalArgumentException] {
+      q.enqueue("db", "t", "vacuum", "spark", Map.empty)
+    }
+  }
+}
