@@ -1,0 +1,17 @@
+package graft
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("plans", "8")
+    val d = "/root/testdata/sf0.01"
+    for ((name, fn) <- Seq(
+      "q1_agg" -> graft.queries.Relational.q1Agg _,
+      "q4_files_browse" -> graft.queries.Relational.q4FilesBrowse _,
+      "q7_join_agg" -> graft.queries.Relational.q7JoinAgg _,
+      "q3_antijoin" -> graft.queries.Relational.q3AntiJoin _)) {
+      println(s"===== $name =====")
+      println(fn(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

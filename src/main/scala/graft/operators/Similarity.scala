@@ -29,17 +29,32 @@ object Similarity {
     transform(d, x => x / norm)
   }
 
-  /** Brute-force cosine top-k per query vector: queries × corpus cross
-    * join (broadcast the queries — the small side), window top-k.
-    * Output: (query_id, neighbor_id) set per query, rank-free so float
-    * rounding can never reorder compared output. */
+  /** Brute-force cosine top-k per query vector: the query block (small)
+    * is broadcast; every corpus partition scores its rows against all
+    * queries with a primitive-array kernel (no per-pair allocation),
+    * then a window keeps the top k. Fully distributed — the corpus
+    * never leaves the executors. Output is the rank-free
+    * (query_id, neighbor_id) set so float rounding can never reorder
+    * compared output; dot products sum left-to-right like the DuckDB
+    * oracle. */
   def bruteForceTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
-    val queries = e.where($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val scored = broadcast(queries).join(e, $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), dot($"qv", $"v").as("cos"))
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", normalized($"embedding").as("v"))
+      .as[(Long, Array[Double])]
+    val queries = e.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    val scored = e.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (idN, v) =>
+        qs.iterator.filter(_._1 != idN).map { case (idQ, q) =>
+          var s = 0.0
+          var j = 0
+          while (j < v.length) { s += q(j) * v(j); j += 1 }
+          (idQ, idN, s)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rn", row_number().over(w))
       .where($"rn" <= k)

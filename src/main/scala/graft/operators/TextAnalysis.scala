@@ -145,21 +145,22 @@ object TextAnalysis {
   def fingerprintOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val kgrams = docs
-      .select($"doc_id", posexplode(graft.functions.TextFunctions.shingles($"text", k)))
-      .withColumnRenamed("pos", "i")
-      .withColumn("h", xxhash64($"col"))
-      .select($"doc_id", $"i", $"h")
-    // winnowing: fingerprint = min hash of each window of w consecutive
-    // k-gram hashes → distinct mins. Window via self-join on index range
-    // stays fully distributed (no per-doc collect).
-    val wins = kgrams.as("g")
-      .join(kgrams.as("m"),
-        $"g.doc_id" === $"m.doc_id" &&
-          $"m.i".between($"g.i", $"g.i" + (w - 1)))
-      .groupBy($"g.doc_id".as("doc_id"), $"g.i".as("win"))
-      .agg(min($"m.h").as("fp"))
-    wins.select($"doc_id", $"fp").distinct()
+    val kgrams = docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.toLowerCase.split(' ').sliding(k)
+          .withFilter(_.length == k).zipWithIndex
+          .map { case (g, i) => (id, i, g.mkString(" ")) }
+      }
+      .toDF("doc_id", "i", "kg")
+      .withColumn("h", xxhash64($"kg"))
+    // winnowing: fingerprint = min hash over each sliding window of w
+    // consecutive k-gram hashes → one O(n)-per-doc window pass (not a
+    // range self-join), distinct mins per doc.
+    val winSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
+    kgrams
+      .withColumn("fp", min($"h").over(winSpec))
+      .select($"doc_id", $"fp").distinct()
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_fingerprints"), min($"fp").as("min_fp"))
       .orderBy($"doc_id")
