@@ -1,0 +1,146 @@
+package graft
+
+import java.time.{Instant, LocalDate}
+
+import graft.meta.{MetaStore, Model, PartitionModel, Planner, SmallFiles}
+import graft.queue.TaskQueue
+
+/** The engine façade — ties MetaStore, TaskQueue, Planner and the
+  * maintenance operators into the reference's service surface
+  * (SURVEY.md §7.2 steps 5-7): enqueue endpoints with the reference's
+  * validation/clamping, the daily schedule cycle, and the worker that
+  * claims and executes tasks in the same JVM.
+  */
+final class Engine(
+    val store: MetaStore,
+    clock: () => Instant = () => Instant.now(),
+    cfg: SmallFiles.Config = SmallFiles.Config()) {
+
+  val queue = new TaskQueue(store, clock)
+
+  /** EnqueueOptimize (service_tasks.go:190-296): default target 512 MB,
+    * clamp the range by the freshness delay, query needs_optimize
+    * partitions from the store, bucket into chunks, one task per chunk. */
+  def enqueueOptimize(database: String, table: String, targetFileSizeMb: Int,
+      from: LocalDate, to: LocalDate, chunkBy: String): Either[String, Seq[Long]] = {
+    for {
+      chunk <- Planner.normalizeChunkBy(chunkBy)
+      _ <- if (from.isAfter(to)) Left("from date must be before or equal to the to date") else Right(())
+    } yield {
+      val target = if (targetFileSizeMb < 1) Model.Defaults.TargetFileSizeMb else targetFileSizeMb
+      Planner.rangeWithinDelay(from, to, clock(), cfg.delayHours) match {
+        case None => Seq.empty
+        case Some(effective) =>
+          val partitionDates = store.partitions
+            .filter(p => p.database == database && p.table == table && p.needsOptimize)
+            .collect().toSeq
+            .flatMap(p => PartitionModel.partitionDate(p.partition))
+            .filter(d => !d.isBefore(effective.from) && !d.isAfter(effective.to))
+            .sorted(Ordering.by((d: LocalDate) => d.toEpochDay))
+          Planner.planChunks(partitionDates, effective, chunk).map { c =>
+            queue.enqueue(database, table, Model.TaskKind.Optimize, "spark", Map(
+              "target_file_size_mb" -> target.toString,
+              "from" -> c.from.toString,
+              "to" -> c.to.toString))
+          }
+      }
+    }
+  }
+
+  /** EnqueueExpireSnapshots with the 7-day minimum clamp
+    * (service_tasks.go:91-113). */
+  def enqueueExpireSnapshots(database: String, table: String, retentionDays: Int): Long = {
+    val days = math.max(retentionDays, Model.Defaults.MinRetentionDays)
+    queue.enqueue(database, table, Model.TaskKind.ExpireSnapshots, "spark",
+      Map("retention_days" -> days.toString))
+  }
+
+  /** EnqueueRemoveOrphanFiles with the same clamp
+    * (service_tasks.go:115-137). */
+  def enqueueRemoveOrphanFiles(database: String, table: String, retentionDays: Int): Long = {
+    val days = math.max(retentionDays, Model.Defaults.MinRetentionDays)
+    queue.enqueue(database, table, Model.TaskKind.RemoveOrphanFiles, "spark",
+      Map("retention_days" -> days.toString))
+  }
+
+  final case class CycleResult(tableCount: Int, optimizeTasks: Int,
+      expireTasks: Int, orphanTasks: Int)
+
+  /** The daily maintenance cycle
+    * (service_maintenance_schedule.go:55-110): for every stored table,
+    * enqueue optimize over a lookback window ending today
+    * ([today-(lookback-1), today]), plus expire + orphan removal. */
+  def runCycle(now: Instant, lookbackDays: Int = 30, targetFileSizeMb: Int = 512,
+      chunkBy: String = "day", retentionDays: Int = 7): CycleResult = {
+    val tables = store.tables.collect().toSeq
+    val today = now.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val from = today.minusDays((lookbackDays - 1).toLong)
+    var opt = 0
+    tables.foreach { t =>
+      enqueueOptimize(t.database, t.name, targetFileSizeMb, from, today, chunkBy)
+        .foreach(ids => opt += ids.size)
+    }
+    tables.foreach(t => enqueueExpireSnapshots(t.database, t.name, retentionDays))
+    tables.foreach(t => enqueueRemoveOrphanFiles(t.database, t.name, retentionDays))
+    CycleResult(tables.size, opt, tables.size, tables.size)
+  }
+
+  /** Worker tick (module_tasks.go:102-125 + executor dispatch): claim
+    * one task under the concurrency gate and execute it in this JVM.
+    * `tablePaths` maps (database, table) → data directory for the
+    * compaction path. Returns the completed task id. */
+  def processNext(concurrency: Int, tablePaths: Map[(String, String), String]): Option[Long] = {
+    queue.claim(concurrency).map { task =>
+      val result: Either[String, Map[String, String]] =
+        try {
+          task.kind match {
+            case Model.TaskKind.Optimize =>
+              tablePaths.get((task.database, task.table)) match {
+                case None => Left(s"no data path for ${task.database}.${task.table}")
+                case Some(path) =>
+                  val target = task.input.get("target_file_size_mb")
+                    .flatMap(_.toLongOption).getOrElse(512L) * 1024L * 1024L
+                  val until = LocalDate.parse(task.input("to")).plusDays(1).toString
+                  val r = operators.Maintenance.compact(store.spark, path,
+                    task.input("from"), until, target)
+                  Right(Map(
+                    "partitions_rewritten" -> r.partitionsRewritten.toString,
+                    "files_before" -> r.filesBefore.toString,
+                    "files_after" -> r.filesAfter.toString))
+              }
+            case Model.TaskKind.ExpireSnapshots =>
+              val days = task.input.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
+              val cutoff = java.sql.Timestamp.from(clock().minusSeconds(days.toLong * 86400))
+              val current = store.tables.collect()
+                .find(t => t.database == task.database && t.name == task.table)
+                .flatMap(_.currentSnapshotId)
+              current match {
+                case None => Left("table has no current snapshot")
+                case Some(cur) =>
+                  val r = operators.Maintenance.expireSnapshots(store, task.database,
+                    task.table, cur, cutoff)
+                  Right(Map("expired" -> r.expiredSnapshots.size.toString,
+                    "kept" -> r.keptSnapshots.size.toString))
+              }
+            case Model.TaskKind.RemoveOrphanFiles =>
+              tablePaths.get((task.database, task.table)) match {
+                case None => Left(s"no data path for ${task.database}.${task.table}")
+                case Some(path) =>
+                  val days = task.input.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
+                  val cutoff = java.sql.Timestamp.from(clock().minusSeconds(days.toLong * 86400))
+                  val r = operators.Maintenance.removeOrphanFiles(store.spark, store,
+                    path, task.database, task.table, cutoff)
+                  Right(Map("orphans" -> r.orphans.size.toString,
+                    "deleted" -> r.deleted.toString))
+              }
+            case other => Left(s"unknown task kind $other")
+          }
+        } catch { case e: Throwable => Left(e.getMessage) }
+      result match {
+        case Right(res) => queue.complete(task.id, res, None)
+        case Left(err) => queue.complete(task.id, Map.empty, Some(err))
+      }
+      task.id
+    }
+  }
+}
