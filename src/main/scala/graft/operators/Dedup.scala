@@ -108,14 +108,30 @@ object Dedup {
   val MinhashPerms = 64
   val LshBands = 32 // r = 2 rows/band: P(catch | j=0.8) = 1-(1-.64)^32 ≈ 1-1e-14
 
-  /** MinHash signatures: per doc, min over shingles of xxhash64(perm, sh)
-    * for each of the 64 "permutations" — one groupBy with 64 min
-    * aggregates (single shuffle, map-side partial). */
+  /** MinHash signatures: per doc, min over shingles of the i-th seeded
+    * hash, all 64 "permutations" in one per-group primitive loop
+    * (single shuffle on doc_id; ~70 shingles × 64 mixes per doc —
+    * orders of magnitude cheaper than 64 separate min-aggregate
+    * columns). Returns (doc_id, sig[64]). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val mins = (0 until MinhashPerms).map(i => min(xxhash64(lit(i), $"sh")).as(s"m$i"))
-    sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    import graft.functions.Hashing
+    sh.as[(Long, String)].groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val mins = Array.fill(MinhashPerms)(Long.MaxValue)
+        it.foreach { case (_, s) =>
+          val base = Hashing.hashString(s)
+          var i = 0
+          while (i < MinhashPerms) {
+            val h = Hashing.seeded(base, i)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        (id, mins)
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** MinHash + LSH near-dup detection: band signatures into buckets,
@@ -124,15 +140,19 @@ object Dedup {
     * (whp), at a fraction of the join cost. This is the 100 TB path. */
   def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
+    import graft.functions.Hashing
     val sh = docShingles(Tables.documents(spark, d)).cache()
-    val sigs = minhashSignatures(sh)
     val r = MinhashPerms / LshBands
-    val bands = sigs.select($"doc_id", explode(array(
-      (0 until LshBands).map { b =>
-        val cols = (0 until r).map(j => col(s"m${b * r + j}"))
-        struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("bh"))
-      }: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+    val bands = minhashSignatures(sh).as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until LshBands).iterator.map { b =>
+          var bh = sig(b * r)
+          var j = 1
+          while (j < r) { bh = Hashing.combine(bh, sig(b * r + j), b); j += 1 }
+          (id, b, bh)
+        }
+      }
+      .toDF("doc_id", "band", "bh")
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
@@ -159,16 +179,25 @@ object Dedup {
   def simhashOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docShingles(docs).withColumnRenamed("sh", "tok")
-      .withColumn("h", xxhash64($"tok"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val sums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
-    sums.select($"doc_id", sig.as("simhash")).orderBy($"doc_id")
+    import graft.functions.Hashing
+    docShingles(docs).as[(Long, String)].groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val sums = new Array[Int](64)
+        it.foreach { case (_, s) =>
+          val h = Hashing.hashString(s)
+          var j = 0
+          while (j < 64) {
+            sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+            j += 1
+          }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "simhash")
+      .orderBy($"doc_id")
   }
 
   /** Hamming distance between two 64-bit signatures. */

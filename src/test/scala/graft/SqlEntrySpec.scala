@@ -1,0 +1,40 @@
+package graft
+
+import graft.SparkSpec
+
+/** The SQL surface must agree with the DataFrame surface. */
+class SqlEntrySpec extends SparkSpec {
+
+  test("SQL table summary equals the DataFrame q12 result") {
+    val sql = SqlEntry.tableSummarySql(spark, sfDirMid).collect()
+    val df = graft.queries.Metadata.q12TableSummary(spark, sfDirMid).collect()
+    assert(sql.map(_.toSeq).toSeq == df.map(_.toSeq).toSeq)
+  }
+
+  test("needs_optimize UDAF in SQL matches the column-expression scoring (share+count only)") {
+    import org.apache.spark.sql.functions._
+    val viaSql = SqlEntry.needsOptimizeSql(spark, sfDirMid)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getBoolean(3)).toMap
+    // Column path without the freshness guard (the UDAF sees sizes only).
+    val cfg = graft.meta.MetaDerive.cfg
+    val viaCols = graft.meta.MetaDerive.files(spark, sfDirMid)
+      .where(col("content") === 0)
+      .groupBy(col("year"), col("month"), col("day"))
+      .agg(graft.meta.SmallFiles.smallCountAgg(col("file_size"), cfg).as("small"),
+        count(lit(1)).as("total"))
+      .withColumn("flagged",
+        col("small") >= cfg.minCount && col("small") * 100 >= col("total") * cfg.minSharePercent)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getAs[Boolean]("flagged")).toMap
+    assert(viaSql == viaCols)
+    assert(viaSql.values.exists(identity) && viaSql.values.exists(v => !v))
+  }
+
+  test("partition_to_date and partition_string registered functions") {
+    SqlEntry.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT partition_to_date('2025', '6', '05') AS d,
+        |       partition_string(map('b', '2', 'a', '1')) AS s""".stripMargin).head
+    assert(r.getDate(0).toString == "2025-06-05")
+    assert(r.getString(1) == "{a=1, b=2}")
+  }
+}
