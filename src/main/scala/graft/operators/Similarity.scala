@@ -16,11 +16,19 @@ import graft.sources.Tables
 object Similarity {
 
   /** Double-precision dot product of two equal-length array columns —
-    * zip_with + left-to-right aggregate, fully codegen'd. */
+    * zip_with + left-to-right aggregate (interpreted higher-order
+    * functions; kept as the dependency-free fallback and for tests). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]); on unit vectors this is
+    * the dot product. Callers must `CosineSimilarity.register(spark)`
+    * first. */
+  def cos(a: Column, b: Column): Column =
+    call_function(graft.functions.CosineSimilarity.name, a, b)
 
   /** L2-normalize a float-array column into a double array. */
   def normalized(v: Column): Column = {
@@ -103,6 +111,7 @@ object Similarity {
     * brute force asserted in SimilaritySpec; no SQL oracle (hash-seeded). */
   def annLsh(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10, dim: Int = 64): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", normalized($"embedding").as("v"))
       .withColumn("sig", lshSignature($"v", dim))
@@ -116,7 +125,7 @@ object Similarity {
         explode(array(probes: _*)).as("probe"))
     val scored = broadcast(queries).join(e,
         $"probe" === $"sig" && $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), dot($"qv", $"v").as("cos"))
+      .select($"query_id", $"vec_id".as("neighbor_id"), cos($"qv", $"v").as("cos"))
       .distinct()
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rn", row_number().over(w))
@@ -134,12 +143,13 @@ object Similarity {
   def annIvf(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
     val cents = e.where($"vec_id" < nCentroids)
       .select($"vec_id".as("cent_id"), $"v".as("cv"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos", dot($"v", $"cv"))
+      .withColumn("cos", cos($"v", $"cv"))
       .withColumn("rn", row_number().over(wAssign))
       .where($"rn" === 1)
       .select($"vec_id", $"v", $"cent_id")
@@ -147,13 +157,13 @@ object Similarity {
     val qprobes = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
       .crossJoin(broadcast(cents))
-      .withColumn("cos", dot($"qv", $"cv"))
+      .withColumn("cos", cos($"qv", $"cv"))
       .withColumn("rn", row_number().over(wProbe))
       .where($"rn" <= nProbe)
       .select($"query_id", $"qv", $"cent_id")
     val scored = qprobes.join(assigned, Seq("cent_id"))
       .where($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"), dot($"qv", $"v").as("cos"))
+      .select($"query_id", $"vec_id".as("neighbor_id"), cos($"qv", $"v").as("cos"))
     val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored.withColumn("rn", row_number().over(wTop))
       .where($"rn" <= k)
