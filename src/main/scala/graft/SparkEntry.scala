@@ -52,6 +52,11 @@ object SparkEntry {
     "q32_windowed_counts"     -> (Streams.q32WindowedCounts _),
     "q33_sessions"            -> (Streams.q33Sessions _),
     "q34_multimodal_summary"  -> (Streams.q34MultimodalSummary _),
+    "q35_outer_join"          -> (Relational2.q35OuterJoin _),
+    "q36_semi_join"           -> (Relational2.q36SemiJoin _),
+    "q37_union"               -> (Relational2.q37Union _),
+    "q38_correlated_avg"      -> (Relational2.q38CorrelatedAvg _),
+    "q39_strings"             -> (Relational2.q39Strings _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -82,5 +87,10 @@ object SparkEntry {
     "q29_langid"              -> TrainingData.q29Sql,
     "q32_windowed_counts"     -> Streams.q32Sql,
     "q33_sessions"            -> Streams.q33Sql,
+    "q35_outer_join"          -> Relational2.q35Sql,
+    "q36_semi_join"           -> Relational2.q36Sql,
+    "q37_union"               -> Relational2.q37Sql,
+    "q38_correlated_avg"      -> Relational2.q38Sql,
+    "q39_strings"             -> Relational2.q39Sql,
   )
 }

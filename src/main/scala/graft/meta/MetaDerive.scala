@@ -36,8 +36,18 @@ object MetaDerive {
   val fixedNow: Instant = Instant.parse("2001-06-05T00:00:00Z")
   // cutoffDay(fixedNow, 96h) = 2001-06-01
 
+  // The reference's whole design is a *materialized* metadata cache
+  // (MySQL, refreshed on cron) — mirror that: derive once per (session,
+  // dir) and keep the frame cached so every downstream metadata query
+  // reads the cache, not the raw fact table.
+  private val fileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The `$files`-shaped frame (reference S6 input, iceberg_client.go:163-220). */
-  def files(spark: SparkSession, d: String): DataFrame = {
+  def files(spark: SparkSession, d: String): DataFrame =
+    fileCache.getOrElseUpdate((spark, d), filesUncached(spark, d).cache())
+
+  private def filesUncached(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
       .withColumn("year", date_format($"l_shipdate", "yyyy"))

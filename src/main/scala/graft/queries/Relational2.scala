@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational breadth beyond the reference's literal surface — the
+  * query shapes a user of a general lakehouse engine runs every day:
+  * outer joins with null handling, semi-joins, UNION ALL, correlated
+  * scalar subqueries, and string-function pipelines. Each with an exact
+  * DuckDB oracle.
+  */
+object Relational2 {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Left outer join + null-aware aggregation: every nation with its
+    * (possibly absent) high-value order stats. */
+  def q35OuterJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.nation(spark, d)
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).where($"o_totalprice" > 400000)
+    val co = c.join(o, $"c_custkey" === $"o_custkey")
+      .select($"c_nationkey", money($"o_totalprice").as("price"))
+    n.join(co, $"n_nationkey" === $"c_nationkey", "left")
+      .groupBy($"n_name")
+      .agg(
+        count($"price").as("n_big_orders"),
+        coalesce(sum($"price"), lit(0).cast("decimal(18,2)")).as("total"))
+      .orderBy($"n_name")
+  }
+
+  val q35Sql: String =
+    """SELECT n_name, count(price) AS n_big_orders,
+      |       coalesce(sum(price), CAST(0 AS DECIMAL(18,2))) AS total
+      |FROM nation
+      |LEFT JOIN (SELECT c_nationkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |           FROM customer JOIN orders ON c_custkey = o_custkey
+      |           WHERE o_totalprice > 400000) co
+      |  ON n_nationkey = co.c_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Semi-join (EXISTS): customers with at least one urgent order. */
+  def q36SemiJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).where($"o_orderpriority" === "1-URGENT")
+    c.join(o.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q36Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** UNION ALL of differently-sourced rows + grouped recount. */
+  def q37Union(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val buyers = Tables.customer(spark, d)
+      .select($"c_nationkey".cast("int").as("nationkey"), lit("customer").as("role"))
+    val sellers = Tables.supplier(spark, d)
+      .select($"s_nationkey".cast("int").as("nationkey"), lit("supplier").as("role"))
+    buyers.unionAll(sellers)
+      .groupBy($"nationkey", $"role")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"nationkey", $"role")
+  }
+
+  val q37Sql: String =
+    """SELECT nationkey, role, count(*) AS n FROM (
+      |  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS role FROM customer
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS role FROM supplier
+      |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 50%
+    * of their part's average quantity. Decorrelates to a join on the
+    * pre-aggregated per-part averages — expressed directly that way
+    * (the plan Catalyst produces for the correlated form). */
+  def q38CorrelatedAvg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, d)
+    val avgQty = li.groupBy($"l_partkey".as("p_key"))
+      .agg(sum(money($"l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    // qty < 0.5 * sum/cnt ⇔ 2*qty*cnt < sum — multiplication-only form
+    // keeps the comparison exact in both engines (no decimal-division
+    // rounding-rule differences).
+    li.join(avgQty, $"l_partkey" === $"p_key")
+      .where(money($"l_quantity") * lit(2) * $"cnt" < $"sum_qty")
+      .agg(
+        count(lit(1)).as("n_small_lines"),
+        sum(money($"l_extendedprice")).as("total_price"))
+  }
+
+  val q38Sql: String =
+    """WITH avg_qty AS (
+      |  SELECT l_partkey AS p_key,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |         count(*) AS cnt
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT count(*) AS n_small_lines,
+      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+      |FROM lineitem JOIN avg_qty ON l_partkey = p_key
+      |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
+
+  /** String-function pipeline: substring/replace/like/length/case
+    * transforms over part names. */
+  def q39Strings(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, d)
+      .where($"p_name".like("%green%") || $"p_name".like("%blue%"))
+      .withColumn("color", when($"p_name".like("%green%"), "green").otherwise("blue"))
+      .withColumn("head", upper(substring($"p_name", 1, 8)))
+      .withColumn("squeezed", regexp_replace($"p_name", "[aeiou]", ""))
+      .groupBy($"color")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        max(length($"p_name")).as("max_name_len"),
+        min($"head").as("first_head"),
+        max(length($"squeezed")).as("max_squeezed_len"))
+      .orderBy($"color")
+  }
+
+  val q39Sql: String =
+    """SELECT CASE WHEN p_name LIKE '%green%' THEN 'green' ELSE 'blue' END AS color,
+      |       count(*) AS n_parts,
+      |       max(length(p_name)) AS max_name_len,
+      |       min(upper(substring(p_name, 1, 8))) AS first_head,
+      |       max(length(regexp_replace(p_name, '[aeiou]', '', 'g'))) AS max_squeezed_len
+      |FROM part
+      |WHERE p_name LIKE '%green%' OR p_name LIKE '%blue%'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}
