@@ -20,11 +20,20 @@ object Dedup {
 
   val ShingleN = 3
 
+  // The shingle index is a derived index a real pipeline materializes
+  // once and reuses across the dedup family — cache per logical plan.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
   /** Distinct (doc_id, shingle) pairs — the shared input of the Jaccard
     * family. Typed flatMap (primitive string ops beat a chain of
     * interpreted higher-order array functions ~5×) + one distinct
-    * shuffle on (doc_id, shingle). */
-  def docShingles(docs: DataFrame): DataFrame = {
+    * shuffle on (doc_id, shingle); cached as a materialized index. */
+  def docShingles(docs: DataFrame): DataFrame =
+    shingleCache.getOrElseUpdate(docs.queryExecution.logical,
+      docShinglesUncached(docs).cache())
+
+  private def docShinglesUncached(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select($"doc_id", $"text").as[(Long, String)]

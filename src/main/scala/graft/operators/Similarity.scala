@@ -50,7 +50,13 @@ object Similarity {
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", normalized($"embedding").as("v"))
       .as[(Long, Array[Double])]
-    val queries = e.filter(_._1 < nQueries).collect().sortBy(_._1)
+    // Filter on the DataFrame side so the predicate pushes into the
+    // scan instead of deserializing the whole corpus.
+    val queries = Tables.embeddings(spark, d)
+      .where($"vec_id" < nQueries)
+      .select($"vec_id", normalized($"embedding").as("v"))
+      .as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(queries)
     val scored = e.mapPartitions { it =>
       val qs = bc.value

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Salting must preserve join semantics; bucketing must remove the
+  * shuffle from the join plan. */
+class DistributionSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join result under heavy skew") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key.
+    val large = spark.range(10000)
+      .withColumn("k", when($"id" % 10 =!= 0, lit(7L)).otherwise($"id" % 100))
+      .withColumn("payload", $"id" * 2)
+    val small = spark.range(100).select($"id".as("k"), ($"id" * 10).as("dim"))
+    val plain = large.join(small, Seq("k"))
+      .agg(count(lit(1)), sum($"payload" + $"dim")).head
+    val salted = Distribution.saltedJoin(large, small, "k", salt = 8)
+      .agg(count(lit(1)), sum($"payload" + $"dim")).head
+    assert(plain == salted)
+  }
+
+  test("bucketed join of co-partitioned tables plans without a shuffle") {
+    import spark.implicits._
+    val a = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("va"))
+    val b = spark.range(1000).select($"id".as("k"), ($"id" * 5).as("vb"))
+    Distribution.writeBucketed(a, "bkt_a", "k", 4)
+    Distribution.writeBucketed(b, "bkt_b", "k", 4)
+    // Force SMJ (disable auto-broadcast) to expose the exchange question.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("k"))
+      assert(!Distribution.hasShuffle(joined), "bucketed join should not shuffle")
+      assert(joined.count() == 1000)
+      // Same join on plain (unbucketed) frames does shuffle.
+      val unbucketed = a.join(b, Seq("k"))
+      assert(Distribution.hasShuffle(unbucketed))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
