@@ -57,6 +57,7 @@ object SparkEntry {
     "q37_union"               -> (Relational2.q37Union _),
     "q38_correlated_avg"      -> (Relational2.q38CorrelatedAvg _),
     "q39_strings"             -> (Relational2.q39Strings _),
+    "q40_dedup_clusters"      -> (TrainingData.q40DedupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +93,6 @@ object SparkEntry {
     "q37_union"               -> Relational2.q37Sql,
     "q38_correlated_avg"      -> Relational2.q38Sql,
     "q39_strings"             -> Relational2.q39Sql,
+    "q40_dedup_clusters"      -> TrainingData.q40Sql,
   )
 }

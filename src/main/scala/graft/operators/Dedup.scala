@@ -278,4 +278,66 @@ object Dedup {
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                             CAST(b.embedding AS DOUBLE[])) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Dedup keeper selection: connected components over the near-dup
+    * pair graph — every member of a transitive duplicate cluster maps
+    * to the cluster's minimum id (the keeper). Min-label propagation as
+    * DataFrame joins, iterated to fixpoint (O(log diameter) rounds);
+    * at scale this is the standard large-graph CC loop with each round
+    * one shuffle on the vertex id. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy($"src".as("id"))
+        .agg(min($"nlabel").as("minNeighbor"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select($"id", least($"label", coalesce($"minNeighbor", $"label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where($"label" =!= $"old").count()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy($"id")
+  }
+
+  /** q40: cluster summary — component keeper, member count, id span. */
+  def nearDupClusters(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    connectedComponents(embeddingNearDup(spark, d, threshold))
+      .groupBy($"label".as("keeper"))
+      .agg(count(lit(1)).as("n_members"), max($"id").as("last_member"))
+      .orderBy($"keeper")
+  }
+
+  def nearDupClustersSql(threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])) >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+       |)
+       |SELECT label AS keeper, count(*) AS n_members, max(id) AS last_member
+       |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 }

@@ -37,6 +37,13 @@ object TrainingData {
     Dedup.embeddingNearDup(spark, d, threshold = 0.4)
   val q24Sql: String = Dedup.embeddingNearDupSql(0.4)
 
+  /** Dedup keeper selection: transitive near-dup clusters via
+    * connected components; oracle is a DuckDB recursive CTE over the
+    * same pair graph. */
+  def q40DedupClusters(spark: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(spark, d, threshold = 0.4)
+  val q40Sql: String = Dedup.nearDupClustersSql(0.4)
+
   // -- similarity search ----------------------------------------------
 
   def q25AnnTopK(spark: SparkSession, d: String): DataFrame =

@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a union-find ground truth") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3,8,9} → 1 ; {5,6} → 5
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding near-dup emits ordered unique pairs") {
     val rows = Dedup.embeddingNearDup(spark, sfDirMid, 0.4).collect()
     assert(rows.nonEmpty)
