@@ -23,6 +23,10 @@ object Sessions {
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // events.parquet carries TIMESTAMP(NANOS); read as long and let
+      // Tables.events convert (set here too so plans never depend on
+      // call order).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .getOrCreate()

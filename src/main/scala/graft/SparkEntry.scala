@@ -58,6 +58,7 @@ object SparkEntry {
     "q38_correlated_avg"      -> (Relational2.q38CorrelatedAvg _),
     "q39_strings"             -> (Relational2.q39Strings _),
     "q40_dedup_clusters"      -> (TrainingData.q40DedupClusters _),
+    "q41_snapshot_files"      -> (Metadata.q41SnapshotFiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -94,5 +95,6 @@ object SparkEntry {
     "q38_correlated_avg"      -> Relational2.q38Sql,
     "q39_strings"             -> Relational2.q39Sql,
     "q40_dedup_clusters"      -> TrainingData.q40Sql,
+    "q41_snapshot_files"      -> Metadata.q41Sql,
   )
 }

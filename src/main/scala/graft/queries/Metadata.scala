@@ -164,4 +164,22 @@ object Metadata {
       |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
       |FROM events WHERE event_type IN ('click', 'view')
       |ORDER BY ts_s ASC, event_id ASC LIMIT 1""".stripMargin
+
+  /** S5 snapshot-pinned file scan: files of one "snapshot generation"
+    * → dedup paths, sort (reference iceberg_client.go:124-158; the
+    * generation stands in for VERSION AS OF). */
+  def q41SnapshotFiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    MetaDerive.files(spark, d)
+      .withColumn("snapshot_gen", pmod($"day".cast("int"), lit(3)))
+      .where($"snapshot_gen" === 1)
+      .select($"file_path").distinct()
+      .orderBy($"file_path")
+  }
+
+  val q41Sql: String = MetaDerive.filesCte +
+    """
+      |SELECT DISTINCT file_path FROM files
+      |WHERE CAST(day AS INT) % 3 = 1
+      |ORDER BY file_path""".stripMargin
 }

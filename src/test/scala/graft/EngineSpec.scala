@@ -107,6 +107,28 @@ class EngineSpec extends SparkSpec {
     assert(engine.processNext(1, Map.empty).isEmpty)
   }
 
+  test("failed task records the error and retries once to success") {
+    import MetaStore._
+    val s = store()
+    val engine = new Engine(s, () => fixedNow)
+    // Optimize task with no data path → error on first execution.
+    s.write("partitions", spark.createDataset(Seq(
+      partStat("db", "t", LocalDate.of(1997, 1, 5), needs = true))))
+    val ids = engine.enqueueOptimize("db", "t", 512,
+      LocalDate.of(1997, 1, 1), LocalDate.of(1997, 1, 7), "day").toOption.get
+    assert(engine.processNext(1, Map.empty).isDefined) // no path → error
+    val (errs, _) = engine.queue.list(Seq(Model.TaskStatus.Error), 10, 0)
+    assert(errs.head.errorMessage.exists(_.contains("no data path")))
+    // Retry clones it; a second retry of the same task is refused.
+    val clone = engine.queue.retry(ids.head)
+    assert(clone.isDefined)
+    assert(engine.queue.retry(ids.head).isEmpty)
+    // The clone errors the same way (still no path) but is a new row.
+    assert(engine.processNext(1, Map.empty).contains(clone.get))
+    val (errs2, _) = engine.queue.list(Seq(Model.TaskStatus.Error), 10, 0)
+    assert(errs2.size == 2)
+  }
+
   test("worker executes expire task against the snapshot chain") {
     import MetaStore._
     val s = store()
