@@ -98,6 +98,80 @@ object Maintenance {
       bytesRewritten = toRewrite.map(_._3).sum)
   }
 
+  /** M1 variant for the reference's hidden day-transform layout: a
+    * table partitioned as `year=YYYY/month=MM/day=DD` (the expanded
+    * day(col) transform, iceberg_client.go:476-496). Same binpack
+    * semantics as [[compact]]; partition dirs are discovered by walking
+    * the three levels and filtering to the [from, until) day range —
+    * the walk touches only directory metadata, never data files. */
+  def compactNested(spark: SparkSession, tablePath: String, from: String,
+      until: String, targetFileBytes: Long, minInputFiles: Int = 2): CompactResult = {
+    import spark.implicits._
+
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def subdirs(p: Path, prefix: String): Seq[Path] =
+      fs.listStatus(p).toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath)
+    val dayDirs = for {
+      y <- subdirs(new Path(tablePath), "year=")
+      m <- subdirs(y, "month=")
+      d <- subdirs(m, "day=")
+      date = s"${y.getName.stripPrefix("year=")}-${m.getName.stripPrefix("month=")}-${d.getName.stripPrefix("day=")}"
+      if date >= from && date < until
+    } yield (date, d)
+
+    val stats = dayDirs.map { case (date, p) =>
+      val files = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      (date, files.length.toLong, files.map(_.getLen).sum)
+    }
+    val toRewrite = stats.filter(_._2 >= minInputFiles)
+    if (toRewrite.isEmpty)
+      return CompactResult(0, stats.map(_._2).sum, stats.map(_._2).sum, 0)
+
+    val targets = toRewrite.map { case (d, _, bytes) =>
+      d -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    }.toMap
+    val targetsDf = targets.toSeq.toDF("__date", "n_files")
+
+    // Partition-type inference reads day=05 back as int 5; normalize to
+    // zero-padded strings so the dynamic overwrite targets the SAME
+    // directories it read (else day=5 dirs appear beside day=05).
+    val slice0 = spark.read.parquet(tablePath)
+      .withColumn("year", lpad(col("year").cast("string"), 4, "0"))
+      .withColumn("month", lpad(col("month").cast("string"), 2, "0"))
+      .withColumn("day", lpad(col("day").cast("string"), 2, "0"))
+    val dateCol = concat(col("year"), lit("-"), col("month"), lit("-"), col("day"))
+    val slice = slice0.withColumn("__date", dateCol)
+      .where(col("__date").isin(toRewrite.map(_._1): _*))
+    val bucketed = slice
+      .join(broadcast(targetsDf), "__date")
+      .withColumn("__bucket",
+        pmod(xxhash64(struct(slice0.columns.map(col): _*)), col("n_files")))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      bucketed
+        .repartition(col("__date"), col("__bucket"))
+        .drop("__date", "n_files", "__bucket")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("year", "month", "day")
+        .parquet(tablePath)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val after = dayDirs.filter { case (d, _) => targets.contains(d) }.map { case (_, p) =>
+      fs.listStatus(p).count(f => f.isFile && !f.getPath.getName.startsWith("_")).toLong
+    }.sum
+    CompactResult(
+      partitionsRewritten = toRewrite.size.toLong,
+      filesBefore = stats.map(_._2).sum,
+      filesAfter = after + stats.filterNot(s => targets.contains(s._1)).map(_._2).sum,
+      bytesRewritten = toRewrite.map(_._3).sum)
+  }
+
   final case class ExpireResult(expiredSnapshots: Seq[Long], keptSnapshots: Seq[Long])
 
   /** M2: expire snapshots older than `olderThan`, preserving the whole

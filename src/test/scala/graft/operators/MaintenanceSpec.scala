@@ -53,6 +53,41 @@ class MaintenanceSpec extends SparkSpec {
       }
   }
 
+  test("M1 nested layout: year=/month=/day= partitions compact in a day range only") {
+    import spark.implicits._
+    val dir = tmpDir("compact-nested")
+    val li = graft.sources.Tables.lineitem(spark, sfDirMid)
+      .withColumn("year", date_format($"l_shipdate", "yyyy"))
+      .withColumn("month", date_format($"l_shipdate", "MM"))
+      .withColumn("day", date_format($"l_shipdate", "dd"))
+      .where($"year" === "1996" && $"month" === "01")
+    li.repartition(6, $"day", pmod($"l_orderkey", lit(6)))
+      .write.mode(SaveMode.Overwrite).partitionBy("year", "month", "day").parquet(dir)
+
+    val before = spark.read.parquet(dir)
+    val rowsBefore = before.count()
+    val sumBefore = before.agg(sum($"l_quantity".cast("decimal(18,2)"))).head.getDecimal(0)
+
+    val res = Maintenance.compactNested(spark, dir, "1996-01-01", "1996-01-16",
+      targetFileBytes = 1024L * 1024 * 1024)
+    assert(res.partitionsRewritten > 0)
+    assert(res.filesAfter < res.filesBefore)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == rowsBefore)
+    assert(after.agg(sum($"l_quantity".cast("decimal(18,2)"))).head.getDecimal(0) == sumBefore)
+    // In-range days have 1 file; out-of-range days keep their many files.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(day: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"year=1996/month=01/day=$day")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    }
+    assert(filesIn("05") == 1)
+    assert(filesIn("20") > 1)
+  }
+
   private def snap(db: String, tbl: String, id: Long, parent: Option[Long],
       at: String): Model.SnapshotMeta =
     Model.SnapshotMeta(db, tbl, ts(at), id, parent, "append", s"manifest-$id", Map.empty)
