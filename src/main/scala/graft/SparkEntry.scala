@@ -59,6 +59,7 @@ object SparkEntry {
     "q39_strings"             -> (Relational2.q39Strings _),
     "q40_dedup_clusters"      -> (TrainingData.q40DedupClusters _),
     "q41_snapshot_files"      -> (Metadata.q41SnapshotFiles _),
+    "q42_profile"             -> (graft.operators.Profile.q42Profile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,5 +97,6 @@ object SparkEntry {
     "q39_strings"             -> Relational2.q39Sql,
     "q40_dedup_clusters"      -> TrainingData.q40Sql,
     "q41_snapshot_files"      -> Metadata.q41Sql,
+    "q42_profile"             -> graft.operators.Profile.q42Sql,
   )
 }

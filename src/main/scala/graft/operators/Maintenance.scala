@@ -42,7 +42,8 @@ object Maintenance {
     * in memory.
     */
   def compact(spark: SparkSession, tablePath: String, from: String, until: String,
-      targetFileBytes: Long, minInputFiles: Int = 2): CompactResult = {
+      targetFileBytes: Long, minInputFiles: Int = 2,
+      sortCols: Seq[String] = Seq.empty): CompactResult = {
     import spark.implicits._
 
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,9 +76,20 @@ object Maintenance {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      bucketed
+      // Optional clustering: sort rows within each output file so
+      // parquet column min/max stats become selective (data clustering
+      // for scan pruning — the sort-order half of a rewrite_data_files
+      // sort strategy). The sort must come AFTER the drop and reference
+      // only output columns: otherwise the writer can't see the
+      // ordering and inserts its own non-stable partition-column sort,
+      // destroying the clustering.
+      val arranged = bucketed
         .repartition(col("date"), col("__bucket"))
         .drop("n_files", "__bucket")
+      val sorted =
+        if (sortCols.isEmpty) arranged
+        else arranged.sortWithinPartitions((col("date") +: sortCols.map(col)): _*)
+      sorted
         .write.mode(SaveMode.Overwrite)
         .partitionBy("date")
         .parquet(tablePath)
