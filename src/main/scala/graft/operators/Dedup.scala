@@ -288,12 +288,15 @@ object Dedup {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // localCheckpoint each round: without cutting lineage, round N
+    // re-executes every previous round (and the pair generation) — the
+    // loop goes quadratic-in-rounds over the full upstream plan.
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
-      .cache()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
@@ -304,7 +307,7 @@ object Dedup {
         .agg(min($"nlabel").as("minNeighbor"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select($"id", least($"label", coalesce($"minNeighbor", $"label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where($"label" =!= $"old").count()
       labels = next

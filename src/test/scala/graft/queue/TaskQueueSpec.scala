@@ -65,6 +65,22 @@ class TaskQueueSpec extends SparkSpec {
     assert(q.counts() == Map(Model.TaskStatus.Queued -> 1L))
   }
 
+  test("concurrent claims never double-claim and respect the gate") {
+    val q = newQueue()
+    (1 to 6).foreach(_ =>
+      q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val claimed = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(q.claim(concurrency = 4)))), 60.seconds)
+      .flatten
+    // gate: at most 4 running; each claimed id unique
+    assert(claimed.size == 4)
+    assert(claimed.map(_.id).distinct.size == 4)
+    assert(q.counts()(Model.TaskStatus.Running) == 4L)
+  }
+
   test("unknown task kind is rejected") {
     val q = newQueue()
     intercept[IllegalArgumentException] {
