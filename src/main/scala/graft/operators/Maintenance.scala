@@ -305,10 +305,11 @@ object Maintenance {
         max($"specId").as("specId"))
     val cutoff = java.sql.Date.valueOf(graft.meta.SmallFiles.cutoffDay(now, cfg.delayHours))
     val scored = stats
-      .withColumn("part_date", to_date(concat_ws("-",
-        $"partition".getItem("year"),
-        lpad(coalesce($"partition".getItem("month"), lit("01")), 2, "0"),
-        lpad(coalesce($"partition".getItem("day"), lit("01")), 2, "0"))))
+      .withColumn("part_date", when($"partition".getItem("year").isNotNull,
+        try_to_date(concat_ws("-",
+          $"partition".getItem("year"),
+          lpad(coalesce($"partition".getItem("month"), lit("01")), 2, "0"),
+          lpad(coalesce($"partition".getItem("day"), lit("01")), 2, "0")))))
       .withColumn("needsOptimize",
         $"small_count" >= cfg.minCount &&
           $"small_count" * 100 >= $"fileCount" * cfg.minSharePercent &&

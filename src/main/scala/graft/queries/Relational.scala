@@ -195,7 +195,7 @@ object Relational {
   def q8SetOps(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val withCust = Tables.customer(spark, d).select($"c_nationkey".cast("int").as("nationkey")).distinct()
-    val withSupp = Tables.supplier(spark, d).where($"s_acctbal" > 9000)
+    val withSupp = Tables.supplier(spark, d).where($"s_acctbal" > 9900)
       .select($"s_nationkey".cast("int").as("nationkey")).distinct()
     withCust.except(withSupp).orderBy($"nationkey")
   }
@@ -203,7 +203,7 @@ object Relational {
   val q8Sql: String =
     """SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer
       |EXCEPT
-      |SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 9000
+      |SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 9900
       |ORDER BY nationkey""".stripMargin
 
   /** P3/P4 predicates: IN-list + range on derived date (ref:

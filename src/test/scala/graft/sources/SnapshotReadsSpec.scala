@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.meta.{MetaStore, Model, SmallFiles}
+import graft.operators.Maintenance
+
+/** Time travel across the snapshot model: pinned reads, current-pointer
+  * reads, and rollback switching what "current" reads. */
+class SnapshotReadsSpec extends SparkSpec {
+
+  test("readAt pins a generation; rollback moves what readCurrent sees") {
+    import spark.implicits._
+    import MetaStore._
+    val store = new MetaStore(spark, Files.createTempDirectory("tt-meta").toString)
+    val dataDir = Files.createTempDirectory("tt-data").toString
+
+    // Generation 1: values 1..10; generation 2: values 1..15.
+    val f1 = s"$dataDir/gen1.parquet"
+    val f2 = s"$dataDir/gen2.parquet"
+    spark.range(1, 11).toDF("v").coalesce(1).write.parquet(f1)
+    spark.range(1, 16).toDF("v").coalesce(1).write.parquet(f2)
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    store.write("tables", spark.createDataset(Seq(
+      Model.TableMeta("db", "t", Seq(Model.TableColumn("v", "bigint")),
+        Seq.empty, Some(2L), ts("2026-01-02 00:00:00")))))
+    store.write("snapshots", spark.createDataset(Seq(
+      Model.SnapshotMeta("db", "t", ts("2026-01-01 00:00:00"), 1L, None, "append", "m1", Map.empty),
+      Model.SnapshotMeta("db", "t", ts("2026-01-02 00:00:00"), 2L, Some(1L), "overwrite", "m2", Map.empty))))
+    store.write("files", spark.createDataset(Seq(
+      Model.FileMeta("db", "t", 1L, 0, f1, "PARQUET", 0, Map.empty, 10, 100),
+      Model.FileMeta("db", "t", 2L, 0, f2, "PARQUET", 0, Map.empty, 15, 150))))
+
+    assert(SnapshotReads.readAt(store, "db", "t", 1L).count() == 10)
+    assert(SnapshotReads.readCurrent(store, "db", "t").count() == 15)
+
+    // Rollback to snapshot 1 → current read now sees generation 1.
+    Maintenance.rollbackToSnapshot(store, "db", "t", 1L,
+      SmallFiles.Config(), java.time.Instant.parse("2026-01-03T00:00:00Z"))
+    assert(SnapshotReads.readCurrent(store, "db", "t").count() == 10)
+
+    // Unknown snapshot errors.
+    intercept[IllegalArgumentException] {
+      SnapshotReads.readAt(store, "db", "t", 99L)
+    }
+  }
+}
