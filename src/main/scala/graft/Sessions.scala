@@ -34,5 +34,8 @@ object Sessions {
     spark
   }
 
-  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Honor SPARK_GRAFT_CPUS when the driver sets it; otherwise use the
+    * machine (capped at 32, the driver's stated local[32] model). */
+  def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 }
