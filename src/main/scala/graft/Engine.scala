@@ -63,6 +63,26 @@ final class Engine(
       Map("retention_days" -> days.toString))
   }
 
+  /** Procedure-callback handler (service_tasks.go:346-375): spark-engine
+    * tasks only, running status only; the payload lands JSON-encoded
+    * under result["procedure"]. */
+  def updateProcedureResult(taskId: Long, query: String, rows: Long,
+      receivedAt: Instant): Either[String, Unit] = {
+    val task = queue.list(Seq.empty, Int.MaxValue, 0)._1.find(_.id == taskId)
+    task match {
+      case None => Left(s"task $taskId not found")
+      case Some(t) if t.engine != "spark" =>
+        Left(s"task $taskId does not use spark engine")
+      case Some(t) if t.status != Model.TaskStatus.Running =>
+        Left(s"task $taskId cannot accept procedure callback in status ${t.status}")
+      case Some(_) =>
+        if (queue.updateResultNested(taskId, "procedure", Map(
+          "query" -> query, "rows" -> rows.toString,
+          "received_at" -> receivedAt.toString))) Right(())
+        else Left(s"task $taskId no longer running")
+    }
+  }
+
   final case class CycleResult(tableCount: Int, optimizeTasks: Int,
       expireTasks: Int, orphanTasks: Int)
 

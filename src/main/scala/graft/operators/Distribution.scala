@@ -45,6 +45,15 @@ object Distribution {
     s"$base/bucketed/$table"
   }
 
+  /** Two-phase distinct count for skew-prone keys: phase 1 dedups on
+    * (key, value) — the shuffle spreads a hot key across value hashes —
+    * phase 2 counts per key. `groupBy(key).agg(countDistinct)` instead
+    * shuffles every occurrence of the hot key to one task. Result
+    * equality verified in DistributionSpec. */
+  def twoPhaseDistinctCount(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as("n_distinct"))
+
   /** True when the physical plan of `df` contains a shuffle exchange.
     * Inspects the explain string — under AQE the exchanges live inside
     * AdaptiveSparkPlanExec, invisible to a top-level node traversal. */

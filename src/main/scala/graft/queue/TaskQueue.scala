@@ -80,6 +80,39 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
       }
     }
 
+  /** Merge a partial result into a RUNNING task without changing its
+    * status (the mid-flight callback path,
+    * service_task_queue.go:361-378; shallow last-wins merge F13). */
+  def updateResult(id: Long, update: Map[String, String]): Boolean = lock.synchronized {
+    val rows = all()
+    rows.find(t => t.id == id && t.status == TaskStatus.Running) match {
+      case None => false
+      case Some(t) =>
+        save(rows.map(r => if (r.id == id) t.copy(result = t.result ++ update) else r))
+        true
+    }
+  }
+
+  /** Nested result update: store a JSON-encoded payload under one key
+    * (the reference's `procedure` callback slot,
+    * service_task_queue.go:384-395). */
+  def updateResultNested(id: Long, key: String, payload: Map[String, String]): Boolean = {
+    val k = key.trim
+    require(k.nonEmpty, "result key is required")
+    val json = payload.toSeq.sortBy(_._1)
+      .map { case (a, b) => s""""${escape(a)}":"${escape(b)}"""" }
+      .mkString("{", ",", "}")
+    updateResult(id, Map(k -> json))
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Retry an errored, not-yet-retried task: flag the original and
     * enqueue a fresh clone with the same input. Returns the clone id. */
   def retry(id: Long): Option[Long] = lock.synchronized {

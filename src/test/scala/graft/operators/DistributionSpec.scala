@@ -22,6 +22,18 @@ class DistributionSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("two-phase distinct count equals direct countDistinct under skew") {
+    import spark.implicits._
+    val df = spark.range(20000)
+      .withColumn("k", when($"id" % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), $"id" % 50)))
+      .withColumn("v", $"id" % 1000)
+    val direct = df.groupBy($"k").agg(countDistinct($"v").as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPhase = Distribution.twoPhaseDistinctCount(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == direct)
+  }
+
   test("bucketed join of co-partitioned tables plans without a shuffle") {
     import spark.implicits._
     val a = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("va"))

@@ -65,6 +65,19 @@ class TaskQueueSpec extends SparkSpec {
     assert(q.counts() == Map(Model.TaskStatus.Queued -> 1L))
   }
 
+  test("mid-flight nested result update lands under its key for running tasks only") {
+    val q = newQueue()
+    val id = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    assert(!q.updateResultNested(id, "procedure", Map("rows" -> "3"))) // not running yet
+    q.claim(1)
+    assert(q.updateResultNested(id, "procedure", Map("rows" -> "3", "query" -> "CALL x")))
+    q.complete(id, Map("files" -> "2"), None)
+    val (rows, _) = q.list(Seq(Model.TaskStatus.Success), 10, 0)
+    assert(rows.head.result("procedure") == """{"query":"CALL x","rows":"3"}""")
+    assert(rows.head.result("files") == "2") // completion merge kept the slot
+    intercept[IllegalArgumentException] { q.updateResultNested(id, "  ", Map.empty) }
+  }
+
   test("concurrent claims never double-claim and respect the gate") {
     val q = newQueue()
     (1 to 6).foreach(_ =>
