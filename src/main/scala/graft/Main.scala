@@ -1,0 +1,61 @@
+package graft
+
+import java.time.{Instant, LocalDate}
+
+import graft.meta.MetaStore
+
+/** CLI shell — the thin service façade over the engine (SURVEY.md §7.2
+  * step 7): each subcommand maps to a reference endpoint.
+  *
+  * {{{
+  * runMain graft.Main refresh   <metaDir> <database> <name=path>...
+  * runMain graft.Main cycle     <metaDir>                  # daily maintenance cycle
+  * runMain graft.Main work      <metaDir> [<db.table=dataPath>...]  # drain queue
+  * runMain graft.Main tasks     <metaDir>                  # list tasks
+  * runMain graft.Main optimize  <metaDir> <db> <table> <from> <to> [day|week|month]
+  * }}}
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: <command> <metaDir> ...")
+    val cmd = args(0)
+    val spark = Sessions.local(s"graft-$cmd")
+    val store = new MetaStore(spark, args(1))
+    val engine = new Engine(store)
+    try {
+      cmd match {
+        case "refresh" =>
+          val db = args(2)
+          val tables = args.drop(3).map { s =>
+            val Array(n, p) = s.split("=", 2); n -> p
+          }.toMap
+          val stale = operators.Refresh.fullRefresh(store, db, tables, Instant.now())
+          println(s"refreshed ${tables.size} tables, removed ${stale.size} stale")
+        case "cycle" =>
+          val r = engine.runCycle(Instant.now())
+          println(s"cycle: tables=${r.tableCount} optimize=${r.optimizeTasks} " +
+            s"expire=${r.expireTasks} orphans=${r.orphanTasks}")
+        case "work" =>
+          val paths = args.drop(2).map { s =>
+            val Array(t, p) = s.split("=", 2)
+            val Array(db, tbl) = t.split("\\.", 2)
+            (db, tbl) -> p
+          }.toMap
+          var n = 0
+          while (engine.processNext(1, paths).isDefined) n += 1
+          println(s"processed $n tasks")
+        case "tasks" =>
+          val (rows, total) = engine.queue.list(Seq.empty, 100, 0)
+          println(s"total=$total")
+          rows.foreach(t => println(
+            s"${t.id} ${t.database}.${t.table} ${t.kind} ${t.status} ${t.result}"))
+        case "optimize" =>
+          val ids = engine.enqueueOptimize(args(2), args(3), 512,
+            LocalDate.parse(args(4)), LocalDate.parse(args(5)),
+            if (args.length > 6) args(6) else "day")
+          println(ids.fold(e => s"error: $e", ids => s"enqueued ${ids.size} tasks"))
+        case other => sys.error(s"unknown command $other")
+      }
+    } finally spark.stop()
+  }
+}

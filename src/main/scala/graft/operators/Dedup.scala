@@ -45,10 +45,26 @@ object Dedup {
       .toDF("doc_id", "sh").distinct()
   }
 
+  /** Full-text exact dedup (the production form): key = md5 of the
+    * whole normalized text; emit keeper (min doc_id) per duplicate
+    * group. One shuffle on the hash key. */
+  def exactFullText(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("key", md5(concat_ws(" ", tokens($"text"))))
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper"),
+        max($"doc_id").as("last_dup"))
+      .where($"n_docs" > 1)
+      .orderBy($"key")
+  }
+
   /** Exact dedup: normalize → md5 content key → groups with >1 doc keep
     * min(doc_id). Keyed on a 5-token prefix so the synthetic corpus
     * (all full texts unique) still exercises group formation; a real
-    * pipeline keys on md5 of the full normalized text. */
+    * pipeline keys on md5 of the full normalized text
+    * ([[exactFullText]]). */
   def exact(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)

@@ -170,10 +170,13 @@ object Similarity {
     val scored = qprobes.join(assigned, Seq("cent_id"))
       .where($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"), cos($"qv", $"v").as("cos"))
-    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    scored.withColumn("rn", row_number().over(wTop))
-      .where($"rn" <= k)
-      .select($"query_id", $"neighbor_id")
+    // top-k via the bounded-buffer aggregator: shuffle k rows per query
+    // instead of sorting each query's whole candidate list in a window.
+    val topK = udaf(new graft.functions.TopKAggregator(k))
+    scored
+      .groupBy($"query_id")
+      .agg(topK($"cos", $"neighbor_id").as("ids"))
+      .select($"query_id", explode($"ids").as("neighbor_id"))
       .orderBy($"query_id", $"neighbor_id")
   }
 }

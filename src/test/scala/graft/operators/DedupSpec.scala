@@ -58,6 +58,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("full-text exact dedup finds planted duplicates and only those") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "ALPHA beta gamma"), // same after lowercase
+      (3L, "alpha beta gamma delta"), (4L, "other text entirely")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exactFullText(docs).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keeper") == 1L)
+    assert(groups.head.getAs[Long]("last_dup") == 2L)
+  }
+
+  test("minhash signature agreement estimates Jaccard for a strong pair") {
+    import spark.implicits._
+    // Take the strongest known near-dup pair and compare signature
+    // agreement with its exact Jaccard (64 perms → stderr ≈ 0.06).
+    val strongest = Dedup.ngramJaccard(spark, sfDirMid, 0.9)
+      .orderBy(org.apache.spark.sql.functions.desc("jaccard")).limit(1)
+      .collect().head
+    val (a, b, j) = (strongest.getLong(0), strongest.getLong(1), strongest.getDouble(2))
+    val sh = Dedup.docShingles(
+      graft.sources.Tables.documents(spark, sfDirMid).where($"doc_id".isin(a, b)))
+    val sigs = Dedup.minhashSignatures(sh).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = (sigs(a) zip sigs(b)).count { case (x, y) => x == y }.toDouble / 64
+    assert(math.abs(agree - j) < 0.2, s"agreement $agree vs jaccard $j")
+  }
+
   test("connected components equal a union-find ground truth") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
