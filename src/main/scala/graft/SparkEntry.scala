@@ -60,6 +60,7 @@ object SparkEntry {
     "q40_dedup_clusters"      -> (TrainingData.q40DedupClusters _),
     "q41_snapshot_files"      -> (Metadata.q41SnapshotFiles _),
     "q42_profile"             -> (graft.operators.Profile.q42Profile _),
+    "q43_json_path"           -> (Metadata.q43JsonPath _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,5 +99,6 @@ object SparkEntry {
     "q40_dedup_clusters"      -> TrainingData.q40Sql,
     "q41_snapshot_files"      -> Metadata.q41Sql,
     "q42_profile"             -> graft.operators.Profile.q42Sql,
+    "q43_json_path"           -> Metadata.q43Sql,
   )
 }

@@ -182,4 +182,26 @@ object Metadata {
       |SELECT DISTINCT file_path FROM files
       |WHERE CAST(day AS INT) % 3 = 1
       |ORDER BY file_path""".stripMargin
+
+  /** P5+F12: JSON-path projection and predicate over a stored JSON
+    * document column (the reference's `partition->>'$.key'` access,
+    * handler_browse.go:14-21) — extract, filter, bucket and aggregate
+    * on the extracted value. */
+  def q43JsonPath(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .where($"k".isNotNull && $"k" >= 50)
+      .withColumn("k_bucket", floor($"k" / 10).cast("int") * 10)
+      .groupBy($"event_type", $"k_bucket")
+      .agg(count(lit(1)).as("n"), sum($"k").as("k_total"))
+      .orderBy($"event_type", $"k_bucket")
+  }
+
+  val q43Sql: String =
+    """SELECT event_type, CAST(FLOOR(CAST(props->>'$.k' AS INT) / 10) AS INT) * 10 AS k_bucket,
+      |       count(*) AS n, sum(CAST(props->>'$.k' AS INT)) AS k_total
+      |FROM events
+      |WHERE CAST(props->>'$.k' AS INT) >= 50
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
