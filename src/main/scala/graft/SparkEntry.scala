@@ -61,6 +61,9 @@ object SparkEntry {
     "q41_snapshot_files"      -> (Metadata.q41SnapshotFiles _),
     "q42_profile"             -> (graft.operators.Profile.q42Profile _),
     "q43_json_path"           -> (Metadata.q43JsonPath _),
+    "q44_array_agg"           -> (Relational3.q44ArrayAgg _),
+    "q45_cube"                -> (Relational3.q45Cube _),
+    "q46_percentiles"         -> (Relational3.q46Percentiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -100,5 +103,8 @@ object SparkEntry {
     "q41_snapshot_files"      -> Metadata.q41Sql,
     "q42_profile"             -> graft.operators.Profile.q42Sql,
     "q43_json_path"           -> Metadata.q43Sql,
+    "q44_array_agg"           -> Relational3.q44Sql,
+    "q45_cube"                -> Relational3.q45Sql,
+    "q46_percentiles"         -> Relational3.q46Sql,
   )
 }

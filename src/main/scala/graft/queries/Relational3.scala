@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Third relational batch: array aggregation, CUBE grouping sets, and
+  * exact percentiles — engine-breadth shapes with DuckDB oracles.
+  */
+object Relational3 {
+
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Array aggregation: per order priority, the sorted distinct set of
+    * order statuses plus counts (collect → sort for deterministic
+    * value comparison). */
+  def q44ArrayAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        sort_array(collect_set($"o_orderstatus")).as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderpriority,
+      |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |       count(DISTINCT o_orderstatus) AS n_statuses,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping-set levels in
+    * one pass with grouping ids. */
+  def q45Cube(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(money($"l_quantity")).as("qty"),
+        (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).as("lvl"))
+      .orderBy($"lvl", $"l_returnflag", $"l_linestatus")
+  }
+
+  val q45Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+      |       grouping(l_returnflag)*2 + grouping(l_linestatus) AS lvl
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact interpolated percentiles (median, p90) of a small-integer
+    * double column — interpolation arithmetic is exact in doubles, so
+    * Spark `percentile` and DuckDB `quantile_cont` agree bit-for-bit. */
+  def q46Percentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.5)).as("median_qty"),
+        percentile($"l_quantity", lit(0.9)).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q46Sql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS median_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+}
