@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-corpus cleaning pipeline — the operator a
+  * data-curation user actually calls: quality filter → exact dedup →
+  * near-dup dedup (MinHash LSH + connected components, keeper = min
+  * id) → the kept corpus plus per-stage attrition stats.
+  *
+  * Every stage is a DataFrame transform: quality is a projection
+  * filter, exact dedup one shuffle on the content hash, near-dup the
+  * LSH candidate path with exact verification — the same plan at any
+  * scale.
+  */
+object CleanCorpus {
+
+  final case class Stats(
+      input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long)
+
+  /** Clean `docs` (doc_id, text, lang, n_chars …); returns the kept
+    * corpus and attrition counts. */
+  def clean(docs: DataFrame, jaccardThreshold: Double = 0.8): (DataFrame, Stats) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val input = docs.count()
+
+    // 1. quality gate
+    val keepIds = TextAnalysis.qualityScoreOf(docs)
+      .where($"keep").select($"doc_id")
+    val quality = docs.join(keepIds, "doc_id").cache()
+    val nQuality = quality.count()
+
+    // 2. exact dedup: keep min doc_id per full-text hash
+    val exactKeepers = quality
+      .withColumn("key", md5(concat_ws(" ", graft.functions.TextFunctions.tokens($"text"))))
+      .groupBy($"key").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val exact = quality.join(exactKeepers, "doc_id").cache()
+    val nExact = exact.count()
+
+    // 3. near-dup dedup: LSH pairs → components → drop non-keepers
+    val pairs = Dedup.minhashLshOf(exact, jaccardThreshold)
+    val dropIds = Dedup.connectedComponents(pairs)
+      .where($"id" =!= $"label") // keeper = component min id stays
+      .select($"id".as("doc_id"))
+    val cleaned = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val nFinal = cleaned.count()
+
+    (cleaned, Stats(input, nQuality, nExact, nFinal))
+  }
+}

@@ -163,10 +163,14 @@ object Dedup {
     * self-join buckets for candidate pairs, then verify candidates with
     * the exact Jaccard — so the output equals the brute-force result
     * (whp), at a fraction of the join cost. This is the 100 TB path. */
-  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
+    minhashLshOf(Tables.documents(spark, d), threshold)
+
+  def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.Hashing
-    val sh = docShingles(Tables.documents(spark, d)).cache()
+    val sh = docShingles(docs).cache()
     val r = MinhashPerms / LshBands
     val bands = minhashSignatures(sh).as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>

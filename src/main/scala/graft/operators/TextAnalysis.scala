@@ -49,10 +49,14 @@ object TextAnalysis {
   /** Per-document quality scoring: length bounds, stopword ratio,
     * mean word length — flag documents a training pipeline would keep.
     * Ratios are int/int double divisions (bit-identical across engines). */
-  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+  def qualityScore(spark: SparkSession, d: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, d))
+
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val toks = tokens($"text")
-    Tables.documents(spark, d)
+    docs
       .withColumn("n_tokens", size(toks))
       .withColumn("stop_count", tokenMatchCount(toks, stopwords))
       .withColumn("stop_ratio", $"stop_count".cast("double") / $"n_tokens")

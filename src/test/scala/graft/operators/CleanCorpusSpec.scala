@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The cleaning pipeline must drop exactly the planted junk: low
+  * quality, exact duplicates, near duplicates — keeping one
+  * representative per duplicate cluster. */
+class CleanCorpusSpec extends SparkSpec {
+
+  test("pipeline drops quality failures, exact dups, and near-dups keeping keepers") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and then runs far away " +
+      "to find more interesting words for this synthetic document corpus today"
+    val docs = Seq(
+      // 1: good doc (keeper of near-dup cluster with 2 and exact-dup 3)
+      (1L, base),
+      (2L, base + " extra"),          // near-dup of 1
+      (3L, base.toUpperCase),         // exact dup of 1 after normalization
+      (4L, "short text here"),        // quality fail: < 20 tokens
+      (5L, "completely different content about databases engines queries plans " +
+        "optimizers shuffles partitions executors drivers caching storage formats " +
+        "and various other technical topics worth keeping around")
+    ).map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+
+    val (cleaned, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.5)
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(stats.input == 5)
+    assert(stats.afterQuality == 4)   // 4 dropped (too short)
+    assert(stats.afterExact == 3)     // 3 dropped (exact dup of 1)
+    assert(stats.afterNearDup == 2)   // 2 dropped (near-dup of 1)
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("pipeline on the real corpus reduces it monotonically") {
+    val docs = graft.sources.Tables.documents(spark, sfDirMid)
+    val (_, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.8)
+    assert(stats.input == 500)
+    assert(stats.afterQuality <= stats.input)
+    assert(stats.afterExact <= stats.afterQuality)
+    assert(stats.afterNearDup < stats.afterExact) // planted near-dups exist
+    assert(stats.afterNearDup > 400) // but most of the corpus survives
+  }
+}
