@@ -317,9 +317,16 @@ object Dedup {
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence check via the label sum: min-label propagation only
+    // ever decreases labels, so an unchanged sum means a fixpoint — one
+    // cheap aggregate per round instead of a join against the previous
+    // labels.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum($"label")).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    var converged = false
+    while (!converged && iter < 25) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
@@ -328,8 +335,9 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select($"id", least($"label", coalesce($"minNeighbor", $"label")).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where($"label" =!= $"old").count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
