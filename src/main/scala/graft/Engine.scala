@@ -123,10 +123,21 @@ final class Engine(
                   val until = LocalDate.parse(task.input("to")).plusDays(1).toString
                   val r = operators.Maintenance.compact(store.spark, path,
                     task.input("from"), until, target)
+                  // Manifest-tracked tables get a new `replace` snapshot
+                  // so the rewritten files enter the manifest before any
+                  // remove_orphan_files task can sweep them.
+                  val committed =
+                    if (r.partitionsRewritten > 0 && store.exists("files") &&
+                        store.files.filter(f => f.database == task.database &&
+                          f.table == task.table).take(1).nonEmpty)
+                      Map("committed_snapshot_id" -> operators.Maintenance
+                        .commitCompaction(store, task.database, task.table,
+                          path, cfg, clock()).toString)
+                    else Map.empty[String, String]
                   Right(Map(
                     "partitions_rewritten" -> r.partitionsRewritten.toString,
                     "files_before" -> r.filesBefore.toString,
-                    "files_after" -> r.filesAfter.toString))
+                    "files_after" -> r.filesAfter.toString) ++ committed)
               }
             case Model.TaskKind.ExpireSnapshots =>
               val days = task.input.get("retention_days").flatMap(_.toIntOption).getOrElse(7)

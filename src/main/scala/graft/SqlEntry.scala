@@ -51,7 +51,7 @@ object SqlEntry {
       """SELECT count(*) AS partition_count,
         |       coalesce(sum(file_count), 0) AS file_count,
         |       coalesce(sum(record_count), 0) AS record_count,
-        |       coalesce(sum(total_size), CAST(0 AS DECIMAL(18,2))) AS total_size,
+        |       CAST(coalesce(sum(total_size), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
         |       coalesce(max(needs_optimize), false) AS needs_optimize
         |FROM meta_partitions""".stripMargin)
   }

@@ -69,9 +69,15 @@ object Cron {
       mon <- field(fields(3), 1, 12)
       dw <- field(fields(4), 0, 7).map(_.map(d => if (d == 7) 0 else d))
     } yield Cron(mins, hrs, dm, mon, dw,
-      domRestricted = fields(2) != "*",
-      dowRestricted = fields(4) != "*")
+      domRestricted = restricted(fields(2)),
+      dowRestricted = restricted(fields(4)))
   }
+
+  /** Vixie/robfig starBit semantics: any `*`-headed range (`*`, `*&#47;2`)
+    * leaves the field unrestricted for the dom/dow OR-rule — only
+    * explicit values/ranges restrict it. */
+  private def restricted(f: String): Boolean =
+    !f.split(",").exists(_.startsWith("*"))
 
   private def field(s: String, lo: Int, hi: Int): Either[String, Set[Int]] = {
     def one(part: String): Either[String, Seq[Int]] = {

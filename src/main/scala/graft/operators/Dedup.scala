@@ -299,12 +299,18 @@ object Dedup {
        |                             CAST(b.embedding AS DOUBLE[])) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Max CC rounds. With pointer-doubling each round at least doubles
+    * the propagation horizon, so 25 rounds covers diameters up to ~2^25;
+    * hitting the cap without a fixpoint is an error, never silent. */
+  val CcMaxRounds = 25
+
   /** Dedup keeper selection: connected components over the near-dup
     * pair graph — every member of a transitive duplicate cluster maps
-    * to the cluster's minimum id (the keeper). Min-label propagation as
-    * DataFrame joins, iterated to fixpoint (O(log diameter) rounds);
-    * at scale this is the standard large-graph CC loop with each round
-    * one shuffle on the vertex id. */
+    * to the cluster's minimum id (the keeper). Each round combines
+    * min-label propagation (one hop via neighbors) with pointer doubling
+    * (relabel through the label's own label), giving O(log diameter)
+    * rounds; each round is one shuffle on the vertex id — the standard
+    * large-graph CC loop. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -317,23 +323,33 @@ object Dedup {
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint(true)
-    // Convergence check via the label sum: min-label propagation only
-    // ever decreases labels, so an unchanged sum means a fixpoint — one
-    // cheap aggregate per round instead of a join against the previous
-    // labels.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum($"label")).head.getLong(0)
+    if (labels.isEmpty) return labels // no edges → no clustered vertices
+    // Convergence check via the label sum: labels only ever decrease,
+    // so an unchanged sum means a fixpoint — one cheap aggregate per
+    // round instead of a join against the previous labels. (Option-read:
+    // sum over an empty frame is a null cell, not 0.)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum($"label")).head
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < 25) {
+    while (!converged && iter < CcMaxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy($"src".as("id"))
         .agg(min($"nlabel").as("minNeighbor"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select($"id", least($"label", coalesce($"minNeighbor", $"label")).as("label"))
+      // Pointer doubling: labels are always vertex ids, so follow
+      // label → that vertex's label to jump the whole path walked so far.
+      val next = stepped.as("l")
+        .join(stepped.select($"id".as("lid"), $"label".as("llabel")).as("p"),
+          $"l.label" === $"p.lid", "left")
+        .select($"l.id".as("id"),
+          least($"l.label", coalesce($"p.llabel", $"l.label")).as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
       converged = s == prevSum
@@ -341,6 +357,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $CcMaxRounds rounds")
     labels.orderBy($"id")
   }
 

@@ -184,6 +184,81 @@ object Maintenance {
       bytesRewritten = toRewrite.map(_._3).sum)
   }
 
+  /** M1 commit: register the post-rewrite data files of `tablePath` as a
+    * new `replace` snapshot in the MetaStore — the manifest-side half of
+    * Iceberg's atomic `rewrite_data_files` commit. Without this the
+    * compacted files are absent from the files manifest (eligible for
+    * [[removeOrphanFiles]] sweep once past the retention cutoff) and the
+    * current-snapshot manifest still points at the overwritten
+    * pre-compaction paths. Returns the new snapshot id.
+    *
+    * Prior snapshots' manifest rows are kept (expire cleans them); note
+    * the physical in-place overwrite means time travel into a rewritten
+    * partition's history is gone — unlike Iceberg, which retains old
+    * files until expiry. The file inventory is a driver-side dir walk +
+    * one distributed count per file; a production writer would take both
+    * from the write job's commit statistics. */
+  def commitCompaction(store: MetaStore, database: String, table: String,
+      tablePath: String, cfg: graft.meta.SmallFiles.Config,
+      now: java.time.Instant): Long = {
+    val spark = store.spark
+    import spark.implicits._
+    import MetaStore._
+
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val inventory = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val nm = f.getPath.getName
+      if (f.isFile && !nm.startsWith("_") && !nm.startsWith("."))
+        inventory += ((f.getPath.toUri.getPath, f.getLen))
+    }
+    // Per-file record counts in one distributed scan, keyed by URI path
+    // (input_file_name returns file:///… URIs).
+    val counts = spark.read.parquet(tablePath)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("fp"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect()
+      .map { case (p, n) => new Path(p).toUri.getPath -> n }.toMap
+
+    val allSnaps = store.snapshots.collect().toSeq
+    val mine = allSnaps.filter(s => s.database == database && s.table == table)
+    val newId = (mine.map(_.snapshotId) :+ 0L).max + 1
+    val parent = store.tables.collect()
+      .find(t => t.database == database && t.name == table)
+      .flatMap(_.currentSnapshotId)
+
+    val rootPath = root.toUri.getPath
+    def partitionOf(path: String): Map[String, String] =
+      path.stripPrefix(rootPath).split('/').iterator
+        .filter(_.contains('=')).map { seg =>
+          val kv = seg.split("=", 2)
+          kv(0) -> kv(1)
+        }.toMap
+
+    val newRows = inventory.toSeq.map { case (p, len) =>
+      Model.FileMeta(database, table, newId, content = 0, filePath = p,
+        fileFormat = "PARQUET", specId = 0, partition = partitionOf(p),
+        recordCount = counts.getOrElse(p, 0L), fileSizeInBytes = len)
+    }
+    val newSnap = Model.SnapshotMeta(database, table,
+      committedAt = Timestamp.from(now), snapshotId = newId, parentId = parent,
+      operation = "replace", manifestList = tablePath,
+      summary = Map("operation" -> "rewrite_data_files",
+        "added-data-files" -> newRows.size.toString))
+
+    store.write("snapshots", spark.createDataset(allSnaps :+ newSnap))
+    val existingFiles = if (store.exists("files")) store.files.collect().toSeq else Seq.empty
+    store.write("files", spark.createDataset(existingFiles ++ newRows))
+    // Move the current pointer + rebuild partition stats from the new
+    // manifest (same path as M4).
+    rollbackToSnapshot(store, database, table, newId, cfg, now)
+    newId
+  }
+
   final case class ExpireResult(expiredSnapshots: Seq[Long], keptSnapshots: Seq[Long])
 
   /** M2: expire snapshots older than `olderThan`, preserving the whole

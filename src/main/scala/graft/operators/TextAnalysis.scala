@@ -39,9 +39,9 @@ object TextAnalysis {
       |         (SELECT sum(CAST(ceil(len(x.t) / 4.0) AS INT)) FROM unnest(toks) AS x(t)) AS n_bpe
       |  FROM t
       |)
-      |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-      |       sum(n_bpe) AS total_bpe_tokens, min(n_tokens) AS min_tokens,
-      |       max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens, min(n_tokens) AS min_tokens,
+      |       max(n_tokens) AS max_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")

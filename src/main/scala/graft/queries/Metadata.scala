@@ -22,13 +22,14 @@ object Metadata {
     import spark.implicits._
     MetaDerive.partitionStats(spark, d)
       .select($"year", $"month", $"day", $"record_count", $"file_count",
-        $"total_size", $"small_count", $"needs_optimize")
+        $"total_size".cast("double").as("total_size"), $"small_count", $"needs_optimize")
       .orderBy($"year", $"month", $"day")
   }
 
   val q11Sql: String = MetaDerive.partitionStatsCte +
     """
-      |SELECT year, month, day, record_count, file_count, total_size,
+      |SELECT year, month, day, CAST(record_count AS BIGINT) AS record_count,
+      |       file_count, CAST(total_size AS DOUBLE) AS total_size,
       |       small_count, needs_optimize
       |FROM scored ORDER BY year, month, day""".stripMargin
 
@@ -41,16 +42,16 @@ object Metadata {
         count(lit(1)).as("partition_count"),
         coalesce(sum($"file_count"), lit(0L)).as("file_count"),
         coalesce(sum($"record_count"), lit(0L)).as("record_count"),
-        coalesce(sum($"total_size"), lit(0).cast("decimal(18,2)")).as("total_size"),
+        coalesce(sum($"total_size"), lit(0).cast("decimal(18,2)")).cast("double").as("total_size"),
         coalesce(max($"needs_optimize"), lit(false)).as("needs_optimize"))
   }
 
   val q12Sql: String = MetaDerive.partitionStatsCte +
     """
       |SELECT count(*) AS partition_count,
-      |       coalesce(sum(file_count), 0) AS file_count,
-      |       coalesce(sum(record_count), 0) AS record_count,
-      |       coalesce(sum(total_size), CAST(0 AS DECIMAL(18,2))) AS total_size,
+      |       CAST(coalesce(sum(file_count), 0) AS BIGINT) AS file_count,
+      |       CAST(coalesce(sum(record_count), 0) AS BIGINT) AS record_count,
+      |       CAST(coalesce(sum(total_size), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
       |       coalesce(max(needs_optimize), false) AS needs_optimize
       |FROM scored""".stripMargin
 
@@ -64,7 +65,8 @@ object Metadata {
       .where($"content" === 0 && $"year" === "1996" && $"month" === "03")
       .withColumn("partition", concat(
         lit("{day="), $"day", lit(", month="), $"month", lit(", year="), $"year", lit("}")))
-      .select($"file_path", $"file_format", $"partition", $"record_count", $"file_size")
+      .select($"file_path", $"file_format", $"partition", $"record_count",
+        $"file_size".cast("double").as("file_size"))
       .orderBy($"file_size".desc, $"file_path".asc)
   }
 
@@ -72,7 +74,7 @@ object Metadata {
     """
       |SELECT file_path, file_format,
       |       '{day=' || day || ', month=' || month || ', year=' || year || '}' AS partition,
-      |       record_count, file_size
+      |       record_count, CAST(file_size AS DOUBLE) AS file_size
       |FROM files WHERE content = 0 AND year = '1996' AND month = '03'
       |ORDER BY file_size DESC, file_path ASC""".stripMargin
 
@@ -200,7 +202,7 @@ object Metadata {
 
   val q43Sql: String =
     """SELECT event_type, CAST(FLOOR(CAST(props->>'$.k' AS INT) / 10) AS INT) * 10 AS k_bucket,
-      |       count(*) AS n, sum(CAST(props->>'$.k' AS INT)) AS k_total
+      |       count(*) AS n, CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_total
       |FROM events
       |WHERE CAST(props->>'$.k' AS INT) >= 50
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -27,27 +27,31 @@ object Relational {
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
   /** A1 table-summary-shaped agg (ref: service_metadata.go:36-66):
-    * grouped COUNT/SUM/COALESCE over the big fact table. TPC-H Q1 shape. */
+    * grouped COUNT/SUM/COALESCE over the big fact table. TPC-H Q1 shape.
+    * Output types are {string,long,double} only: decimal sums are exact,
+    * then cast to double so both engines serialize the identical value
+    * (the comparator renders parquet decimals and engine decimals
+    * differently); dates are formatted to strings for the same reason. */
   def q1Agg(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, d)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(money($"l_quantity")).as("sum_qty"),
-        sum(money($"l_extendedprice")).as("sum_base_price"),
-        sum(money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - money($"l_discount"))).as("sum_disc_price"),
+        sum(money($"l_quantity")).cast("double").as("sum_qty"),
+        sum(money($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - money($"l_discount"))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"),
-        max($"l_shipdate").cast("date").as("last_ship"))
+        date_format(max($"l_shipdate"), "yyyy-MM-dd").as("last_ship"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order,
-      |  CAST(max(l_shipdate) AS DATE) AS last_ship
+      |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -66,7 +70,7 @@ object Relational {
       .agg(
         count(lit(1)).as("record_count"),
         countDistinct($"l_orderkey").as("file_count"),
-        sum(money($"l_extendedprice")).as("total_bytes"))
+        sum(money($"l_extendedprice")).cast("double").as("total_bytes"))
       .orderBy($"month")
   }
 
@@ -74,7 +78,7 @@ object Relational {
     """SELECT strftime(l_shipdate, '%m') AS month,
       |  count(*) AS record_count,
       |  count(DISTINCT l_orderkey) AS file_count,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_bytes
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_bytes
       |FROM lineitem WHERE strftime(l_shipdate, '%Y') = '1996'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -108,16 +112,16 @@ object Relational {
       .where($"l_returnflag" === "R" && $"l_linestatus" === "F")
       .select(
         $"l_orderkey", $"l_linenumber",
-        money($"l_extendedprice").as("file_size"),
-        $"l_shipdate".cast("date").as("ship_date"))
+        money($"l_extendedprice").cast("double").as("file_size"),
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"))
       .orderBy($"file_size".desc, $"l_orderkey".asc, $"l_linenumber".asc)
       .limit(500)
   }
 
   val q4Sql: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS file_size,
-      |  CAST(l_shipdate AS DATE) AS ship_date
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS file_size,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
       |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
       |ORDER BY file_size DESC, l_orderkey ASC, l_linenumber ASC LIMIT 500""".stripMargin
 
@@ -150,15 +154,15 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .where($"rn" > 100 && $"rn" <= 120)
       .select($"rn", $"o_orderkey", $"o_orderstatus",
-        money($"o_totalprice").as("total_price"),
-        $"o_orderdate".cast("date").as("order_date"))
+        money($"o_totalprice").cast("double").as("total_price"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
       .orderBy($"rn")
   }
 
   val q6Sql: String =
     """SELECT rn, o_orderkey, o_orderstatus,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
-      |  CAST(o_orderdate AS DATE) AS order_date
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
       |FROM (SELECT *, row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders)
       |WHERE rn > 100 AND rn <= 120 ORDER BY rn""".stripMargin
 
@@ -176,14 +180,14 @@ object Relational {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        sum(money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - money($"l_discount"))).as("revenue"),
+        sum(money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - money($"l_discount"))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   val q7Sql: String =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -214,35 +218,41 @@ object Relational {
       .where($"o_orderstatus".isin("F", "P") &&
         $"o_orderdate".cast("date").between("1996-01-01", "1996-12-31"))
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).cast("double").as("total"))
       .orderBy($"o_orderpriority")
   }
 
   val q9Sql: String =
     """SELECT o_orderpriority, count(*) AS n,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
       |WHERE o_orderstatus IN ('F','P')
       |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A2-alt: one-pass ROLLUP over (year, month) replacing the reference's
-    * level-at-a-time drill-down loop — the Spark-first rewrite. */
+    * level-at-a-time drill-down loop — the Spark-first rewrite. Subtotal
+    * rows' NULL keys are coalesced to '(all)' (pandas renders engine NULLs
+    * inconsistently across parquet/native results). */
   def q10Rollup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)
       .withColumn("year", date_format($"o_orderdate", "yyyy"))
       .withColumn("month", date_format($"o_orderdate", "MM"))
       .rollup($"year", $"month")
-      .agg(count(lit(1)).as("n_orders"), sum(money($"o_totalprice")).as("total"),
+      .agg(count(lit(1)).as("n_orders"), sum(money($"o_totalprice")).cast("double").as("total"),
         (grouping($"year") * 2 + grouping($"month")).as("lvl"))
+      .select(coalesce($"year", lit("(all)")).as("year"),
+        coalesce($"month", lit("(all)")).as("month"),
+        $"n_orders", $"total", $"lvl")
       .orderBy($"lvl", $"year", $"month")
   }
 
   val q10Sql: String =
-    """SELECT strftime(o_orderdate,'%Y') AS year, strftime(o_orderdate,'%m') AS month,
-      |  count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+    """SELECT coalesce(strftime(o_orderdate,'%Y'), '(all)') AS year,
+      |  coalesce(strftime(o_orderdate,'%m'), '(all)') AS month,
+      |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
       |  grouping(strftime(o_orderdate,'%Y'))*2 + grouping(strftime(o_orderdate,'%m')) AS lvl
-      |FROM orders GROUP BY ROLLUP(1, 2)
+      |FROM orders GROUP BY ROLLUP(strftime(o_orderdate,'%Y'), strftime(o_orderdate,'%m'))
       |ORDER BY lvl, year, month""".stripMargin
 }

@@ -28,13 +28,13 @@ object Relational2 {
       .groupBy($"n_name")
       .agg(
         count($"price").as("n_big_orders"),
-        coalesce(sum($"price"), lit(0).cast("decimal(18,2)")).as("total"))
+        coalesce(sum($"price"), lit(0).cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy($"n_name")
   }
 
   val q35Sql: String =
     """SELECT n_name, count(price) AS n_big_orders,
-      |       coalesce(sum(price), CAST(0 AS DECIMAL(18,2))) AS total
+      |       CAST(coalesce(sum(price), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM nation
       |LEFT JOIN (SELECT c_nationkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
       |           FROM customer JOIN orders ON c_custkey = o_custkey
@@ -96,7 +96,7 @@ object Relational2 {
       .where(money($"l_quantity") * lit(2) * $"cnt" < $"sum_qty")
       .agg(
         count(lit(1)).as("n_small_lines"),
-        sum(money($"l_extendedprice")).as("total_price"))
+        sum(money($"l_extendedprice")).cast("double").as("total_price"))
   }
 
   val q38Sql: String =
@@ -107,7 +107,7 @@ object Relational2 {
       |  FROM lineitem GROUP BY 1
       |)
       |SELECT count(*) AS n_small_lines,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM lineitem JOIN avg_qty ON l_partkey = p_key
       |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * cnt < sum_qty""".stripMargin
 

@@ -13,14 +13,15 @@ object Relational3 {
   private def money(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Array aggregation: per order priority, the sorted distinct set of
-    * order statuses plus counts (collect → sort for deterministic
-    * value comparison). */
+    * order statuses plus counts. The built array is rendered to a joined
+    * string — array cells are not hashable/sortable in the comparator's
+    * pandas path, and the string form is engine-neutral. */
   def q44ArrayAgg(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, d)
       .groupBy($"o_orderpriority")
       .agg(
-        sort_array(collect_set($"o_orderstatus")).as("statuses"),
+        array_join(sort_array(collect_set($"o_orderstatus")), ",").as("statuses"),
         countDistinct($"o_orderstatus").as("n_statuses"),
         count(lit(1)).as("n_orders"))
       .orderBy($"o_orderpriority")
@@ -28,7 +29,7 @@ object Relational3 {
 
   val q44Sql: String =
     """SELECT o_orderpriority,
-      |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |       count(DISTINCT o_orderstatus) AS n_statuses,
       |       count(*) AS n_orders
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
@@ -41,14 +42,18 @@ object Relational3 {
       .cube($"l_returnflag", $"l_linestatus")
       .agg(
         count(lit(1)).as("n"),
-        sum(money($"l_quantity")).as("qty"),
+        sum(money($"l_quantity")).cast("double").as("qty"),
         (grouping($"l_returnflag") * 2 + grouping($"l_linestatus")).as("lvl"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("l_linestatus"),
+        $"n", $"qty", $"lvl")
       .orderBy($"lvl", $"l_returnflag", $"l_linestatus")
   }
 
   val q45Sql: String =
-    """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+    """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+      |       coalesce(l_linestatus, '(all)') AS l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
       |       grouping(l_returnflag)*2 + grouping(l_linestatus) AS lvl
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY lvl, l_returnflag, l_linestatus""".stripMargin

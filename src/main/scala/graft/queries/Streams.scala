@@ -23,7 +23,7 @@ object Streams {
     import spark.implicits._
     Tables.events(spark, d)
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum(money($"value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(money($"value")).cast("double").as("total_value"))
       .select(
         date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n", $"total_value")
@@ -33,7 +33,7 @@ object Streams {
   val q32Sql: String =
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       event_type, count(*) AS n,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Gap-based sessionization (EventStreams.sessionWindows in batch
@@ -45,7 +45,7 @@ object Streams {
     import spark.implicits._
     Tables.events(spark, d)
       .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-      .agg(count(lit(1)).as("n_events"), sum(money($"value")).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), sum(money($"value")).cast("double").as("session_value"))
       .select(
         date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
@@ -69,7 +69,7 @@ object Streams {
       |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
       |       user_id, count(*) AS n_events,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS session_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, session_start""".stripMargin
 
