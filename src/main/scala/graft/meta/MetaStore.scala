@@ -22,6 +22,24 @@ final class MetaStore(val spark: SparkSession, val root: String) {
   def write[T](name: String, ds: Dataset[T], mode: SaveMode = SaveMode.Overwrite): Unit =
     ds.write.mode(mode).parquet(path(name))
 
+  /** Read-modify-write overwrite for a slice that is *derived from the
+    * slice being replaced* (anti-join/union mutations): parquet overwrite
+    * of a path that feeds the plan would truncate its own input, and
+    * collecting to the driver doesn't scale past control-plane tables —
+    * so write the new content to a temp dir fully distributed, then swap
+    * directories. Single-writer by design (like the reference's single
+    * process), so the non-transactional swap window is fine. */
+  def rewrite[T](name: String, ds: Dataset[T]): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path(name))
+    val tmp = new org.apache.hadoop.fs.Path(path(name) + "__tmp")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ds.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"could not swap ${tmp} into ${target}")
+  }
+
   def exists(name: String): Boolean =
     new java.io.File(new java.net.URI("file://" + path(name)).getPath).exists() ||
       new java.io.File(path(name)).exists()

@@ -206,57 +206,102 @@ object Maintenance {
     import MetaStore._
 
     val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(root, true)
-    val inventory = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    while (it.hasNext) {
-      val f = it.next()
-      val nm = f.getPath.getName
-      if (f.isFile && !nm.startsWith("_") && !nm.startsWith("."))
-        inventory += ((f.getPath.toUri.getPath, f.getLen))
-    }
-    // Per-file record counts in one distributed scan, keyed by URI path
-    // (input_file_name returns file:///… URIs).
+    // File inventory via the distributed lister (first-level dirs fan out
+    // to executors) — never materialized on the driver.
+    val inventory = listFilesDistributed(spark, tablePath)
+      .select($"path", $"size")
+    // Per-file record counts in one distributed scan; input_file_name
+    // returns file:///… URIs → normalize to URI paths to match the
+    // lister's key.
     val counts = spark.read.parquet(tablePath)
       .groupBy(org.apache.spark.sql.functions.input_file_name().as("fp"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
-      .as[(String, Long)].collect()
-      .map { case (p, n) => new Path(p).toUri.getPath -> n }.toMap
+      .as[(String, Long)]
+      .map { case (p, n) => (new Path(p).toUri.getPath, n) }
+      .toDF("path", "n")
 
-    val allSnaps = store.snapshots.collect().toSeq
-    val mine = allSnaps.filter(s => s.database == database && s.table == table)
-    val newId = (mine.map(_.snapshotId) :+ 0L).max + 1
+    // Snapshot lineage is control-plane metadata (one row per commit) —
+    // the id/parent lookups stay driver-side by design.
+    val mine = store.snapshots.filter(s => s.database == database && s.table == table)
+      .map(_.snapshotId).collect()
+    val newId = (mine :+ 0L).max + 1
     val parent = store.tables.collect()
       .find(t => t.database == database && t.name == table)
       .flatMap(_.currentSnapshotId)
 
-    val rootPath = root.toUri.getPath
-    def partitionOf(path: String): Map[String, String] =
-      path.stripPrefix(rootPath).split('/').iterator
-        .filter(_.contains('=')).map { seg =>
-          val kv = seg.split("=", 2)
-          kv(0) -> kv(1)
-        }.toMap
+    // partition values parsed from the path's k=v segments, all inside
+    // codegen (split/filter/transform/map_from_entries).
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    val relSegs = split(
+      regexp_replace($"path", "^" + java.util.regex.Pattern.quote(rootPath) + "/", ""), "/")
+    val partCol = map_from_entries(
+      transform(
+        filter(relSegs, s => s.contains("=")),
+        s => struct(
+          element_at(split(s, "=", 2), 1).as("key"),
+          element_at(split(s, "=", 2), 2).as("value"))))
 
-    val newRows = inventory.toSeq.map { case (p, len) =>
-      Model.FileMeta(database, table, newId, content = 0, filePath = p,
-        fileFormat = "PARQUET", specId = 0, partition = partitionOf(p),
-        recordCount = counts.getOrElse(p, 0L), fileSizeInBytes = len)
-    }
+    val newRows = inventory
+      .join(counts, Seq("path"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(
+        lit(database).as("database"), lit(table).as("table"),
+        lit(newId).as("snapshotId"), lit(0).as("content"),
+        $"path".as("filePath"), lit("PARQUET").as("fileFormat"),
+        lit(0).as("specId"), partCol.as("partition"),
+        $"n".as("recordCount"), $"size".as("fileSizeInBytes"))
+      .as[Model.FileMeta]
+
+    val addedCount = newRows.count()
     val newSnap = Model.SnapshotMeta(database, table,
       committedAt = Timestamp.from(now), snapshotId = newId, parentId = parent,
       operation = "replace", manifestList = tablePath,
       summary = Map("operation" -> "rewrite_data_files",
-        "added-data-files" -> newRows.size.toString))
+        "added-data-files" -> addedCount.toString))
 
-    store.write("snapshots", spark.createDataset(allSnaps :+ newSnap))
-    val existingFiles = if (store.exists("files")) store.files.collect().toSeq else Seq.empty
-    store.write("files", spark.createDataset(existingFiles ++ newRows))
+    // Append-only commits: neither slice needs to read itself back.
+    store.write("snapshots", spark.createDataset(Seq(newSnap)), SaveMode.Append)
+    store.write("files", newRows, SaveMode.Append)
     // Move the current pointer + rebuild partition stats from the new
     // manifest (same path as M4).
     rollbackToSnapshot(store, database, table, newId, cfg, now)
     newId
+  }
+
+  /** Distributed recursive file listing under `root`: first-level
+    * directories fan out to executors, each lists its own subtree (the
+    * shape of Iceberg's remove_orphan_files listing action). Returns
+    * (path: URI path, size, mtime); hidden files/dirs (`_`, `.`) are
+    * skipped. Top-level loose files are listed driver-side (there are at
+    * most a handful beside the partition dirs). */
+  def listFilesDistributed(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dirs, loose) = fs.listStatus(rootPath).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+      .partition(_.isDirectory)
+    val looseRows = loose.map(f =>
+      (f.getPath.toUri.getPath, f.getLen, f.getModificationTime))
+    val dirPaths = dirs.map(_.getPath.toString)
+    val listed = spark.sparkContext
+      .parallelize(dirPaths, math.max(1, dirPaths.size))
+      .flatMap { dir =>
+        val p = new Path(dir)
+        val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val it = dfs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          val nm = f.getPath.getName
+          if (!nm.startsWith("_") && !nm.startsWith("."))
+            buf += ((f.getPath.toUri.getPath, f.getLen, f.getModificationTime))
+        }
+        buf
+      }
+    spark.createDataset(listed).toDF("path", "size", "mtime")
+      .unionByName(looseRows.toDF("path", "size", "mtime"))
   }
 
   final case class ExpireResult(expiredSnapshots: Seq[Long], keptSnapshots: Seq[Long])
@@ -286,12 +331,15 @@ object Maintenance {
     store.write("snapshots", store.spark.createDataset(others ++ kept))
 
     // Drop manifest rows of expired snapshots (data files referenced
-    // only by expired snapshots become orphans for M3).
-    val expiredIds = expired.map(_.snapshotId).toSet
-    if (store.exists("files")) {
-      val files = store.files.collect().toSeq.filterNot(f =>
-        f.database == database && f.table == table && expiredIds.contains(f.snapshotId))
-      store.write("files", store.spark.createDataset(files))
+    // only by expired snapshots become orphans for M3). The expired-id
+    // set is small (snapshot count), the files slice is not → codegen'd
+    // isin filter + distributed rewrite, no driver materialization.
+    val expiredIds = expired.map(_.snapshotId)
+    if (store.exists("files") && expiredIds.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      store.rewrite("files", store.files.filter(
+        !(col("database") === database && col("table") === table &&
+          col("snapshotId").isin(expiredIds: _*))))
     }
     ExpireResult(expired.map(_.snapshotId).sorted, kept.map(_.snapshotId).sorted)
   }
@@ -299,35 +347,21 @@ object Maintenance {
   final case class OrphanResult(orphans: Seq[String], deleted: Long)
 
   /** M3: remove files under `tableRoot` that no manifest row references
-    * and that are older than `olderThan`. The listing is distributed:
-    * first-level dirs fan out to executors, each lists its subtree —
-    * the file inventory never collects to the driver before the
-    * anti-join. */
+    * and that are older than `olderThan`. Listing AND deletion are both
+    * distributed: first-level dirs fan out to executors for the listing
+    * ([[listFilesDistributed]]), the anti-join against the manifest runs
+    * as a normal join, and the deletes execute in `foreachPartition` on
+    * the executors (the shape of Iceberg's DeleteOrphanFiles action) —
+    * an orphan sweep after a bad job can be millions of files, so neither
+    * the inventory nor the delete loop may live on the driver. The
+    * returned path list is for reporting and is capped. */
   def removeOrphanFiles(spark: SparkSession, store: MetaStore, tableRoot: String,
       database: String, table: String, olderThan: Timestamp,
-      dryRun: Boolean = false): OrphanResult = {
+      dryRun: Boolean = false, reportMax: Int = 100000): OrphanResult = {
     import spark.implicits._
     import MetaStore._
 
-    val hconf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
-    val rootPath = new Path(tableRoot)
-    val fs = rootPath.getFileSystem(hconf)
-    val topLevel = fs.listStatus(rootPath).toSeq.map(_.getPath.toString)
-
-    val listed = spark.sparkContext.parallelize(topLevel, math.max(1, topLevel.size))
-      .flatMap { dir =>
-        val p = new Path(dir)
-        val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val it = dfs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-        while (it.hasNext) {
-          val f = it.next()
-          if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-            buf += ((f.getPath.toUri.getPath, f.getModificationTime))
-        }
-        buf
-      }.toDF("path", "mtime")
-
+    val listed = listFilesDistributed(spark, tableRoot)
     val manifest = store.files
       .filter(f => f.database == database && f.table == table)
       .select($"filePath".as("path"))
@@ -335,10 +369,20 @@ object Maintenance {
       .where($"mtime" < lit(olderThan.getTime))
       .select($"path")
 
-    val paths = orphans.as[String].collect().toSeq.sorted
+    // Report sample first (the delete invalidates the listing the plan
+    // would re-execute), then delete on the executors.
+    val paths = orphans.limit(reportMax).as[String].collect().toSeq.sorted
     var deleted = 0L
-    if (!dryRun) paths.foreach { p =>
-      if (fs.delete(new Path(p), false)) deleted += 1
+    if (!dryRun) {
+      val acc = spark.sparkContext.longAccumulator("orphansDeleted")
+      orphans.as[String].foreachPartition { (it: Iterator[String]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { p =>
+          val hp = new Path(p)
+          if (hp.getFileSystem(conf).delete(hp, false)) acc.add(1L)
+        }
+      }
+      deleted = acc.value
     }
     OrphanResult(paths, deleted)
   }
@@ -398,9 +442,12 @@ object Maintenance {
         $"lastUpdatedAt", $"lastUpdatedSnapshotId", $"needsOptimize")
       .as[Model.PartitionStat]
 
-    val others = store.partitions.filter(p =>
-      !(p.database == database && p.table == table)).collect().toSeq
-    val rebuilt = scored.collect().toSeq
-    store.write("partitions", store.spark.createDataset(others ++ rebuilt))
+    // Union of untouched tables' stats + the rebuilt slice, swapped in
+    // distributed — partition stats are one row per partition, which at
+    // 100 TB is itself a big table.
+    val others = store.partitions.filter(
+      !(col("database") === database && col("table") === table))
+    store.rewrite("partitions",
+      others.toDF().unionByName(scored.toDF()).as[Model.PartitionStat])
   }
 }

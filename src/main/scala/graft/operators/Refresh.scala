@@ -52,24 +52,33 @@ object Refresh {
       refreshTable(store, database, name, path, now)
     }
 
-    // J1 stale diff: stored minus live → cascade delete.
+    // J1 stale diff: stored minus live → cascade delete. The `tables`
+    // slice is control-plane-small (one row per table) so the stale list
+    // itself may collect; the dependent slices — `files` especially, which
+    // is millions–billions of rows at 100 TB — are deleted as a
+    // broadcast anti-join + distributed rewrite, never on the driver.
     val live = liveTables.keySet
     val stale = store.tables.collect().toSeq
       .filter(t => t.database == database && !live.contains(t.name))
       .map(t => (t.database, t.name))
     if (stale.nonEmpty) {
+      import org.apache.spark.sql.functions.broadcast
       val staleSet = stale.toSet
+      val staleDf = spark.createDataset(stale).toDF("database", "table")
       store.write("tables", spark.createDataset(
         store.tables.collect().toSeq.filterNot(t => staleSet((t.database, t.name)))))
       if (store.exists("partitions"))
-        store.write("partitions", spark.createDataset(
-          store.partitions.collect().toSeq.filterNot(p => staleSet((p.database, p.table)))))
+        store.rewrite("partitions", store.partitions.toDF()
+          .join(broadcast(staleDf), Seq("database", "table"), "left_anti")
+          .as[Model.PartitionStat])
       if (store.exists("snapshots"))
-        store.write("snapshots", spark.createDataset(
-          store.snapshots.collect().toSeq.filterNot(s => staleSet((s.database, s.table)))))
+        store.rewrite("snapshots", store.snapshots.toDF()
+          .join(broadcast(staleDf), Seq("database", "table"), "left_anti")
+          .as[Model.SnapshotMeta])
       if (store.exists("files"))
-        store.write("files", spark.createDataset(
-          store.files.collect().toSeq.filterNot(f => staleSet((f.database, f.table)))))
+        store.rewrite("files", store.files.toDF()
+          .join(broadcast(staleDf), Seq("database", "table"), "left_anti")
+          .as[Model.FileMeta])
     }
     stale
   }

@@ -146,17 +146,36 @@ object Relational {
       |ORDER BY user_id""".stripMargin
 
   /** O2/A5 pagination (ref: service_task_queue.go:489-504): ORDER BY ts
-    * DESC LIMIT n OFFSET m via row_number window (offset-free at scale). */
+    * DESC LIMIT n OFFSET m.
+    *
+    * Scale shape: `orderBy().limit(offset+n)` plans as
+    * TakeOrderedAndProject — each partition keeps a bounded top-(offset+n)
+    * heap and only those rows reach the driver; no global-window
+    * single-partition shuffle of the whole fact table (which Spark itself
+    * warns about). Row numbers are then assigned by zipWithIndex over the
+    * already-sorted bounded page, so no partition-less WindowExec appears
+    * anywhere in the plan. For deep offsets a real service would switch to
+    * keyset pagination (`WHERE (o_orderdate, o_orderkey) < last_seen`);
+    * the offset form is kept because it is the reference's API shape. */
   def q6Page(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-    Tables.orders(spark, d)
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" > 100 && $"rn" <= 120)
-      .select($"rn", $"o_orderkey", $"o_orderstatus",
+    val offset = 100
+    val n = 20
+    val top = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderstatus",
         money($"o_totalprice").cast("double").as("total_price"),
         date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
-      .orderBy($"rn")
+      .orderBy($"order_date".desc, $"o_orderkey".desc)
+      .limit(offset + n)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("rn",
+        org.apache.spark.sql.types.LongType, nullable = false) +: top.schema.fields)
+    // TakeOrderedAndProject yields one ordered partition of ≤ offset+n
+    // rows; zipWithIndex indexes in that order.
+    val rows = top.rdd.zipWithIndex()
+      .filter(_._2 >= offset)
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq((i + 1) +: r.toSeq) }
+    spark.createDataFrame(rows, schema).orderBy($"rn")
   }
 
   val q6Sql: String =
