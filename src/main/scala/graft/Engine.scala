@@ -3,7 +3,7 @@ package graft
 import java.time.{Instant, LocalDate}
 
 import graft.meta.{MetaStore, Model, PartitionModel, Planner, SmallFiles}
-import graft.queue.TaskQueue
+import graft.queue.{TaskEngines, TaskQueue}
 
 /** The engine façade — ties MetaStore, TaskQueue, Planner and the
   * maintenance operators into the reference's service surface
@@ -14,9 +14,15 @@ import graft.queue.TaskQueue
 final class Engine(
     val store: MetaStore,
     clock: () => Instant = () => Instant.now(),
-    cfg: SmallFiles.Config = SmallFiles.Config()) {
+    cfg: SmallFiles.Config = SmallFiles.Config(),
+    engines: TaskEngines = TaskEngines.default) {
 
   val queue = new TaskQueue(store, clock)
+
+  /** Small-file scoring thresholds, overlaid from the settings table at
+    * use time (service_iceberg.go:129-141) — a changed settings row takes
+    * effect on the next task without a restart. */
+  private def effectiveCfg: SmallFiles.Config = SmallFiles.fromSettings(store, cfg)
 
   /** EnqueueOptimize (service_tasks.go:190-296): default target 512 MB,
     * clamp the range by the freshness delay, query needs_optimize
@@ -38,7 +44,8 @@ final class Engine(
             .filter(d => !d.isBefore(effective.from) && !d.isAfter(effective.to))
             .sorted(Ordering.by((d: LocalDate) => d.toEpochDay))
           Planner.planChunks(partitionDates, effective, chunk).map { c =>
-            queue.enqueue(database, table, Model.TaskKind.Optimize, "spark", Map(
+            queue.enqueue(database, table, Model.TaskKind.Optimize,
+              engines.resolveOrThrow(Model.TaskKind.Optimize), Map(
               "target_file_size_mb" -> target.toString,
               "from" -> c.from.toString,
               "to" -> c.to.toString))
@@ -51,7 +58,8 @@ final class Engine(
     * (service_tasks.go:91-113). */
   def enqueueExpireSnapshots(database: String, table: String, retentionDays: Int): Long = {
     val days = math.max(retentionDays, Model.Defaults.MinRetentionDays)
-    queue.enqueue(database, table, Model.TaskKind.ExpireSnapshots, "spark",
+    queue.enqueue(database, table, Model.TaskKind.ExpireSnapshots,
+      engines.resolveOrThrow(Model.TaskKind.ExpireSnapshots),
       Map("retention_days" -> days.toString))
   }
 
@@ -59,7 +67,8 @@ final class Engine(
     * (service_tasks.go:115-137). */
   def enqueueRemoveOrphanFiles(database: String, table: String, retentionDays: Int): Long = {
     val days = math.max(retentionDays, Model.Defaults.MinRetentionDays)
-    queue.enqueue(database, table, Model.TaskKind.RemoveOrphanFiles, "spark",
+    queue.enqueue(database, table, Model.TaskKind.RemoveOrphanFiles,
+      engines.resolveOrThrow(Model.TaskKind.RemoveOrphanFiles),
       Map("retention_days" -> days.toString))
   }
 
@@ -132,7 +141,7 @@ final class Engine(
                           f.table == task.table).take(1).nonEmpty)
                       Map("committed_snapshot_id" -> operators.Maintenance
                         .commitCompaction(store, task.database, task.table,
-                          path, cfg, clock()).toString)
+                          path, effectiveCfg, clock()).toString)
                     else Map.empty[String, String]
                   Right(Map(
                     "partitions_rewritten" -> r.partitionsRewritten.toString,
@@ -169,7 +178,13 @@ final class Engine(
         } catch { case e: Throwable => Left(e.getMessage) }
       result match {
         case Right(res) => queue.complete(task.id, res, None)
-        case Left(err) => queue.complete(task.id, Map.empty, Some(err))
+        case Left(err) =>
+          queue.complete(task.id, Map.empty, Some(err))
+          // Automatic one-shot retry: a first-attempt failure re-enqueues
+          // a clone (original flagged retried); the clone itself is the
+          // terminal attempt — a second failure stays an error
+          // (retried-flag semantics, service_task_queue.go:166-202).
+          queue.retryAuto(task.id)
       }
       task.id
     }

@@ -63,10 +63,38 @@ final class MetaStore(val spark: SparkSession, val root: String) {
   def tasks: Dataset[Model.TaskRow] = read[Model.TaskRow]("tasks")(MetaStore.taskRowEnc)
   def settings: Dataset[Model.Setting] = read[Model.Setting]("settings")(MetaStore.settingEnc)
 
-  /** Setting lookup with reference defaults (service_settings.go:15-23). */
+  /** Setting lookup with reference defaults (service_settings.go:15-23,
+    * GetSetting go:50-61). Settings are read *at use time*, not cached —
+    * the reference re-queries the settings table on every claim/scoring
+    * call so operators pick up changes without a restart. */
   def setting(key: String, default: String): String = {
     if (!exists("settings")) return default
     settings.filter(_.key == key).take(1).headOption.map(_.value).getOrElse(default)
+  }
+
+  /** GetIntSetting (service_settings.go:79-96): absent → default,
+    * unparsable → error. */
+  def intSetting(key: String, default: Int): Int = {
+    val raw = setting(key, default.toString)
+    raw.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"could not parse setting $key as int: $raw"))
+  }
+
+  /** GetInt64Setting (service_settings.go:98-115). */
+  def longSetting(key: String, default: Long): Long = {
+    val raw = setting(key, default.toString)
+    raw.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"could not parse setting $key as int64: $raw"))
+  }
+
+  /** SetSetting upsert (service_settings.go:63-77). The settings table
+    * is a handful of rows — the read-modify-write collect is fine. */
+  def setSetting(key: String, value: String,
+      now: java.time.Instant = java.time.Instant.now()): Unit = {
+    val ts = java.sql.Timestamp.from(now)
+    val rows = if (exists("settings")) settings.collect().toSeq else Seq.empty
+    val updated = rows.filterNot(_.key == key) :+ Model.Setting(key, value, ts)
+    write("settings", spark.createDataset(updated)(MetaStore.settingEnc))
   }
 }
 

@@ -24,6 +24,18 @@ object SmallFiles {
       minSharePercent: Int = Model.Defaults.SmallFileMinSharePercent,
       delayHours: Int = Model.Defaults.NeedsOptimizeDelayHours)
 
+  /** Resolve the scoring thresholds from the settings table at use time
+    * (the reference re-reads them per ListPartitions call,
+    * service_iceberg.go:129-141; keys + defaults
+    * service_settings.go:15-23). `base` supplies the fallback defaults
+    * and the freshness delay (config-file-driven in the reference, not a
+    * settings row). */
+  def fromSettings(store: MetaStore, base: Config = Config()): Config =
+    base.copy(
+      thresholdBytes = store.longSetting("small_file_threshold_bytes", base.thresholdBytes),
+      minCount = store.intSetting("small_file_min_count", base.minCount),
+      minSharePercent = store.intSetting("small_file_min_share_percent", base.minSharePercent))
+
   /** Latest day still allowed to be optimized: now − delay, truncated to
     * UTC midnight (service_iceberg.go:226-236; service_tasks_test.go:10-20:
     * now=2026-03-31T12:00Z, delay 48h → 2026-03-29). */

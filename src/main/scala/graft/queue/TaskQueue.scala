@@ -50,10 +50,16 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
     id
   }
 
-  /** Claim the oldest queued task iff running < concurrency. */
+  /** Claim the oldest queued task iff running < concurrency. The gate is
+    * resolved from the `task_concurrency` settings row at claim time with
+    * the caller's value as the default, clamped to ≥1 — exactly the
+    * reference's claim path (service_task_queue.go:223-236: GetIntSetting
+    * per claim, `if taskConcurrency < 1 { taskConcurrency = 1 }`). */
   def claim(concurrency: Int): Option[TaskRow] = lock.synchronized {
+    val effective =
+      math.max(1, store.intSetting("task_concurrency", concurrency))
     val rows = all()
-    if (rows.count(_.status == TaskStatus.Running) >= concurrency) None
+    if (rows.count(_.status == TaskStatus.Running) >= effective) None
     else rows.filter(_.status == TaskStatus.Queued)
       .sortBy(t => (t.startedAt.getTime, t.id)).headOption.map { t =>
         val claimed = t.copy(status = TaskStatus.Running, pickedUpAt = Some(now()))
@@ -122,6 +128,27 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
       val clone = TaskRow(cloneId, t.database, t.table, t.kind, t.engine,
         startedAt = now(), pickedUpAt = None, finishedAt = None,
         status = TaskStatus.Queued, retried = false, errorMessage = None,
+        input = t.input, result = Map.empty)
+      save(rows.map(r => if (r.id == id) r.copy(retried = true) else r) :+ clone)
+      cloneId
+    }
+  }
+
+  /** Worker-loop automatic retry (the reference's retried-flag semantics,
+    * service_task_queue.go:166-202, driven from the worker instead of the
+    * manual endpoint): same CAS as [[retry]] — only an errored,
+    * not-yet-retried task qualifies, the original is flagged — but the
+    * clone is born with `retried = true`, marking it as the terminal
+    * attempt: when the clone errors too, neither the auto path nor this
+    * method will retry it again, so a permanent failure ends as exactly
+    * one error row with retried=true (plus its flagged ancestor). */
+  def retryAuto(id: Long): Option[Long] = lock.synchronized {
+    val rows = all()
+    rows.find(t => t.id == id && t.status == TaskStatus.Error && !t.retried).map { t =>
+      val cloneId = rows.map(_.id).max + 1
+      val clone = TaskRow(cloneId, t.database, t.table, t.kind, t.engine,
+        startedAt = now(), pickedUpAt = None, finishedAt = None,
+        status = TaskStatus.Queued, retried = true, errorMessage = None,
         input = t.input, result = Map.empty)
       save(rows.map(r => if (r.id == id) r.copy(retried = true) else r) :+ clone)
       cloneId

@@ -107,26 +107,85 @@ class EngineSpec extends SparkSpec {
     assert(engine.processNext(1, Map.empty).isEmpty)
   }
 
-  test("failed task records the error and retries once to success") {
+  test("transient failure auto-retries once to success") {
+    import spark.implicits._
     import MetaStore._
     val s = store()
     val engine = new Engine(s, () => fixedNow)
-    // Optimize task with no data path → error on first execution.
+    val dataDir = Files.createTempDirectory("engine-retry").toString
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .withColumn("date", date_format($"l_shipdate", "yyyy-MM-dd"))
+      .where($"date" >= "1996-01-01" && $"date" < "1996-01-08")
+      .repartition(8, $"date", pmod($"l_orderkey", lit(8)))
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(dataDir)
+    s.write("partitions", spark.createDataset(Seq(
+      partStat("db", "li", LocalDate.of(1996, 1, 3), needs = true))))
+    val ids = engine.enqueueOptimize("db", "li", 512,
+      LocalDate.of(1996, 1, 1), LocalDate.of(1996, 1, 7), "week").toOption.get
+    // First attempt: no data path → transient error; the worker loop
+    // flags the original and enqueues one clone automatically.
+    assert(engine.processNext(1, Map.empty).contains(ids.head))
+    val (errs, _) = engine.queue.list(Seq(Model.TaskStatus.Error), 10, 0)
+    assert(errs.size == 1 && errs.head.retried)
+    assert(errs.head.errorMessage.exists(_.contains("no data path")))
+    // Second attempt (the clone) runs with the path restored → success.
+    assert(engine.processNext(1, Map(("db", "li") -> dataDir)).isDefined)
+    val (ok, _) = engine.queue.list(Seq(Model.TaskStatus.Success), 10, 0)
+    assert(ok.size == 1)
+    assert(engine.processNext(1, Map.empty).isEmpty) // queue drained
+  }
+
+  test("permanent failure ends as an error with retried=true, no retry loop") {
+    import MetaStore._
+    val s = store()
+    val engine = new Engine(s, () => fixedNow)
+    // Optimize task whose data path never appears → both attempts error.
     s.write("partitions", spark.createDataset(Seq(
       partStat("db", "t", LocalDate.of(1997, 1, 5), needs = true))))
     val ids = engine.enqueueOptimize("db", "t", 512,
       LocalDate.of(1997, 1, 1), LocalDate.of(1997, 1, 7), "day").toOption.get
-    assert(engine.processNext(1, Map.empty).isDefined) // no path → error
+    assert(engine.processNext(1, Map.empty).contains(ids.head)) // attempt 1
+    assert(engine.processNext(1, Map.empty).isDefined)          // the auto clone
+    assert(engine.processNext(1, Map.empty).isEmpty)            // nothing further
     val (errs, _) = engine.queue.list(Seq(Model.TaskStatus.Error), 10, 0)
-    assert(errs.head.errorMessage.exists(_.contains("no data path")))
-    // Retry clones it; a second retry of the same task is refused.
-    val clone = engine.queue.retry(ids.head)
-    assert(clone.isDefined)
-    assert(engine.queue.retry(ids.head).isEmpty)
-    // The clone errors the same way (still no path) but is a new row.
-    assert(engine.processNext(1, Map.empty).contains(clone.get))
-    val (errs2, _) = engine.queue.list(Seq(Model.TaskStatus.Error), 10, 0)
-    assert(errs2.size == 2)
+    assert(errs.size == 2 && errs.forall(_.retried))
+    // The terminal clone is also beyond manual retry.
+    assert(errs.map(_.id).forall(id => engine.queue.retry(id).isEmpty))
+  }
+
+  test("settings rows steer the claim gate and small-file scoring at use time") {
+    import MetaStore._
+    val s = store()
+    val engine = new Engine(s, () => fixedNow)
+    engine.enqueueExpireSnapshots("db", "t", 7)
+    engine.enqueueExpireSnapshots("db", "t2", 7)
+    // Default gate (claim-arg 1) admits one task...
+    assert(engine.queue.claim(1).isDefined)
+    // ...and blocks the second while it runs.
+    assert(engine.queue.claim(1).isEmpty)
+    // A task_concurrency settings row overrides the caller's default on
+    // the very next claim — no restart, no new queue object.
+    s.setSetting("task_concurrency", "2", fixedNow)
+    assert(engine.queue.claim(1).isDefined)
+    // Clamp: <1 is read as 1 (service_task_queue.go:228-230).
+    s.setSetting("task_concurrency", "0", fixedNow)
+    assert(engine.queue.claim(5).isEmpty) // 2 running ≥ clamp(0)=1
+
+    // Small-file thresholds resolve from settings with reference defaults.
+    val base = SmallFiles.Config()
+    assert(SmallFiles.fromSettings(s, base) == base) // absent keys → defaults
+    s.setSetting("small_file_threshold_bytes", "1024", fixedNow)
+    s.setSetting("small_file_min_count", "5", fixedNow)
+    s.setSetting("small_file_min_share_percent", "50", fixedNow)
+    val resolved = SmallFiles.fromSettings(s, base)
+    assert(resolved.thresholdBytes == 1024L)
+    assert(resolved.minCount == 5 && resolved.minSharePercent == 50)
+    assert(resolved.delayHours == base.delayHours) // config-driven, not a setting
+    // Scoring flips with the threshold: 3 files of 2000 bytes are not
+    // "small" at threshold 1024, but are at the default 256 MB.
+    val sizes = Seq(2000L, 2000L, 2000L)
+    assert(!SmallFiles.needsOptimize(sizes, Map.empty, resolved, fixedNow))
+    assert(SmallFiles.needsOptimize(sizes, Map.empty, base, fixedNow))
   }
 
   test("worker executes expire task against the snapshot chain") {
