@@ -64,6 +64,7 @@ object SparkEntry {
     "q44_array_agg"           -> (Relational3.q44ArrayAgg _),
     "q45_cube"                -> (Relational3.q45Cube _),
     "q46_percentiles"         -> (Relational3.q46Percentiles _),
+    "q47_dedup_clusters_lsh"  -> (TrainingData.q47DedupClustersLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -106,5 +107,6 @@ object SparkEntry {
     "q44_array_agg"           -> Relational3.q44Sql,
     "q45_cube"                -> Relational3.q45Sql,
     "q46_percentiles"         -> Relational3.q46Sql,
+    "q47_dedup_clusters_lsh"  -> TrainingData.q47Sql,
   )
 }

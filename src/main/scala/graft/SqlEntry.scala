@@ -37,6 +37,9 @@ object SqlEntry {
           .map(java.sql.Date.valueOf).orNull)
     spark.udf.register("partition_string",
       (m: Map[String, String]) => PartitionModel.canonicalString(m))
+    spark.udf.register("partition_string_browse",
+      (m: Map[String, String], selected: Seq[String]) =>
+        PartitionModel.renderOrdered(m, selected))
     spark.udf.register("needs_optimize", F.udaf(
       new graft.functions.SmallFileAggregator(cfg.thresholdBytes, cfg.minCount,
         cfg.minSharePercent)))

@@ -39,13 +39,19 @@ object MetaDerive {
   // The reference's whole design is a *materialized* metadata cache
   // (MySQL, refreshed on cron) — mirror that: derive once per (session,
   // dir) and keep the frame cached so every downstream metadata query
-  // reads the cache, not the raw fact table.
+  // reads the cache, not the raw fact table. Bounded LRU (unpersist on
+  // evict) so a long-lived service holding many tables doesn't leak.
   private val fileCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.PlanCache[(SparkSession, String), DataFrame](
+      maxEntries = 8, onEvict = _.unpersist())
+
+  /** Drop the cached frames (session teardown / underlying data changed
+    * mid-session — the refresh path's cache-bust). */
+  def clearCaches(): Unit = fileCache.clear()
 
   /** The `$files`-shaped frame (reference S6 input, iceberg_client.go:163-220). */
   def files(spark: SparkSession, d: String): DataFrame =
-    fileCache.getOrElseUpdate((spark, d), filesUncached(spark, d).cache())
+    fileCache.getOrElseUpdate((spark, d))(filesUncached(spark, d).cache())
 
   private def filesUncached(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -153,6 +153,37 @@ object PartitionModel {
       .map { case (k, v) => s"$k=${Option(v).getOrElse("null")}" }
       .mkString("{", ", ", "}")
 
+  /** F9 browse rendering (service_browse_files.go:300-333): the
+    * *selected* partition-field names render first, in selection order
+    * (skipping selected names absent from the value map), then the
+    * remaining keys alphabetically. Null values render as "null"
+    * (formatBrowsePartitionValue, go:336-341). */
+  def renderOrdered(values: Map[String, String], selectedOrder: Seq[String]): String =
+    browseKeyOrder(values.keySet, selectedOrder)
+      .map(k => s"$k=${Option(values(k)).getOrElse("null")}")
+      .mkString("{", ", ", "}")
+
+  /** The F9 key ordering alone: selected names first (selection order,
+    * present-only), remaining alphabetical — shared by the scalar
+    * renderer above and the column-expression browse queries, so the
+    * ordering rule lives in exactly one place. */
+  def browseKeyOrder(allKeys: Set[String], selectedOrder: Seq[String]): Seq[String] = {
+    val selected = selectedOrder.filter(allKeys.contains).distinct
+    selected ++ (allKeys -- selected).toSeq.sorted
+  }
+
+  /** F9 tuple rendering (formatBrowsePartitionTuple,
+    * service_browse_files.go:280-298): positional values labeled with
+    * the partition-field name at the same index, `field_<i>` when the
+    * name is missing or blank. */
+  def renderTuple(values: Seq[String], fieldNames: Seq[String]): String =
+    values.zipWithIndex.map { case (v, i) =>
+      val name =
+        if (i < fieldNames.length && fieldNames(i).nonEmpty) fieldNames(i)
+        else s"field_$i"
+      s"$name=${Option(v).getOrElse("null")}"
+    }.mkString("{", ", ", "}")
+
   private val rfc3339 = DateTimeFormatter.ISO_OFFSET_DATE_TIME
 
   /** F11 dual-format datetime parse (datetime.go:26-75): date-only →

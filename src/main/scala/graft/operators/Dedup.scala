@@ -21,16 +21,23 @@ object Dedup {
   val ShingleN = 3
 
   // The shingle index is a derived index a real pipeline materializes
-  // once and reuses across the dedup family — cache per logical plan.
+  // once and reuses across the dedup family — cached per logical plan,
+  // bounded LRU so a long-lived service doesn't pin every corpus it has
+  // ever deduped ([[graft.util.PlanCache]] unpersists on evict).
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 8, onEvict = _.unpersist())
+
+  /** Drop every cached shingle index (session teardown, or when the
+    * underlying documents table changed within a session). */
+  def clearCaches(): Unit = shingleCache.clear()
 
   /** Distinct (doc_id, shingle) pairs — the shared input of the Jaccard
     * family. Typed flatMap (primitive string ops beat a chain of
     * interpreted higher-order array functions ~5×) + one distinct
     * shuffle on (doc_id, shingle); cached as a materialized index. */
   def docShingles(docs: DataFrame): DataFrame =
-    shingleCache.getOrElseUpdate(docs.queryExecution.logical,
+    shingleCache.getOrElseUpdate(docs.queryExecution.logical)(
       docShinglesUncached(docs).cache())
 
   private def docShinglesUncached(docs: DataFrame): DataFrame = {
@@ -363,14 +370,64 @@ object Dedup {
     labels.orderBy($"id")
   }
 
-  /** q40: cluster summary — component keeper, member count, id span. */
-  def nearDupClusters(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+  /** Cluster summary over any near-dup pair frame — component keeper,
+    * member count, id span. */
+  def clustersOf(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    connectedComponents(embeddingNearDup(spark, d, threshold))
+    connectedComponents(pairs.select($"id_a", $"id_b"))
       .groupBy($"label".as("keeper"))
       .agg(count(lit(1)).as("n_members"), max($"id").as("last_member"))
       .orderBy($"keeper")
   }
+
+  /** q40: cluster summary over the *all-pairs* embedding kernel — the
+    * oracle variant (exactly DuckDB's recursive-CTE closure). Production
+    * clustering is [[nearDupClustersLsh]]. */
+  def nearDupClusters(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame =
+    clustersOf(embeddingNearDup(spark, d, threshold))
+
+  /** The production near-dup clustering entry point: connected
+    * components over MinHash-LSH candidate pairs (verified with exact
+    * Jaccard) — every stage is bucketed, nothing is all-pairs, so the
+    * whole path survives a 100 TB corpus. Equal to brute-force
+    * clustering whp (banding misses a j≥0.6 pair with P ≈ 6e-7);
+    * [[nearDupClusters]]/q21 remain the exact oracles. */
+  def nearDupClustersLsh(spark: SparkSession, d: String, threshold: Double = 0.6): DataFrame =
+    clustersOf(minhashLshOf(Tables.documents(spark, d), threshold))
+
+  /** DuckDB oracle for [[nearDupClustersLsh]]: all-pairs n-gram Jaccard
+    * pairs + recursive closure — brute-force ground truth for the LSH
+    * path. */
+  def nearDupClustersLshSql(threshold: Double): String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+       |)
+       |SELECT label AS keeper, count(*) AS n_members, max(id) AS last_member
+       |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 
   def nearDupClustersSql(threshold: Double): String =
     s"""WITH RECURSIVE pairs AS (

@@ -140,19 +140,90 @@ object Similarity {
       .orderBy($"query_id", $"neighbor_id")
   }
 
-  /** IVF-style ANN: deterministic coarse quantizer (first `nCentroids`
-    * vectors as centroids), every vector assigned to its nearest centroid;
-    * a query probes its `nProbe` nearest centroid lists only — the
-    * classic inverted-file layout where at scale each centroid list is a
-    * partition and probing prunes (nCentroids-nProbe)/nCentroids of the
-    * corpus. Approximate → no SQL oracle; recall bound in SimilaritySpec. */
+  /** Deterministic spherical k-means coarse quantizer for [[annIvf]]:
+    * init = the first `k` vectors by id (no RNG — reproducible across
+    * runs/executors), then `iters` Lloyd rounds. Each round is one
+    * distributed pass: every partition accumulates per-centroid vector
+    * sums + counts against the broadcast centroids (a primitive-array
+    * kernel, k×dim partials per partition), the tiny partial set
+    * (k × numPartitions rows) reduces on the driver, and the new
+    * centroid is the unit-normalized mean (spherical update — we rank
+    * by cosine). Empty clusters keep their previous centroid. At 100 TB
+    * this is the standard Spark k-means shape: per-partition combine →
+    * k-row reduce, never shuffling the corpus. */
+  def kmeansCentroids(e: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      k: Int, iters: Int): Array[(Long, Array[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = e.orderBy(col(e.columns(0))).limit(k)
+      .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, "empty corpus: no centroids")
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = e.mapPartitions { it =>
+        val cs = bc.value
+        val dim = if (cs.isEmpty) 0 else cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          var best = 0
+          var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var s = 0.0
+            var j = 0
+            while (j < v.length) { s += cv(j) * v(j); j += 1 }
+            if (s > bestS) { bestS = s; best = c }
+            c += 1
+          }
+          val sv = sums(best)
+          var j = 0
+          while (j < v.length) { sv(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        Iterator.tabulate(cs.length)(c => (c, sums(c), counts(c)))
+          .filter(_._3 > 0)
+      }.collect()
+      val sums = Array.fill(cents.length)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](cents.length)
+      partials.foreach { case (c, s, n) =>
+        val acc = sums(c)
+        var j = 0
+        while (j < s.length) { acc(j) += s(j); j += 1 }
+        counts(c) += n
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = sums(c)
+          var norm = 0.0
+          var j = 0
+          while (j < m.length) { norm += m(j) * m(j); j += 1 }
+          norm = math.sqrt(norm)
+          if (norm == 0.0) old else m.map(_ / norm)
+        }
+      }
+      bc.unpersist()
+    }
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  /** IVF-style ANN: spherical-k-means coarse quantizer
+    * ([[kmeansCentroids]], deterministic seed), every vector assigned to
+    * its nearest centroid; a query probes its `nProbe` nearest centroid
+    * lists only — the classic inverted-file layout where at scale each
+    * centroid list is a partition and probing prunes
+    * (nCentroids-nProbe)/nCentroids of the corpus. Approximate → no SQL
+    * oracle; recall bound in SimilaritySpec. */
   def annIvf(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 4): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
-    val cents = e.where($"vec_id" < nCentroids)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val cents = spark.createDataset(
+        kmeansCentroids(e.as[(Long, Array[Double])], nCentroids, kmeansIters).toSeq)
+      .toDF("cent_id", "cv")
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cos", cos($"v", $"cv"))

@@ -56,15 +56,25 @@ object Metadata {
       |FROM scored""".stripMargin
 
   /** S8+O1+P6+F9: files browse for one selected partition month —
-    * content=0 filter, canonical `{k=v}` partition rendering, ORDER BY
-    * size DESC, path ASC (reference service_browse_files.go:193-215,
-    * 261-347). */
+    * content=0 filter, *selection-order* `{k=v}` partition rendering
+    * (the keys the user drilled into — year, month — render first in
+    * selection order, remaining keys alphabetically:
+    * service_browse_files.go:300-333), ORDER BY size DESC, path ASC
+    * (service_browse_files.go:193-215). */
   def q13FilesBrowse(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    // Key order comes from the shared F9 rule; the render itself is a
+    // codegen'd concat (no UDF in the scan-wide projection).
+    val keys = graft.meta.PartitionModel.browseKeyOrder(
+      Set("year", "month", "day"), selectedOrder = Seq("year", "month"))
+    val rendered = concat(
+      lit("{") +: keys.zipWithIndex.flatMap { case (k, i) =>
+        val sep = if (i == 0) Seq.empty else Seq(lit(", "))
+        sep ++ Seq(lit(s"$k="), coalesce(col(k), lit("null")))
+      } :+ lit("}"): _*)
     MetaDerive.files(spark, d)
       .where($"content" === 0 && $"year" === "1996" && $"month" === "03")
-      .withColumn("partition", concat(
-        lit("{day="), $"day", lit(", month="), $"month", lit(", year="), $"year", lit("}")))
+      .withColumn("partition", rendered)
       .select($"file_path", $"file_format", $"partition", $"record_count",
         $"file_size".cast("double").as("file_size"))
       .orderBy($"file_size".desc, $"file_path".asc)
@@ -73,7 +83,7 @@ object Metadata {
   val q13Sql: String = MetaDerive.filesCte +
     """
       |SELECT file_path, file_format,
-      |       '{day=' || day || ', month=' || month || ', year=' || year || '}' AS partition,
+      |       '{year=' || year || ', month=' || month || ', day=' || day || '}' AS partition,
       |       record_count, CAST(file_size AS DOUBLE) AS file_size
       |FROM files WHERE content = 0 AND year = '1996' AND month = '03'
       |ORDER BY file_size DESC, file_path ASC""".stripMargin

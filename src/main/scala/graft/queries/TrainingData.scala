@@ -44,6 +44,13 @@ object TrainingData {
     Dedup.nearDupClusters(spark, d, threshold = 0.4)
   val q40Sql: String = Dedup.nearDupClustersSql(0.4)
 
+  /** Production text near-dup clustering: CC over MinHash-LSH verified
+    * candidates (bucketed end to end); oracle is the brute-force
+    * Jaccard closure, which the LSH path equals whp. */
+  def q47DedupClustersLsh(spark: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClustersLsh(spark, d, threshold = 0.6)
+  val q47Sql: String = Dedup.nearDupClustersLshSql(0.6)
+
   // -- similarity search ----------------------------------------------
 
   def q25AnnTopK(spark: SparkSession, d: String): DataFrame =

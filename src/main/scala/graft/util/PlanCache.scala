@@ -1,0 +1,37 @@
+package graft.util
+
+/** Tiny synchronized LRU for materialized derived frames (shingle
+  * indexes, metadata caches) keyed by logical plan or (session, path).
+  *
+  * An unbounded plan-keyed map is a slow leak in a long-lived service —
+  * every distinct input plan pins a cached DataFrame's blocks forever —
+  * so this cache holds at most `maxEntries` values in access order and
+  * runs `onEvict` (typically `unpersist()`) on the one it drops. `clear`
+  * evicts everything, for session teardown or when underlying data is
+  * known to have changed.
+  */
+final class PlanCache[K, V <: AnyRef](maxEntries: Int, onEvict: V => Unit) {
+  require(maxEntries > 0, "maxEntries must be positive")
+
+  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      if (size() > maxEntries) { onEvict(e.getValue); true } else false
+  }
+
+  def getOrElseUpdate(k: K)(compute: => V): V = synchronized {
+    val existing = map.get(k)
+    if (existing != null) existing
+    else {
+      val v = compute
+      map.put(k, v)
+      v
+    }
+  }
+
+  def clear(): Unit = synchronized {
+    map.values.forEach(v => onEvict(v))
+    map.clear()
+  }
+
+  def size: Int = synchronized(map.size)
+}

@@ -87,6 +87,31 @@ class PartitionModelSpec extends AnyFunSuite {
     assert(canonicalString(Map("k" -> null)) == "{k=null}")
   }
 
+  test("F9 browse map renders in selection order (handler_browse_test.go:89-98)") {
+    // The reference's exact case: businessUnitId sorts before
+    // createdAt_day alphabetically, but createdAt_day was selected first.
+    assert(renderOrdered(
+      Map("businessUnitId" -> "2", "createdAt_day" -> "2024-12-24"),
+      Seq("createdAt_day", "businessUnitId")) ==
+      "{createdAt_day=2024-12-24, businessUnitId=2}")
+    // Unselected keys trail alphabetically after the selected prefix.
+    assert(renderOrdered(
+      Map("day" -> "07", "month" -> "03", "year" -> "2025"),
+      Seq("year")) == "{year=2025, day=07, month=03}")
+    // Selected names absent from the values are skipped, not rendered.
+    assert(renderOrdered(Map("a" -> "1"), Seq("zzz", "a")) == "{a=1}")
+    assert(renderOrdered(Map("k" -> null), Seq.empty) == "{k=null}")
+  }
+
+  test("F9 browse tuple labels positional values (handler_browse_test.go:81-87)") {
+    assert(renderTuple(Seq("2024-12-24", "2"), Seq("createdAt_day", "businessUnitId")) ==
+      "{createdAt_day=2024-12-24, businessUnitId=2}")
+    // Missing / blank field names fall back to field_<i> (go:283-286).
+    assert(renderTuple(Seq("x", "y", "z"), Seq("a", "")) ==
+      "{a=x, field_1=y, field_2=z}")
+    assert(renderTuple(Seq(null), Seq("k")) == "{k=null}")
+  }
+
   test("parseDateTime: date-only → UTC midnight, RFC3339, null (datetime_test.go:12-45)") {
     assert(parseDateTime("2026-01-01") ==
       Right(Some(java.time.Instant.parse("2026-01-01T00:00:00Z"))))

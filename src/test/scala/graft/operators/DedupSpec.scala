@@ -20,6 +20,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("LSH clustering equals brute-force clustering (sf0.01)") {
+    // Production path (CC over banded LSH candidates) must produce the
+    // same keeper/cluster structure as CC over the exact all-pairs
+    // Jaccard graph at the same threshold.
+    val brute = Dedup.clustersOf(Dedup.ngramJaccard(spark, sfDirMid, 0.6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Dedup.nearDupClustersLsh(spark, sfDirMid, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "test corpus must contain near-dup clusters")
+    assert(lsh == brute)
+  }
+
   test("simhash pairs cover the strong Jaccard near-dups (sf0.01)") {
     val strong = pairs(Dedup.ngramJaccard(spark, sfDirMid, 0.9))
     val sim = pairs(Dedup.simhashPairs(spark, sfDirMid, maxHamming = 7))

@@ -18,10 +18,28 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.forall { case (q, n) => q != n })
   }
 
-  test("IVF ANN recall >= 0.6 vs brute force (nProbe=4/16)") {
+  test("IVF ANN recall >= 0.8 vs brute force (k-means quantizer, nProbe=4/16)") {
     val ivf = resultSet(Similarity.annIvf(spark, sfDirMid, 5, 10))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.6, s"IVF recall $recall")
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("k-means centroids are unit vectors and deterministic across runs") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+      .as[(Long, Array[Double])]
+    val a = Similarity.kmeansCentroids(e, 16, 4)
+    val b = Similarity.kmeansCentroids(e, 16, 4)
+    assert(a.length == 16)
+    a.foreach { case (_, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    assert(a.map(_._1).sameElements(b.map(_._1)))
+    assert(a.zip(b).forall { case ((_, va), (_, vb)) => va.sameElements(vb) })
   }
 
   test("LSH ANN recall >= 0.4 vs brute force (6 planes, hamming<=2 probes)") {
