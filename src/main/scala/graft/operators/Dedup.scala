@@ -309,6 +309,45 @@ object Dedup {
        |                             CAST(b.embedding AS DOUBLE[])) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dup via IVF blocking — the 100 TB path for vector
+    * dedup, replacing the broadcast all-pairs kernel of
+    * [[embeddingNearDup]]: every vector is assigned to its `nAssign`
+    * nearest k-means centroids (multi-assignment recovers pairs that
+    * straddle a centroid boundary), candidate pairs are vectors sharing
+    * a centroid bucket, and candidates are verified with the exact
+    * codegen'd cosine — so precision is exact and only recall is
+    * approximate (bounded in DedupSpec; the quantizer is deterministic,
+    * so recall is reproducible). Candidate count ∝ bucket sizes, never
+    * n². */
+  def embeddingNearDupIvf(spark: SparkSession, d: String, threshold: Double = 0.4,
+      nCentroids: Int = 16, nAssign: Int = 3, kmeansIters: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val (cents, _) = Similarity.ivfIndex(e, nCentroids, kmeansIters)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+    val multi = e.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cos($"v", $"cv"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where($"rn" <= nAssign)
+      .select($"vec_id", $"v", $"cent_id")
+    multi.as("a").join(multi.as("b"),
+        $"a.cent_id" === $"b.cent_id" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        Similarity.cos($"a.v", $"b.v").as("cos"))
+      .where($"cos" >= threshold)
+      .select($"id_a", $"id_b")
+      .distinct()
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Production embedding clustering: CC over the IVF-blocked pair
+    * graph ([[embeddingNearDupIvf]]); q40 stays the all-pairs oracle. */
+  def nearDupClustersIvf(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame =
+    clustersOf(embeddingNearDupIvf(spark, d, threshold))
+
   /** Max CC rounds. With pointer-doubling each round at least doubles
     * the propagation horizon, so 25 rounds covers diameters up to ~2^25;
     * hitting the cap without a fixpoint is an error, never silent. */

@@ -32,6 +32,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("IVF-blocked embedding near-dup: exact precision, bounded recall (sf0.01)") {
+    val brute = pairs(Dedup.embeddingNearDup(spark, sfDirMid, 0.4))
+    val ivf = pairs(Dedup.embeddingNearDupIvf(spark, sfDirMid, 0.4))
+    assert(brute.nonEmpty)
+    // Verified candidates → no false positives, ever.
+    assert(ivf.subsetOf(brute))
+    // Recall is deterministic (k-means init is seedless-deterministic);
+    // measured 0.93 on this corpus at nAssign=3 — assert a margin below.
+    val recall = ivf.size.toDouble / brute.size
+    info(s"IVF near-dup recall: $recall (${ivf.size}/${brute.size})")
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("simhash pairs cover the strong Jaccard near-dups (sf0.01)") {
     val strong = pairs(Dedup.ngramJaccard(spark, sfDirMid, 0.9))
     val sim = pairs(Dedup.simhashPairs(spark, sfDirMid, maxHamming = 7))
