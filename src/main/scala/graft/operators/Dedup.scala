@@ -366,9 +366,22 @@ object Dedup {
     // localCheckpoint each round: without cutting lineage, round N
     // re-executes every previous round (and the pair generation) — the
     // loop goes quadratic-in-rounds over the full upstream plan.
-    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+    val edges0 = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .localCheckpoint(true)
+    // Size the loop's parallelism to the graph, not the session default:
+    // a dedup pair graph is usually tiny relative to the corpus (only
+    // near-dups appear), and an O(log n)-round loop over a small frame
+    // spread across 32+ partitions pays task-scheduling overhead per
+    // round that dwarfs the work. ~500k edges per partition keeps the
+    // loop wide at real scale and single-task when the graph is small.
+    val edgeCount = edges0.count()
+    val targetParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, edgeCount / 500000L + 1L)).toInt
+    val edges =
+      if (targetParts < edges0.rdd.getNumPartitions)
+        edges0.coalesce(targetParts).localCheckpoint(true)
+      else edges0
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .localCheckpoint(true)
@@ -394,12 +407,16 @@ object Dedup {
         .select($"id", least($"label", coalesce($"minNeighbor", $"label")).as("label"))
       // Pointer doubling: labels are always vertex ids, so follow
       // label → that vertex's label to jump the whole path walked so far.
+      // Lazy checkpoint: the labelSum action right below materializes it,
+      // so each round runs ONE job (materialize+aggregate) instead of an
+      // eager-checkpoint job followed by an aggregate job — halves the
+      // per-round scheduling overhead that dominates on small graphs.
       val next = stepped.as("l")
         .join(stepped.select($"id".as("lid"), $"label".as("llabel")).as("p"),
           $"l.label" === $"p.lid", "left")
         .select($"l.id".as("id"),
           least($"l.label", coalesce($"p.llabel", $"l.label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
