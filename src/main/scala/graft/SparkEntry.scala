@@ -65,6 +65,7 @@ object SparkEntry {
     "q45_cube"                -> (Relational3.q45Cube _),
     "q46_percentiles"         -> (Relational3.q46Percentiles _),
     "q47_dedup_clusters_lsh"  -> (TrainingData.q47DedupClustersLsh _),
+    "q48_stratified_sample"   -> (graft.operators.Sampling.q48StratifiedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +109,6 @@ object SparkEntry {
     "q45_cube"                -> Relational3.q45Sql,
     "q46_percentiles"         -> Relational3.q46Sql,
     "q47_dedup_clusters_lsh"  -> TrainingData.q47Sql,
+    "q48_stratified_sample"   -> graft.operators.Sampling.q48Sql,
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * RNG-based sampling (`df.sample`) is partition-order dependent and
+  * engine-specific — a re-run, a repartition, or a different engine
+  * draws a different sample. Pipelines that need reproducible corpus
+  * subsets (ablations, decontamination splits, per-language quotas)
+  * sample on a *hash of a stable key* instead: u(doc) = the first 8 hex
+  * chars of md5(key), kept iff u < rate. md5 is md5 in every engine, so
+  * the exact same rows are selected by Spark and by the DuckDB oracle,
+  * at any parallelism, forever.
+  *
+  * The comparison stays entirely lexicographic on fixed-length lowercase
+  * hex, which equals numeric comparison — no 64-bit hex parsing needed,
+  * so the predicate is portable SQL and codegen-friendly (one md5 + one
+  * substring + one string compare per row, pushed into the scan).
+  */
+object Sampling {
+
+  /** Rate → 8-hex-char threshold: keep iff hash8 < threshold.
+    * rate ≥ 1 uses a sentinel above every hex digit ("g"), rate ≤ 0
+    * selects nothing (""). */
+  def hexThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) ""
+    else f"${(rate * 4294967296.0).round}%08x"
+
+  /** The sampling hash: first 8 hex chars of md5 of the key rendered as
+    * a string (BIGINT → decimal string in both engines). */
+  def hash8(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Uniform deterministic sample at `rate` on a stable key column. */
+  def sample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.where(hash8(key) < lit(hexThreshold(rate)))
+
+  /** Stratified sample: per-stratum rates with a default — e.g. keep
+    * 50% of English, 20% of everything else. The threshold is a
+    * when-chain over the (small, driver-known) rates map, fully
+    * codegen'd; rows in no stratum use the default rate. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (value, rate)) => when(stratum === value, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.where(hash8(key) < threshold)
+  }
+
+  /** q48: per-(lang, source) counts of a stratified documents sample —
+    * 50% of English docs, 20% of the rest, keyed on doc_id. */
+  def q48StratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    stratified(Tables.documents(spark, d), $"doc_id", $"lang",
+      Map("en" -> 0.5), defaultRate = 0.2)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_id"),
+        max($"doc_id").as("last_id"))
+      .orderBy($"lang", $"source")
+  }
+
+  val q48Sql: String =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |       min(doc_id) AS first_id, max(doc_id) AS last_id
+       |FROM documents
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |      CASE WHEN lang = 'en' THEN '${hexThreshold(0.5)}' ELSE '${hexThreshold(0.2)}' END
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+}

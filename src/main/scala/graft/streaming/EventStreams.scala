@@ -82,6 +82,17 @@ object EventStreams {
         })
   }
 
+  /** Streaming dedup for at-least-once / replayed feeds: duplicate
+    * event ids arriving within the watermark horizon collapse to the
+    * first arrival, and the dedup state is evicted once the watermark
+    * passes — bounded state, unlike a bare dropDuplicates whose state
+    * grows forever. The batch-mode equivalent is
+    * `dropDuplicates("event_id")`. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run any of the transforms over a parquet directory as an
     * availableNow file stream into an in-memory sink; returns the sink
     * contents. Used by tests and by batch parity checks. */

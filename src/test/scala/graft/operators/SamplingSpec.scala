@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Deterministic hash sampling: reproducibility, nesting, stratification. */
+class SamplingSpec extends SparkSpec {
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("same rate selects the same rows on every run") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val a = ids(Sampling.sample(docs, $"doc_id", 0.3))
+    val b = ids(Sampling.sample(docs, $"doc_id", 0.3))
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("samples nest: a lower rate is a subset of a higher rate") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val small = ids(Sampling.sample(docs, $"doc_id", 0.1))
+    val big = ids(Sampling.sample(docs, $"doc_id", 0.5))
+    assert(small.subsetOf(big))
+  }
+
+  test("selection matches a reference md5 computed off-Spark") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val kept = ids(Sampling.sample(docs, $"doc_id", 0.25))
+    val all = docs.select($"doc_id").as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash8(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val expected = all.filter(id => hash8(id) < Sampling.hexThreshold(0.25)).toSet
+    assert(kept == expected)
+  }
+
+  test("empirical rates land near nominal per stratum") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val sampled = Sampling.stratified(docs, $"doc_id", $"lang",
+      Map("en" -> 0.5), defaultRate = 0.2)
+    val byLang = sampled.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+    val others = totals.keySet - "en"
+    val otherRate = others.map(l => byLang.getOrElse(l, 0L)).sum.toDouble /
+      others.map(totals).sum
+    assert(otherRate > 0.08 && otherRate < 0.35, s"other rate $otherRate")
+  }
+
+  test("rate edges: 0 selects nothing, 1 selects everything") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    assert(Sampling.sample(docs, $"doc_id", 0.0).count() == 0L)
+    assert(Sampling.sample(docs, $"doc_id", 1.0).count() == docs.count())
+  }
+}

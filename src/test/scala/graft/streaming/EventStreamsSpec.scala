@@ -47,6 +47,27 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup collapses a replayed feed to distinct event ids") {
+    import org.apache.spark.sql.functions._
+    // Stage the events file TWICE — an at-least-once replay where every
+    // event arrives exactly two times.
+    val dir = java.nio.file.Files.createTempDirectory("events-replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events-a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events-b.parquet"))
+    val deduped = EventStreams.runAvailableNow(spark, dir.toString,
+      df => EventStreams.dedupedEvents(
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+      "dedup_stream")
+    val batchDistinct = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(deduped.count() == batchDistinct)
+    assert(deduped.select("event_id").distinct().count() == batchDistinct)
+  }
+
   test("mapGroupsWithState accumulates per-user counters across batches") {
     import spark.implicits._
     import EventStreams._
