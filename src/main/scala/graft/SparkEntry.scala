@@ -66,6 +66,7 @@ object SparkEntry {
     "q46_percentiles"         -> (Relational3.q46Percentiles _),
     "q47_dedup_clusters_lsh"  -> (TrainingData.q47DedupClustersLsh _),
     "q48_stratified_sample"   -> (graft.operators.Sampling.q48StratifiedSample _),
+    "q49_decontaminate"       -> (graft.operators.Decontaminate.q49Decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,5 +111,6 @@ object SparkEntry {
     "q46_percentiles"         -> Relational3.q46Sql,
     "q47_dedup_clusters_lsh"  -> TrainingData.q47Sql,
     "q48_stratified_sample"   -> graft.operators.Sampling.q48Sql,
+    "q49_decontaminate"       -> graft.operators.Decontaminate.q49Sql,
   )
 }

@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
 object CleanCorpus {
 
   final case class Stats(
-      input: Long, afterQuality: Long, afterExact: Long, afterNearDup: Long)
+      input: Long, afterQuality: Long, afterDecontam: Long,
+      afterExact: Long, afterNearDup: Long)
 
   /** Clean `docs` (doc_id, text, lang, n_chars …); returns the kept
-    * corpus and attrition counts. */
-  def clean(docs: DataFrame, jaccardThreshold: Double = 0.8): (DataFrame, Stats) = {
+    * corpus and attrition counts. `evalDocs` (a benchmark set) enables
+    * the decontamination stage — documents whose shingles overlap the
+    * eval set at ≥ `maxEvalOverlap` are dropped before dedup. */
+  def clean(docs: DataFrame, jaccardThreshold: Double = 0.8,
+      evalDocs: Option[DataFrame] = None,
+      maxEvalOverlap: Double = 0.5): (DataFrame, Stats) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -29,8 +34,16 @@ object CleanCorpus {
     // 1. quality gate
     val keepIds = TextAnalysis.qualityScoreOf(docs)
       .where($"keep").select($"doc_id")
-    val quality = docs.join(keepIds, "doc_id").cache()
-    val nQuality = quality.count()
+    val quality0 = docs.join(keepIds, "doc_id").cache()
+    val nQuality = quality0.count()
+
+    // 1b. benchmark decontamination (leakage guard), when an eval set
+    // is supplied.
+    val quality = evalDocs match {
+      case Some(ev) => Decontaminate.decontaminate(quality0, ev, maxEvalOverlap).cache()
+      case None => quality0
+    }
+    val nDecontam = quality.count()
 
     // 2. exact dedup: keep min doc_id per full-text hash
     val exactKeepers = quality
@@ -48,6 +61,6 @@ object CleanCorpus {
     val cleaned = exact.join(dropIds, Seq("doc_id"), "left_anti")
     val nFinal = cleaned.count()
 
-    (cleaned, Stats(input, nQuality, nExact, nFinal))
+    (cleaned, Stats(input, nQuality, nDecontam, nExact, nFinal))
   }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Benchmark decontamination — drop training documents that overlap an
+  * evaluation set's n-grams, the standard leakage guard a training-data
+  * pipeline runs before shipping a corpus.
+  *
+  * overlap(doc) = |shingles(doc) ∩ shingles(eval set)| / |shingles(doc)|
+  * over the same word 3-gram shingles as the dedup family
+  * ([[Dedup.docShingles]], shared materialized index). The eval-set
+  * shingle set is benchmark-sized (thousands of documents, not
+  * billions) → broadcast to every executor; the corpus side is one
+  * hash-aggregate per doc. Overlap is a ratio of two exact integers, so
+  * the report is engine-reproducible and oracle-checkable.
+  */
+object Decontaminate {
+
+  /** Per-document contamination report for corpus docs at or above
+    * `minOverlap`: (doc_id, n_shingles, n_hits, overlap). */
+  def overlapReport(docs: DataFrame, evalDocs: DataFrame,
+      minOverlap: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.docShingles(docs)
+    val evalSh = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    val totals = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"))
+      .withColumn("overlap", $"n_hits".cast("double") / $"n_shingles")
+      .where($"overlap" >= minOverlap)
+      .select($"doc_id", $"n_shingles", $"n_hits", $"overlap")
+      .orderBy($"doc_id")
+  }
+
+  /** The corpus minus contaminated documents. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      minOverlap: Double): DataFrame = {
+    val flagged = overlapReport(docs, evalDocs, minOverlap).select("doc_id")
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** q49: contamination report of the corpus (doc_id ≥ 50) against a
+    * simulated eval set (doc_id < 50, which includes near-dup plant
+    * sources so real leakage exists) at 50% shingle overlap. */
+  def q49Decontaminate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.documents(spark, d)
+    overlapReport(all.where($"doc_id" >= 50), all.where($"doc_id" < 50), 0.5)
+  }
+
+  val q49Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |), eval_sh AS (
+      |  SELECT DISTINCT sh FROM sh WHERE doc_id < 50
+      |), totals AS (
+      |  SELECT doc_id, count(*) AS n_shingles FROM sh WHERE doc_id >= 50 GROUP BY 1
+      |), hits AS (
+      |  SELECT s.doc_id, count(*) AS n_hits
+      |  FROM sh s JOIN eval_sh e ON s.sh = e.sh
+      |  WHERE s.doc_id >= 50 GROUP BY 1
+      |)
+      |SELECT t.doc_id, t.n_shingles, h.n_hits,
+      |       CAST(h.n_hits AS DOUBLE) / t.n_shingles AS overlap
+      |FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+      |WHERE CAST(h.n_hits AS DOUBLE) / t.n_shingles >= 0.5
+      |ORDER BY t.doc_id""".stripMargin
+}

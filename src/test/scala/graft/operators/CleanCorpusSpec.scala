@@ -28,9 +28,32 @@ class CleanCorpusSpec extends SparkSpec {
 
     assert(stats.input == 5)
     assert(stats.afterQuality == 4)   // 4 dropped (too short)
+    assert(stats.afterDecontam == 4)  // no eval set supplied → no-op
     assert(stats.afterExact == 3)     // 3 dropped (exact dup of 1)
     assert(stats.afterNearDup == 2)   // 2 dropped (near-dup of 1)
     assert(kept == Set(1L, 5L))
+  }
+
+  test("decontamination stage drops docs overlapping the eval set") {
+    import spark.implicits._
+    val evalText = "the quick brown fox jumps over a lazy dog and then runs far away " +
+      "to find more interesting words for this synthetic document corpus today"
+    val cleanText = "completely different content about databases engines queries plans " +
+      "optimizers shuffles partitions executors drivers caching storage formats " +
+      "and various other technical topics worth keeping around"
+    val docs = Seq(
+      (1L, evalText + " slightly changed"), // leaks the eval doc
+      (2L, cleanText)
+    ).map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+
+    val (cleaned, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.9,
+      evalDocs = Some(evalSet), maxEvalOverlap = 0.5)
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stats.afterQuality == 2)
+    assert(stats.afterDecontam == 1) // doc 1 leaks the benchmark
+    assert(kept == Set(2L))
   }
 
   test("pipeline on the real corpus reduces it monotonically") {
