@@ -67,6 +67,7 @@ object SparkEntry {
     "q47_dedup_clusters_lsh"  -> (TrainingData.q47DedupClustersLsh _),
     "q48_stratified_sample"   -> (graft.operators.Sampling.q48StratifiedSample _),
     "q49_decontaminate"       -> (graft.operators.Decontaminate.q49Decontaminate _),
+    "q50_sequence_packing"    -> (graft.operators.Packing.q50SequencePacking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,5 +113,6 @@ object SparkEntry {
     "q47_dedup_clusters_lsh"  -> TrainingData.q47Sql,
     "q48_stratified_sample"   -> graft.operators.Sampling.q48Sql,
     "q49_decontaminate"       -> graft.operators.Decontaminate.q49Sql,
+    "q50_sequence_packing"    -> graft.operators.Packing.q50Sql,
   )
 }
