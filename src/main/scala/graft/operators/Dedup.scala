@@ -176,13 +176,15 @@ object Dedup {
   def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
     minhashLshOf(Tables.documents(spark, d), threshold)
 
-  def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame = {
-    val spark = docs.sparkSession
+  /** Banded LSH keys of a shingle frame: (doc_id, band, bh) — the
+    * join key of every LSH candidate generation (self-join for batch
+    * dedup, cross-join against a stored index for incremental dedup). */
+  def bandedSignatures(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
     import graft.functions.Hashing
-    val sh = docShingles(docs).cache()
     val r = MinhashPerms / LshBands
-    val bands = minhashSignatures(sh).as[(Long, Array[Long])]
+    minhashSignatures(sh).as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
         (0 until LshBands).iterator.map { b =>
           var bh = sig(b * r)
@@ -192,11 +194,13 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "bh")
-    val cand = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .distinct()
-    // Verify: exact Jaccard on candidates only.
+  }
+
+  /** Verify candidate (id_a, id_b) pairs with the exact Jaccard over a
+    * shingle frame covering both sides; emits pairs ≥ threshold. */
+  def verifyCandidates(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), $"sa.doc_id" === $"id_a")
@@ -204,6 +208,18 @@ object Dedup {
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("inter"))
     jaccardOf(inter, counts, threshold)
+  }
+
+  def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docShingles(docs).cache()
+    val bands = bandedSignatures(sh)
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    verifyCandidates(cand, sh, threshold)
   }
 
   /** SimHash: 64-bit signature — bit j is the sign of the sum over
@@ -308,6 +324,79 @@ object Dedup {
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                             CAST(b.embedding AS DOUBLE[])) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  final case class IncrementalStats(
+      input: Long, afterExact: Long, kept: Long)
+
+  /** Incremental dedup — the operational form at corpus scale: when a
+    * new batch lands you dedup the *delta* against the standing corpus,
+    * never the whole corpus against itself.
+    *
+    *  1. exact: a new doc whose full-text hash already exists in the
+    *     corpus (or in a lower-id new doc) is dropped — two anti-join /
+    *     keeper shuffles over the batch, corpus side touched only
+    *     through its hash projection;
+    *  2. near-dup: banded LSH keys of the batch join the corpus' banded
+    *     index on (band, hash) — cost ∝ batch × collision rate, not
+    *     corpus² — plus an intra-batch self-join; candidates are
+    *     verified with exact Jaccard, corpus matches drop the new doc,
+    *     intra-batch matches resolve by connected components keeping
+    *     min id.
+    *
+    * Equivalent to batch-cleaning (corpus ∪ batch) with min-id keepers
+    * and keeping only the batch's survivors (corpus ids are lower by
+    * convention — asserted in DedupSpec); at a real deployment the
+    * corpus' shingle/band index is a materialized table updated as
+    * batches commit. */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8): (DataFrame, IncrementalStats) = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val input = newDocs.count()
+
+    // 1. exact stage
+    def keyed(df: DataFrame) = df.withColumn("key",
+      md5(concat_ws(" ", graft.functions.TextFunctions.tokens($"text"))))
+    val corpusKeys = keyed(corpus).select($"key").distinct()
+    val newKeyed = keyed(newDocs).cache()
+    val intraKeepers = newKeyed.groupBy($"key").agg(min($"doc_id").as("doc_id"))
+    val afterExact = newKeyed
+      .join(intraKeepers.select($"doc_id"), Seq("doc_id"))
+      .join(corpusKeys, Seq("key"), "left_anti")
+      .drop("key")
+      .cache()
+    val nExact = afterExact.count()
+
+    // 2. near-dup stage against the corpus index + within the batch
+    val shNew = docShingles(afterExact).cache()
+    val shCorpus = docShingles(corpus)
+    val bandsNew = bandedSignatures(shNew).cache()
+    val bandsCorpus = bandedSignatures(shCorpus)
+    val candCross = bandsNew.as("a").join(bandsCorpus.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+      .select($"b.doc_id".as("id_a"), $"a.doc_id".as("id_b")) // corpus first
+      .distinct()
+    val candIntra = bandsNew.as("a").join(bandsNew.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    // One CC over the combined (cross ∪ intra) verified edges gives
+    // exactly the batch-union clustering: a component containing any
+    // corpus doc labels every member with the (lower) corpus id, so all
+    // its new docs drop; pure-batch components keep their min id. Two
+    // independent drop passes would miss transitive corpus links
+    // (B−A ≥ t, B−corpus ≥ t, A−corpus < t must still drop A).
+    val shAll = shNew.union(shCorpus)
+    val edges = verifyCandidates(candCross, shAll, threshold)
+      .unionByName(verifyCandidates(candIntra, shNew, threshold))
+      .select($"id_a", $"id_b")
+    val dropNew = connectedComponents(edges)
+      .where($"id" =!= $"label")
+      .select($"id".as("doc_id"))
+    val kept = afterExact.join(dropNew, Seq("doc_id"), "left_anti")
+    val nKept = kept.count()
+    (kept, IncrementalStats(input, nExact, nKept))
+  }
 
   /** Embedding near-dup via IVF blocking — the 100 TB path for vector
     * dedup, replacing the broadcast all-pairs kernel of

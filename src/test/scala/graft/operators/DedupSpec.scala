@@ -45,6 +45,54 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("incremental dedup drops exact, near-dup, and intra-batch dups from the delta") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and then runs far away " +
+      "to find more interesting words for this synthetic document corpus today"
+    val other = "completely different content about databases engines queries plans " +
+      "optimizers shuffles partitions executors drivers caching storage formats"
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val corpus = df(Seq(1L -> base, 2L -> other))
+    val batch = df(Seq(
+      10L -> (base + " extra"),      // near-dup of corpus 1 → drop
+      11L -> other.toUpperCase,      // exact dup of corpus 2 → drop
+      12L -> ("fresh unique subject matter nobody wrote before with many extra " +
+        "novel words appended here so shingles exist for this document too"),
+      13L -> ("fresh unique subject matter nobody wrote before with many extra " +
+        "novel words appended here so shingles exist for this document too ok"),
+      // 13 near-dups 12 (intra pair) → keeper 12 stays, 13 drops
+      14L -> ("entirely separate topic concerning astronomy telescopes planets " +
+        "orbits gravity and the vastness of space observed at night")))
+    val (kept, stats) = Dedup.incrementalDedup(batch, corpus, threshold = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stats.input == 5 && stats.afterExact == 4) // 11 dropped exact
+    assert(ids == Set(12L, 14L)) // 10 near-dup of corpus, 13 intra non-keeper
+    assert(stats.kept == 2)
+  }
+
+  test("incremental dedup equals batch dedup of the union, restricted to the delta (sf0.01)") {
+    import spark.implicits._
+    val all = graft.sources.Tables.documents(spark, sfDirMid)
+    val corpus = all.where($"doc_id" < 400)
+    val batch = all.where($"doc_id" >= 400)
+    // Reference: full-union semantics — exact keepers (min id per full-
+    // text hash), then CC over verified LSH pairs, keeper = min id.
+    val keyedAll = all.withColumn("key",
+      md5(concat_ws(" ", graft.functions.TextFunctions.tokens($"text"))))
+    val exactKeepers = keyedAll.groupBy($"key").agg(min($"doc_id").as("doc_id"))
+    val s1 = all.join(exactKeepers.select($"doc_id"), Seq("doc_id"))
+    val dropped = Dedup.connectedComponents(Dedup.minhashLshOf(s1, 0.8))
+      .where($"id" =!= $"label").select($"id".as("doc_id"))
+    val fullKept = s1.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = fullKept.filter(_ >= 400L)
+
+    val (kept, stats) = Dedup.incrementalDedup(batch, corpus, threshold = 0.8)
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(stats.kept < stats.input, "planted dups must span the corpus/batch split")
+  }
+
   test("simhash pairs cover the strong Jaccard near-dups (sf0.01)") {
     val strong = pairs(Dedup.ngramJaccard(spark, sfDirMid, 0.9))
     val sim = pairs(Dedup.simhashPairs(spark, sfDirMid, maxHamming = 7))
