@@ -7,7 +7,9 @@ object Plans {
       "q1_agg" -> graft.queries.Relational.q1Agg _,
       "q4_files_browse" -> graft.queries.Relational.q4FilesBrowse _,
       "q7_join_agg" -> graft.queries.Relational.q7JoinAgg _,
-      "q3_antijoin" -> graft.queries.Relational.q3AntiJoin _)) {
+      "q3_antijoin" -> graft.queries.Relational.q3AntiJoin _,
+      "q48_stratified_sample" -> graft.operators.Sampling.q48StratifiedSample _,
+      "q50_sequence_packing" -> graft.operators.Packing.q50SequencePacking _)) {
       println(s"===== $name =====")
       println(fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

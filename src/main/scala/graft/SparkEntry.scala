@@ -68,6 +68,7 @@ object SparkEntry {
     "q48_stratified_sample"   -> (graft.operators.Sampling.q48StratifiedSample _),
     "q49_decontaminate"       -> (graft.operators.Decontaminate.q49Decontaminate _),
     "q50_sequence_packing"    -> (graft.operators.Packing.q50SequencePacking _),
+    "q51_repetition"          -> (graft.operators.TextAnalysis.repetitionMetrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +115,6 @@ object SparkEntry {
     "q48_stratified_sample"   -> graft.operators.Sampling.q48Sql,
     "q49_decontaminate"       -> graft.operators.Decontaminate.q49Sql,
     "q50_sequence_packing"    -> graft.operators.Packing.q50Sql,
+    "q51_repetition"          -> graft.operators.TextAnalysis.repetitionMetricsSql,
   )
 }

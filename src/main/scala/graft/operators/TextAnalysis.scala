@@ -44,6 +44,70 @@ object TextAnalysis {
       |       max(n_tokens) AS max_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q51: intra-document repetition metrics (the Gopher-rule family —
+    * repetitious documents are low-quality training data): duplicate
+    * word-3-gram share and the most-frequent-token share, per document.
+    * One pass: shingle counts reuse the materialized dedup index
+    * ([[Dedup.docShingles]] is DISTINCT pairs, so dup share falls out of
+    * total − distinct); the top-token share is one explode + two
+    * aggregates. All ratios are int/int double divisions — bit-identical
+    * across engines, so fully oracle-checkable. */
+  def repetitionMetrics(spark: SparkSession, d: String): DataFrame =
+    repetitionMetricsOf(Tables.documents(spark, d))
+
+  def repetitionMetricsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .withColumn("n_tokens", size(tokens($"text")).cast("long"))
+      .select($"doc_id", $"n_tokens")
+    val distinct3 = Dedup.docShingles(docs)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_distinct_3gram"))
+    val topTok = docs
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_tok_count"))
+    base
+      .join(distinct3, Seq("doc_id"))
+      .join(topTok, Seq("doc_id"))
+      .withColumn("n_3gram", greatest($"n_tokens" - 2, lit(0L)))
+      .withColumn("dup_3gram_share",
+        when($"n_3gram" > 0,
+          ($"n_3gram" - $"n_distinct_3gram").cast("double") / $"n_3gram")
+          .otherwise(lit(0.0)))
+      .withColumn("top_tok_share", $"top_tok_count".cast("double") / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"n_3gram", $"n_distinct_3gram",
+        $"dup_3gram_share", $"top_tok_count", $"top_tok_share")
+      .orderBy($"doc_id")
+  }
+
+  val repetitionMetricsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), base AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |), d3 AS (
+      |  SELECT doc_id, count(*) AS n_distinct_3gram FROM sh GROUP BY 1
+      |), tt AS (
+      |  SELECT doc_id, max(c) AS top_tok_count FROM (
+      |    SELECT doc_id, x.tok, count(*) AS c
+      |    FROM toks, unnest(t) AS x(tok) GROUP BY doc_id, x.tok)
+      |  GROUP BY 1
+      |)
+      |SELECT b.doc_id, b.n_tokens,
+      |       greatest(b.n_tokens - 2, 0) AS n_3gram, d3.n_distinct_3gram,
+      |       CASE WHEN b.n_tokens > 2 THEN
+      |         CAST(greatest(b.n_tokens - 2, 0) - d3.n_distinct_3gram AS DOUBLE)
+      |           / greatest(b.n_tokens - 2, 0)
+      |       ELSE 0.0 END AS dup_3gram_share,
+      |       tt.top_tok_count,
+      |       CAST(tt.top_tok_count AS DOUBLE) / b.n_tokens AS top_tok_share
+      |FROM base b JOIN d3 ON b.doc_id = d3.doc_id JOIN tt ON b.doc_id = tt.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Per-document quality scoring: length bounds, stopword ratio,
