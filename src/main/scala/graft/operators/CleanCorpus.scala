@@ -61,6 +61,12 @@ object CleanCorpus {
     val cleaned = exact.join(dropIds, Seq("doc_id"), "left_anti")
     val nFinal = cleaned.count()
 
+    // Stage caches served their multiple readers; only `exact` — the
+    // returned frame's parent — stays cached (caller unpersists when
+    // done with the cleaned corpus).
+    quality0.unpersist()
+    if (evalDocs.isDefined) quality.unpersist()
+
     (cleaned, Stats(input, nQuality, nDecontam, nExact, nFinal))
   }
 }

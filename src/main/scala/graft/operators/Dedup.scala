@@ -367,8 +367,10 @@ object Dedup {
       .cache()
     val nExact = afterExact.count()
 
-    // 2. near-dup stage against the corpus index + within the batch
-    val shNew = docShingles(afterExact).cache()
+    // 2. near-dup stage against the corpus index + within the batch.
+    // Shingle frames are cached by the bounded docShingles LRU; the
+    // banded-key frames cache only for the duration of this call.
+    val shNew = docShingles(afterExact)
     val shCorpus = docShingles(corpus)
     val bandsNew = bandedSignatures(shNew).cache()
     val bandsCorpus = bandedSignatures(shCorpus)
@@ -395,6 +397,11 @@ object Dedup {
       .select($"id".as("doc_id"))
     val kept = afterExact.join(dropNew, Seq("doc_id"), "left_anti")
     val nKept = kept.count()
+    // dropNew rests on checkpointed CC labels, so the working caches can
+    // go; `afterExact` stays cached as the returned frame's parent (the
+    // caller unpersists when done with the result).
+    bandsNew.unpersist()
+    newKeyed.unpersist()
     (kept, IncrementalStats(input, nExact, nKept))
   }
 
