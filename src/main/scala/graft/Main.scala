@@ -13,6 +13,8 @@ import graft.meta.MetaStore
   * runMain graft.Main work      <metaDir> [<db.table=dataPath>...]  # drain queue
   * runMain graft.Main tasks     <metaDir>                  # list tasks
   * runMain graft.Main optimize  <metaDir> <db> <table> <from> <to> [day|week|month]
+  * runMain graft.Main clean     <docsParquet> <outDir> [jaccardThreshold]   # corpus cleaning
+  * runMain graft.Main sample    <docsParquet> <outDir> <rate>               # deterministic sample
   * }}}
   */
 object Main {
@@ -54,6 +56,21 @@ object Main {
             LocalDate.parse(args(4)), LocalDate.parse(args(5)),
             if (args.length > 6) args(6) else "day")
           println(ids.fold(e => s"error: $e", ids => s"enqueued ${ids.size} tasks"))
+        case "clean" =>
+          // args(1) is the documents parquet here, not a metaDir.
+          val docs = spark.read.parquet(args(1))
+          val threshold = if (args.length > 3) args(3).toDouble else 0.8
+          val (cleaned, stats) = operators.CleanCorpus.clean(docs, threshold)
+          cleaned.write.mode("overwrite").parquet(args(2))
+          println(s"clean: input=${stats.input} quality=${stats.afterQuality} " +
+            s"decontam=${stats.afterDecontam} exact=${stats.afterExact} " +
+            s"final=${stats.afterNearDup} -> ${args(2)}")
+        case "sample" =>
+          val docs = spark.read.parquet(args(1))
+          val sampled = operators.Sampling.sample(docs,
+            org.apache.spark.sql.functions.col("doc_id"), args(3).toDouble)
+          sampled.write.mode("overwrite").parquet(args(2))
+          println(s"sample: ${sampled.count()} of ${docs.count()} docs -> ${args(2)}")
         case other => sys.error(s"unknown command $other")
       }
     } finally spark.stop()

@@ -51,6 +51,24 @@ object Sampling {
     df.where(hash8(key) < threshold)
   }
 
+  /** Temperature-based mixture rates (the multilingual-corpus
+    * reweighting rule): sampling share of stratum i ∝ p_i^alpha with
+    * p_i its corpus share — alpha = 1 keeps natural proportions,
+    * alpha = 0 equalizes strata, values between damp the head. Returns
+    * per-stratum Bernoulli rates sized so the expected kept total is
+    * `budgetDocs`, capped at 1 (a stratum smaller than its allocation
+    * is taken whole). Feed the result to [[stratified]]. */
+  def temperatureRates(counts: Map[String, Long], alpha: Double,
+      budgetDocs: Long): Map[String, Double] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0), "counts must be positive")
+    val total = counts.values.sum.toDouble
+    val weights = counts.map { case (k, n) => k -> math.pow(n / total, alpha) }
+    val wSum = weights.values.sum
+    weights.map { case (k, w) =>
+      k -> math.min(1.0, budgetDocs * (w / wSum) / counts(k))
+    }
+  }
+
   /** q48: per-(lang, source) counts of a stratified documents sample —
     * 50% of English docs, 20% of the rest, keyed on doc_id. */
   def q48StratifiedSample(spark: SparkSession, d: String): DataFrame = {

@@ -57,6 +57,36 @@ class SamplingSpec extends SparkSpec {
     assert(otherRate > 0.08 && otherRate < 0.35, s"other rate $otherRate")
   }
 
+  test("temperature rates: alpha=1 is proportional, alpha=0 equalizes, caps at 1") {
+    val counts = Map("en" -> 800L, "de" -> 150L, "fr" -> 50L)
+    // alpha = 1: every stratum keeps the same fraction (budget / total).
+    val prop = Sampling.temperatureRates(counts, alpha = 1.0, budgetDocs = 500L)
+    prop.values.foreach(r => assert(math.abs(r - 0.5) < 1e-12))
+    // alpha = 0: equal share per stratum — fr (50 docs, ~167 wanted)
+    // caps at 1, others keep 167/n.
+    val eq = Sampling.temperatureRates(counts, alpha = 0.0, budgetDocs = 500L)
+    assert(eq("fr") == 1.0)
+    assert(math.abs(eq("en") - 500.0 / 3 / 800) < 1e-12)
+    // 0 < alpha < 1 sits between: en's rate below proportional, fr's above.
+    val mid = Sampling.temperatureRates(counts, alpha = 0.5, budgetDocs = 500L)
+    assert(mid("en") < prop("en") && mid("fr") > prop("fr"))
+    // Expected kept volume stays at the budget while no stratum caps.
+    val kept = prop.map { case (k, r) => counts(k) * r }.sum
+    assert(math.abs(kept - 500.0) < 1e-9)
+  }
+
+  test("temperature rates drive stratified sampling end to end") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val counts = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Sampling.temperatureRates(counts, alpha = 0.3, budgetDocs = 200L)
+    val sampled = Sampling.stratified(docs, $"doc_id", $"lang", rates, defaultRate = 0.0)
+    val n = sampled.count()
+    // Bernoulli noise around the 200-doc budget.
+    assert(n > 120 && n < 280, s"kept $n")
+  }
+
   test("rate edges: 0 selects nothing, 1 selects everything") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDirMid)
