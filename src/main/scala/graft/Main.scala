@@ -15,6 +15,7 @@ import graft.meta.MetaStore
   * runMain graft.Main optimize  <metaDir> <db> <table> <from> <to> [day|week|month]
   * runMain graft.Main clean     <docsParquet> <outDir> [jaccardThreshold]   # corpus cleaning
   * runMain graft.Main sample    <docsParquet> <outDir> <rate>               # deterministic sample
+  * runMain graft.Main serve     <metaDir> [port]       # REST façade (default 8080)
   * }}}
   */
 object Main {
@@ -56,6 +57,11 @@ object Main {
             LocalDate.parse(args(4)), LocalDate.parse(args(5)),
             if (args.length > 6) args(6) else "day")
           println(ids.fold(e => s"error: $e", ids => s"enqueued ${ids.size} tasks"))
+        case "serve" =>
+          val port = if (args.length > 2) args(2).toInt else 8080
+          val server = new http.Api(store, engine).start(port)
+          println(s"serving /api on port ${server.getAddress.getPort} (ctrl-c to stop)")
+          Thread.currentThread().join() // serve until killed
         case "clean" =>
           // args(1) is the documents parquet here, not a metaDir.
           val docs = spark.read.parquet(args(1))
