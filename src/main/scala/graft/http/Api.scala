@@ -25,7 +25,8 @@ import graft.meta.{MetaStore, Model}
   * translate HTTP ↔ the operators, exactly like the reference's thin
   * gin handlers.
   */
-final class Api(store: MetaStore, engine: Engine) {
+final class Api(store: MetaStore, engine: Engine,
+    dataRoot: Option[String] = None) {
 
   import Json._
 
@@ -149,6 +150,32 @@ final class Api(store: MetaStore, engine: Engine) {
         val in = Json.parseFlat(body)
         val days = in.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
         ok(obj("taskId" -> num(engine.enqueueRemoveOrphanFiles(db, table, days))))
+
+      // -- refresh (handler_refresh.go; GET like the reference) -------
+      // The live catalog binding is a data-root directory: table `t` of
+      // any database lives at <dataRoot>/<t> (the TESTDATA layout). A
+      // real deployment swaps this for the Iceberg catalog client.
+      case ("GET", "refresh" :: "full" :: db :: Nil) =>
+        dataRoot match {
+          case None => (400, obj("error" -> str("no data root configured")))
+          case Some(root) =>
+            val live = new java.io.File(root).listFiles()
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(f => f.getName.stripSuffix(".parquet") -> f.getPath).toMap
+            val stale = graft.operators.Refresh.fullRefresh(store, db, live,
+              java.time.Instant.now())
+            ok(obj("refreshed" -> num(live.size.toLong),
+              "removedStale" -> num(stale.size.toLong)))
+        }
+      case ("GET", "refresh" :: db :: table :: Nil) =>
+        dataRoot match {
+          case None => (400, obj("error" -> str("no data root configured")))
+          case Some(root) =>
+            val path = s"$root/$table.parquet"
+            graft.operators.Refresh.refreshTable(store, db, table, path,
+              java.time.Instant.now())
+            ok(obj("refreshed" -> str(s"$db.$table")))
+        }
 
       // -- settings (handler_settings.go) -----------------------------
       case ("GET", "settings" :: "task-concurrency" :: Nil) =>

@@ -33,7 +33,7 @@ class ApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     s
   }
   private lazy val engine = new Engine(store, () => fixedNow)
-  private lazy val server = new Api(store, engine).start(0)
+  private lazy val server = new Api(store, engine, Some(sfDir)).start(0)
   private lazy val base = s"http://localhost:${server.getAddress.getPort}/api"
   private val client = HttpClient.newHttpClient()
 
@@ -103,6 +103,17 @@ class ApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       """{"from": "2026-02-01", "to": "2026-01-01"}""")
     assert(oc == 400 && oerr.contains("from date must be before"))
     assert(send("DELETE", "/tasks", "")._2 == """{"flushed": 0}""") // none terminal
+  }
+
+  test("refresh: one table from the data root, then full refresh cascades") {
+    val (code, body) = get("/refresh/db/nation")
+    assert(code == 200 && body.contains("db.nation"), body)
+    assert(get("/iceberg/db/tables")._2.contains("nation"))
+    // Full refresh registers every live table and cascade-deletes the
+    // stored tables absent from the data root (li is not a live file).
+    val (c2, b2) = get("/refresh/full/db")
+    assert(c2 == 200 && b2.contains("removedStale"), b2)
+    assert(!get("/iceberg/db/tables")._2.contains("\"li\""))
   }
 
   test("settings: GET default, PUT upsert, validation") {
