@@ -56,7 +56,8 @@ object Packing {
       |  FROM t
       |)
       |SELECT lang, source, CAST(floor(tok_before / 512.0) AS BIGINT) AS bin,
-      |       count(*) AS n_docs, sum(n_tok) AS total_tokens, min(doc_id) AS first_doc
+      |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |       min(doc_id) AS first_doc
       |FROM c
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
