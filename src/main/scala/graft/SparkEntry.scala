@@ -69,6 +69,9 @@ object SparkEntry {
     "q49_decontaminate"       -> (graft.operators.Decontaminate.q49Decontaminate _),
     "q50_sequence_packing"    -> (graft.operators.Packing.q50SequencePacking _),
     "q51_repetition"          -> (graft.operators.TextAnalysis.repetitionMetrics _),
+    "q52_asof_attribution"    -> (Streams.q52AsOfAttribution _),
+    "q53_vocab_coverage"      -> ((s, d) => graft.operators.TextAnalysis.vocabCoverage(s, d)),
+    "q54_top_tokens"          -> ((s, d) => graft.operators.TextAnalysis.topTokensPerLang(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +119,8 @@ object SparkEntry {
     "q49_decontaminate"       -> graft.operators.Decontaminate.q49Sql,
     "q50_sequence_packing"    -> graft.operators.Packing.q50Sql,
     "q51_repetition"          -> graft.operators.TextAnalysis.repetitionMetricsSql,
+    "q52_asof_attribution"    -> Streams.q52Sql,
+    "q53_vocab_coverage"      -> graft.operators.TextAnalysis.vocabCoverageSql(20),
+    "q54_top_tokens"          -> graft.operators.TextAnalysis.topTokensPerLangSql(10),
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — for every probe row, the single most recent build row
+  * at or before the probe's time within the same key group: the
+  * point-in-time lookup of feature stores, event attribution, and
+  * market-data joins. DuckDB/kdb expose it as ASOF JOIN; Spark has no
+  * native operator, so this is the composed form.
+  *
+  * Implementation is the union+window shape, NOT a range join: probe
+  * and build rows are unioned with a marker, one window partitioned by
+  * the key runs `last(payload, ignoreNulls)` over rows up to the
+  * current one, and each probe row reads the latest build payload seen
+  * so far. Cost is ONE shuffle on the key plus a per-group sort — no
+  * candidate-pair blowup, skew bounded by the hottest key, the shape
+  * that survives 100 TB of events. (The naive backward range join
+  * generates |probe| x |build-history| candidate rows before picking a
+  * winner; Spark plans it as BroadcastNestedLoopJoin when the band
+  * predicate hides the equi-key.)
+  *
+  * Semantics (matching DuckDB ASOF `ON key = key AND p.time >= b.time`):
+  * a build row exactly at the probe time IS visible; build rows sharing
+  * (key, time) resolve to the greatest `tieBreak` value; probes with no
+  * prior build row get nulls (left join).
+  */
+object AsOfJoin {
+
+  def asOf(probe: DataFrame, build: DataFrame, key: String, time: String,
+      tieBreak: String, buildPrefix: String = "b_"): DataFrame = {
+    val spark = probe.sparkSession
+    import spark.implicits._
+    val bPayload = build.columns.filterNot(_ == key).toSeq
+    val pCols = probe.columns.toSeq
+    val bStructT = StructType(build.schema.fields.filterNot(_.name == key))
+    val pStructT = StructType(probe.schema.fields)
+    val b = build.select(
+      col(key), col(time).as("__t"), lit(1).as("__build"),
+      col(tieBreak).cast("long").as("__tb"),
+      struct(bPayload.map(col): _*).as("__payload"),
+      lit(null).cast(pStructT).as("__probe"))
+    val p = probe.select(
+      col(key), col(time).as("__t"), lit(0).as("__build"),
+      lit(null).cast("long").as("__tb"),
+      lit(null).cast(bStructT).as("__payload"),
+      struct(pCols.map(col): _*).as("__probe"))
+    // Order within a key: by time; at equal time build rows first
+    // (inclusive match) with larger tiebreaks later (so `last` picks
+    // the max-tieBreak build row of a tied group).
+    val w = Window.partitionBy(col(key))
+      .orderBy($"__t".asc, $"__build".desc, $"__tb".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = b.unionByName(p)
+      .withColumn("__match", last($"__payload", ignoreNulls = true).over(w))
+      .where($"__build" === 0)
+    matched.select(
+      pCols.map(c => col(s"__probe.$c").as(c)) ++
+        bPayload.map(c => col(s"__match.$c").as(s"$buildPrefix$c")): _*)
+  }
+}

@@ -204,6 +204,91 @@ object TextAnalysis {
       |SELECT lang, predicted, count(*) AS n_docs
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Corpus vocabulary: the k most frequent tokens overall (count desc,
+    * token asc — deterministic at the boundary). Partial-aggregated
+    * count + TakeOrdered: the token-count shuffle is bounded by
+    * |vocab|, and the top-k never leaves the driver-side limit. */
+  def topVocabulary(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok".asc)
+      .limit(k)
+  }
+
+  /** q53: per-document vocabulary-coverage quality score — the share of
+    * a document's tokens that fall in the corpus's top-k vocabulary, a
+    * unigram-LM-style fluency proxy whose score is an exact int/int
+    * ratio (engine-reproducible, unlike a log-prob sum). The vocabulary
+    * is k rows → broadcast join against the exploded corpus. */
+  def vocabCoverage(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+    vocabCoverageOf(Tables.documents(spark, d), k)
+
+  def vocabCoverageOf(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = topVocabulary(docs, k).select($"tok")
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val totals = docs
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    val hits = toks.join(broadcast(vocab), "tok")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_in_vocab"))
+    totals
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_in_vocab", coalesce($"n_in_vocab", lit(0L)))
+      .withColumn("coverage", $"n_in_vocab".cast("double") / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"n_in_vocab", $"coverage")
+      .orderBy($"doc_id")
+  }
+
+  def vocabCoverageSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS c FROM toks GROUP BY 1
+       |    ORDER BY c DESC, tok ASC LIMIT $k)
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1
+       |), hits AS (
+       |  SELECT doc_id, count(*) AS n_in_vocab
+       |  FROM toks JOIN vocab USING (tok) GROUP BY 1
+       |)
+       |SELECT t.doc_id, t.n_tokens, coalesce(h.n_in_vocab, 0) AS n_in_vocab,
+       |       CAST(coalesce(h.n_in_vocab, 0) AS DOUBLE) / t.n_tokens AS coverage
+       |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** q54: top-k tokens per language — corpus token distribution for
+    * mixture/quality dashboards. The heavy shuffle is the (lang, tok)
+    * count (partial-aggregated); the rank window then runs over
+    * |langs| × |vocab| rows only. */
+  def topTokensPerLang(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"tok".asc)
+    Tables.documents(spark, d)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= k)
+      .orderBy($"lang", $"rn")
+  }
+
+  def topTokensPerLangSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), c AS (
+       |  SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2
+       |), r AS (
+       |  SELECT lang, tok, n,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+       |  FROM c
+       |)
+       |SELECT lang, tok, n, rn FROM r WHERE rn <= $k
+       |ORDER BY lang, rn""".stripMargin
+
   /** Winnowing document fingerprint: k-gram hashes, sliding-window
     * minimum (window w) → distinct fingerprint set per doc. Hash-seeded
     * (xxhash64) → rows-only + TextAnalysisSpec invariants. */

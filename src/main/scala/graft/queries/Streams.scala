@@ -77,4 +77,40 @@ object Streams {
     * (decode stub is JVM-side; invariants in MultimodalSpec). */
   def q34MultimodalSummary(spark: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal.pipelineSummary(spark, d)
+
+  /** q52: as-of attribution — for every purchase, the user's most
+    * recent view at or before the purchase time
+    * ([[graft.operators.AsOfJoin]]: one shuffle on user_id, no range
+    * join). The DuckDB oracle is the LATERAL top-1 form — identical
+    * semantics including the max-event_id tiebreak, expressible there
+    * without ASOF's unspecified tie handling. */
+  def q52AsOfAttribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts")
+    graft.operators.AsOfJoin
+      .asOf(purchases, views, key = "user_id", time = "ts",
+        tieBreak = "event_id", buildPrefix = "view_")
+      .orderBy($"event_id")
+  }
+
+  val q52Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), p AS (
+      |  SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |       l.event_id AS view_event_id, l.ts AS view_ts
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT event_id, ts FROM v
+      |  WHERE v.user_id = p.user_id AND v.ts <= p.ts
+      |  ORDER BY ts DESC, event_id DESC LIMIT 1) l ON true
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -32,8 +32,12 @@ object Tables {
     * DuckDB's ns→µs handling for the epochs in play. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` is integral long division: `floor(ts / 1000)` would route
+    // through a double, whose 53-bit mantissa can't hold an epoch-ns
+    // value (~1.7e18) — timestamps came out up to ~256 ns off, visible
+    // the moment a query emits raw microsecond values.
     load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** As-of join semantics: latest-at-or-before match, inclusive equality,
+  * max-tiebreak among tied build rows, left-join nulls, per-key scoping,
+  * and a brute-force cross-check on real events data. */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("picks the latest build row at or before each probe time, per key") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),
+      (2L, 10L, ts("2026-01-01 12:00:00")),
+      (3L, 20L, ts("2026-01-01 10:30:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, 100L, ts("2026-01-01 09:00:00")),
+      (10L, 101L, ts("2026-01-01 11:00:00")),
+      (20L, 102L, ts("2026-01-01 11:00:00")) // after the key-20 probe
+    ).toDF("user_id", "event_id", "ts")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", "event_id")
+      .orderBy("event_id")
+      .collect()
+    assert(out.map(r => Option(r.getAs[Any]("b_event_id"))).toSeq ==
+      Seq(Some(100L), Some(101L), None))
+  }
+
+  test("a build row exactly at the probe time matches (inclusive)") {
+    import spark.implicits._
+    val t = ts("2026-01-01 10:00:00")
+    val probe = Seq((1L, 10L, t)).toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, 100L, t)).toDF("user_id", "event_id", "ts")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", "event_id").collect()
+    assert(out.head.getAs[Long]("b_event_id") == 100L)
+  }
+
+  test("tied build rows resolve to the greatest tieBreak") {
+    import spark.implicits._
+    val t = ts("2026-01-01 10:00:00")
+    val probe = Seq((1L, 10L, ts("2026-01-01 10:30:00"))).toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, 100L, t), (10L, 107L, t), (10L, 103L, t))
+      .toDF("user_id", "event_id", "ts")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", "event_id").collect()
+    assert(out.head.getAs[Long]("b_event_id") == 107L)
+  }
+
+  test("matches a brute-force backward lookup on real events (sf0.001)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts")
+    val got = AsOfJoin.asOf(purchases, views, "user_id", "ts", "event_id", "view_")
+      .select($"event_id", $"view_event_id", $"view_ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any](1)), Option(r.getAs[Any](2))))
+      .toSet
+    // brute force: per purchase, scan all views
+    val vs = views.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val expected = purchases.collect().map { p =>
+      val (pid, uid, pts) = (p.getLong(0), p.getLong(1), p.getTimestamp(2))
+      val best = vs.filter(v => v._1 == uid && !v._3.after(pts))
+        .sortBy(v => (v._3.toInstant.getEpochSecond, v._3.getNanos.toLong, v._2))
+        .lastOption
+      (pid, best.map(_._2: Any), best.map(_._3: Any))
+    }.toSet
+    assert(got == expected)
+  }
+}

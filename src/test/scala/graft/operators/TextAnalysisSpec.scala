@@ -34,4 +34,43 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
+
+  test("vocab coverage is an exact ratio in [0,1] covering every doc") {
+    val rows = TextAnalysis.vocabCoverage(spark, sfDirMid).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val hits = r.getAs[Long]("n_in_vocab")
+      val cov = r.getAs[Double]("coverage")
+      assert(hits >= 0 && hits <= n)
+      assert(cov == hits.toDouble / n)
+    }
+  }
+
+  test("a full-vocabulary corpus scores coverage 1.0; an OOV doc 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "beta beta beta"), (3L, "zz yy xx")
+    ).toDF("doc_id", "text")
+    val byId = TextAnalysis.vocabCoverageOf(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("coverage")).toMap
+    assert(byId(1L) == 1.0 && byId(2L) == 1.0 && byId(3L) == 0.0)
+  }
+
+  test("top tokens per lang are rank-ordered with deterministic ties") {
+    val rows = TextAnalysis.topTokensPerLang(spark, sfDirMid, k = 5).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      assert(ordered.map(_.getAs[Int]("rn")).toSeq == (1 to ordered.length))
+      // counts non-increasing with rank; equal counts ordered by token
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (na, nb) = (a.getAs[Long]("n"), b.getAs[Long]("n"))
+          assert(na > nb || (na == nb &&
+            a.getAs[String]("tok") < b.getAs[String]("tok")))
+        case _ =>
+      }
+    }
+  }
 }
