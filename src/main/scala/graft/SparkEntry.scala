@@ -72,6 +72,7 @@ object SparkEntry {
     "q52_asof_attribution"    -> (Streams.q52AsOfAttribution _),
     "q53_vocab_coverage"      -> ((s, d) => graft.operators.TextAnalysis.vocabCoverage(s, d)),
     "q54_top_tokens"          -> ((s, d) => graft.operators.TextAnalysis.topTokensPerLang(s, d)),
+    "q55_ann_pq"              -> ((s, d) => graft.operators.ProductQuantization.annPq(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product quantization (PQ) for embedding search — the
+  * memory-compression half of the standard billion-vector layout
+  * (IVF for pruning, PQ for compression; Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011).
+  *
+  * The vector space is split into `m` subspaces; each subspace gets its
+  * own `ksub`-codeword codebook (deterministic Lloyd iterations — no
+  * RNG, reproducible across runs); every vector is encoded as `m`
+  * one-byte codes. A 64-dim double vector (512 B) becomes 8 B — at
+  * 100 TB of raw embeddings the code table is ~1.6 TB and fits a
+  * modest cluster's memory, which is the entire point: the scan reads
+  * codes, never raw vectors.
+  *
+  * Queries score candidates with ADC (asymmetric distance computation):
+  * per query, an m × ksub lookup table of subspace dot products is
+  * precomputed; a candidate's approximate cosine is m table lookups —
+  * no floating-point multiply touches the corpus scan. The top
+  * `rerankFactor`·k by ADC score are re-ranked with the exact cosine
+  * (fetching just those raw vectors), so the final ordering is exact
+  * over the candidate set and only recall is approximate (bounded in
+  * SimilaritySpec).
+  */
+object ProductQuantization {
+
+  /** Train per-subspace codebooks with deterministic init (the first
+    * `ksub` vectors by id) and `iters` Lloyd rounds. One distributed
+    * pass per round accumulates sums/counts for ALL m subspaces
+    * (per-partition combine → (m·ksub)-row reduce — the corpus is never
+    * shuffled). Returns books(mi)(code) = codeword of length dim/m. */
+  def trainCodebooks(e: Dataset[(Long, Array[Double])], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val init = e.orderBy(col(e.columns(0))).limit(ksub).collect().sortBy(_._1)
+    require(init.nonEmpty, "empty corpus: no codebooks")
+    val dim = init(0)._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(mi => init.map(_._2.slice(mi * sub, (mi + 1) * sub))
+        .padTo(ksub, init.last._2.slice(mi * sub, (mi + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = e.mapPartitions { it =>
+        val bs = bc.value
+        val sums = Array.fill(m, ksub)(new Array[Double](sub))
+        val counts = Array.fill(m, ksub)(0L)
+        it.foreach { case (_, v) =>
+          var mi = 0
+          while (mi < m) {
+            val book = bs(mi)
+            val off = mi * sub
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              val cw = book(c)
+              var dist = 0.0
+              var j = 0
+              while (j < sub) { val t = v(off + j) - cw(j); dist += t * t; j += 1 }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            val sv = sums(mi)(best)
+            var j = 0
+            while (j < sub) { sv(j) += v(off + j); j += 1 }
+            counts(mi)(best) += 1
+            mi += 1
+          }
+        }
+        (for { mi <- (0 until m).iterator; c <- (0 until ksub).iterator }
+          yield (mi, c, sums(mi)(c), counts(mi)(c))).filter(_._4 > 0)
+      }.collect()
+      val sums = Array.fill(m, ksub)(new Array[Double](sub))
+      val counts = Array.fill(m, ksub)(0L)
+      partials.foreach { case (mi, c, s, n) =>
+        val acc = sums(mi)(c)
+        var j = 0
+        while (j < sub) { acc(j) += s(j); j += 1 }
+        counts(mi)(c) += n
+      }
+      books = Array.tabulate(m, ksub) { (mi, c) =>
+        if (counts(mi)(c) == 0) books(mi)(c)
+        else sums(mi)(c).map(_ / counts(mi)(c))
+      }
+      bc.unpersist()
+    }
+    books
+  }
+
+  /** Encode every vector as m one-byte codes (nearest codeword per
+    * subspace, L2). One map pass, no shuffle. */
+  def encode(e: Dataset[(Long, Array[Double])],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val ksub = books(0).length
+    val sub = books(0)(0).length
+    val bc = spark.sparkContext.broadcast(books)
+    e.mapPartitions { it =>
+      val bs = bc.value
+      it.map { case (id, v) =>
+        val codes = new Array[Byte](m)
+        var mi = 0
+        while (mi < m) {
+          val book = bs(mi)
+          val off = mi * sub
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            val cw = book(c)
+            var dist = 0.0
+            var j = 0
+            while (j < sub) { val t = v(off + j) - cw(j); dist += t * t; j += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          codes(mi) = best.toByte
+          mi += 1
+        }
+        (id, codes)
+      }
+    }.toDF("vec_id", "codes")
+  }
+
+  // The PQ index (codebooks + encoded corpus) is a built-once artifact,
+  // cached like the IVF index: bounded LRU, unpersist on evict.
+  private val pqIndexCache = new graft.util.PlanCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+    (Array[Array[Array[Double]]], DataFrame)](
+    maxEntries = 4, onEvict = { case (_, codes) => codes.unpersist() })
+
+  def clearCaches(): Unit = pqIndexCache.clear()
+
+  def pqIndex(e: DataFrame, m: Int, ksub: Int, iters: Int)
+      : (Array[Array[Array[Double]]], DataFrame) =
+    pqIndexCache.getOrElseUpdate(
+      (e.queryExecution.analyzed.canonicalized, m, ksub, iters)) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val ds = e.as[(Long, Array[Double])]
+      val books = trainCodebooks(ds, m, ksub, iters)
+      (books, encode(ds, books).cache())
+    }
+
+  /** PQ-ADC ANN: approximate top-(rerankFactor·k) per query from the
+    * code scan, then exact-cosine re-rank of just those candidates.
+    * Approximate recall (no SQL oracle) — bounded in SimilaritySpec. */
+  def annPq(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      m: Int = 8, ksub: Int = 16, iters: Int = 4, rerankFactor: Int = 10): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val (books, codes) = pqIndex(e, m, ksub, iters)
+    val sub = books(0)(0).length
+    val queries = e.where($"vec_id" < nQueries)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // ADC tables: tables(q)(mi)(code) = dot(query subvector, codeword).
+    val tables = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(m, ksub) { (mi, c) =>
+        val cw = books(mi)(c)
+        var s = 0.0
+        var j = 0
+        while (j < sub) { s += qv(mi * sub + j) * cw(j); j += 1 }
+        s
+      })
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val approx = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val ts = bc.value
+      it.flatMap { case (id, cs) =>
+        ts.iterator.filter(_._1 != id).map { case (qid, table) =>
+          var s = 0.0
+          var mi = 0
+          while (mi < m) { s += table(mi)(cs(mi) & 0xFF); mi += 1 }
+          (qid, id, s)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adc")
+    // bounded top-(rerankFactor·k) per query by ADC score, then exact
+    // re-rank on just those candidates' raw vectors.
+    val topApprox = udaf(new graft.functions.TopKAggregator(rerankFactor * k))
+    val cands = approx
+      .groupBy($"query_id")
+      .agg(topApprox($"adc", $"neighbor_id").as("ids"))
+      .select($"query_id", explode($"ids").as("neighbor_id"))
+    val qdf = spark.createDataset(queries.toSeq).toDF("query_id", "qv")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    cands
+      .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .withColumn("cos", Similarity.cos($"qv", $"v"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= k)
+      .select($"query_id", $"neighbor_id")
+      .orderBy($"query_id", $"neighbor_id")
+  }
+}

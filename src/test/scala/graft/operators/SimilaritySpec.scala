@@ -54,4 +54,31 @@ class SimilaritySpec extends SparkSpec {
     ivf.groupBy(_._1).foreach { case (_, ns) => assert(ns.length <= 5) }
     assert(ivf.forall { case (q, n) => q != n })
   }
+
+  test("PQ-ADC recall >= 0.6 vs brute force (8x16 codebooks, 10x rerank)") {
+    val pq = resultSet(ProductQuantization.annPq(spark, sfDirMid, 5, 10))
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+    // exactly <= k per query, never the query itself
+    pq.groupBy(_._1).foreach { case (_, ns) => assert(ns.size <= 5) }
+    assert(pq.forall { case (q, n) => q != n })
+  }
+
+  test("PQ codebooks are deterministic and encoding covers every vector") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+      .as[(Long, Array[Double])]
+    val a = ProductQuantization.trainCodebooks(e, 8, 16, 2)
+    val b = ProductQuantization.trainCodebooks(e, 8, 16, 2)
+    assert(a.length == 8 && a(0).length == 16 && a(0)(0).length == 8)
+    assert(a.zip(b).forall { case (ba, bb) =>
+      ba.zip(bb).forall { case (ca, cb) => ca.sameElements(cb) } })
+    val codes = ProductQuantization.encode(e, a)
+    assert(codes.count() == e.count())
+    val lens = codes.select($"codes").as[Array[Byte]].collect().map(_.length).toSet
+    assert(lens == Set(8))
+  }
 }
