@@ -15,18 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Distribution {
 
-  /** Salted inner equi-join: the skewed (large) side gets a random salt
-    * in [0, salt); the small side is replicated `salt` times; the join
-    * key becomes (key, salt) so one hot key spreads over `salt` tasks.
-    * Results are identical to `large.join(small, key)` — verified in
-    * DistributionSpec. */
-  def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
-    val spark = large.sparkSession
-    import spark.implicits._
-    val salted = large.withColumn("__salt", pmod(xxhash64(rand(seed = 42)), lit(salt)))
+  /** Salted equi-join: the skewed (large) side gets a salt in
+    * [0, salt) hashed from its full row content (repartition-stable —
+    * `rand` would salt by partition layout, which changes under AQE
+    * re-plans); the small side is replicated `salt` times; the join key
+    * becomes (key, salt) so one hot key spreads over `salt` tasks.
+    * Results are identical to `large.join(small, key, joinType)` —
+    * verified in DistributionSpec (inner and left_outer). */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val saltCol = pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salt))
+    val salted = large.withColumn("__salt", saltCol)
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1)).cast("array<long>")))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   /** Write both sides bucketed by the join key so the join is
@@ -34,11 +37,18 @@ object Distribution {
     * verified against the physical plan in DistributionSpec. Bucketed
     * tables need the session catalog (`saveAsTable`). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key variant — e.g. metadata tables bucketed by
+    * (database, table), the reference's always-joined index pair. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", bucketPath(df.sparkSession, table))
       .saveAsTable(table)
+  }
 
   private def bucketPath(spark: SparkSession, table: String): String = {
     val base = spark.conf.get("spark.sql.warehouse.dir")

@@ -22,6 +22,16 @@ class DistributionSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("left_outer salted join preserves unmatched left rows") {
+    import spark.implicits._
+    val large = Seq((1L, 10L), (2L, 20L), (99L, 30L)).toDF("k", "lv")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "rv")
+    val out = Distribution.saltedJoin(large, small, "k", salt = 4,
+        joinType = "left_outer")
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("rv")))).toSet
+    assert(out == Set((1L, Some("x")), (2L, Some("y")), (99L, None)))
+  }
+
   test("two-phase distinct count equals direct countDistinct under skew") {
     import spark.implicits._
     val df = spark.range(20000)
@@ -52,5 +62,16 @@ class DistributionSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("groupBy on the bucket key plans without a shuffle") {
+    import spark.implicits._
+    val a = spark.range(1000).select($"id".as("k"), ($"id" * 3).as("va"))
+    Distribution.writeBucketed(a, "bkt_agg", "k", 4)
+    try {
+      val agg = spark.table("bkt_agg").groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(!Distribution.hasShuffle(agg), "bucketed groupBy should not shuffle")
+      assert(agg.count() == 1000)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_agg")
   }
 }
