@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_vocab_coverage"      -> ((s, d) => graft.operators.TextAnalysis.vocabCoverage(s, d)),
     "q54_top_tokens"          -> ((s, d) => graft.operators.TextAnalysis.topTokensPerLang(s, d)),
     "q55_ann_pq"              -> ((s, d) => graft.operators.ProductQuantization.annPq(s, d)),
+    "q56_order_timeline"      -> (Relational3.q56OrderTimeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,5 +124,6 @@ object SparkEntry {
     "q52_asof_attribution"    -> Streams.q52Sql,
     "q53_vocab_coverage"      -> graft.operators.TextAnalysis.vocabCoverageSql(20),
     "q54_top_tokens"          -> graft.operators.TextAnalysis.topTokensPerLangSql(10),
+    "q56_order_timeline"      -> Relational3.q56Sql,
   )
 }

@@ -235,7 +235,15 @@ object Dedup {
     jaccardOf(inter, counts, threshold)
   }
 
-  def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Verified LSH near-dup pairs, cached per (corpus, threshold) like
+    * the embedding edge list — pair detection and clustering share the
+    * same materialized edges. */
+  def minhashLshOf(docs: DataFrame, threshold: Double): DataFrame =
+    pairCache.getOrElseUpdate(
+      (docs.queryExecution.analyzed.canonicalized, threshold))(
+      minhashLshUncached(docs, threshold).cache())
+
+  private def minhashLshUncached(docs: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docShingles(docs)

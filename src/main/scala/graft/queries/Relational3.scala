@@ -78,4 +78,43 @@ object Relational3 {
       |       quantile_cont(l_quantity, 0.9) AS p90_qty,
       |       count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q56: per-customer order timeline — rank, previous-order date via
+    * lag, day gap, and a running revenue total. The navigation-window
+    * family (lag/row_number/cumulative sum) in one per-key pass: the
+    * window is PARTITIONed BY customer, so state stays per-group on the
+    * executors (no global window). Money runs as DECIMAL inside the
+    * cumulative sum and casts to double only at output. */
+  def q56OrderTimeline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, d)
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("d"),
+        money($"o_totalprice").as("price"))
+      .withColumn("order_rank", row_number().over(w))
+      .withColumn("prev_date", lag($"d", 1).over(w))
+      .withColumn("gap_days", datediff($"d", $"prev_date").cast("long"))
+      .withColumn("running_total", sum($"price").over(wSum).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"d".as("order_date"),
+        $"order_rank", $"prev_date", $"gap_days", $"running_total")
+      .orderBy($"o_custkey", $"order_rank")
+  }
+
+  val q56Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, d AS order_date,
+      |       row_number() OVER w AS order_rank,
+      |       lag(d) OVER w AS prev_date,
+      |       CAST(date_diff('day', lag(d) OVER w, d) AS BIGINT) AS gap_days,
+      |       CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      |              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+      |ORDER BY o_custkey, order_rank""".stripMargin
 }
