@@ -93,6 +93,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: every purchase joins the
+    * same user's views from the preceding `maxGap` (inclusive of the
+    * purchase instant). Both sides carry watermarks and the join
+    * predicate is a bounded time range, so each side's buffered state
+    * is evicted once the other side's watermark passes — the state
+    * stays O(watermark+gap horizon), never the whole stream. Works
+    * identically on batch frames (the spec asserts stream == batch). */
+  def purchaseAttribution(events: DataFrame, maxGap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    purchases.join(views,
+      col("v_user_id") === col("user_id") &&
+        col("view_ts") <= col("ts") &&
+        col("view_ts") >= col("ts") - expr(s"INTERVAL $maxGap"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("view_event_id"), col("view_ts"))
+  }
+
   /** Run any of the transforms over a parquet directory as an
     * availableNow file stream into an in-memory sink; returns the sink
     * contents. Used by tests and by batch parity checks. */

@@ -23,7 +23,7 @@ class EventStreamsSpec extends SparkSpec {
     // watermark never passes the stream's max event time).
     val streamed = EventStreams.runAvailableNow(spark, src,
       df => EventStreams.windowedCounts(
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
       "wc_stream", org.apache.spark.sql.streaming.OutputMode.Complete())
     val batch = EventStreams.windowedCounts(graft.sources.Tables.events(spark, sfDir))
     val s = streamed.collect().map(_.toSeq).toSet
@@ -36,7 +36,7 @@ class EventStreamsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val out = EventStreams.runAvailableNow(spark, src,
       df => EventStreams.sessionWindows(
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
       "sess_stream")
     val rows = out.collect()
     assert(rows.nonEmpty)
@@ -60,12 +60,33 @@ class EventStreamsSpec extends SparkSpec {
       dir.resolve("events-b.parquet"))
     val deduped = EventStreams.runAvailableNow(spark, dir.toString,
       df => EventStreams.dedupedEvents(
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))),
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
       "dedup_stream")
     val batchDistinct = graft.sources.Tables.events(spark, sfDir)
       .select("event_id").distinct().count()
     assert(deduped.count() == batchDistinct)
     assert(deduped.select("event_id").distinct().count() == batchDistinct)
+  }
+
+  test("stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runAvailableNow(spark, src,
+      df => EventStreams.purchaseAttribution(
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+      "ssj_stream")
+    val batch = EventStreams.purchaseAttribution(
+      graft.sources.Tables.events(spark, sfDir))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b)
+    assert(s.nonEmpty)
+    // every joined view is within the 1h window before its purchase
+    batch.collect().foreach { r =>
+      val p = r.getAs[java.sql.Timestamp]("ts")
+      val v = r.getAs[java.sql.Timestamp]("view_ts")
+      assert(!v.after(p))
+      assert(p.getTime - v.getTime <= 3600 * 1000L)
+    }
   }
 
   test("mapGroupsWithState accumulates per-user counters across batches") {
