@@ -51,6 +51,7 @@ object Dedup {
     shingleCache.clear()
     bandCache.clear()
     pairCache.clear()
+    simhashCache.clear()
   }
 
   /** Distinct (doc_id, shingle) pairs — the shared input of the Jaccard
@@ -264,7 +265,17 @@ object Dedup {
   def simhash(spark: SparkSession, d: String): DataFrame =
     simhashOf(Tables.documents(spark, d))
 
-  def simhashOf(docs: DataFrame): DataFrame = {
+  // SimHash signature frames — a derived index like the banded keys,
+  // own cache so docs-plan keys can't collide with shingle-plan keys.
+  private val simhashCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 8, onEvict = _.unpersist())
+
+  def simhashOf(docs: DataFrame): DataFrame =
+    simhashCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized)(
+      simhashUncached(docs).cache())
+
+  private def simhashUncached(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.Hashing

@@ -118,9 +118,13 @@ object Similarity {
   def annLsh(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10, dim: Int = 64): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
-    val e = Tables.embeddings(spark, d)
+    val corpus = Tables.embeddings(spark, d)
       .select($"vec_id", normalized($"embedding").as("v"))
-      .withColumn("sig", lshSignature($"v", dim))
+    // the signature-augmented corpus is the LSH index — built once per
+    // corpus, queried many times (same discipline as the IVF/PQ caches)
+    val e = lshSigCache.getOrElseUpdate(
+      (corpus.queryExecution.analyzed.canonicalized, dim))(
+      corpus.withColumn("sig", lshSignature($"v", dim)).cache())
     val flips1 = (0 until LshPlanes).map(p => $"sig".bitwiseXOR(shiftleft(lit(1), p)))
     val flips2 = for {
       p <- 0 until LshPlanes; q <- (p + 1) until LshPlanes
@@ -218,7 +222,14 @@ object Similarity {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
     (DataFrame, DataFrame)](maxEntries = 4, onEvict = { case (_, a) => a.unpersist() })
 
-  def clearCaches(): Unit = ivfIndexCache.clear()
+  private val lshSigCache = new graft.util.PlanCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    DataFrame](maxEntries = 4, onEvict = _.unpersist())
+
+  def clearCaches(): Unit = {
+    ivfIndexCache.clear()
+    lshSigCache.clear()
+  }
 
   /** Build (or fetch the cached) IVF index over a normalized
     * (vec_id, v) corpus: k-means centroids + the inverted lists (every
