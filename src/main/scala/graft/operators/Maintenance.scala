@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.meta.{MetaStore, Model}
@@ -43,7 +43,10 @@ object Maintenance {
     */
   def compact(spark: SparkSession, tablePath: String, from: String, until: String,
       targetFileBytes: Long, minInputFiles: Int = 2,
-      sortCols: Seq[String] = Seq.empty): CompactResult = {
+      sortCols: Seq[String] = Seq.empty,
+      zorderCols: Seq[String] = Seq.empty): CompactResult = {
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "choose either sort clustering or z-order clustering, not both")
     import spark.implicits._
 
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,12 +86,31 @@ object Maintenance {
       // only output columns: otherwise the writer can't see the
       // ordering and inserts its own non-stable partition-column sort,
       // destroying the clustering.
+      // Explicit partition count: a bare repartition(cols) lets AQE
+      // coalesce the (tiny) shuffle below the requested bucket count,
+      // silently collapsing the binpack file-count target — one
+      // partition per target file pins it.
+      val totalTargets = math.max(1L, targets.values.sum).toInt
       val arranged = bucketed
-        .repartition(col("date"), col("__bucket"))
+        .repartition(totalTargets, col("date"), col("__bucket"))
         .drop("n_files", "__bucket")
+      // Clustered rewrites must RANGE-partition on the cluster key so
+      // each output file owns a contiguous key range — file-level
+      // min/max stats only prune when the file *assignment* follows
+      // the key; sorting rows inside random hash buckets would leave
+      // every file spanning the full key range. Cluster keys are bare
+      // expressions (never projected-away columns — the writer must
+      // still see an ordering satisfying its partition-column
+      // requirement).
+      val clusterExprs: Seq[Column] =
+        if (zorderCols.nonEmpty)
+          Seq(graft.functions.ZOrder.zvalueOf(slice, zorderCols))
+        else sortCols.map(col)
       val sorted =
-        if (sortCols.isEmpty) arranged
-        else arranged.sortWithinPartitions((col("date") +: sortCols.map(col)): _*)
+        if (clusterExprs.isEmpty) arranged
+        else bucketed.drop("n_files", "__bucket")
+          .repartitionByRange(totalTargets, (col("date") +: clusterExprs): _*)
+          .sortWithinPartitions((col("date") +: clusterExprs): _*)
       sorted
         .write.mode(SaveMode.Overwrite)
         .partitionBy("date")
@@ -163,7 +185,9 @@ object Maintenance {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       bucketed
-        .repartition(col("__date"), col("__bucket"))
+        // explicit count — see the AQE-coalesce note in compact()
+        .repartition(math.max(1L, targets.values.sum).toInt,
+          col("__date"), col("__bucket"))
         .drop("__date", "n_files", "__bucket")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("year", "month", "day")
