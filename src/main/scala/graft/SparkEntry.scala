@@ -74,6 +74,8 @@ object SparkEntry {
     "q54_top_tokens"          -> ((s, d) => graft.operators.TextAnalysis.topTokensPerLang(s, d)),
     "q55_ann_pq"              -> ((s, d) => graft.operators.ProductQuantization.annPq(s, d)),
     "q56_order_timeline"      -> (Relational3.q56OrderTimeline _),
+    "q57_order_count_dist"    -> (Relational2.q57OrderCountDist _),
+    "q58_large_orders"        -> ((s, d) => Relational2.q58LargeOrders(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,5 +127,7 @@ object SparkEntry {
     "q53_vocab_coverage"      -> graft.operators.TextAnalysis.vocabCoverageSql(20),
     "q54_top_tokens"          -> graft.operators.TextAnalysis.topTokensPerLangSql(10),
     "q56_order_timeline"      -> Relational3.q56Sql,
+    "q57_order_count_dist"    -> Relational2.q57Sql,
+    "q58_large_orders"        -> Relational2.q58Sql(300),
   )
 }

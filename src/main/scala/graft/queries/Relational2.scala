@@ -138,4 +138,65 @@ object Relational2 {
       |FROM part
       |WHERE p_name LIKE '%green%' OR p_name LIKE '%blue%'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q57 (TPC-H Q13 shape): the distribution of customers by order
+    * count, including zero-order customers — left outer join + two
+    * grouping levels. The outer join is the part Catalyst can't
+    * broadcast-shortcut (null-producing side), so this exercises the
+    * shuffled outer-join → re-aggregate path. */
+  def q57OrderCountDist(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.customer(spark, d)
+      .join(Tables.orders(spark, d),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_customers".desc, $"c_count".desc)
+  }
+
+  val q57Sql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1
+      |)
+      |SELECT c_count, count(*) AS n_customers
+      |FROM per_cust GROUP BY 1
+      |ORDER BY n_customers DESC, c_count DESC""".stripMargin
+
+  /** q58 (TPC-H Q18 shape): large-volume orders — orders whose total
+    * lineitem quantity exceeds a threshold, rejoined to their
+    * customers. Aggregate → semi-filter → join-back. */
+  def q58LargeOrders(spark: SparkSession, d: String, minQty: Int = 300): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, d)
+      .groupBy($"l_orderkey")
+      .agg(sum(money($"l_quantity")).as("total_qty"))
+      .where($"total_qty" > minQty)
+    Tables.orders(spark, d)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, d), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("order_date"),
+        money($"o_totalprice").cast("double").as("o_totalprice"),
+        $"total_qty".cast("double").as("total_qty"))
+      .orderBy($"total_qty".desc, $"o_orderkey".asc)
+  }
+
+  def q58Sql(minQty: Int): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $minQty
+       |)
+       |SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       |       CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM orders
+       |JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin
 }
