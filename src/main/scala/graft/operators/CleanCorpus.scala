@@ -19,10 +19,18 @@ object CleanCorpus {
       input: Long, afterQuality: Long, afterDecontam: Long,
       afterExact: Long, afterNearDup: Long)
 
+  /** Repetition gate defaults (the Gopher-rule thresholds family):
+    * drop documents whose duplicate word-3-gram share or single-token
+    * concentration signals degenerate repetition. */
+  val MaxDup3gramShare = 0.75
+  val MaxTopTokenShare = 0.30
+
   /** Clean `docs` (doc_id, text, lang, n_chars …); returns the kept
     * corpus and attrition counts. `evalDocs` (a benchmark set) enables
     * the decontamination stage — documents whose shingles overlap the
-    * eval set at ≥ `maxEvalOverlap` are dropped before dedup. */
+    * eval set at ≥ `maxEvalOverlap` are dropped before dedup. The
+    * quality gate combines the length/stopword scoring with the
+    * repetition metrics (both reuse the shared shingle index). */
   def clean(docs: DataFrame, jaccardThreshold: Double = 0.8,
       evalDocs: Option[DataFrame] = None,
       maxEvalOverlap: Double = 0.5): (DataFrame, Stats) = {
@@ -31,10 +39,15 @@ object CleanCorpus {
 
     val input = docs.count()
 
-    // 1. quality gate
+    // 1. quality gate: scoring rules + repetition rules
     val keepIds = TextAnalysis.qualityScoreOf(docs)
       .where($"keep").select($"doc_id")
-    val quality0 = docs.join(keepIds, "doc_id").cache()
+    val repetitionOk = TextAnalysis.repetitionMetricsOf(docs)
+      .where($"dup_3gram_share" <= MaxDup3gramShare &&
+        $"top_tok_share" <= MaxTopTokenShare)
+      .select($"doc_id")
+    val quality0 = docs.join(keepIds, "doc_id")
+      .join(repetitionOk, "doc_id").cache()
     val nQuality = quality0.count()
 
     // 1b. benchmark decontamination (leakage guard), when an eval set

@@ -34,6 +34,21 @@ class CleanCorpusSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("repetition gate drops degenerate repeated-content documents") {
+    import spark.implicits._
+    val good = "completely different content about databases engines queries plans " +
+      "optimizers shuffles partitions executors drivers caching storage formats " +
+      "and various other technical topics worth keeping around"
+    // 30 tokens of the same word: top_tok_share = 1.0, dup 3-grams ≈ 1.0
+    val degenerate = Seq.fill(30)("spam").mkString(" ")
+    val docs = Seq((1L, good), (2L, degenerate))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val (cleaned, stats) = CleanCorpus.clean(docs)
+    assert(stats.afterQuality == 1)
+    assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("decontamination stage drops docs overlapping the eval set") {
     import spark.implicits._
     val evalText = "the quick brown fox jumps over a lazy dog and then runs far away " +
