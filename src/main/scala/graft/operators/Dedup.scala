@@ -68,7 +68,10 @@ object Dedup {
   private def docShinglesUncached(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
+    // null text = no shingles (the typed flatMap would NPE), matching
+    // the SQL semantics where every string function yields null.
+    docs.where($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         text.toLowerCase.split(' ').sliding(ShingleN)
           .withFilter(_.length == ShingleN)

@@ -298,7 +298,8 @@ object TextAnalysis {
   def fingerprintOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val kgrams = docs.select($"doc_id", $"text").as[(Long, String)]
+    val kgrams = docs.where($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         text.toLowerCase.split(' ').sliding(k)
           .withFilter(_.length == k).zipWithIndex

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression tests — the SCALE.md claims as assertions, so
+  * a refactor that silently loses pushdown, pruning, broadcast, or the
+  * bounded-pagination plan fails CI instead of surviving to a 100 TB
+  * cluster.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  private def formattedPlanOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q1 prunes the lineitem scan to referenced columns only") {
+    val plan = formattedPlanOf(queries.Relational.q1Agg(spark, sfDir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    // 6 of the 11 lineitem columns
+    assert(readSchema.count(_ == ',') <= 5, readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      readSchema)
+  }
+
+  test("q4 pushes its filters into the parquet scan") {
+    val plan = formattedPlanOf(queries.Relational.q4FilesBrowse(spark, sfDir))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo") || pushed.contains("IsNotNull"), plan)
+  }
+
+  test("q7 broadcasts the small dimension sides") {
+    val plan = planOf(queries.Relational.q7JoinAgg(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q6 pagination avoids the global window; its page source is a bounded top-k") {
+    import org.apache.spark.sql.functions._
+    // the final page frame: no WindowExec, no hash-partitioned shuffle
+    val plan = planOf(queries.Relational.q6Page(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    // the page source shape (orderBy.limit) plans as TakeOrderedAndProject
+    val src = graft.sources.Tables.orders(spark, sfDir)
+      .orderBy(col("o_orderdate").desc).limit(120)
+    assert(planOf(src).contains("TakeOrderedAndProject"), planOf(src))
+  }
+
+  test("q52 as-of join plans as union+window — no nested-loop join") {
+    val plan = planOf(queries.Streams.q52AsOfAttribution(spark, sfDir))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("every groupBy query runs partial aggregation (no single-shot hash agg)") {
+    val plan = planOf(queries.Relational.q1Agg(spark, sfDir))
+    // partial + final pair: HashAggregate appears at least twice
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}
