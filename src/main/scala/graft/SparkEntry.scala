@@ -76,6 +76,8 @@ object SparkEntry {
     "q56_order_timeline"      -> (Relational3.q56OrderTimeline _),
     "q57_order_count_dist"    -> (Relational2.q57OrderCountDist _),
     "q58_large_orders"        -> ((s, d) => Relational2.q58LargeOrders(s, d)),
+    "q59_chunks"              -> (graft.operators.Chunking.q59Chunks _),
+    "q60_top_bigrams"         -> ((s, d) => graft.operators.TextAnalysis.topBigrams(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,5 +131,7 @@ object SparkEntry {
     "q56_order_timeline"      -> Relational3.q56Sql,
     "q57_order_count_dist"    -> Relational2.q57Sql,
     "q58_large_orders"        -> Relational2.q58Sql(300),
+    "q59_chunks"              -> graft.operators.Chunking.q59Sql,
+    "q60_top_bigrams"         -> graft.operators.TextAnalysis.topBigramsSql(20),
   )
 }

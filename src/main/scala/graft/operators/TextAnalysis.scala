@@ -289,6 +289,30 @@ object TextAnalysis {
        |SELECT lang, tok, n, rn FROM r WHERE rn <= $k
        |ORDER BY lang, rn""".stripMargin
 
+  /** q60: corpus-wide token bigram counts (top n) — the co-occurrence
+    * statistics a tokenizer-training / collocation pass reads.
+    * Duplicate bigrams count (occurrence frequency, not document
+    * frequency); the heavy shuffle is the (bigram) count with partial
+    * aggregation, the top-n is a TakeOrdered. */
+  def topBigrams(spark: SparkSession, d: String, n: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(explode(shingles($"text", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram".asc)
+      .limit(n)
+  }
+
+  def topBigramsSql(n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT array_to_string(t[i:i+1], ' ') AS bigram
+       |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       |)
+       |SELECT bigram, count(*) AS n FROM bg
+       |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT $n""".stripMargin
+
   /** Winnowing document fingerprint: k-gram hashes, sliding-window
     * minimum (window w) → distinct fingerprint set per doc. Hash-seeded
     * (xxhash64) → rows-only + TextAnalysisSpec invariants. */
