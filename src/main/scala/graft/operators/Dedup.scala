@@ -406,15 +406,37 @@ object Dedup {
     * batches commit. */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8): (DataFrame, IncrementalStats) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    incrementalDedupFrames(newDocs,
+      contentKeys(corpus).select($"key").distinct(),
+      docShingles(corpus),
+      bandedSignatures(docShingles(corpus)),
+      threshold)
+  }
+
+  /** Full-text content key of each document (the exact-dedup key). */
+  def contentKeys(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.withColumn("key",
+      md5(concat_ws(" ", graft.functions.TextFunctions.tokens($"text"))))
+  }
+
+  /** The frame-level core of [[incrementalDedup]] — corpus state comes
+    * in as the three derived frames a deployment materializes as tables
+    * ([[DedupIndex]]): distinct content keys, the shingle index, and
+    * the banded-LSH keys. The corpus documents themselves are never
+    * read. */
+  def incrementalDedupFrames(newDocs: DataFrame, corpusKeys: DataFrame,
+      shCorpus: DataFrame, bandsCorpus: DataFrame,
+      threshold: Double): (DataFrame, IncrementalStats) = {
     val spark = newDocs.sparkSession
     import spark.implicits._
     val input = newDocs.count()
 
     // 1. exact stage
-    def keyed(df: DataFrame) = df.withColumn("key",
-      md5(concat_ws(" ", graft.functions.TextFunctions.tokens($"text"))))
-    val corpusKeys = keyed(corpus).select($"key").distinct()
-    val newKeyed = keyed(newDocs).cache()
+    val newKeyed = contentKeys(newDocs).cache()
     val intraKeepers = newKeyed.groupBy($"key").agg(min($"doc_id").as("doc_id"))
     val afterExact = newKeyed
       .join(intraKeepers.select($"doc_id"), Seq("doc_id"))
@@ -424,14 +446,11 @@ object Dedup {
     val nExact = afterExact.count()
 
     // 2. near-dup stage against the corpus index + within the batch.
-    // Shingle frames are cached by the bounded docShingles LRU; the
-    // banded-key frames cache only for the duration of this call.
+    // The batch-side frames live in the bounded derived-index LRUs; the
+    // corpus-side frames arrive as parameters (session caches or stored
+    // tables).
     val shNew = docShingles(afterExact)
-    val shCorpus = docShingles(corpus)
-    // Both band frames live in the bounded bandCache LRU (shared
-    // derived index) — no call-local cache/unpersist here.
     val bandsNew = bandedSignatures(shNew)
-    val bandsCorpus = bandedSignatures(shCorpus)
     val candCross = bandsNew.as("a").join(bandsCorpus.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
       .select($"b.doc_id".as("id_a"), $"a.doc_id".as("id_b")) // corpus first
