@@ -15,6 +15,8 @@ import graft.meta.MetaStore
   * runMain graft.Main optimize  <metaDir> <db> <table> <from> <to> [day|week|month]
   * runMain graft.Main clean     <docsParquet> <outDir> [jaccardThreshold]   # corpus cleaning
   * runMain graft.Main sample    <docsParquet> <outDir> <rate>               # deterministic sample
+  * runMain graft.Main index-build <corpusParquet> <indexDir>                # persist dedup index
+  * runMain graft.Main index-dedup <batchParquet> <indexDir> <keptOut> [thr] # dedup batch vs index
   * runMain graft.Main serve     <metaDir> [port]       # REST façade (default 8080)
   * }}}
   */
@@ -77,6 +79,18 @@ object Main {
             org.apache.spark.sql.functions.col("doc_id"), args(3).toDouble)
           sampled.write.mode("overwrite").parquet(args(2))
           println(s"sample: ${sampled.count()} of ${docs.count()} docs -> ${args(2)}")
+        case "index-build" =>
+          // args(1): corpus parquet, args(2): index dir
+          operators.DedupIndex.build(spark.read.parquet(args(1)), args(2))
+          println(s"dedup index built at ${args(2)}")
+        case "index-dedup" =>
+          // args(1): batch parquet, args(2): index dir, args(3): kept out
+          val threshold = if (args.length > 4) args(4).toDouble else 0.8
+          val (kept, stats) = operators.DedupIndex.dedupBatch(spark,
+            spark.read.parquet(args(1)), args(2), threshold)
+          kept.write.mode("overwrite").parquet(args(3))
+          println(s"index-dedup: input=${stats.input} afterExact=${stats.afterExact} " +
+            s"kept=${stats.kept} -> ${args(3)} (index extended)")
         case other => sys.error(s"unknown command $other")
       }
     } finally spark.stop()
