@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent vector indexes — the stored form of the IVF and PQ
+  * artifacts the session caches hold ([[Similarity.ivfIndex]],
+  * [[ProductQuantization.pqIndex]]): centroids, inverted lists, PQ
+  * codebooks and codes written as parquet tables so a deployment
+  * builds the index in one job and serves queries from another.
+  *
+  *  - `centroids` (cent_id, cv)        coarse quantizer
+  *  - `assigned`  (vec_id, v, cent_id) inverted lists (IVF)
+  *  - `codebooks` (mi, code, cw)       per-subspace PQ codewords
+  *  - `codes`     (vec_id, codes)      PQ-encoded corpus
+  *
+  * At 100 TB the inverted lists would be partitioned by cent_id
+  * (probing reads only the probed lists' partitions) and the code
+  * table is the only thing the ADC scan touches.
+  */
+object VectorIndexStore {
+
+  def centroidsPath(dir: String) = s"$dir/centroids"
+  def assignedPath(dir: String) = s"$dir/assigned"
+  def codebooksPath(dir: String) = s"$dir/codebooks"
+  def codesPath(dir: String) = s"$dir/codes"
+
+  /** Build and persist the IVF index of a normalized (vec_id, v)
+    * corpus. */
+  def buildIvf(e: DataFrame, dir: String, nCentroids: Int = 16,
+      kmeansIters: Int = 4): Unit = {
+    graft.functions.CosineSimilarity.register(e.sparkSession)
+    val (cents, assigned) = Similarity.ivfIndex(e, nCentroids, kmeansIters)
+    cents.write.mode(SaveMode.Overwrite).parquet(centroidsPath(dir))
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("cent_id").parquet(assignedPath(dir))
+  }
+
+  /** ANN top-k from the STORED IVF index: probe the query's nProbe
+    * nearest centroid lists, exact-cosine the candidates, bounded
+    * top-k. Partition pruning on cent_id keeps the scan to the probed
+    * lists. */
+  def queryIvf(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(centroidsPath(dir))
+    val assigned = spark.read.parquet(assignedPath(dir))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cent_id".asc)
+    val qprobes = queries
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cos($"qv", $"cv"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where($"rn" <= nProbe)
+      .select($"query_id", $"qv", $"cent_id")
+    val scored = qprobes.join(assigned, Seq("cent_id"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Similarity.cos($"qv", $"v").as("cos"))
+    val topK = udaf(new graft.functions.TopKAggregator(k))
+    scored
+      .groupBy($"query_id")
+      .agg(topK($"cos", $"neighbor_id").as("ids"))
+      .select($"query_id", explode($"ids").as("neighbor_id"))
+      .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** Build and persist the PQ index (codebooks + encoded corpus). */
+  def buildPq(e: DataFrame, dir: String, m: Int = 8, ksub: Int = 16,
+      iters: Int = 4): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val (books, codes) = ProductQuantization.pqIndex(e, m, ksub, iters)
+    val bookRows = for {
+      mi <- books.indices; c <- books(mi).indices
+    } yield (mi, c, books(mi)(c))
+    spark.createDataset(bookRows).toDF("mi", "code", "cw")
+      .write.mode(SaveMode.Overwrite).parquet(codebooksPath(dir))
+    codes.write.mode(SaveMode.Overwrite).parquet(codesPath(dir))
+  }
+
+  /** Load stored PQ codebooks back into the driver-side array form. */
+  def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(codebooksPath(dir))
+      .as[(Int, Int, Array[Double])].collect()
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (mi, c, cw) => books(mi)(c) = cw }
+    books.map(_.toArray)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Stored vector indexes answer queries identically to the session
+  * caches they persist. */
+class VectorIndexStoreSpec extends SparkSpec {
+
+  private def norm(d: String) = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"), Similarity.normalized(col("embedding")).as("v"))
+  }
+
+  test("stored IVF index answers queries like the session index") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-store").toString
+    val e = norm(sfDirMid)
+    VectorIndexStore.buildIvf(e, dir)
+    import org.apache.spark.sql.functions._
+    val stored = VectorIndexStore.queryIvf(spark, dir,
+        e.where(col("vec_id") < 10), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val session = Similarity.annIvf(spark, sfDirMid, 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == session)
+    assert(stored.nonEmpty)
+  }
+
+  test("stored PQ codebooks round-trip exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("pq-store").toString
+    val e = norm(sfDirMid)
+    VectorIndexStore.buildPq(e, dir)
+    import spark.implicits._
+    val (books, codes) = ProductQuantization.pqIndex(e, 8, 16, 4)
+    val loaded = VectorIndexStore.loadCodebooks(spark, dir)
+    assert(loaded.length == books.length)
+    assert(loaded.zip(books).forall { case (la, ba) =>
+      la.zip(ba).forall { case (lc, bc) => lc.sameElements(bc) } })
+    val storedCodes = spark.read.parquet(VectorIndexStore.codesPath(dir))
+      .as[(Long, Array[Byte])].collect().toMap
+    val sessionCodes = codes.as[(Long, Array[Byte])].collect().toMap
+    assert(storedCodes.keySet == sessionCodes.keySet)
+    assert(storedCodes.forall { case (id, cs) => cs.sameElements(sessionCodes(id)) })
+  }
+}
