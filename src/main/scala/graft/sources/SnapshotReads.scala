@@ -35,4 +35,37 @@ object SnapshotReads {
       .getOrElse(throw new IllegalStateException(s"$database.$table has no current snapshot"))
     readAt(store, database, table, current)
   }
+
+  /** Incremental append scan (Iceberg's incremental read): rows from
+    * data files ADDED strictly after `fromSnapshotId`, up to and
+    * including `toSnapshotId`. `from` must be an ancestor of `to` on
+    * the parent chain — reading "changes" across a rollback boundary
+    * has no append-only meaning, so it errors (matching the table
+    * formats). File planning is a manifest diff on the driver; the data
+    * read scans only the added files. */
+  def readIncremental(store: MetaStore, database: String, table: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val snaps = store.snapshots
+      .filter(s => s.database == database && s.table == table)
+      .collect().map(s => s.snapshotId -> s.parentId).toMap
+    require(snaps.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
+    require(snaps.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
+    // walk to → parents → from
+    var cursor: Option[Long] = Some(toSnapshotId)
+    var onChain = false
+    while (cursor.isDefined && !onChain) {
+      if (cursor.contains(fromSnapshotId)) onChain = true
+      else cursor = cursor.flatMap(snaps.get).flatten
+    }
+    require(onChain,
+      s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
+    def pathsAt(id: Long): Set[String] = store.files
+      .filter(f => f.database == database && f.table == table &&
+        f.snapshotId == id && f.content == 0)
+      .collect().map(_.filePath).toSet
+    val added = (pathsAt(toSnapshotId) -- pathsAt(fromSnapshotId)).toSeq.sorted
+    if (added.isEmpty)
+      readAt(store, database, table, toSnapshotId).limit(0)
+    else store.spark.read.parquet(added: _*)
+  }
 }

@@ -47,4 +47,37 @@ class SnapshotReadsSpec extends SparkSpec {
       SnapshotReads.readAt(store, "db", "t", 99L)
     }
   }
+
+  test("readIncremental returns only files added between two snapshots") {
+    import spark.implicits._
+    import MetaStore._
+    val store = new MetaStore(spark, Files.createTempDirectory("inc-meta").toString)
+    val dataDir = Files.createTempDirectory("inc-data").toString
+    val f1 = s"$dataDir/a.parquet"
+    val f2 = s"$dataDir/b.parquet"
+    spark.range(1, 11).toDF("v").coalesce(1).write.parquet(f1)
+    spark.range(100, 106).toDF("v").coalesce(1).write.parquet(f2)
+    def ts(s: String) = Timestamp.valueOf(s)
+    store.write("snapshots", spark.createDataset(Seq(
+      Model.SnapshotMeta("db", "t", ts("2026-01-01 00:00:00"), 1L, None, "append", "m1", Map.empty),
+      Model.SnapshotMeta("db", "t", ts("2026-01-02 00:00:00"), 2L, Some(1L), "append", "m2", Map.empty),
+      // 3 is a sibling of 2 (rolled-back branch), not its descendant
+      Model.SnapshotMeta("db", "t", ts("2026-01-03 00:00:00"), 3L, Some(1L), "append", "m3", Map.empty))))
+    store.write("files", spark.createDataset(Seq(
+      Model.FileMeta("db", "t", 1L, 0, f1, "PARQUET", 0, Map.empty, 10, 100),
+      Model.FileMeta("db", "t", 2L, 0, f1, "PARQUET", 0, Map.empty, 10, 100),
+      Model.FileMeta("db", "t", 2L, 0, f2, "PARQUET", 0, Map.empty, 6, 60),
+      Model.FileMeta("db", "t", 3L, 0, f1, "PARQUET", 0, Map.empty, 10, 100))))
+
+    // 1 → 2 added exactly f2's rows
+    val inc = SnapshotReads.readIncremental(store, "db", "t", 1L, 2L)
+    assert(inc.select($"v").as[Long].collect().sorted.toSeq == (100L until 106L))
+    // same snapshot → empty, schema preserved
+    val none = SnapshotReads.readIncremental(store, "db", "t", 2L, 2L)
+    assert(none.isEmpty && none.columns.sameElements(Array("v")))
+    // across a rollback branch → error (2 is not an ancestor of 3)
+    intercept[IllegalArgumentException] {
+      SnapshotReads.readIncremental(store, "db", "t", 2L, 3L)
+    }
+  }
 }
