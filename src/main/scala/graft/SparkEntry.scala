@@ -78,6 +78,7 @@ object SparkEntry {
     "q58_large_orders"        -> ((s, d) => Relational2.q58LargeOrders(s, d)),
     "q59_chunks"              -> (graft.operators.Chunking.q59Chunks _),
     "q60_top_bigrams"         -> ((s, d) => graft.operators.TextAnalysis.topBigrams(s, d)),
+    "q61_rolling_activity"    -> (Streams.q61RollingActivity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -133,5 +134,6 @@ object SparkEntry {
     "q58_large_orders"        -> Relational2.q58Sql(300),
     "q59_chunks"              -> graft.operators.Chunking.q59Sql,
     "q60_top_bigrams"         -> graft.operators.TextAnalysis.topBigramsSql(20),
+    "q61_rolling_activity"    -> Streams.q61Sql,
   )
 }

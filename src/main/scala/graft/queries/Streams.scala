@@ -97,6 +97,32 @@ object Streams {
       .orderBy($"event_id")
   }
 
+  /** q61: per-event rolling activity — how many events (and how much
+    * value) the same user produced in the preceding 10 minutes,
+    * inclusive of the current instant. A RANGE window frame over
+    * microsecond epochs: per-key time-bounded state, the batch twin of
+    * the streaming sliding window. */
+  def q61RollingActivity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-600L * 1000000L, 0L)
+    Tables.events(spark, d)
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("value_10m", sum(money($"value")).over(w).cast("double"))
+      .select($"event_id", $"user_id", $"n_10m", $"value_10m")
+      .orderBy($"event_id")
+  }
+
+  val q61Sql: String =
+    """SELECT event_id, user_id,
+      |       count(*) OVER w AS n_10m,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_10m
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val q52Sql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
