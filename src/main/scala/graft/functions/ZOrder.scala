@@ -55,6 +55,8 @@ object ZOrder {
         max(col(c).cast("double")).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     zvalue(colNames.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"z-order column '$c' has no non-null values in the rewrite slice")
       (col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1))
     })
   }

@@ -23,7 +23,9 @@ object Chunking {
     require(window > 0 && stride > 0, "window and stride must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    // null text = no chunks (greatest/least silently skip SQL nulls and
+    // would fabricate a chunk row whose hash is md5("")).
+    docs.where($"text".isNotNull)
       .withColumn("__toks", tokens($"text"))
       .withColumn("__n", size($"__toks"))
       .select($"doc_id", $"__toks", $"__n",
@@ -47,7 +49,7 @@ object Chunking {
     """WITH t AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
       |         len(string_split(lower(text), ' ')) AS n
-      |  FROM documents
+      |  FROM documents WHERE text IS NOT NULL
       |), c AS (
       |  SELECT doc_id, toks, n, g.i AS start,
       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY g.i) - 1 AS INT) AS chunk_idx

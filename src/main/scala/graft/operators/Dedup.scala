@@ -399,11 +399,12 @@ object Dedup {
     *     intra-batch matches resolve by connected components keeping
     *     min id.
     *
-    * Equivalent to batch-cleaning (corpus ∪ batch) with min-id keepers
-    * and keeping only the batch's survivors (corpus ids are lower by
-    * convention — asserted in DedupSpec); at a real deployment the
-    * corpus' shingle/band index is a materialized table updated as
-    * batches commit. */
+    * A batch doc whose duplicate component touches the corpus drops
+    * regardless of id ordering (no corpus-ids-are-lower convention);
+    * pure-batch components keep their min id — equivalent to batch-
+    * cleaning (corpus ∪ batch) and keeping the batch's survivors. At a
+    * real deployment the corpus' shingle/band index is a materialized
+    * table updated as batches commit ([[DedupIndex]]). */
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.8): (DataFrame, IncrementalStats) = {
     val spark = corpus.sparkSession
@@ -460,17 +461,24 @@ object Dedup {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
     // One CC over the combined (cross ∪ intra) verified edges gives
-    // exactly the batch-union clustering: a component containing any
-    // corpus doc labels every member with the (lower) corpus id, so all
-    // its new docs drop; pure-batch components keep their min id. Two
-    // independent drop passes would miss transitive corpus links
-    // (B−A ≥ t, B−corpus ≥ t, A−corpus < t must still drop A).
+    // exactly the batch-union clustering. Two independent drop passes
+    // would miss transitive corpus links (B−A ≥ t, B−corpus ≥ t,
+    // A−corpus < t must still drop A). Drop rule is by component
+    // MEMBERSHIP, not label arithmetic: every batch doc in a component
+    // containing ANY corpus doc drops (the corpus already covers it —
+    // no assumption that corpus ids are lower than batch ids), and
+    // pure-batch components keep their min id.
     val shAll = shNew.union(shCorpus)
     val edges = verifyCandidates(candCross, shAll, threshold)
       .unionByName(verifyCandidates(candIntra, shNew, threshold))
       .select($"id_a", $"id_b")
-    val dropNew = connectedComponents(edges)
-      .where($"id" =!= $"label")
+    val comps = connectedComponents(edges)
+    val corpusIds = shCorpus.select($"doc_id".as("id")).distinct()
+    val contaminated = comps.join(corpusIds, Seq("id"))
+      .select($"label").distinct()
+    val dropNew = comps
+      .join(contaminated.withColumn("__corpus", lit(true)), Seq("label"), "left")
+      .where(coalesce($"__corpus", lit(false)) || $"id" =!= $"label")
       .select($"id".as("doc_id"))
     val kept = afterExact.join(dropNew, Seq("doc_id"), "left_anti")
     val nKept = kept.count()

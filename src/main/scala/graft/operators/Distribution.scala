@@ -15,17 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Distribution {
 
-  /** Salted equi-join: the skewed (large) side gets a salt in
-    * [0, salt) hashed from its full row content (repartition-stable —
-    * `rand` would salt by partition layout, which changes under AQE
-    * re-plans); the small side is replicated `salt` times; the join key
-    * becomes (key, salt) so one hot key spreads over `salt` tasks.
+  /** Salted equi-join: every row of the skewed (large) side gets a
+    * salt in [0, salt) — a hash of the row content mixed with a
+    * per-row sequence number, so even fully-duplicated hot-key rows
+    * spread over the salt range (content alone would send identical
+    * rows to one task; which salt a row gets never affects the result,
+    * only the distribution). The small side is replicated `salt`
+    * times; the join key becomes (key, salt) so one hot key spreads
+    * over `salt` tasks.
+    *
+    * Only inner and left-outer types are accepted: a right/full outer
+    * join would emit every unmatched small-side row once per replica.
     * Results are identical to `large.join(small, key, joinType)` —
     * verified in DistributionSpec (inner and left_outer). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val saltCol = pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salt))
+    require(Set("inner", "left", "leftouter")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left_outer joins, not $joinType " +
+        "(outer small-side rows would duplicate per replica)")
+    val saltCol = pmod(
+      xxhash64((large.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+      lit(salt))
     val salted = large.withColumn("__salt", saltCol)
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1)).cast("array<long>")))

@@ -86,14 +86,7 @@ object Maintenance {
       // only output columns: otherwise the writer can't see the
       // ordering and inserts its own non-stable partition-column sort,
       // destroying the clustering.
-      // Explicit partition count: a bare repartition(cols) lets AQE
-      // coalesce the (tiny) shuffle below the requested bucket count,
-      // silently collapsing the binpack file-count target — one
-      // partition per target file pins it.
       val totalTargets = math.max(1L, targets.values.sum).toInt
-      val arranged = bucketed
-        .repartition(totalTargets, col("date"), col("__bucket"))
-        .drop("n_files", "__bucket")
       // Clustered rewrites must RANGE-partition on the cluster key so
       // each output file owns a contiguous key range — file-level
       // min/max stats only prune when the file *assignment* follows
@@ -107,7 +100,7 @@ object Maintenance {
           Seq(graft.functions.ZOrder.zvalueOf(slice, zorderCols))
         else sortCols.map(col)
       val sorted =
-        if (clusterExprs.isEmpty) arranged
+        if (clusterExprs.isEmpty) partitionByOrdinal(bucketed, "date", targets)
         else bucketed.drop("n_files", "__bucket")
           .repartitionByRange(totalTargets, (col("date") +: clusterExprs): _*)
           .sortWithinPartitions((col("date") +: clusterExprs): _*)
@@ -130,6 +123,38 @@ object Maintenance {
       filesBefore = stats.map(_._2).sum,
       filesAfter = after + stats.filterNot(s => targets.contains(s._1)).map(_._2).sum,
       bytesRewritten = toRewrite.map(_._3).sum)
+  }
+
+  /** Exact one-shuffle-partition-per-target-file distribution for the
+    * binpack rewrite: each (partition dir, bucket) pair maps to its own
+    * shuffle partition through an identity partitioner on a precomputed
+    * global ordinal. Hash repartitioning into N partitions for N
+    * distinct buckets collides some pairs into shared tasks (birthday
+    * bound), merging target files into double-size outputs and leaving
+    * other tasks empty; a bare `repartition(cols)` additionally lets
+    * AQE coalesce below the target count. The explicit RDD partitioner
+    * is the one place the DataFrame API can't express the physical
+    * requirement. */
+  private def partitionByOrdinal(df: DataFrame, dateCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var running = 0L
+    val offsets = targets.toSeq.sortBy(_._1).map { case (d, n) =>
+      val o = running; running += n; (d, o)
+    }
+    val total = math.max(1L, running).toInt
+    val offsetsDf = offsets.toDF(dateCol, "__off")
+    val keyed = df.join(broadcast(offsetsDf), dateCol)
+      .withColumn("__ord", col("__off") + col("__bucket"))
+      .drop("n_files", "__bucket", "__off")
+    val schema = keyed.schema
+    val rows = keyed.rdd.map(r => (r.getAs[Long]("__ord"), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = total
+        override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+      }).values
+    spark.createDataFrame(rows, schema).drop("__ord")
   }
 
   /** M1 variant for the reference's hidden day-transform layout: a
@@ -184,11 +209,8 @@ object Maintenance {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      bucketed
-        // explicit count — see the AQE-coalesce note in compact()
-        .repartition(math.max(1L, targets.values.sum).toInt,
-          col("__date"), col("__bucket"))
-        .drop("__date", "n_files", "__bucket")
+      partitionByOrdinal(bucketed, "__date", targets)
+        .drop("__date")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("year", "month", "day")
         .parquet(tablePath)

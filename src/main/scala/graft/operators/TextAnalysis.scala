@@ -229,8 +229,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = topVocabulary(docs, k).select($"tok")
-    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
-    val totals = docs
+    // null text yields no exploded tokens, so keep totals consistent
+    // (the doc is absent from the report, matching the SQL oracle).
+    val nonNull = docs.where($"text".isNotNull)
+    val toks = nonNull.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val totals = nonNull
       .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
     val hits = toks.join(broadcast(vocab), "tok")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_in_vocab"))

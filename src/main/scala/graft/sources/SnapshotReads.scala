@@ -47,15 +47,25 @@ object SnapshotReads {
       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val snaps = store.snapshots
       .filter(s => s.database == database && s.table == table)
-      .collect().map(s => s.snapshotId -> s.parentId).toMap
+      .collect().map(s => s.snapshotId -> s).toMap
     require(snaps.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
     require(snaps.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
-    // walk to → parents → from
+    // walk to → parents → from; every snapshot AFTER `from` on the path
+    // must be an append — a replace/overwrite in between rewrites
+    // existing rows, so "files added" would re-surface old data as new
+    // (Iceberg's incremental scan refuses the same way).
     var cursor: Option[Long] = Some(toSnapshotId)
     var onChain = false
     while (cursor.isDefined && !onChain) {
       if (cursor.contains(fromSnapshotId)) onChain = true
-      else cursor = cursor.flatMap(snaps.get).flatten
+      else {
+        val s = snaps(cursor.get)
+        require(s.operation == "append",
+          s"snapshot ${s.snapshotId} on the incremental path is a " +
+            s"'${s.operation}', not an append — incremental read is " +
+            "only defined over append-only history")
+        cursor = s.parentId
+      }
     }
     require(onChain,
       s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")

@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     assert(stats.kept == 2)
   }
 
+  test("incremental dedup drops a batch near-dup even when its id is LOWER than the corpus doc's") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and then runs far away " +
+      "to find more interesting words for this synthetic document corpus today"
+    // corpus doc has the HIGH id; the batch near-dup has a lower one —
+    // the drop rule is component membership, not min-id arithmetic.
+    val corpus = Seq(5000L -> base).toDF("doc_id", "text")
+    val batch = Seq(3L -> (base + " extra")).toDF("doc_id", "text")
+    val (kept, stats) = Dedup.incrementalDedup(batch, corpus, threshold = 0.5)
+    assert(kept.isEmpty)
+    assert(stats.kept == 0)
+  }
+
   test("incremental dedup equals batch dedup of the union, restricted to the delta (sf0.01)") {
     import spark.implicits._
     val all = graft.sources.Tables.documents(spark, sfDirMid)

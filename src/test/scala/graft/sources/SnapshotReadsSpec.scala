@@ -80,4 +80,21 @@ class SnapshotReadsSpec extends SparkSpec {
       SnapshotReads.readIncremental(store, "db", "t", 2L, 3L)
     }
   }
+
+  test("readIncremental refuses a replace/compaction snapshot on the path") {
+    import spark.implicits._
+    import MetaStore._
+    val store = new MetaStore(spark, Files.createTempDirectory("inc2-meta").toString)
+    def ts(s: String) = Timestamp.valueOf(s)
+    store.write("snapshots", spark.createDataset(Seq(
+      Model.SnapshotMeta("db", "t", ts("2026-01-01 00:00:00"), 1L, None, "append", "m1", Map.empty),
+      // a compaction rewrote the files between 1 and 3
+      Model.SnapshotMeta("db", "t", ts("2026-01-02 00:00:00"), 2L, Some(1L), "replace", "m2", Map.empty),
+      Model.SnapshotMeta("db", "t", ts("2026-01-03 00:00:00"), 3L, Some(2L), "append", "m3", Map.empty))))
+    store.write("files", spark.emptyDataset[Model.FileMeta])
+    val e = intercept[IllegalArgumentException] {
+      SnapshotReads.readIncremental(store, "db", "t", 1L, 3L)
+    }
+    assert(e.getMessage.contains("replace"))
+  }
 }
