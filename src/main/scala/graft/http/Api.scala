@@ -256,7 +256,7 @@ object Json {
           case 'n' => out += '\n'; i += 2
           case 'r' => out += '\r'; i += 2
           case 't' => out += '\t'; i += 2
-          case 'u' if i + 5 < s.length + 1 =>
+          case 'u' if i + 6 <= s.length =>
             out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
           case other => out += other; i += 2
         }

@@ -35,9 +35,18 @@ final class MetaStore(val spark: SparkSession, val root: String) {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     ds.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    // Crash-durable promotion: move the old slice ASIDE (rename, not
+    // delete) before promoting tmp — a kill between the two renames
+    // leaves both the old and new content on disk for manual recovery,
+    // where delete-then-rename would lose the slice entirely.
+    val old = new org.apache.hadoop.fs.Path(path(name) + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"could not move $target aside to $old")
     if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"could not swap ${tmp} into ${target}")
+      throw new java.io.IOException(s"could not swap $tmp into $target " +
+        s"(previous content preserved at $old)")
+    fs.delete(old, true)
   }
 
   def exists(name: String): Boolean =

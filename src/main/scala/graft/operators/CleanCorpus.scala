@@ -56,7 +56,8 @@ object CleanCorpus {
       case Some(ev) => Decontaminate.decontaminate(quality0, ev, maxEvalOverlap).cache()
       case None => quality0
     }
-    val nDecontam = quality.count()
+    // without an eval set the stage is a no-op — reuse the count
+    val nDecontam = if (evalDocs.isDefined) quality.count() else nQuality
 
     // 2. exact dedup: keep min doc_id per full-text hash
     val exactKeepers = quality

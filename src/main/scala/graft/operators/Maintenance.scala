@@ -331,11 +331,12 @@ object Maintenance {
     val looseRows = loose.map(f =>
       (f.getPath.toUri.getPath, f.getLen, f.getModificationTime))
     val dirPaths = dirs.map(_.getPath.toString)
+    val confProps = hadoopConfProps(spark)
     val listed = spark.sparkContext
       .parallelize(dirPaths, math.max(1, dirPaths.size))
       .flatMap { dir =>
         val p = new Path(dir)
-        val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val dfs = p.getFileSystem(hadoopConfFrom(confProps))
         val it = dfs.listFiles(p, true)
         val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
         while (it.hasNext) {
@@ -415,14 +416,21 @@ object Maintenance {
       .where($"mtime" < lit(olderThan.getTime))
       .select($"path")
 
-    // Report sample first (the delete invalidates the listing the plan
-    // would re-execute), then delete on the executors.
-    val paths = orphans.limit(reportMax).as[String].collect().toSeq.sorted
+    // Materialize the orphan set once: the report collect and the
+    // delete pass would otherwise each run the full distributed listing
+    // + manifest anti-join (double the LIST cost on object stores).
+    // Also: the delete invalidates the listing the plan would
+    // re-execute.
+    val materialized = orphans.cache()
+    val paths = materialized.limit(reportMax).as[String].collect().toSeq.sorted
     var deleted = 0L
     if (!dryRun) {
+      val confProps = hadoopConfProps(spark)
       val acc = spark.sparkContext.longAccumulator("orphansDeleted")
-      orphans.as[String].foreachPartition { (it: Iterator[String]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+      // delete() returns false for an already-absent file, so a retried
+      // task does not double-count files its first attempt removed.
+      materialized.as[String].foreachPartition { (it: Iterator[String]) =>
+        val conf = hadoopConfFrom(confProps)
         it.foreach { p =>
           val hp = new Path(p)
           if (hp.getFileSystem(conf).delete(hp, false)) acc.add(1L)
@@ -430,7 +438,26 @@ object Maintenance {
       }
       deleted = acc.value
     }
+    materialized.unpersist()
     OrphanResult(paths, deleted)
+  }
+
+  /** The session's Hadoop configuration as plain key/value pairs for
+    * shipping to executors — a bare `new Configuration()` there would
+    * drop every spark.hadoop.* setting (object-store credentials,
+    * endpoints, fs implementations). */
+  private def hadoopConfProps(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  private def hadoopConfFrom(props: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    props.foreach { case (k, v) => conf.set(k, v) }
+    conf
   }
 
   /** M4: rollback the current-snapshot pointer and rebuild partition

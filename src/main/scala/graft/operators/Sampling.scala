@@ -29,7 +29,10 @@ object Sampling {
   def hexThreshold(rate: Double): String =
     if (rate >= 1.0) "g"
     else if (rate <= 0.0) ""
-    else f"${(rate * 4294967296.0).round}%08x"
+    // cap at 2^32-1: a rate within 2^-33 of 1.0 rounds to 2^32, whose
+    // hex is 9 chars and sorts BELOW most 8-char hashes — the
+    // fixed-width invariant would silently drop ~94% of rows.
+    else f"${math.min((rate * 4294967296.0).round, 0xFFFFFFFFL)}%08x"
 
   /** The sampling hash: first 8 hex chars of md5 of the key rendered as
     * a string (BIGINT → decimal string in both engines). */

@@ -68,7 +68,11 @@ object TextAnalysis {
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id").agg(max($"c").as("top_tok_count"))
     base
-      .join(distinct3, Seq("doc_id"))
+      // left join + 0 default: docs under 3 tokens have no shingles and
+      // would vanish from the report through an inner join — they must
+      // appear with dup_3gram_share = 0, not be silently dropped.
+      .join(distinct3, Seq("doc_id"), "left")
+      .withColumn("n_distinct_3gram", coalesce($"n_distinct_3gram", lit(0L)))
       .join(topTok, Seq("doc_id"))
       .withColumn("n_3gram", greatest($"n_tokens" - 2, lit(0L)))
       .withColumn("dup_3gram_share",
@@ -98,14 +102,15 @@ object TextAnalysis {
       |  GROUP BY 1
       |)
       |SELECT b.doc_id, b.n_tokens,
-      |       greatest(b.n_tokens - 2, 0) AS n_3gram, d3.n_distinct_3gram,
+      |       greatest(b.n_tokens - 2, 0) AS n_3gram,
+      |       coalesce(d3.n_distinct_3gram, 0) AS n_distinct_3gram,
       |       CASE WHEN b.n_tokens > 2 THEN
-      |         CAST(greatest(b.n_tokens - 2, 0) - d3.n_distinct_3gram AS DOUBLE)
+      |         CAST(greatest(b.n_tokens - 2, 0) - coalesce(d3.n_distinct_3gram, 0) AS DOUBLE)
       |           / greatest(b.n_tokens - 2, 0)
       |       ELSE 0.0 END AS dup_3gram_share,
       |       tt.top_tok_count,
       |       CAST(tt.top_tok_count AS DOUBLE) / b.n_tokens AS top_tok_share
-      |FROM base b JOIN d3 ON b.doc_id = d3.doc_id JOIN tt ON b.doc_id = tt.doc_id
+      |FROM base b LEFT JOIN d3 ON b.doc_id = d3.doc_id JOIN tt ON b.doc_id = tt.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")

@@ -18,13 +18,21 @@ final class PlanCache[K, V <: AnyRef](maxEntries: Int, onEvict: V => Unit) {
       if (size() > maxEntries) { onEvict(e.getValue); true } else false
   }
 
-  def getOrElseUpdate(k: K)(compute: => V): V = synchronized {
-    val existing = map.get(k)
-    if (existing != null) existing
-    else {
-      val v = compute
-      map.put(k, v)
-      v
+  /** Lookup-or-build. `compute` runs OUTSIDE the cache lock — builds
+    * can be whole multi-job index constructions (k-means, shingling)
+    * and must not serialize unrelated callers. Two threads racing on
+    * the same key may both compute; the loser's value is evicted
+    * immediately and the winner's returned. */
+  def getOrElseUpdate(k: K)(compute: => V): V = {
+    synchronized {
+      val existing = map.get(k)
+      if (existing != null) return existing
+    }
+    val v = compute
+    synchronized {
+      val raced = map.get(k)
+      if (raced != null) { onEvict(v); raced }
+      else { map.put(k, v); v }
     }
   }
 
