@@ -11,6 +11,18 @@ class SamplingSpec extends SparkSpec {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("doc_id").collect().map(_.getLong(0)).toSet
 
+  test("rates within 2^-33 of 1.0 keep (almost) everything, monotonically") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val n = docs.count()
+    // the threshold must stay 8 chars (or the sentinel) at every rate
+    assert(Sampling.hexThreshold(0.999999999999) == "ffffffff")
+    assert(Sampling.hexThreshold(1.0) == "g")
+    val nearOne = Sampling.sample(docs, $"doc_id", 0.999999999999).count()
+    assert(nearOne >= n - 1 && nearOne <= n)
+    assert(Sampling.sample(docs, $"doc_id", 1.0).count() == n)
+  }
+
   test("same rate selects the same rows on every run") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDirMid)
