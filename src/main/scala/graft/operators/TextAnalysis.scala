@@ -304,8 +304,15 @@ object TextAnalysis {
     * aggregation, the top-n is a TakeOrdered. */
   def topBigrams(spark: SparkSession, d: String, n: Int = 20): DataFrame = {
     import spark.implicits._
+    // typed flatMap over primitive string ops — the interpreted
+    // higher-order shingles() expression is ~5x slower on this path
+    // (same trade as Dedup.docShingles).
     Tables.documents(spark, d)
-      .select(explode(shingles($"text", 2)).as("bigram"))
+      .where($"text".isNotNull)
+      .select($"text").as[String]
+      .flatMap(t => t.toLowerCase.split(' ').sliding(2)
+        .withFilter(_.length == 2).map(_.mkString(" ")))
+      .toDF("bigram")
       .groupBy($"bigram").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram".asc)
       .limit(n)
