@@ -19,10 +19,13 @@ final case class Cron(
   private def dayMatches(t: ZonedDateTime): Boolean = {
     val domOk = dom.contains(t.getDayOfMonth)
     val dowOk = dow.contains(t.getDayOfWeek.getValue % 7) // java MON=1..SUN=7 → cron SUN=0
+    // The starBit only switches the dom/dow COMBINATION to OR when both
+    // are explicitly restricted; membership is always tested — a
+    // star-headed step like `*/2` still only matches its stepped days
+    // (its set is {1,3,…}, and a plain `*`'s set is the full range, so
+    // the AND is vacuous there).
     if (domRestricted && dowRestricted) domOk || dowOk
-    else if (domRestricted) domOk
-    else if (dowRestricted) dowOk
-    else true
+    else domOk && dowOk
   }
 
   def matches(at: Instant): Boolean = {

@@ -271,7 +271,11 @@ object Maintenance {
     // the id/parent lookups stay driver-side by design.
     val mine = store.snapshots.filter(s => s.database == database && s.table == table)
       .map(_.snapshotId).collect()
-    val newId = (mine :+ 0L).max + 1
+    // Never below the clock's epoch-millis: max(live)+1 alone can
+    // REUSE the id of an expired snapshot (expire drops rows, the max
+    // shrinks) and corrupt anything still referencing the old id —
+    // table formats never reuse snapshot ids.
+    val newId = math.max((mine :+ 0L).max + 1, now.toEpochMilli)
     val parent = store.tables.collect()
       .find(t => t.database == database && t.name == table)
       .flatMap(_.currentSnapshotId)
@@ -299,12 +303,23 @@ object Maintenance {
         $"n".as("recordCount"), $"size".as("fileSizeInBytes"))
       .as[Model.FileMeta]
 
-    val addedCount = newRows.count()
+    // "added" = files NOT in the parent snapshot's manifest — the whole
+    // inventory lands in the new manifest, but untouched partitions'
+    // files are carried over, not added (Iceberg's rewrite summary
+    // counts the same way).
+    val parentPaths = store.files
+      .filter(f => f.database == database && f.table == table &&
+        parent.contains(f.snapshotId))
+      .toDF().select($"filePath".as("path"))
+    val totalCount = newRows.count()
+    val addedCount = newRows.toDF().select($"filePath".as("path"))
+      .join(parentPaths, Seq("path"), "left_anti").count()
     val newSnap = Model.SnapshotMeta(database, table,
       committedAt = Timestamp.from(now), snapshotId = newId, parentId = parent,
       operation = "replace", manifestList = tablePath,
       summary = Map("operation" -> "rewrite_data_files",
-        "added-data-files" -> addedCount.toString))
+        "added-data-files" -> addedCount.toString,
+        "total-data-files" -> totalCount.toString))
 
     // Append-only commits: neither slice needs to read itself back.
     store.write("snapshots", spark.createDataset(Seq(newSnap)), SaveMode.Append)
@@ -497,11 +512,19 @@ object Maintenance {
         max($"specId").as("specId"))
     val cutoff = java.sql.Date.valueOf(graft.meta.SmallFiles.cutoffDay(now, cfg.delayHours))
     val scored = stats
-      .withColumn("part_date", when($"partition".getItem("year").isNotNull,
-        try_to_date(concat_ws("-",
-          $"partition".getItem("year"),
-          lpad(coalesce($"partition".getItem("month"), lit("01")), 2, "0"),
-          lpad(coalesce($"partition".getItem("day"), lit("01")), 2, "0")))))
+      // part_date understands BOTH partition layouts this engine
+      // produces: date=YYYY-MM-DD (compact's layout — commitCompaction
+      // manifests carry a "date" key) and the expanded year/month/day
+      // hidden transform. Without the date-key branch, compacted
+      // partitions scored with a null date and the delayHours freshness
+      // guard never suppressed them.
+      .withColumn("part_date", coalesce(
+        try_to_date($"partition".getItem("date")),
+        when($"partition".getItem("year").isNotNull,
+          try_to_date(concat_ws("-",
+            $"partition".getItem("year"),
+            lpad(coalesce($"partition".getItem("month"), lit("01")), 2, "0"),
+            lpad(coalesce($"partition".getItem("day"), lit("01")), 2, "0"))))))
       .withColumn("needsOptimize",
         $"small_count" >= cfg.minCount &&
           $"small_count" * 100 >= $"fileCount" * cfg.minSharePercent &&

@@ -34,6 +34,19 @@ class CronSpec extends AnyFunSuite {
     assert(next("0 12 * * 1", "2026-02-27T00:00:00Z") == "2026-03-02T12:00:00Z")
   }
 
+  test("star-headed steps still restrict day matching (only the OR-combination is starBit-relaxed)") {
+    // */2 dom = {1,3,5,...}: from Jan 1 the next fire is Jan 3, not Jan 2.
+    assert(next("0 0 */2 * *", "2026-01-01T00:00:00Z") == "2026-01-03T00:00:00Z")
+    // */2 dow = {0,2,4,6} (Sun/Tue/Thu/Sat). 2026-03-02 is a Monday →
+    // next match is Tuesday Mar 3, not Monday.
+    assert(next("0 3 * * */2", "2026-03-02T00:00:00Z") == "2026-03-03T03:00:00Z")
+    // star-headed dom step does NOT enter the OR-rule: `0 0 */2 * 1`
+    // requires BOTH an odd day and (dow unrestricted? no: dow=Monday) —
+    // robfig: dom star-headed → AND → first odd-day Monday after Mar 3
+    // 2026 is Mar 9 (Monday, odd).
+    assert(next("0 0 */2 * 1", "2026-03-03T00:00:00Z") == "2026-03-09T00:00:00Z")
+  }
+
   test("dom/dow OR rule when both restricted") {
     // Either the 10th OR a Monday. From Mar 3 2026 (Tue): Mon Mar 9 < Mar 10.
     assert(next("0 0 10 * 1", "2026-03-03T00:00:00Z") == "2026-03-09T00:00:00Z")
