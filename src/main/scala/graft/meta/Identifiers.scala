@@ -41,7 +41,10 @@ object Identifiers {
   def sanitizeK8sName(name: String): String = {
     val b = new StringBuilder
     var lastDash = false
-    name.toLowerCase.foreach { c =>
+    // Locale.ROOT: a Turkish default locale maps 'I' to dotless ı,
+    // which fails the a-z check and silently changes the app name
+    // between differently-configured hosts.
+    name.toLowerCase(java.util.Locale.ROOT).foreach { c =>
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         b.append(c); lastDash = false
       } else if (!lastDash) {
@@ -61,13 +64,22 @@ object Identifiers {
   def buildAppName(prefix: String, table: String, taskId: Long): String = {
     val tablePart0 = sanitizeK8sName(table)
     val suffix = taskId.toString
-    val maxTableLength = K8sNameMaxLength - prefix.length - suffix.length - 2
-    if (maxTableLength <= 0) return s"$prefix-$suffix"
+    // the prefix must obey RFC-1123 too, and an oversized prefix must
+    // shrink — "<60-char-prefix>-<id>" would exceed the 63-char limit
+    // and be rejected by the K8s API at submit time.
+    val prefix0 = sanitizeK8sName(prefix)
+    val prefixMax = K8sNameMaxLength - suffix.length - 1
+    val prefixFit =
+      if (prefix0.length > prefixMax)
+        prefix0.substring(0, math.max(prefixMax, 1)).stripSuffix("-")
+      else prefix0
+    val maxTableLength = K8sNameMaxLength - prefixFit.length - suffix.length - 2
+    if (maxTableLength <= 0) return s"$prefixFit-$suffix"
     val tablePart =
       if (tablePart0.length > maxTableLength)
         tablePart0.substring(0, maxTableLength).stripPrefix("-").stripSuffix("-")
       else tablePart0
-    if (tablePart.isEmpty || tablePart == DefaultAppName) s"$prefix-$suffix"
-    else s"$prefix-$tablePart-$suffix"
+    if (tablePart.isEmpty || tablePart == DefaultAppName) s"$prefixFit-$suffix"
+    else s"$prefixFit-$tablePart-$suffix"
   }
 }

@@ -49,9 +49,12 @@ final class MetaStore(val spark: SparkSession, val root: String) {
     fs.delete(old, true)
   }
 
-  def exists(name: String): Boolean =
-    new java.io.File(new java.net.URI("file://" + path(name)).getPath).exists() ||
-      new java.io.File(path(name)).exists()
+  def exists(name: String): Boolean = {
+    // Hadoop FS, not java.io.File: a non-local root (s3a://, hdfs://)
+    // would otherwise read every slice as silently empty.
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Read a metadata table; empty typed Dataset when absent. */
   def read[T: Encoder](name: String): Dataset[T] = {

@@ -137,11 +137,6 @@ object PartitionModel {
         }
       }
     }
-    val resolvedCount = out.result().size
-    val coveredKeys = spec.filter(f => filters.contains(f.name)).map(_.name).toSet
-    if (coveredKeys != filters.keySet)
-      return Left("filter keys not fully resolved")
-    val _ = resolvedCount
     Right(out.result())
   }
 

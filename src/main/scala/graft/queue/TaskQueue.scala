@@ -35,27 +35,67 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
 
   private def all(): Seq[TaskRow] = store.tasks.collect().toSeq
 
+  // rename-swap write (MetaStore.rewrite): a plain Overwrite deletes
+  // the part files before rewriting them, so any concurrent reader sees
+  // an empty or partial queue mid-save.
   private def save(rows: Seq[TaskRow]): Unit =
-    store.write("tasks", store.spark.createDataset(rows), SaveMode.Overwrite)
+    store.rewrite("tasks", store.spark.createDataset(rows))
+
+  // Cross-process mutual exclusion for the shipped CLI surface: `serve`
+  // and `work` run as separate JVMs against the same store, where the
+  // in-JVM monitor alone would let one process's read-modify-write
+  // clobber the other's enqueue/claim. An advisory file lock next to
+  // the tasks table covers file:// roots; a remote root (s3a/hdfs)
+  // needs an external coordinator, like the reference's MySQL.
+  private val lockFile: Option[java.io.File] =
+    try {
+      val f = new java.io.File(store.path("tasks.lock"))
+      Option(f.getParentFile).foreach(_.mkdirs())
+      f.createNewFile()
+      Some(f)
+    } catch { case _: Exception => None }
+
+  private def withProcessLock[T](body: => T): T = lockFile match {
+    case None => body
+    case Some(f) =>
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+  }
+
+  /** Next task id: one above BOTH the live max and the persisted
+    * high-water mark — ids are never reused after flush() deletes
+    * terminal rows (the reference's auto-increment never reuses either;
+    * a recycled id would let a stale status poll or late procedure
+    * callback hit an unrelated task). */
+  private def nextId(rows: Seq[TaskRow]): Long = {
+    val id = math.max(rows.map(_.id).maxOption.getOrElse(0L),
+      store.longSetting("task_id_seq", 0L)) + 1
+    store.setSetting("task_id_seq", id.toString, clock())
+    id
+  }
 
   def enqueue(database: String, table: String, kind: String, engine: String,
-      input: Map[String, String]): Long = lock.synchronized {
+      input: Map[String, String]): Long = lock.synchronized { withProcessLock {
     require(Model.TaskKind.all.contains(kind), s"unknown task kind: $kind")
     val rows = all()
-    val id = rows.map(_.id).maxOption.getOrElse(0L) + 1
+    val id = nextId(rows)
     save(rows :+ TaskRow(id, database, table, kind, engine,
       startedAt = now(), pickedUpAt = None, finishedAt = None,
       status = TaskStatus.Queued, retried = false, errorMessage = None,
       input = input, result = Map.empty))
     id
-  }
+  } }
 
   /** Claim the oldest queued task iff running < concurrency. The gate is
     * resolved from the `task_concurrency` settings row at claim time with
     * the caller's value as the default, clamped to ≥1 — exactly the
     * reference's claim path (service_task_queue.go:223-236: GetIntSetting
     * per claim, `if taskConcurrency < 1 { taskConcurrency = 1 }`). */
-  def claim(concurrency: Int): Option[TaskRow] = lock.synchronized {
+  def claim(concurrency: Int): Option[TaskRow] = lock.synchronized { withProcessLock {
     val effective =
       math.max(1, store.intSetting("task_concurrency", concurrency))
     val rows = all()
@@ -66,12 +106,12 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
         save(rows.map(r => if (r.id == t.id) claimed else r))
         claimed
       }
-  }
+  } }
 
   /** Complete a running task: merge result (shallow, last wins —
     * reference F13, service_task_queue.go:397-409), set terminal status. */
   def complete(id: Long, result: Map[String, String], error: Option[String]): Boolean =
-    lock.synchronized {
+    lock.synchronized { withProcessLock {
       val rows = all()
       rows.find(t => t.id == id && t.status == TaskStatus.Running) match {
         case None => false
@@ -84,12 +124,12 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
           save(rows.map(r => if (r.id == id) done else r))
           true
       }
-    }
+    } }
 
   /** Merge a partial result into a RUNNING task without changing its
     * status (the mid-flight callback path,
     * service_task_queue.go:361-378; shallow last-wins merge F13). */
-  def updateResult(id: Long, update: Map[String, String]): Boolean = lock.synchronized {
+  def updateResult(id: Long, update: Map[String, String]): Boolean = lock.synchronized { withProcessLock {
     val rows = all()
     rows.find(t => t.id == id && t.status == TaskStatus.Running) match {
       case None => false
@@ -97,7 +137,7 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
         save(rows.map(r => if (r.id == id) t.copy(result = t.result ++ update) else r))
         true
     }
-  }
+  } }
 
   /** Nested result update: store a JSON-encoded payload under one key
     * (the reference's `procedure` callback slot,
@@ -121,10 +161,10 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
 
   /** Retry an errored, not-yet-retried task: flag the original and
     * enqueue a fresh clone with the same input. Returns the clone id. */
-  def retry(id: Long): Option[Long] = lock.synchronized {
+  def retry(id: Long): Option[Long] = lock.synchronized { withProcessLock {
     val rows = all()
     rows.find(t => t.id == id && t.status == TaskStatus.Error && !t.retried).map { t =>
-      val cloneId = rows.map(_.id).max + 1
+      val cloneId = nextId(rows)
       val clone = TaskRow(cloneId, t.database, t.table, t.kind, t.engine,
         startedAt = now(), pickedUpAt = None, finishedAt = None,
         status = TaskStatus.Queued, retried = false, errorMessage = None,
@@ -132,7 +172,7 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
       save(rows.map(r => if (r.id == id) r.copy(retried = true) else r) :+ clone)
       cloneId
     }
-  }
+  } }
 
   /** Worker-loop automatic retry (the reference's retried-flag semantics,
     * service_task_queue.go:166-202, driven from the worker instead of the
@@ -142,10 +182,10 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
     * attempt: when the clone errors too, neither the auto path nor this
     * method will retry it again, so a permanent failure ends as exactly
     * one error row with retried=true (plus its flagged ancestor). */
-  def retryAuto(id: Long): Option[Long] = lock.synchronized {
+  def retryAuto(id: Long): Option[Long] = lock.synchronized { withProcessLock {
     val rows = all()
     rows.find(t => t.id == id && t.status == TaskStatus.Error && !t.retried).map { t =>
-      val cloneId = rows.map(_.id).max + 1
+      val cloneId = nextId(rows)
       val clone = TaskRow(cloneId, t.database, t.table, t.kind, t.engine,
         startedAt = now(), pickedUpAt = None, finishedAt = None,
         status = TaskStatus.Queued, retried = true, errorMessage = None,
@@ -153,19 +193,19 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
       save(rows.map(r => if (r.id == id) r.copy(retried = true) else r) :+ clone)
       cloneId
     }
-  }
+  } }
 
   /** Delete terminal tasks; returns how many were removed. */
-  def flush(): Long = lock.synchronized {
+  def flush(): Long = lock.synchronized { withProcessLock {
     val rows = all()
     val (gone, keep) = rows.partition(t =>
       t.status == TaskStatus.Success || t.status == TaskStatus.Error)
     save(keep)
     gone.size.toLong
-  }
+  } }
 
   /** status → count for the live statuses (A4). */
-  def counts(): Map[String, Long] = {
+  def counts(): Map[String, Long] = lock.synchronized {
     import org.apache.spark.sql.functions._
     store.tasks
       .filter(col("status").isin(TaskStatus.Queued, TaskStatus.Running))
@@ -174,7 +214,7 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
   }
 
   /** Paginated list + total (A5, service_task_queue.go:469-507). */
-  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) = {
+  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) = lock.synchronized {
     val filtered = all().filter(t => statuses.isEmpty || statuses.contains(t.status))
       .sortBy(t => (-t.startedAt.getTime, -t.id))
     (filtered.slice(offset, offset + limit), filtered.size.toLong)

@@ -69,16 +69,25 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          var n = prev.nEvents
-          var total = prev.totalValue
-          var last = prev.lastTs
-          rows.foreach { e =>
-            n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+          if (state.hasTimedOut) {
+            // idle past the timeout: emit the final totals once and
+            // EVICT — without the remove() the state re-arms forever
+            // (unbounded store growth + a duplicate row per timeout).
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            state.remove()
+            UserActivity(user, prev.nEvents, prev.totalValue)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var n = prev.nEvents
+            var total = prev.totalValue
+            var last = prev.lastTs
+            rows.foreach { e =>
+              n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessionState(n, total, last))
+            state.setTimeoutDuration("1 hour")
+            UserActivity(user, n, total)
           }
-          state.update(SessionState(n, total, last))
-          state.setTimeoutDuration("1 hour")
-          UserActivity(user, n, total)
         })
   }
 

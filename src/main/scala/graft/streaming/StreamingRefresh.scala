@@ -20,8 +20,10 @@ object StreamingRefresh {
   def refreshEventStats(spark: SparkSession, sourceDir: String, statePath: String,
       checkpoint: String): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
+    // the aggregate below keys on event_type only — no ts conversion
+    // needed (and the old double-division form had the 53-bit-mantissa
+    // precision bug Tables.events documents)
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
 
     val q = stream
       .groupBy(col("event_type"))
@@ -32,18 +34,31 @@ object StreamingRefresh {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark2 = batch.sparkSession
+        val hconf = spark2.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(statePath)
+        val fs = target.getFileSystem(hconf)
         val incoming = batch.select("event_type", "n", "total")
         val existing =
-          if (new java.io.File(statePath).exists())
-            spark2.read.parquet(statePath)
+          if (fs.exists(target)) spark2.read.parquet(statePath)
           else incoming.limit(0)
         // merge: sum overlapping keys (complete mode replays the whole
         // aggregate, so "merge" here is replace-by-key + keep-others).
         val merged = existing.join(incoming, Seq("event_type"), "left_anti")
           .unionByName(incoming)
-        val tmp = statePath + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        spark2.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
+        // crash-durable rename swap (same shape as MetaStore.rewrite):
+        // write tmp distributed, move the old state aside, promote tmp —
+        // never a delete-then-rewrite window, no leaked tmp dirs.
+        val tmp = new org.apache.hadoop.fs.Path(statePath + "__tmp")
+        val old = new org.apache.hadoop.fs.Path(statePath + "__old")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target) && !fs.rename(target, old))
+          throw new java.io.IOException(s"could not move $target aside")
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"could not promote $tmp to $target")
+        fs.delete(old, true)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
