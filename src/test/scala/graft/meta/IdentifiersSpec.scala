@@ -50,5 +50,9 @@ class IdentifiersSpec extends AnyFunSuite {
     assert(crowded.startsWith("optimize-") && crowded.endsWith("-123456789"))
     // No room for the table part at all → prefix-suffix only.
     assert(buildAppName("p" * 60, "table", 1L) == "p" * 60 + "-1")
+    // Oversized/unsanitized prefixes shrink too — never over 63 chars.
+    val overflow = buildAppName("P" * 70, "table", 12345L)
+    assert(overflow.length <= 63, overflow)
+    assert(overflow.endsWith("-12345") && overflow.startsWith("ppp"))
   }
 }

@@ -65,6 +65,20 @@ class TaskQueueSpec extends SparkSpec {
     assert(q.counts() == Map(Model.TaskStatus.Queued -> 1L))
   }
 
+  test("task ids are never reused after flush") {
+    val q = newQueue()
+    val a = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    val b = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    q.claim(2); q.claim(2)
+    q.complete(a, Map.empty, None)
+    q.complete(b, Map.empty, None)
+    assert(q.flush() == 2)
+    // the queue is empty, but the high-water mark persists: the next id
+    // must be above BOTH flushed ids, so stale references can't collide.
+    val c = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
+    assert(c > b, s"id $c reused after flush of $a/$b")
+  }
+
   test("mid-flight nested result update lands under its key for running tasks only") {
     val q = newQueue()
     val id = q.enqueue("db", "t", Model.TaskKind.Optimize, "spark", Map.empty)
