@@ -108,7 +108,11 @@ object CosineSimilarity {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[CosineSimilarity].getName, name),
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"${CosineSimilarity.name} expects 2 arguments, got ${children.length}")
+          CosineSimilarity(children(0), children(1))
+        })
     }
   }
 }
@@ -119,6 +123,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+          require(children.length == 2,
+            s"${CosineSimilarity.name} expects 2 arguments, got ${children.length}")
+          CosineSimilarity(children(0), children(1))
+        }))
   }
 }

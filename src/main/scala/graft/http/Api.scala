@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.Engine
-import graft.meta.{MetaStore, Model}
+import graft.meta.{MetaStore, Model, PartitionModel}
 
 /** The REST façade — the reference's HTTP surface (main.go:37-101 route
   * map) over the same engine objects the CLI uses, served by the JDK's
@@ -46,7 +46,17 @@ final class Api(store: MetaStore, engine: Engine,
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val result =
       try route(method, segs, body)
-      catch { case e: Throwable => (500, obj("error" -> str(Option(e.getMessage).getOrElse(e.toString)))) }
+      catch {
+        // client-input failures (missing body keys, unparsable dates,
+        // non-numeric ids, bad escapes) are 400s, like the reference's
+        // bind-error handling — only genuine engine faults are 500s.
+        case e @ (_: NoSuchElementException | _: NumberFormatException |
+            _: java.time.format.DateTimeParseException |
+            _: IllegalArgumentException) =>
+          (400, obj("error" -> str(Option(e.getMessage).getOrElse(e.toString))))
+        case e: Throwable =>
+          (500, obj("error" -> str(Option(e.getMessage).getOrElse(e.toString))))
+      }
     val bytes = result._2.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(result._1, bytes.length.toLong)
@@ -159,7 +169,10 @@ final class Api(store: MetaStore, engine: Engine,
         dataRoot match {
           case None => (400, obj("error" -> str("no data root configured")))
           case Some(root) =>
-            val live = new java.io.File(root).listFiles()
+            // listFiles() is null for a missing/non-directory root
+            val live = Option(new java.io.File(root).listFiles())
+              .getOrElse(return (400,
+                obj("error" -> str(s"data root $root is not a readable directory"))))
               .filter(f => f.isFile && f.getName.endsWith(".parquet"))
               .map(f => f.getName.stripSuffix(".parquet") -> f.getPath).toMap
             val stale = graft.operators.Refresh.fullRefresh(store, db, live,
@@ -199,10 +212,9 @@ final class Api(store: MetaStore, engine: Engine,
   private def specOf(db: String, table: String): Seq[Model.PartitionField] = {
     val keys = store.partitions.collect()
       .filter(p => p.database == db && p.table == table)
-      .flatMap(_.partition.keys).distinct
-    val order = Seq("year", "month", "day").filter(keys.contains) ++
-      keys.filterNot(Set("year", "month", "day")).sorted
-    order.map(k => Model.PartitionField(k, k, isHidden = false, None))
+      .flatMap(_.partition.keys).toSet
+    PartitionModel.browseKeyOrder(keys, Seq("year", "month", "day"))
+      .map(k => Model.PartitionField(k, k, isHidden = false, None))
   }
 
   private def taskJson(t: Model.TaskRow): String = obj(

@@ -26,7 +26,7 @@ import graft.sources.Tables
   */
 object MetaDerive {
 
-  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = graft.functions.ExactNumeric.money(c)
 
   /** Small-file scoring config used by the oracle-checked queries: fixed
     * `now` (freshness guard needs determinism) and a threshold sized to

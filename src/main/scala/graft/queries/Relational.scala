@@ -24,7 +24,7 @@ import graft.sources.Tables
   */
 object Relational {
 
-  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = graft.functions.ExactNumeric.money(c)
 
   /** A1 table-summary-shaped agg (ref: service_metadata.go:36-66):
     * grouped COUNT/SUM/COALESCE over the big fact table. TPC-H Q1 shape.

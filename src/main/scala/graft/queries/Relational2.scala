@@ -13,7 +13,7 @@ import graft.sources.Tables
   */
 object Relational2 {
 
-  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = graft.functions.ExactNumeric.money(c)
 
   /** Left outer join + null-aware aggregation: every nation with its
     * (possibly absent) high-value order stats. */

@@ -10,7 +10,7 @@ import graft.sources.Tables
   */
 object Relational3 {
 
-  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = graft.functions.ExactNumeric.money(c)
 
   /** Array aggregation: per order priority, the sorted distinct set of
     * order statuses plus counts. The built array is rendered to a joined

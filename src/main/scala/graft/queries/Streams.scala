@@ -15,7 +15,7 @@ import graft.streaming.EventStreams
   */
 object Streams {
 
-  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def money(c: org.apache.spark.sql.Column) = graft.functions.ExactNumeric.money(c)
 
   /** Tumbling-window counts per event type (EventStreams.windowedCounts
     * in batch mode; sums decimal-cast for cross-engine exactness). */
@@ -54,12 +54,17 @@ object Streams {
   }
 
   val q33Sql: String =
-    """WITH e AS (
+    """WITH raw AS (
+      |  -- µs-truncate like Tables.events: a ns-precision gap within
+      |  -- 1µs of exactly 30min could otherwise split sessions
+      |  -- differently between the engines
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), e AS (
       |  SELECT user_id, event_id, ts, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS new_sess
-      |  FROM events
+      |  FROM raw
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), s AS (
       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

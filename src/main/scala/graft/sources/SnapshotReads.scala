@@ -56,10 +56,18 @@ object SnapshotReads {
     // (Iceberg's incremental scan refuses the same way).
     var cursor: Option[Long] = Some(toSnapshotId)
     var onChain = false
+    val visited = scala.collection.mutable.Set.empty[Long]
     while (cursor.isDefined && !onChain) {
-      if (cursor.contains(fromSnapshotId)) onChain = true
+      val id = cursor.get
+      if (id == fromSnapshotId) onChain = true
       else {
-        val s = snaps(cursor.get)
+        // a parent expired out of the store, or a corrupt cyclic chain,
+        // must fail with the lineage error — not a map crash or an
+        // infinite walk
+        require(visited.add(id), s"cyclic snapshot lineage at $id")
+        val s = snaps.getOrElse(id, throw new IllegalArgumentException(
+          s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId " +
+            s"(chain breaks at missing snapshot $id)"))
         require(s.operation == "append",
           s"snapshot ${s.snapshotId} on the incremental path is a " +
             s"'${s.operation}', not an append — incremental read is " +
