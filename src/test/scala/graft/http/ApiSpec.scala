@@ -103,6 +103,12 @@ class ApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       """{"from": "2026-02-01", "to": "2026-01-01"}""")
     assert(oc == 400 && oerr.contains("from date must be before"))
     assert(send("DELETE", "/tasks", "")._2 == """{"flushed": 0}""") // none terminal
+    // Malformed client input is a 400, not a 500: empty body (missing
+    // "from"), unparsable date, non-numeric retry id.
+    assert(send("POST", "/tasks/db/li/optimize", "{}")._1 == 400)
+    assert(send("POST", "/tasks/db/li/optimize",
+      """{"from": "not-a-date", "to": "2026-01-01"}""")._1 == 400)
+    assert(send("POST", "/tasks/retry/abc", "")._1 == 400)
   }
 
   test("refresh: one table from the data root, then full refresh cascades") {
