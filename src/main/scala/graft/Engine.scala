@@ -42,6 +42,7 @@ final class Engine(
             .collect().toSeq
             .flatMap(p => PartitionModel.partitionDate(p.partition))
             .filter(d => !d.isBefore(effective.from) && !d.isAfter(effective.to))
+            // no implicit Ordering[LocalDate] in the 2.13 stdlib
             .sorted(Ordering.by((d: LocalDate) => d.toEpochDay))
           Planner.planChunks(partitionDates, effective, chunk).map { c =>
             queue.enqueue(database, table, Model.TaskKind.Optimize,
@@ -128,9 +129,10 @@ final class Engine(
                 case None => Left(s"no data path for ${task.database}.${task.table}")
                 case Some(path) =>
                   val target = task.input.get("target_file_size_mb")
-                    .flatMap(_.toLongOption).getOrElse(512L) * 1024L * 1024L
+                    .flatMap(_.toLongOption)
+                    .getOrElse(Model.Defaults.TargetFileSizeMb.toLong) * 1024L * 1024L
                   val until = LocalDate.parse(task.input("to")).plusDays(1).toString
-                  val r = operators.Maintenance.compact(store.spark, path,
+                  val r = operators.Maintenance.compactAuto(store.spark, path,
                     task.input("from"), until, target)
                   // Manifest-tracked tables get a new `replace` snapshot
                   // so the rewritten files enter the manifest before any
@@ -175,7 +177,8 @@ final class Engine(
               }
             case other => Left(s"unknown task kind $other")
           }
-        } catch { case e: Throwable => Left(e.getMessage) }
+        } catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.toString)) }
       result match {
         case Right(res) => queue.complete(task.id, res, None)
         case Left(err) =>

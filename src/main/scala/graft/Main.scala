@@ -17,7 +17,7 @@ import graft.meta.MetaStore
   * runMain graft.Main sample    <docsParquet> <outDir> <rate>               # deterministic sample
   * runMain graft.Main index-build <corpusParquet> <indexDir>                # persist dedup index
   * runMain graft.Main index-dedup <batchParquet> <indexDir> <keptOut> [thr] # dedup batch vs index
-  * runMain graft.Main serve     <metaDir> [port]       # REST façade (default 8080)
+  * runMain graft.Main serve     <metaDir> [port] [dataRoot]  # REST façade (default 8080)
   * }}}
   */
 object Main {
@@ -25,8 +25,11 @@ object Main {
     require(args.length >= 2, "usage: <command> <metaDir> ...")
     val cmd = args(0)
     val spark = Sessions.local(s"graft-$cmd")
-    val store = new MetaStore(spark, args(1))
-    val engine = new Engine(store)
+    // lazy: the corpus commands' args(1) is a DATASET path, not a
+    // metaDir — eagerly building the store/queue there would drop a
+    // tasks.lock file inside the user's input data
+    lazy val store = new MetaStore(spark, args(1))
+    lazy val engine = new Engine(store)
     try {
       cmd match {
         case "refresh" =>
@@ -61,7 +64,8 @@ object Main {
           println(ids.fold(e => s"error: $e", ids => s"enqueued ${ids.size} tasks"))
         case "serve" =>
           val port = if (args.length > 2) args(2).toInt else 8080
-          val server = new http.Api(store, engine).start(port)
+          val dataRoot = if (args.length > 3) Some(args(3)) else None
+          val server = new http.Api(store, engine, dataRoot).start(port)
           println(s"serving /api on port ${server.getAddress.getPort} (ctrl-c to stop)")
           Thread.currentThread().join() // serve until killed
         case "clean" =>

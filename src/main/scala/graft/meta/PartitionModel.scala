@@ -72,8 +72,12 @@ object PartitionModel {
     }
   }
 
-  /** PartitionValues → UTC date; None when year/month/day keys are absent
-    * (types_iceberg.go:73-123). Accepts mixed zero-padding ("6" == "06"). */
+  /** PartitionValues → UTC date; None when no date-bearing keys are
+    * present (types_iceberg.go:73-123). Understands BOTH layouts the
+    * engine produces: a flat `date=YYYY-MM-DD` key (compaction
+    * manifests — without this branch the optimize planner silently
+    * skipped every flagged date-keyed partition) and the expanded
+    * year/month/day keys, with mixed zero-padding ("6" == "06"). */
   def partitionDate(values: Map[String, String]): Option[LocalDate] = {
     def intOf(key: String): Option[Int] =
       values.get(key).flatMap { raw =>
@@ -81,10 +85,12 @@ object PartitionModel {
         val s = if (t.isEmpty && raw.nonEmpty) "0" else t
         scala.util.Try(s.toInt).toOption
       }
-    for {
+    val flat = values.get("date")
+      .flatMap(s => scala.util.Try(LocalDate.parse(s)).toOption)
+    flat.orElse(for {
       y <- intOf("year"); m <- intOf("month"); d <- intOf("day")
       date <- scala.util.Try(LocalDate.of(y, m, d)).toOption
-    } yield date
+    } yield date)
   }
 
   /** Hidden time filter → raw partition literal

@@ -157,6 +157,22 @@ object Maintenance {
     spark.createDataFrame(rows, schema).drop("__ord")
   }
 
+  /** Layout-dispatching compaction: flat `date=` partition dirs go
+    * through [[compact]], the nested `year=/month=/day=` hidden-day
+    * layout through [[compactNested]]. The worker calls this — a task
+    * for a layout the flat matcher can't see must not complete as a
+    * silent success with zero rewrites. */
+  def compactAuto(spark: SparkSession, tablePath: String, from: String,
+      until: String, targetFileBytes: Long, minInputFiles: Int = 2): CompactResult = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    if (top.exists(_.startsWith("year=")) && !top.exists(_.startsWith("date=")))
+      compactNested(spark, tablePath, from, until, targetFileBytes, minInputFiles)
+    else
+      compact(spark, tablePath, from, until, targetFileBytes, minInputFiles)
+  }
+
   /** M1 variant for the reference's hidden day-transform layout: a
     * table partitioned as `year=YYYY/month=MM/day=DD` (the expanded
     * day(col) transform, iceberg_client.go:476-496). Same binpack

@@ -22,6 +22,7 @@ object Profile {
     * (string-typed and integral columns only — float formatting is not
     * portable across engines). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
     cols.map { c =>
@@ -41,6 +42,7 @@ object Profile {
     * and approximate quantiles (no cross-engine oracle — sketches
     * differ; ProfileSpec bounds the estimation error instead). */
   def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
     cols.map { c =>

@@ -20,23 +20,33 @@ import graft.meta.{MetaStore, Model, PartitionModel, SmallFiles}
   */
 object Refresh {
 
+  /** Describe one live parquet table into a `tables` row. The snapshot
+    * pointer of an existing row is PRESERVED — refresh rebuilds the
+    * description, it does not abandon manifest lineage (resetting it
+    * broke the next expire/commit on manifest-tracked tables). */
+  private def describeRow(store: MetaStore, database: String, name: String,
+      dataPath: String, now: Instant,
+      existing: Seq[Model.TableMeta]): Model.TableMeta = {
+    val df = store.spark.read.parquet(dataPath)
+    val columns = df.schema.fields.toSeq.map(f =>
+      Model.TableColumn(f.name, f.dataType.simpleString))
+    val prior = existing.find(t => t.database == database && t.name == name)
+    Model.TableMeta(database, name, columns,
+      partitions = prior.map(_.partitions).getOrElse(Seq.empty),
+      currentSnapshotId = prior.flatMap(_.currentSnapshotId),
+      updatedAt = Timestamp.from(now))
+  }
+
   /** Describe + refresh one live parquet table into the store. */
   def refreshTable(store: MetaStore, database: String, name: String,
       dataPath: String, now: Instant): Unit = {
     val spark = store.spark
     import spark.implicits._
     import MetaStore._
-
-    val df = spark.read.parquet(dataPath)
-    val columns = df.schema.fields.toSeq.map(f =>
-      Model.TableColumn(f.name, f.dataType.simpleString))
-    val row = Model.TableMeta(database, name, columns,
-      partitions = Seq.empty, currentSnapshotId = None,
-      updatedAt = Timestamp.from(now))
-
-    val others = store.tables.collect().toSeq
-      .filterNot(t => t.database == database && t.name == name)
-    store.write("tables", spark.createDataset(others :+ row))
+    val existing = store.tables.collect().toSeq
+    val row = describeRow(store, database, name, dataPath, now, existing)
+    store.write("tables", spark.createDataset(
+      existing.filterNot(t => t.database == database && t.name == name) :+ row))
   }
 
   /** Full refresh: refresh every live table, then cascade-delete stale
@@ -48,9 +58,15 @@ object Refresh {
     import spark.implicits._
     import MetaStore._
 
-    liveTables.foreach { case (name, path) =>
-      refreshTable(store, database, name, path, now)
+    // one read + one write for the whole batch, not a collect/overwrite
+    // cycle per table
+    val existing = store.tables.collect().toSeq
+    val refreshed = liveTables.toSeq.sortBy(_._1).map { case (name, path) =>
+      describeRow(store, database, name, path, now, existing)
     }
+    val untouched = existing.filterNot(t =>
+      t.database == database && liveTables.contains(t.name))
+    store.write("tables", spark.createDataset(untouched ++ refreshed))
 
     // J1 stale diff: stored minus live → cascade delete. The `tables`
     // slice is control-plane-small (one row per table) so the stale list
