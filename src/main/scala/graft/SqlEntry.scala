@@ -31,15 +31,20 @@ object SqlEntry {
     */
   def registerFunctions(spark: SparkSession,
       cfg: SmallFiles.Config = graft.meta.MetaDerive.cfg): Unit = {
+    // null-in → null-out, the SQL contract (a raw NPE inside a UDF
+    // fails the whole query on the first NULL row)
     spark.udf.register("partition_to_date",
       (y: String, m: String, d: String) =>
-        PartitionModel.partitionDate(Map("year" -> y, "month" -> m, "day" -> d))
+        if (y == null || m == null || d == null) null
+        else PartitionModel.partitionDate(Map("year" -> y, "month" -> m, "day" -> d))
           .map(java.sql.Date.valueOf).orNull)
     spark.udf.register("partition_string",
-      (m: Map[String, String]) => PartitionModel.canonicalString(m))
+      (m: Map[String, String]) =>
+        if (m == null) null else PartitionModel.canonicalString(m))
     spark.udf.register("partition_string_browse",
       (m: Map[String, String], selected: Seq[String]) =>
-        PartitionModel.renderOrdered(m, selected))
+        if (m == null || selected == null) null
+        else PartitionModel.renderOrdered(m, selected))
     spark.udf.register("needs_optimize", F.udaf(
       new graft.functions.SmallFileAggregator(cfg.thresholdBytes, cfg.minCount,
         cfg.minSharePercent)))

@@ -34,9 +34,10 @@ object TextFunctions {
     size(filter(toks, isMatch))
   }
 
-  /** BPE-ish subword-count estimate: whitespace tokens plus extra splits
-    * at letter/digit boundaries and every ~4 chars of long words —
-    * a deterministic stand-in for a real tokenizer's token count. */
+  /** BPE-ish subword-count estimate: each whitespace token counts as
+    * ceil(len/4) subwords (one per ~4 chars) — a deterministic
+    * stand-in for a real tokenizer's token count, mirrored exactly by
+    * the q27 oracle. */
   def approxBpeTokenCount(text: Column): Column = {
     val toks = tokens(text)
     // ceil(len/4) per word, summed — integer arithmetic only.

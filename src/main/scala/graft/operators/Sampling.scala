@@ -35,8 +35,11 @@ object Sampling {
     else f"${math.min((rate * 4294967296.0).round, 0xFFFFFFFFL)}%08x"
 
   /** The sampling hash: first 8 hex chars of md5 of the key rendered as
-    * a string (BIGINT → decimal string in both engines). */
-  def hash8(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+    * a string (BIGINT → decimal string in both engines). A NULL key
+    * hashes like the empty string — md5(NULL) is NULL, and a NULL
+    * comparison would silently drop the row even at rate 1.0. */
+  def hash8(key: Column): Column =
+    substring(md5(coalesce(key.cast("string"), lit(""))), 1, 8)
 
   /** Uniform deterministic sample at `rate` on a stable key column. */
   def sample(df: DataFrame, key: Column, rate: Double): DataFrame =

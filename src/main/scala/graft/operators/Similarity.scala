@@ -30,11 +30,14 @@ object Similarity {
   def cos(a: Column, b: Column): Column =
     call_function(graft.functions.CosineSimilarity.name, a, b)
 
-  /** L2-normalize a float-array column into a double array. */
+  /** L2-normalize a float-array column into a double array. An
+    * all-zero vector stays zero (dividing by its zero norm would make
+    * a NaN vector, and Spark sorts NaN as the LARGEST double — the
+    * zero vector would rank as every query's best neighbor). */
   def normalized(v: Column): Column = {
     val d = transform(v, x => x.cast("double"))
     val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-    transform(d, x => x / norm)
+    transform(d, x => when(norm === 0.0, 0.0).otherwise(x / norm))
   }
 
   /** Brute-force cosine top-k per query vector: the query block (small)
@@ -133,14 +136,20 @@ object Similarity {
     val queries = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"),
         explode(array(probes: _*)).as("probe"))
+    // no distinct(): the probe masks are pairwise distinct and each
+    // corpus vector has exactly one signature, so a (query, neighbor)
+    // pair matches at most one probe — deduplication would just
+    // hash-shuffle the largest intermediate of the job for no effect.
     val scored = broadcast(queries).join(e,
         $"probe" === $"sig" && $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"), cos($"qv", $"v").as("cos"))
-      .distinct()
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where($"rn" <= k)
-      .select($"query_id", $"neighbor_id")
+    // bounded top-k: shuffle k rows per query, not each query's whole
+    // candidate list through a window sort (same shape as annIvf)
+    val topK = udaf(new graft.functions.TopKAggregator(k))
+    scored
+      .groupBy($"query_id")
+      .agg(topK($"cos", $"neighbor_id").as("ids"))
+      .select($"query_id", explode($"ids").as("neighbor_id"))
       .orderBy($"query_id", $"neighbor_id")
   }
 

@@ -122,11 +122,13 @@ object AppStatus {
         outcomeMessage = firstNonEmpty(latestMeaningful.message, currentMessage)
       }
     } else if (outcomeMessage.isEmpty) {
-      outcomeMessage = outcomeState match {
-        case st if st == latestFailure.summary => latestFailure.message
-        case st if st == latestSuccess.summary => latestSuccess.message
-        case st if st == latestTerminal.summary => latestTerminal.message
-        case st if st == latestMeaningful.summary => latestMeaningful.message
+      // normalized comparison like every other state check — a history
+      // entry spelled "FAILED" must backfill an outcome of "Failed"
+      outcomeMessage = normalize(outcomeState) match {
+        case st if st == normalize(latestFailure.summary) => latestFailure.message
+        case st if st == normalize(latestSuccess.summary) => latestSuccess.message
+        case st if st == normalize(latestTerminal.summary) => latestTerminal.message
+        case st if st == normalize(latestMeaningful.summary) => latestMeaningful.message
         case _ => outcomeMessage
       }
     }
