@@ -47,12 +47,12 @@ final class Api(store: MetaStore, engine: Engine,
     val result =
       try route(method, segs, body)
       catch {
-        // client-input failures (missing body keys, unparsable dates,
-        // non-numeric ids, bad escapes) are 400s, like the reference's
-        // bind-error handling — only genuine engine faults are 500s.
-        case e @ (_: NoSuchElementException | _: NumberFormatException |
-            _: java.time.format.DateTimeParseException |
-            _: IllegalArgumentException) =>
+        // only the parse/bind layer raises BadRequest (missing body
+        // keys, unparsable dates, non-numeric ids, bad escapes) — a
+        // 400, like the reference's bind-error handling. An engine-
+        // raised IllegalArgumentException (violated invariant, broken
+        // lineage, bad settings row) is a genuine server fault: 500.
+        case e: Api.BadRequest =>
           (400, obj("error" -> str(Option(e.getMessage).getOrElse(e.toString))))
         case e: Throwable =>
           (500, obj("error" -> str(Option(e.getMessage).getOrElse(e.toString))))
@@ -115,7 +115,7 @@ final class Api(store: MetaStore, engine: Engine,
           "totalDataFileSizeInBytes" -> num(mine.map(_.totalDataFileSizeInBytes).sum),
           "needsOptimize" -> mine.exists(_.needsOptimize).toString))
       case ("POST", "browse" :: db :: table :: "partitions" :: Nil) =>
-        val filters = Json.parseFlat(body)
+        val filters = bind(Json.parseFlat(body))
         val spec = specOf(db, table)
         graft.operators.Browse.drillDown(
           store.partitions.filter(p => p.database == db && p.table == table),
@@ -139,26 +139,28 @@ final class Api(store: MetaStore, engine: Engine,
       case ("DELETE", "tasks" :: Nil) =>
         ok(obj("flushed" -> num(engine.queue.flush())))
       case ("POST", "tasks" :: "retry" :: id :: Nil) =>
-        engine.queue.retry(id.toLong) match {
+        engine.queue.retry(bind(id.toLong)) match {
           case Some(clone) => ok(obj("retryTaskId" -> num(clone)))
           case None => (400, obj("error" -> str(s"task $id cannot be retried")))
         }
       case ("POST", "tasks" :: db :: table :: "optimize" :: Nil) =>
-        val in = Json.parseFlat(body)
-        engine.enqueueOptimize(db, table,
-          in.get("target_file_size_mb").flatMap(_.toIntOption).getOrElse(0),
-          java.time.LocalDate.parse(in("from")), java.time.LocalDate.parse(in("to")),
-          in.getOrElse("chunk_by", "day")) match {
+        val (target, from, to, chunkBy) = bind {
+          val in = Json.parseFlat(body)
+          (in.get("target_file_size_mb").flatMap(_.toIntOption).getOrElse(0),
+            java.time.LocalDate.parse(in("from")), java.time.LocalDate.parse(in("to")),
+            in.getOrElse("chunk_by", "day"))
+        }
+        engine.enqueueOptimize(db, table, target, from, to, chunkBy) match {
           case Left(err) => (400, obj("error" -> str(err)))
           case Right(ids) => ok(obj("taskIds" -> arr(ids.map(num))))
         }
       case ("POST", "tasks" :: db :: table :: "expire-snapshots" :: Nil) =>
-        val in = Json.parseFlat(body)
-        val days = in.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
+        val days = bind(Json.parseFlat(body)
+          .get("retention_days").flatMap(_.toIntOption).getOrElse(7))
         ok(obj("taskId" -> num(engine.enqueueExpireSnapshots(db, table, days))))
       case ("POST", "tasks" :: db :: table :: "remove-orphan-files" :: Nil) =>
-        val in = Json.parseFlat(body)
-        val days = in.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
+        val days = bind(Json.parseFlat(body)
+          .get("retention_days").flatMap(_.toIntOption).getOrElse(7))
         ok(obj("taskId" -> num(engine.enqueueRemoveOrphanFiles(db, table, days))))
 
       // -- refresh (handler_refresh.go; GET like the reference) -------
@@ -195,7 +197,7 @@ final class Api(store: MetaStore, engine: Engine,
         ok(obj("taskConcurrency" -> num(
           store.intSetting("task_concurrency", Model.Defaults.TaskConcurrency).toLong)))
       case ("PUT", "settings" :: "task-concurrency" :: Nil) =>
-        Json.parseFlat(body).get("task_concurrency").flatMap(_.toIntOption) match {
+        bind(Json.parseFlat(body)).get("task_concurrency").flatMap(_.toIntOption) match {
           case Some(v) if v >= 1 =>
             store.setSetting("task_concurrency", v.toString)
             ok(obj("taskConcurrency" -> num(v.toLong)))
@@ -228,6 +230,22 @@ final class Api(store: MetaStore, engine: Engine,
   private def ok(json: String): (Int, String) = (200, json)
   private def notFound(what: String): (Int, String) =
     (404, obj("error" -> str(s"not found: $what")))
+
+  /** Run a request parse/bind step, converting its failures (missing
+    * keys, bad numbers/dates/escapes) to [[Api.BadRequest]] so the
+    * top-level handler can tell client errors from engine faults. */
+  private def bind[T](step: => T): T =
+    try step catch {
+      case e @ (_: NoSuchElementException | _: NumberFormatException |
+          _: java.time.format.DateTimeParseException |
+          _: IllegalArgumentException) =>
+        throw new Api.BadRequest(Option(e.getMessage).getOrElse(e.toString))
+    }
+}
+
+object Api {
+  /** A client-input failure; raised only by the parse/bind layer. */
+  final class BadRequest(msg: String) extends RuntimeException(msg)
 }
 
 /** Hand-rolled JSON: render helpers + a micro-parser for the flat

@@ -25,14 +25,22 @@ import org.apache.spark.sql.types.StructType
   * Semantics (matching DuckDB ASOF `ON key = key AND p.time >= b.time`):
   * a build row exactly at the probe time IS visible; build rows sharing
   * (key, time) resolve to the greatest `tieBreak` value; probes with no
-  * prior build row get nulls (left join).
+  * prior build row get nulls (left join). NULL-time build rows are never
+  * matchable (`p.time >= NULL` is never true) and are dropped; NULL-time
+  * probe rows are kept with null build columns — both exactly as the SQL
+  * comparison would behave.
   */
 object AsOfJoin {
 
-  def asOf(probe: DataFrame, build: DataFrame, key: String, time: String,
+  def asOf(probeIn: DataFrame, buildIn: DataFrame, key: String, time: String,
       tieBreak: String, buildPrefix: String = "b_"): DataFrame = {
-    val spark = probe.sparkSession
+    val spark = probeIn.sparkSession
     import spark.implicits._
+    // NULL-time rows can't participate in the >= comparison: drop them
+    // from the build side (invisible to every probe), route NULL-time
+    // probes straight to the unmatched output.
+    val probe = probeIn.where(col(time).isNotNull)
+    val build = buildIn.where(col(time).isNotNull)
     val bPayload = build.columns.filterNot(_ == key).toSeq
     val pCols = probe.columns.toSeq
     val bStructT = StructType(build.schema.fields.filterNot(_.name == key))
@@ -56,8 +64,12 @@ object AsOfJoin {
     val matched = b.unionByName(p)
       .withColumn("__match", last($"__payload", ignoreNulls = true).over(w))
       .where($"__build" === 0)
-    matched.select(
+    val joined = matched.select(
       pCols.map(c => col(s"__probe.$c").as(c)) ++
         bPayload.map(c => col(s"__match.$c").as(s"$buildPrefix$c")): _*)
+    val nullTimeProbes = probeIn.where(col(time).isNull).select(
+      pCols.map(col) ++ bStructT.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(s"$buildPrefix${f.name}")): _*)
+    joined.unionByName(nullTimeProbes)
   }
 }

@@ -480,12 +480,16 @@ object Dedup {
       .join(contaminated.withColumn("__corpus", lit(true)), Seq("label"), "left")
       .where(coalesce($"__corpus", lit(false)) || $"id" =!= $"label")
       .select($"id".as("doc_id"))
+    // Materialize the kept rows (localCheckpoint: no upstream plan, and
+    // the blocks are reference-tracked — the ContextCleaner frees them
+    // when the caller drops the frame) so BOTH working caches can be
+    // released here instead of leaking batch-sized cached frames that
+    // no caller could ever reach to unpersist.
     val kept = afterExact.join(dropNew, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val nKept = kept.count()
-    // dropNew rests on checkpointed CC labels, so the working cache can
-    // go; `afterExact` stays cached as the returned frame's parent (the
-    // caller unpersists when done with the result).
     newKeyed.unpersist()
+    afterExact.unpersist()
     (kept, IncrementalStats(input, nExact, nKept))
   }
 

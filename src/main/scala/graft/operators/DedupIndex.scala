@@ -51,20 +51,18 @@ object DedupIndex {
       spark.read.parquet(shinglesPath(dir)),
       spark.read.parquet(bandsPath(dir)),
       threshold)
+    // `kept` is already localCheckpoint'd by incrementalDedupFrames
+    // (no upstream plan), so the appends below can't trigger a
+    // recacheByPath re-derivation against an index that now contains
+    // the batch itself, and no cached working frame outlives this call.
     if (commit) {
-      // Sever lineage before appending: a cached plan still reading the
-      // index parquet would be auto-refreshed by Spark when the appends
-      // below touch those paths (recacheByPath), re-deriving the kept
-      // set against an index that now contains the batch itself.
-      // localCheckpoint materializes the rows with no upstream plan.
-      val keptRows = kept.localCheckpoint(true)
-      Dedup.contentKeys(keptRows).select($"key").distinct()
+      Dedup.contentKeys(kept).select($"key").distinct()
         .write.mode(SaveMode.Append).parquet(keysPath(dir))
-      val shKept = Dedup.docShingles(keptRows)
+      val shKept = Dedup.docShingles(kept)
       shKept.write.mode(SaveMode.Append).parquet(shinglesPath(dir))
       Dedup.bandedSignatures(shKept)
         .write.mode(SaveMode.Append).parquet(bandsPath(dir))
-      (keptRows, stats)
-    } else (kept, stats)
+    }
+    (kept, stats)
   }
 }

@@ -91,7 +91,7 @@ object Sampling {
     s"""SELECT lang, source, count(*) AS n_docs,
        |       min(doc_id) AS first_id, max(doc_id) AS last_id
        |FROM documents
-       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |WHERE substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8) <
        |      CASE WHEN lang = 'en' THEN '${hexThreshold(0.5)}' ELSE '${hexThreshold(0.2)}' END
        |GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin

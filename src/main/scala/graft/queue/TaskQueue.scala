@@ -204,19 +204,22 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
     gone.size.toLong
   } }
 
-  /** status → count for the live statuses (A4). */
-  def counts(): Map[String, Long] = lock.synchronized {
+  /** status → count for the live statuses (A4). Reads take the process
+    * lock too: save()'s rename-swap has a window where the tasks path is
+    * absent, so an unlocked concurrent reader could transiently see an
+    * empty queue or a FileNotFound. */
+  def counts(): Map[String, Long] = lock.synchronized { withProcessLock {
     import org.apache.spark.sql.functions._
     store.tasks
       .filter(col("status").isin(TaskStatus.Queued, TaskStatus.Running))
       .groupBy(col("status")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
+  } }
 
   /** Paginated list + total (A5, service_task_queue.go:469-507). */
-  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) = lock.synchronized {
+  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) = lock.synchronized { withProcessLock {
     val filtered = all().filter(t => statuses.isEmpty || statuses.contains(t.status))
       .sortBy(t => (-t.startedAt.getTime, -t.id))
     (filtered.slice(offset, offset + limit), filtered.size.toLong)
-  }
+  } }
 }
