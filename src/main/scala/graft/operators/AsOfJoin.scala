@@ -25,10 +25,16 @@ import org.apache.spark.sql.types.StructType
   * Semantics (matching DuckDB ASOF `ON key = key AND p.time >= b.time`):
   * a build row exactly at the probe time IS visible; build rows sharing
   * (key, time) resolve to the greatest `tieBreak` value; probes with no
-  * prior build row get nulls (left join). NULL-time build rows are never
-  * matchable (`p.time >= NULL` is never true) and are dropped; NULL-time
-  * probe rows are kept with null build columns — both exactly as the SQL
-  * comparison would behave.
+  * prior build row get nulls (left join). NULL never matches on either
+  * column, exactly as the SQL comparisons behave: NULL-time and NULL-key
+  * build rows are dropped (`p.time >= NULL` and `p.key = NULL` are never
+  * true), while NULL-time and NULL-key probe rows come through with null
+  * build columns.
+  *
+  * The probe side is read EXACTLY ONCE: unmatchable probe rows are not
+  * split into a separate union branch, they ride the same window with a
+  * nulls-first time sort, which guarantees they precede every build row
+  * in their partition and therefore see no payload.
   */
 object AsOfJoin {
 
@@ -36,11 +42,13 @@ object AsOfJoin {
       tieBreak: String, buildPrefix: String = "b_"): DataFrame = {
     val spark = probeIn.sparkSession
     import spark.implicits._
-    // NULL-time rows can't participate in the >= comparison: drop them
-    // from the build side (invisible to every probe), route NULL-time
-    // probes straight to the unmatched output.
-    val probe = probeIn.where(col(time).isNotNull)
-    val build = buildIn.where(col(time).isNotNull)
+    // NULL time or key on the build side can't satisfy the join
+    // predicate for any probe: drop those rows. Probe rows are all kept
+    // — NULL-time probes sort before every build row (nulls-first), and
+    // NULL-key probes land in the null window partition, which after
+    // this filter contains no build rows; both read a null payload.
+    val probe = probeIn
+    val build = buildIn.where(col(time).isNotNull && col(key).isNotNull)
     val bPayload = build.columns.filterNot(_ == key).toSeq
     val pCols = probe.columns.toSeq
     val bStructT = StructType(build.schema.fields.filterNot(_.name == key))
@@ -55,21 +63,18 @@ object AsOfJoin {
       lit(null).cast("long").as("__tb"),
       lit(null).cast(bStructT).as("__payload"),
       struct(pCols.map(col): _*).as("__probe"))
-    // Order within a key: by time; at equal time build rows first
-    // (inclusive match) with larger tiebreaks later (so `last` picks
-    // the max-tieBreak build row of a tied group).
+    // Order within a key: NULL-time (probe-only) rows first, then by
+    // time; at equal time build rows first (inclusive match) with
+    // larger tiebreaks later (so `last` picks the max-tieBreak build
+    // row of a tied group).
     val w = Window.partitionBy(col(key))
-      .orderBy($"__t".asc, $"__build".desc, $"__tb".asc_nulls_first)
+      .orderBy($"__t".asc_nulls_first, $"__build".desc, $"__tb".asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = b.unionByName(p)
       .withColumn("__match", last($"__payload", ignoreNulls = true).over(w))
       .where($"__build" === 0)
-    val joined = matched.select(
+    matched.select(
       pCols.map(c => col(s"__probe.$c").as(c)) ++
         bPayload.map(c => col(s"__match.$c").as(s"$buildPrefix$c")): _*)
-    val nullTimeProbes = probeIn.where(col(time).isNull).select(
-      pCols.map(col) ++ bStructT.fields.toSeq.map(f =>
-        lit(null).cast(f.dataType).as(s"$buildPrefix${f.name}")): _*)
-    joined.unionByName(nullTimeProbes)
   }
 }

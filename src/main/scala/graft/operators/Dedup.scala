@@ -484,7 +484,12 @@ object Dedup {
     // the blocks are reference-tracked — the ContextCleaner frees them
     // when the caller drops the frame) so BOTH working caches can be
     // released here instead of leaking batch-sized cached frames that
-    // no caller could ever reach to unpersist.
+    // no caller could ever reach to unpersist. Tradeoff: localCheckpoint
+    // blocks have NO lineage, so an executor lost between here and the
+    // caller's index-append write fails the batch (rerun it — the
+    // commit-on-accept protocol makes a rerun safe). On a cluster with
+    // dynamic allocation / expected executor churn, write `kept` to a
+    // durable temp table before committing appends instead.
     val kept = afterExact.join(dropNew, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val nKept = kept.count()

@@ -47,23 +47,33 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
   // clobber the other's enqueue/claim. An advisory file lock next to
   // the tasks table covers file:// roots; a remote root (s3a/hdfs)
   // needs an external coordinator, like the reference's MySQL.
-  private val lockFile: Option[java.io.File] =
+  // One long-lived channel per TaskQueue instance: FileChannel.lock is
+  // JVM-wide, so per-call channels would throw
+  // OverlappingFileLockException (not block) the moment two TaskQueue
+  // instances over the same store coexist in one JVM. With a shared
+  // channel, a second instance's lock() sees the overlap, and the retry
+  // loop below converts it into the blocking semantics callers expect.
+  private val lockChannel: Option[java.nio.channels.FileChannel] =
     try {
       val f = new java.io.File(store.path("tasks.lock"))
       Option(f.getParentFile).foreach(_.mkdirs())
       f.createNewFile()
-      Some(f)
+      Some(java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE))
     } catch { case _: Exception => None }
 
-  private def withProcessLock[T](body: => T): T = lockFile match {
+  private def withProcessLock[T](body: => T): T = lockChannel match {
     case None => body
-    case Some(f) =>
-      val ch = java.nio.channels.FileChannel.open(f.toPath,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val l = ch.lock()
-        try body finally l.release()
-      } finally ch.close()
+    case Some(ch) =>
+      var l: java.nio.channels.FileLock = null
+      while (l == null) {
+        // lock() blocks on OTHER processes; an overlap from another
+        // instance in THIS JVM throws instead — sleep and retry.
+        try l = ch.lock()
+        catch { case _: java.nio.channels.OverlappingFileLockException =>
+          Thread.sleep(5) }
+      }
+      try body finally l.release()
   }
 
   /** Next task id: one above BOTH the live max and the persisted

@@ -49,6 +49,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("b_event_id") == 107L)
   }
 
+  test("NULL keys and NULL times never match, on either side") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, Some(10L), Option(ts("2026-01-01 10:00:00"))), // normal match
+      (2L, None, Option(ts("2026-01-01 10:00:00"))),      // null key
+      (3L, Some(10L), None),                              // null time
+      (4L, None, None)                                    // null both
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (Some(10L), 100L, Option(ts("2026-01-01 09:00:00"))),
+      (None, 666L, Option(ts("2026-01-01 09:00:00"))), // null-key build: invisible
+      (Some(10L), 667L, Option.empty[Timestamp])       // null-time build: invisible
+    ).toDF("user_id", "event_id", "ts")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", "event_id")
+      .orderBy("event_id").collect()
+    assert(out.length == 4)
+    assert(out.map(r => Option(r.getAs[Any]("b_event_id"))).toSeq ==
+      Seq(Some(100L), None, None, None))
+  }
+
   test("matches a brute-force backward lookup on real events (sf0.001)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
