@@ -44,6 +44,42 @@ object Decontaminate {
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** [[overlapReport]] with a bloom prefilter on the corpus side — the
+    * 100 TB shape. The exact path probes EVERY corpus shingle against
+    * the broadcast eval-shingle hash relation; at corpus scale that is
+    * billions of probes into a string hash map per executor. Here the
+    * eval shingles are first folded into a bloom filter (~10 bits per
+    * shingle at 1% fpp vs the full strings), every corpus shingle is
+    * screened by the filter, and only the survivors — true hits plus
+    * ~1% false positives — reach the exact join that removes the false
+    * positives. Bloom filters have NO false negatives, so the report is
+    * bit-identical to [[overlapReport]] (same oracle), only cheaper:
+    * the join probe side shrinks from |corpus shingles| to roughly
+    * |true hits|.
+    */
+  def overlapReportBloom(docs: DataFrame, evalDocs: DataFrame,
+      minOverlap: Double, fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.docShingles(docs)
+    val evalSh = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    // Eval side is benchmark-sized by definition — one count + one
+    // driver-built filter is control-plane work, like stat.bloomFilter.
+    val nEval = math.max(1000L, evalSh.count())
+    val bloom = evalSh.stat.bloomFilter($"sh", nEval, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val totals = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.where(mightContain($"sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"))
+      .withColumn("overlap", $"n_hits".cast("double") / $"n_shingles")
+      .where($"overlap" >= minOverlap)
+      .select($"doc_id", $"n_shingles", $"n_hits", $"overlap")
+      .orderBy($"doc_id")
+  }
+
   /** q49: contamination report of the corpus (doc_id ≥ 50) against a
     * simulated eval set (doc_id < 50, which includes near-dup plant
     * sources so real leakage exists) at 50% shingle overlap. */
@@ -51,6 +87,14 @@ object Decontaminate {
     import spark.implicits._
     val all = Tables.documents(spark, d)
     overlapReport(all.where($"doc_id" >= 50), all.where($"doc_id" < 50), 0.5)
+  }
+
+  /** q62: the same contamination report as q49 through the bloom
+    * prefilter — must hash-match the exact path's oracle. */
+  def q62DecontaminateBloom(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.documents(spark, d)
+    overlapReportBloom(all.where($"doc_id" >= 50), all.where($"doc_id" < 50), 0.5)
   }
 
   val q49Sql: String =

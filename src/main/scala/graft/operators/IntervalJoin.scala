@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Banded point-in-interval join — `p JOIN i ON p.key = i.key AND
+  * p.ts BETWEEN i.start AND i.end` (both ends inclusive), the join shape
+  * of attribution windows, validity-interval lookups, and ad-impression
+  * matching.
+  *
+  * Spark's optimizer sees the BETWEEN as a non-equi predicate; without
+  * help it plans the pure-range form as BroadcastNestedLoopJoin and even
+  * the keyed form degenerates when a hot key dominates. The banded
+  * rewrite makes the time predicate an equi-key: time is quantized into
+  * fixed-width bands, each interval is exploded onto every band it
+  * covers, each point lands on exactly one band, and the join runs as an
+  * ordinary shuffled equi-join on (key, band) with the exact BETWEEN as
+  * a post-filter. A (point, interval) pair can only meet in the point's
+  * own band, so the output needs NO dedup.
+  *
+  * Scale shape: one shuffle on (key, band); interval replication factor
+  * is `len/band + 1` (pick `bandSeconds` near the typical interval
+  * length → ~2 rows per interval); band cardinality grows with the time
+  * span, so skew on a hot key is further split across its bands. This is
+  * the same strategy as Databricks' range-join binning, re-expressed
+  * with explode+equi-join on open Spark.
+  */
+object IntervalJoin {
+
+  /** Inclusive point-in-interval join. Output = all point columns plus
+    * every non-key interval column prefixed with `intervalPrefix`.
+    * NULL keys/times never match (SQL comparison semantics); degenerate
+    * intervals with `start > end` match nothing. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
+      ts: String, start: String, end: String, bandSeconds: Long,
+      intervalPrefix: String = "i_"): DataFrame = {
+    require(bandSeconds > 0, "bandSeconds must be positive")
+    val band = bandSeconds * 1000000L // microsecond epochs
+    val iPayload = intervals.columns.filterNot(_ == key).toSeq
+    val p = points
+      .where(col(key).isNotNull && col(ts).isNotNull)
+      .withColumn("__band", expr(s"unix_micros($ts) div ${band}L"))
+    val i = intervals
+      .where(col(key).isNotNull && col(start).isNotNull &&
+        col(end).isNotNull && col(start) <= col(end))
+      .select(col(key).as("__ikey"),
+        expr(s"unix_micros($start) div ${band}L").as("__b0"),
+        expr(s"unix_micros($end) div ${band}L").as("__b1"),
+        struct(iPayload.map(col): _*).as("__ipay"))
+      .withColumn("__band", explode(sequence(col("__b0"), col("__b1"))))
+    p.join(i, p(key) === i("__ikey") && p("__band") === i("__band"))
+      .where(col(ts).between(col(s"__ipay.$start"), col(s"__ipay.$end")))
+      .select(points.columns.map(col).toSeq ++
+        iPayload.map(c => col(s"__ipay.$c").as(s"$intervalPrefix$c")): _*)
+  }
+
+  /** q63: windowed attribution with multiplicity — every (view,
+    * purchase-within-3-days-after) pair per user, aggregated per user:
+    * pair count, distinct views/purchases involved, attributed value.
+    * Views are the intervals [ts, ts+3d] (band = the window length →
+    * ≤2 exploded rows per view); purchases are the points. */
+  def q63IntervalAttribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    pointInInterval(purchases, views, key = "user_id", ts = "ts",
+      start = "w_start", end = "w_end", bandSeconds = 3L * 86400L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"i_view_id").as("n_views"),
+        countDistinct($"event_id").as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("attributed_value"))
+      .orderBy($"user_id")
+  }
+
+  val q63Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS w_start,
+      |         ts + INTERVAL 3 DAY AS w_end FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, count(*) AS n_pairs,
+      |       count(DISTINCT v.view_id) AS n_views,
+      |       count(DISTINCT p.event_id) AS n_purchases,
+      |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |   AND p.ts >= v.w_start AND p.ts <= v.w_end
+      |GROUP BY p.user_id
+      |ORDER BY p.user_id""".stripMargin
+}

@@ -87,6 +87,61 @@ object Sampling {
       .orderBy($"lang", $"source")
   }
 
+  /** q64: temperature-resampled corpus mixture — the multilingual /
+    * multi-source reweighting pass of a training-data pipeline. Counts
+    * per source, [[temperatureRates]] at alpha = 0.5 with a budget of
+    * half the corpus (head sources are damped toward the tail), rates
+    * rounded to 4 decimals (so the engine and the oracle agree on the
+    * threshold regardless of each one's float summation order — a 1e-16
+    * ulp wiggle can never cross a 1e-4 grid line), then the same
+    * deterministic hash acceptance as q48. Per-source kept counts out.
+    *
+    * The per-source counts collapse to one tiny aggregate (`sources` is
+    * a low-cardinality dimension); the sampling pass itself is a pure
+    * scan-side filter — nothing here shuffles the corpus. */
+  def q64MixtureSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val counts = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val budget = counts.values.sum / 2
+    val rates = temperatureRates(counts, alpha = 0.5, budgetDocs = budget)
+      .map { case (k, v) => k -> math.round(v * 1e4) / 1e4 }
+    stratified(docs, $"doc_id", $"source", rates, defaultRate = 0.0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_id"),
+        max($"doc_id").as("last_id"))
+      .orderBy($"source")
+  }
+
+  val q64Sql: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n) AS total, floor(sum(n) / 2) AS budget FROM counts
+      |), w AS (
+      |  SELECT source, n, pow(n / total, 0.5) AS wt, budget FROM counts, tot
+      |), ws AS (
+      |  SELECT sum(wt) AS wsum FROM w
+      |), thr AS (
+      |  SELECT source,
+      |         round(least(1.0, budget * (wt / wsum) / n), 4) AS rate4
+      |  FROM w, ws
+      |), hx AS (
+      |  SELECT source,
+      |         CASE WHEN rate4 >= 1.0 THEN 'g'
+      |              WHEN rate4 <= 0.0 THEN ''
+      |              ELSE lpad(lower(to_hex(CAST(round(rate4 * 4294967296.0) AS BIGINT))), 8, '0')
+      |         END AS threshold
+      |  FROM thr
+      |)
+      |SELECT d.source, count(*) AS n_docs,
+      |       min(d.doc_id) AS first_id, max(d.doc_id) AS last_id
+      |FROM documents d JOIN hx h ON d.source = h.source
+      |WHERE substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 8) < h.threshold
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   val q48Sql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
        |       min(doc_id) AS first_id, max(doc_id) AS last_id
