@@ -3,107 +3,332 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: image/audio/video as opaque `binary`
+/** Multimodal column processing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in executor-side batches via
   * `mapPartitions` over typed Datasets (the Scala analog of
   * arrow-batched Python UDFs).
   *
-  * The actual codec work is STUBBED — this container ships no
-  * image/audio libraries — behind [[Codecs]]: the decode produces a
-  * deterministic fake derived from the bytes, so the Spark-side
-  * contract (schema, batching, partitioning, null handling) is real and
-  * tested while the codec is swappable.
+  * The codecs for the simple open formats are REAL, implemented as pure
+  * byte parsing with no external libraries: P6 PPM (Netpbm) images are
+  * header-parsed and pixel-decoded, RIFF/WAVE PCM16 audio is chunk-walked
+  * to samples, and "video" is a stream of concatenated PPM frames (the
+  * Netpbm convention ffmpeg's ppm pipe emits) split by parsing each frame
+  * header. Feature extraction computes real signal statistics — grayscale
+  * thumbnails for images, windowed RMS for audio. [[Codecs]] remains the
+  * seam where compressed formats (JPEG/FLAC/MP4) would plug in native
+  * decoders; everything around the seam — schema, batching, partitioning,
+  * null handling, generator shapes — is format-independent.
   *
   * Scale posture: assets never pass through the driver; decode and
   * feature extraction run per-partition with constant memory per row;
-  * frame sampling is a generator (1 asset → N frame rows) via
-  * flatMap — the same shape as `explode` but with imperative batch
-  * control where a real decoder would own buffers.
+  * frame sampling is a generator (1 asset → N frame rows) via flatMap —
+  * the same shape as `explode` but with imperative batch control where a
+  * decoder owns buffers.
   */
 object Multimodal {
 
   final case class MediaAsset(asset_id: Long, kind: String, bytes: Array[Byte],
       meta: Map[String, String])
   final case class DecodedMeta(asset_id: Long, kind: String, width: Int,
-      height: Int, channels: Int, n_bytes: Long)
+      height: Int, channels: Int, n_bytes: Long, sample_rate: Int, n_frames: Int)
   final case class MediaFeature(asset_id: Long, feature: Array[Float])
   final case class Frame(asset_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  final case class Thumbnail(asset_id: Long, width: Int, height: Int,
+      thumb: Array[Byte])
 
   implicit val assetEnc = Encoders.product[MediaAsset]
   implicit val decodedEnc = Encoders.product[DecodedMeta]
   implicit val featureEnc = Encoders.product[MediaFeature]
   implicit val frameEnc = Encoders.product[Frame]
+  implicit val thumbEnc = Encoders.product[Thumbnail]
 
-  /** The codec seam. A real deployment replaces these bodies with
-    * actual decoders (JNI/FFI); everything around them is unchanged. */
+  /** Real codecs for the simple open formats; the seam for the rest. */
   object Codecs {
-    /** STUB decode: dimensions derived deterministically from content
-      * bytes — stands in for reading the real header. */
-    def decodeDims(bytes: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 64 + math.abs(h % 512)
-      val ht = 64 + math.abs((h / 512) % 512)
-      (w, ht, 3)
-    }
 
-    /** STUB feature extractor: fixed-dim rolling byte statistics — the
-      * real one embeds pixels/audio frames. Deterministic. */
-    def features(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < bytes.length) {
-        out(i % dim) += (bytes(i) & 0xFF) / 255.0f
-        i += 1
-      }
-      val n = math.max(1, bytes.length / dim)
-      var j = 0
-      while (j < dim) { out(j) /= n; j += 1 }
+    // ---------- P6 PPM (Netpbm raw RGB) ----------
+
+    /** Encode w×h raw RGB (3 bytes/pixel) as a P6 PPM. */
+    def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
       out
     }
 
-    /** STUB frame sampler: every asset yields ceil(len/chunk) "frames"
-      * of raw byte slices — the real one seeks keyframes. */
-    def sampleFrames(bytes: Array[Byte], chunk: Int = 4096): Iterator[Array[Byte]] =
-      bytes.grouped(chunk)
+    /** Parse one P6 frame starting at `off`: (width, height, pixelOffset,
+      * endOffset). Handles arbitrary whitespace and `#` comments in the
+      * header, maxval must be 255 (8-bit). */
+    private def parsePpmHeader(bytes: Array[Byte], off: Int): (Int, Int, Int, Int) = {
+      require(off + 2 <= bytes.length && bytes(off) == 'P' && bytes(off + 1) == '6',
+        s"not a P6 PPM at offset $off")
+      var i = off + 2
+      def skipSpace(): Unit = {
+        var in = true
+        while (in && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+          else in = false
+        }
+      }
+      def readInt(): Int = {
+        skipSpace()
+        var v = 0
+        require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9', "bad PPM int")
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      require(maxval == 255, s"only 8-bit PPM supported, maxval=$maxval")
+      i += 1 // single whitespace after maxval, then raw pixels
+      val pixelOff = i
+      val end = pixelOff + w * h * 3
+      require(end <= bytes.length, "truncated PPM pixel data")
+      (w, h, pixelOff, end)
+    }
+
+    /** Decode a P6 PPM to (width, height, raw RGB pixels). */
+    def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, po, end) = parsePpmHeader(bytes, 0)
+      (w, h, java.util.Arrays.copyOfRange(bytes, po, end))
+    }
+
+    /** Nearest-neighbor resize of raw RGB. */
+    def resizeNearest(w: Int, h: Int, rgb: Array[Byte], nw: Int, nh: Int): Array[Byte] = {
+      val out = new Array[Byte](nw * nh * 3)
+      var y = 0
+      while (y < nh) {
+        val sy = y * h / nh
+        var x = 0
+        while (x < nw) {
+          val sx = x * w / nw
+          val si = (sy * w + sx) * 3
+          val di = (y * nw + x) * 3
+          out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Split a concatenated-P6 stream (the `ffmpeg -f image2pipe` PPM
+      * convention) into individual encoded frames by walking headers. */
+    def splitPpmFrames(bytes: Array[Byte]): Iterator[Array[Byte]] =
+      new Iterator[Array[Byte]] {
+        private var off = 0
+        def hasNext: Boolean = off < bytes.length
+        def next(): Array[Byte] = {
+          val (_, _, _, end) = parsePpmHeader(bytes, off)
+          val f = java.util.Arrays.copyOfRange(bytes, off, end)
+          off = end
+          f
+        }
+      }
+
+    // ---------- RIFF/WAVE PCM16 ----------
+
+    /** Encode PCM16 mono samples at `sampleRate` as a canonical 44-byte
+      * header WAV. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits/sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode a PCM16 WAV by walking RIFF chunks (fmt before data;
+      * unknown chunks skipped): (sampleRate, channels, samples). */
+    def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+      require(fourcc() == "RIFF", "not a RIFF file"); bb.getInt
+      require(fourcc() == "WAVE", "not a WAVE file")
+      var sampleRate = 0; var channels = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val id = fourcc(); val len = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + len
+            val audioFormat = bb.getShort
+            require(audioFormat == 1, s"only PCM supported, format=$audioFormat")
+            channels = bb.getShort.toInt
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort.toInt
+            require(bits == 16, s"only PCM16 supported, bits=$bits")
+            bb.position(fmtEnd)
+          case "data" =>
+            require(sampleRate > 0, "data chunk before fmt")
+            val n = len / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = bb.getShort; i += 1 }
+            samples = out
+          case _ => bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      require(samples != null, "no data chunk")
+      (sampleRate, channels, samples)
+    }
+
+    // ---------- features (real signal statistics) ----------
+
+    /** Image feature: grayscale thumbnail, `side`×`side` nearest-neighbor,
+      * normalized to [0,1] — dim = side². */
+    def imageFeature(w: Int, h: Int, rgb: Array[Byte], side: Int = 4): Array[Float] = {
+      val small = resizeNearest(w, h, rgb, side, side)
+      val out = new Array[Float](side * side)
+      var i = 0
+      while (i < out.length) {
+        val r = small(i * 3) & 0xFF; val g = small(i * 3 + 1) & 0xFF
+        val b = small(i * 3 + 2) & 0xFF
+        out(i) = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+        i += 1
+      }
+      out
+    }
+
+    /** Audio feature: RMS energy over `dim` equal windows, normalized by
+      * full scale. */
+    def audioFeature(samples: Array[Short], dim: Int = 16): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (samples.isEmpty) return out
+      val win = math.max(1, samples.length / dim)
+      var wIdx = 0
+      while (wIdx < dim) {
+        val from = wIdx * win
+        val to = if (wIdx == dim - 1) samples.length else math.min(samples.length, from + win)
+        var acc = 0.0; var i = from
+        while (i < to) { val s = samples(i).toDouble; acc += s * s; i += 1 }
+        out(wIdx) = if (to > from) (math.sqrt(acc / (to - from)) / 32768.0).toFloat else 0.0f
+        wIdx += 1
+      }
+      out
+    }
   }
 
-  /** Build a deterministic media table from the documents corpus:
-    * text bytes as fake payloads, kind round-robined — gives the
-    * pipeline realistic row sizes without external assets. */
+  /** Build a deterministic media table from the documents corpus: REAL
+    * encoded payloads (P6 images, PCM16 WAVs, concatenated-PPM frame
+    * streams) whose content derives from each document — realistic
+    * binary columns without external assets. */
   def syntheticAssets(spark: SparkSession, d: String): Dataset[MediaAsset] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, d)
       .select($"doc_id", $"text", $"lang")
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val t = text.getBytes("UTF-8")
+        def rgb(w: Int, h: Int, salt: Int): Array[Byte] = {
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            px(i) = ((t(i % t.length) + i * 31 + salt) & 0xFF).toByte
+            i += 1
+          }
+          px
         }
-        MediaAsset(id, kind, text.getBytes("UTF-8"),
-          Map("lang" -> lang, "codec" -> "fake"))
+        (id % 3) match {
+          case 0 =>
+            val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+            MediaAsset(id, "image", Codecs.encodePpm(w, h, rgb(w, h, 0)),
+              Map("lang" -> lang, "codec" -> "ppm"))
+          case 1 =>
+            val sr = 8000
+            val n = 400 + (id % 400).toInt
+            val f = 200.0 + (id % 200).toDouble
+            val samples = Array.tabulate(n)(i =>
+              (math.sin(2 * math.Pi * f * i / sr) * 3000).toShort)
+            MediaAsset(id, "audio", Codecs.encodeWav(sr, samples),
+              Map("lang" -> lang, "codec" -> "wav"))
+          case _ =>
+            val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+            val nFrames = 3 + (id % 4).toInt
+            val frames = (0 until nFrames).map(j => Codecs.encodePpm(w, h, rgb(w, h, j)))
+            MediaAsset(id, "video", frames.reduce(_ ++ _),
+              Map("lang" -> lang, "codec" -> "ppm-stream"))
+        }
       }
   }
 
-  /** Batched decode: per-partition loop, constant memory per row. */
+  /** Batched decode: per-partition loop, constant memory per row. Real
+    * header/chunk parsing per format. */
   def decode(assets: Dataset[MediaAsset]): Dataset[DecodedMeta] =
     assets.mapPartitions { it =>
       it.map { a =>
-        val (w, h, c) = Codecs.decodeDims(a.bytes)
-        DecodedMeta(a.asset_id, a.kind, w, h, c, a.bytes.length.toLong)
+        a.kind match {
+          case "image" =>
+            val (w, h, _) = Codecs.decodePpm(a.bytes)
+            DecodedMeta(a.asset_id, a.kind, w, h, 3, a.bytes.length.toLong, 0, 1)
+          case "audio" =>
+            val (sr, ch, samples) = Codecs.decodeWav(a.bytes)
+            DecodedMeta(a.asset_id, a.kind, samples.length / ch, 1, ch,
+              a.bytes.length.toLong, sr, 0)
+          case _ =>
+            var n = 0; var w = 0; var h = 0
+            Codecs.splitPpmFrames(a.bytes).foreach { f =>
+              if (n == 0) { val (fw, fh, _) = Codecs.decodePpm(f); w = fw; h = fh }
+              n += 1
+            }
+            DecodedMeta(a.asset_id, a.kind, w, h, 3, a.bytes.length.toLong, 0, n)
+        }
       }
     }
 
-  /** Batched feature extraction into a fixed-dim embedding column. */
-  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 16): Dataset[MediaFeature] =
+  /** Batched feature extraction into a fixed-dim embedding column:
+    * grayscale thumbnail for visual kinds, windowed RMS for audio. */
+  def extractFeatures(assets: Dataset[MediaAsset], dim: Int = 16): Dataset[MediaFeature] = {
+    val side = math.max(1, math.sqrt(dim.toDouble).toInt)
     assets.mapPartitions { it =>
-      it.map(a => MediaFeature(a.asset_id, Codecs.features(a.bytes, dim)))
+      it.map { a =>
+        val f = a.kind match {
+          case "image" =>
+            val (w, h, px) = Codecs.decodePpm(a.bytes)
+            Codecs.imageFeature(w, h, px, side).padTo(dim, 0.0f)
+          case "audio" =>
+            val (_, _, samples) = Codecs.decodeWav(a.bytes)
+            Codecs.audioFeature(samples, dim)
+          case _ =>
+            val first = Codecs.splitPpmFrames(a.bytes).next()
+            val (w, h, px) = Codecs.decodePpm(first)
+            Codecs.imageFeature(w, h, px, side).padTo(dim, 0.0f)
+        }
+        MediaFeature(a.asset_id, f)
+      }
+    }
+  }
+
+  /** Nearest-neighbor thumbnails for visual assets (binary → binary
+    * transform; video uses its first frame). */
+  def thumbnails(assets: Dataset[MediaAsset], side: Int = 4): Dataset[Thumbnail] =
+    assets.filter(a => a.kind == "image" || a.kind == "video").mapPartitions { it =>
+      it.map { a =>
+        val enc = if (a.kind == "image") a.bytes else Codecs.splitPpmFrames(a.bytes).next()
+        val (w, h, px) = Codecs.decodePpm(enc)
+        Thumbnail(a.asset_id, side, side,
+          Codecs.encodePpm(side, side, Codecs.resizeNearest(w, h, px, side, side)))
+      }
     }
 
-  /** Frame sampling: 1 video asset → N frame rows (generator shape). */
-  def sampleFrames(assets: Dataset[MediaAsset], chunk: Int = 64): Dataset[Frame] =
+  /** Frame sampling: 1 video asset → every `step`-th frame (generator
+    * shape), frames parsed from the concatenated-PPM stream. */
+  def sampleFrames(assets: Dataset[MediaAsset], step: Int = 1): Dataset[Frame] =
     assets.filter(_.kind == "video").flatMap { a =>
-      Codecs.sampleFrames(a.bytes, chunk).zipWithIndex.map {
-        case (b, i) => Frame(a.asset_id, i, b)
+      Codecs.splitPpmFrames(a.bytes).zipWithIndex.collect {
+        case (b, i) if i % step == 0 => Frame(a.asset_id, i, b)
       }
     }
 
@@ -116,7 +341,9 @@ object Multimodal {
     decoded.toDF()
       .groupBy($"kind")
       .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("total_bytes"),
-        avg($"width").cast("decimal(10,2)").as("avg_width"))
+        avg($"width").cast("decimal(10,2)").as("avg_width"),
+        max($"sample_rate").as("max_sample_rate"),
+        sum($"n_frames").as("total_frames"))
       .orderBy($"kind")
   }
 }

@@ -3,28 +3,63 @@ package graft.multimodal
 import graft.SparkSpec
 import Multimodal._
 
-/** The multimodal plumbing contract: schema, determinism, batching and
-  * generator shapes — everything except the stubbed codec itself. */
+/** The multimodal contract: real PPM/WAV codec round-trips, decode
+  * determinism, feature shape, generator shapes, and the dashboard
+  * summary. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val assets = syntheticAssets(spark, sfDir)
 
-  test("synthetic assets cover all kinds with binary payloads and metadata") {
+  test("PPM codec round-trips pixels and survives header comments") {
+    val rgb = Array.tabulate(8 * 5 * 3)(i => (i * 7).toByte)
+    val enc = Codecs.encodePpm(8, 5, rgb)
+    val (w, h, px) = Codecs.decodePpm(enc)
+    assert(w == 8 && h == 5 && px.sameElements(rgb))
+    val commented = ("P6\n# a comment\n8 5\n# more\n255\n".getBytes("US-ASCII") ++ rgb)
+    val (w2, h2, px2) = Codecs.decodePpm(commented)
+    assert(w2 == 8 && h2 == 5 && px2.sameElements(rgb))
+  }
+
+  test("WAV codec round-trips samples and sample rate") {
+    val samples = Array.tabulate(777)(i => (math.sin(i * 0.1) * 5000).toShort)
+    val enc = Codecs.encodeWav(8000, samples)
+    val (sr, ch, got) = Codecs.decodeWav(enc)
+    assert(sr == 8000 && ch == 1 && got.sameElements(samples))
+  }
+
+  test("nearest-neighbor resize maps corners onto corners") {
+    // 2x2 image with distinct corner colors → 4x4 resize keeps quadrants
+    val rgb = Array[Byte](
+      10, 10, 10, 20, 20, 20,
+      30, 30, 30, 40, 40, 40)
+    val out = Codecs.resizeNearest(2, 2, rgb, 4, 4)
+    assert(out(0) == 10 && out((0 * 4 + 3) * 3) == 20)
+    assert(out((3 * 4 + 0) * 3) == 30 && out((3 * 4 + 3) * 3) == 40)
+  }
+
+  test("synthetic assets cover all kinds with parseable payloads") {
     val rows = assets.collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
     rows.foreach { a =>
       assert(a.bytes.nonEmpty)
-      assert(a.meta.contains("lang") && a.meta("codec") == "fake")
+      assert(a.meta.contains("lang") && a.meta.contains("codec"))
     }
   }
 
-  test("decode is deterministic and emits plausible dimensions") {
+  test("decode parses real headers deterministically") {
     val d1 = decode(assets).collect().sortBy(_.asset_id)
     val d2 = decode(assets).collect().sortBy(_.asset_id)
     assert(d1.map(_.toString).toSeq == d2.map(_.toString).toSeq)
     d1.foreach { m =>
-      assert(m.width >= 64 && m.height >= 64 && m.channels == 3)
+      m.kind match {
+        case "image" =>
+          assert(m.width >= 8 && m.height >= 8 && m.channels == 3 && m.n_frames == 1)
+        case "audio" =>
+          assert(m.sample_rate == 8000 && m.channels == 1 && m.width >= 400)
+        case "video" =>
+          assert(m.n_frames >= 3 && m.channels == 3)
+      }
       assert(m.n_bytes > 0)
     }
   }
@@ -32,20 +67,42 @@ class MultimodalSpec extends SparkSpec {
   test("feature extraction yields fixed-dim vectors, stable across runs") {
     val f1 = extractFeatures(assets, dim = 16).collect().sortBy(_.asset_id)
     assert(f1.forall(_.feature.length == 16))
+    assert(f1.exists(_.feature.exists(_ != 0.0f)))
     val f2 = extractFeatures(assets, dim = 16).collect().sortBy(_.asset_id)
     (f1 zip f2).foreach { case (a, b) =>
       assert(a.feature.sameElements(b.feature))
     }
   }
 
-  test("frame sampling explodes video assets into ordered frames that reassemble") {
-    val frames = sampleFrames(assets, chunk = 64).collect()
-      .groupBy(_.asset_id)
+  test("frame stream parses to valid frames that reassemble the payload") {
+    val frames = sampleFrames(assets, step = 1).collect().groupBy(_.asset_id)
     assert(frames.nonEmpty)
-    val videos = assets.filter(_.kind == "video").collect().map(a => a.asset_id -> a.bytes).toMap
+    val videos = assets.filter(_.kind == "video").collect()
+      .map(a => a.asset_id -> a.bytes).toMap
     frames.foreach { case (id, fs) =>
+      fs.foreach { f =>
+        val (w, h, px) = Codecs.decodePpm(f.frame_bytes)
+        assert(w > 0 && h > 0 && px.length == w * h * 3)
+      }
       val reassembled = fs.sortBy(_.frame_idx).flatMap(_.frame_bytes)
       assert(reassembled.sameElements(videos(id)))
+    }
+  }
+
+  test("frame sampling with a step picks every step-th frame") {
+    val sampled = sampleFrames(assets, step = 2).collect().groupBy(_.asset_id)
+    sampled.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == fs.map(_.frame_idx).sorted.distinct.toSeq)
+      fs.foreach(f => assert(f.frame_idx % 2 == 0))
+    }
+  }
+
+  test("thumbnails are valid fixed-size PPMs") {
+    val th = thumbnails(assets, side = 4).collect()
+    assert(th.nonEmpty)
+    th.foreach { t =>
+      val (w, h, px) = Codecs.decodePpm(t.thumb)
+      assert(w == 4 && h == 4 && px.length == 48)
     }
   }
 
@@ -53,5 +110,9 @@ class MultimodalSpec extends SparkSpec {
     val s = Multimodal.pipelineSummary(spark, sfDir).collect()
     assert(s.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     s.foreach(r => assert(r.getAs[Long]("n_assets") > 0))
+    val video = s.find(_.getString(0) == "video").get
+    assert(video.getAs[Long]("total_frames") > 0)
+    val audio = s.find(_.getString(0) == "audio").get
+    assert(audio.getAs[Int]("max_sample_rate") == 8000)
   }
 }
