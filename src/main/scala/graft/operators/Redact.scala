@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** PII redaction — the scrubbing pass a training-data pipeline runs
+  * before shipping a corpus (emails, IPs, phone numbers, national-id
+  * shapes → placeholder tokens).
+  *
+  * Patterns are deliberately written in the common subset of Java regex
+  * (Spark, codegen'd `regexp_replace`) and RE2 (DuckDB, Go, Rust
+  * engines): no lookaround, no backreferences — so the exact same
+  * redaction is reproducible across engines, and the oracle can
+  * hash-match the scrubbed text. Application order matters and is part
+  * of the contract: EMAIL → ID → IPV4 → PHONE, most-specific first, so
+  * the greedy phone pattern can't eat an id/ip that an earlier pass
+  * already tokenized.
+  *
+  * Scale shape: a chain of `regexp_replace` Columns — scan-side,
+  * whole-stage codegen, no shuffle, no UDF.
+  */
+object Redact {
+
+  /** (name, pattern, replacement) in application order. */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+
+  /** All patterns applied in order. */
+  def scrub(c: Column): Column =
+    patterns.foldLeft(c) { case (acc, (_, re, tok)) => regexp_replace(acc, re, tok) }
+
+  /** Per-pattern match count on the UNREDACTED text (counts are taken
+    * before any replacement, so they are order-independent). */
+  def matchCounts(c: Column): Seq[(String, Column)] =
+    patterns.map { case (name, re, _) => name -> regexp_count(c, lit(re)) }
+
+  /** q65: redact a corpus with deterministically planted PII — the
+    * corpus itself is synthetic word soup, so realistic PII is injected
+    * from doc_id arithmetic (identically derivable by the oracle), then
+    * scrubbed; rows that contained any PII come back with the scrubbed
+    * text and per-pattern counts. Hash-matching the scrubbed text
+    * proves replacement parity, not just count parity. */
+  def q65PiiRedact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, d)
+      .withColumn("pii_text", concat(
+        $"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" from 10."), ($"doc_id" % 200).cast("string"), lit(".0."),
+            ($"doc_id" % 250).cast("string")))
+          .otherwise(lit("")),
+        when($"doc_id" % 13 === 0,
+          concat(lit(" ssn "), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit("-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when($"doc_id" % 17 === 0,
+          concat(lit(" call +1 (555) 0"), $"doc_id".cast("string")))
+          .otherwise(lit(""))))
+    val counted = matchCounts($"pii_text").foldLeft(planted) {
+      case (df, (name, c)) => df.withColumn(s"n_$name", c)
+    }
+    counted
+      .withColumn("redacted", scrub($"pii_text"))
+      .where($"n_email" + $"n_id" + $"n_ipv4" + $"n_phone" > 0)
+      .select($"doc_id", $"source", $"redacted",
+        $"n_email", $"n_id", $"n_ipv4", $"n_phone")
+      .orderBy($"doc_id")
+  }
+
+  val q65Sql: String = {
+    val Seq(email, id, ip, phone) = patterns.map(_._2)
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark
+    // replaces all by default); patterns are the portable subset so the
+    // semantics line up.
+    s"""WITH planted AS (
+       |  SELECT doc_id, source, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |              CAST(doc_id % 250 AS VARCHAR)
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0
+       |         THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+       |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0
+       |         THEN ' call +1 (555) 0' || CAST(doc_id AS VARCHAR)
+       |         ELSE '' END AS pii_text
+       |  FROM documents
+       |), counted AS (
+       |  SELECT doc_id, source, pii_text,
+       |         len(regexp_extract_all(pii_text, '$email')) AS n_email,
+       |         len(regexp_extract_all(pii_text, '$id')) AS n_id,
+       |         len(regexp_extract_all(pii_text, '$ip')) AS n_ipv4,
+       |         len(regexp_extract_all(pii_text, '$phone')) AS n_phone
+       |  FROM planted
+       |)
+       |SELECT doc_id, source,
+       |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |         pii_text, '$email', '<EMAIL>', 'g'),
+       |         '$id', '<ID>', 'g'),
+       |         '$ip', '<IP>', 'g'),
+       |         '$phone', '<PHONE>', 'g') AS redacted,
+       |       n_email, n_id, n_ipv4, n_phone
+       |FROM counted
+       |WHERE n_email + n_id + n_ipv4 + n_phone > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+}

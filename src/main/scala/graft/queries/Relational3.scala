@@ -117,4 +117,82 @@ object Relational3 {
       |FROM o
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
       |ORDER BY o_custkey, order_rank""".stripMargin
+
+  /** q66: PIVOT — per-user event counts spread into one column per
+    * event type (explicit value list, so no extra distinct job and a
+    * stable schema at every scale factor), zero-filled. One shuffle on
+    * user_id; the pivot itself is a map-side conditional aggregation. */
+  def q66Pivot(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, d)
+      .groupBy($"user_id")
+      .pivot($"event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy($"user_id")
+  }
+
+  val q66Sql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q67: time-series gap filling — the dense per-user daily activity
+    * grid: each user's [first, last] active-day span is expanded with
+    * `sequence` + `explode` (no cross join against a global calendar —
+    * the grid is generated per key, so a sparse user costs only their
+    * own span), missing days filled with zero counts, and
+    * days-since-last-activity forward-filled with a running `max` over
+    * observed days (monotone, so max ≡ last non-null). */
+  def q67GapFill(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, d)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n_events", coalesce($"n_events", lit(0L)))
+      .withColumn("last_active",
+        max(when($"n_events" > 0, $"day")).over(w))
+      .withColumn("days_since_activity",
+        datediff($"day", $"last_active").cast("long"))
+      .select($"user_id", $"day", $"n_events", $"days_since_activity")
+      .orderBy($"user_id", $"day")
+  }
+
+  val q67Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, CAST(g.day AS DATE) AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1) s,
+      |       unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+      |                              CAST(s.d1 AS TIMESTAMP),
+      |                              INTERVAL 1 DAY)) AS g(day)
+      |)
+      |SELECT g.user_id, g.day,
+      |       coalesce(d.n_events, 0) AS n_events,
+      |       CAST(date_diff('day',
+      |              max(CASE WHEN d.n_events > 0 THEN g.day END)
+      |                OVER (PARTITION BY g.user_id ORDER BY g.day
+      |                      ROWS UNBOUNDED PRECEDING),
+      |              g.day) AS BIGINT) AS days_since_activity
+      |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY g.user_id, g.day""".stripMargin
 }
