@@ -57,12 +57,23 @@ object Decontaminate {
     * the join probe side shrinks from |corpus shingles| to roughly
     * |true hits|.
     */
+  /** Distinct eval-shingle sets, materialized once: three consumers
+    * (count, bloom build, verify join) would otherwise each re-run the
+    * select+distinct shuffle over the shingle index. */
+  private val evalShCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
   def overlapReportBloom(docs: DataFrame, evalDocs: DataFrame,
       minOverlap: Double, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = Dedup.docShingles(docs)
-    val evalSh = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    val evalSh = {
+      val distinct = Dedup.docShingles(evalDocs).select($"sh").distinct()
+      evalShCache.getOrElseUpdate(distinct.queryExecution.analyzed.canonicalized)(
+        distinct.cache())
+    }
     // Eval side is benchmark-sized by definition — one count + one
     // driver-built filter is control-plane work, like stat.bloomFilter.
     val nEval = math.max(1000L, evalSh.count())
