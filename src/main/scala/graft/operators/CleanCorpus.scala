@@ -4,14 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus cleaning pipeline — the operator a
-  * data-curation user actually calls: quality filter → exact dedup →
-  * near-dup dedup (MinHash LSH + connected components, keeper = min
-  * id) → the kept corpus plus per-stage attrition stats.
+  * data-curation user actually calls: quality filter → decontamination →
+  * exact dedup → near-dup dedup (MinHash LSH + connected components,
+  * keeper = min id) → PII scrub → the kept corpus plus per-stage
+  * attrition stats.
   *
   * Every stage is a DataFrame transform: quality is a projection
   * filter, exact dedup one shuffle on the content hash, near-dup the
-  * LSH candidate path with exact verification — the same plan at any
-  * scale.
+  * LSH candidate path with exact verification, redaction a scan-side
+  * regexp chain — the same plan at any scale.
   */
 object CleanCorpus {
 
@@ -72,7 +73,11 @@ object CleanCorpus {
     val dropIds = Dedup.connectedComponents(pairs)
       .where($"id" =!= $"label") // keeper = component min id stays
       .select($"id".as("doc_id"))
+    // 4. PII scrub on the surviving text — last, so the regexp chain
+    // runs over the fewest rows (kept-only) and dedup keys were
+    // computed on the raw text.
     val cleaned = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      .withColumn("text", Redact.scrub($"text"))
     val nFinal = cleaned.count()
 
     // Stage caches served their multiple readers; only `exact` — the

@@ -56,6 +56,42 @@ object IntervalJoin {
         iPayload.map(c => col(s"__ipay.$c").as(s"$intervalPrefix$c")): _*)
   }
 
+  /** Inclusive interval-overlap join: `l JOIN r ON l.key = r.key AND
+    * l.start <= r.end AND r.start <= l.end` — session overlap, validity
+    * ranges, genomic-style range intersection. Both sides must use the
+    * same `start`/`end` column names; output = all left columns plus
+    * every non-key right column prefixed with `rightPrefix`.
+    *
+    * Same banding as [[pointInInterval]], but a pair of intervals can
+    * share MANY bands, so the join emits a pair only in its OWNER band —
+    * the band holding the later of the two starts: overlap guarantees
+    * `max(l.start, r.start) <= min(l.end, r.end)`, so the owner band is
+    * covered by both intervals (exactly-once, no dedup shuffle). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+      start: String, end: String, bandSeconds: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(bandSeconds > 0, "bandSeconds must be positive")
+    val band = bandSeconds * 1000000L
+    def prep(df: DataFrame, tag: String): DataFrame =
+      df.where(col(key).isNotNull && col(start).isNotNull &&
+          col(end).isNotNull && col(start) <= col(end))
+        .select(col(key).as(s"__k$tag"),
+          struct(df.columns.filterNot(_ == key).map(col).toSeq: _*).as(s"__p$tag"),
+          expr(s"unix_micros($start) div ${band}L").as(s"__b0$tag"),
+          expr(s"unix_micros($end) div ${band}L").as(s"__b1$tag"))
+        .withColumn(s"__band$tag", explode(sequence(col(s"__b0$tag"), col(s"__b1$tag"))))
+    val l = prep(left, "l")
+    val r = prep(right, "r")
+    val rPayload = right.columns.filterNot(_ == key).toSeq
+    l.join(r, col("__kl") === col("__kr") && col("__bandl") === col("__bandr") &&
+        col(s"__pl.$start") <= col(s"__pr.$end") &&
+        col(s"__pr.$start") <= col(s"__pl.$end") &&
+        col("__bandl") === greatest(col("__b0l"), col("__b0r")))
+      .select(Seq(col("__kl").as(key)) ++
+        left.columns.filterNot(_ == key).toSeq.map(c => col(s"__pl.$c").as(c)) ++
+        rPayload.map(c => col(s"__pr.$c").as(s"$rightPrefix$c")): _*)
+  }
+
   /** q63: windowed attribution with multiplicity — every (view,
     * purchase-within-3-days-after) pair per user, aggregated per user:
     * pair count, distinct views/purchases involved, attributed value.
@@ -78,6 +114,44 @@ object IntervalJoin {
         sum($"value".cast("decimal(18,2)")).cast("double").as("attributed_value"))
       .orderBy($"user_id")
   }
+
+  /** q68: overlapping browse windows — each view opens a 12-hour
+    * window; per user, how many ordered pairs of windows overlap and
+    * their total pairwise overlap (exact microseconds, so the oracle
+    * hash-matches without float drift). Self-overlap-join through the
+    * owner-band rewrite. */
+  def q68OverlapPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val views = Tables.events(spark, d).where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 12 HOUR")).as("w_end"))
+    val a = views.select($"user_id", $"event_id".as("id_a"), $"w_start", $"w_end")
+    val b = views.select($"user_id", $"event_id".as("id_b"), $"w_start", $"w_end")
+    intervalOverlap(a, b, key = "user_id", start = "w_start", end = "w_end",
+      bandSeconds = 12L * 3600L, rightPrefix = "b_")
+      .where($"id_a" < $"b_id_b")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(least($"w_end", $"b_w_end")) -
+          unix_micros(greatest($"w_start", $"b_w_start"))).as("overlap_us"))
+      .orderBy($"user_id")
+  }
+
+  val q68Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id, ts AS w_start,
+      |         ts + INTERVAL 12 HOUR AS w_end FROM e WHERE event_type = 'view'
+      |)
+      |SELECT a.user_id, count(*) AS n_pairs,
+      |       sum(epoch_us(least(a.w_end, b.w_end)) -
+      |           epoch_us(greatest(a.w_start, b.w_start))) AS overlap_us
+      |FROM v a JOIN v b ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |   AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
 
   val q63Sql: String =
     """WITH e AS (

@@ -34,6 +34,21 @@ class CleanCorpusSpec extends SparkSpec {
     assert(kept == Set(1L, 5L))
   }
 
+  test("surviving documents come out PII-scrubbed") {
+    import spark.implicits._
+    val withPii = "completely different content about databases engines queries plans " +
+      "optimizers shuffles partitions executors drivers caching storage formats " +
+      "reach me at ops.lead@example.org or 10.1.2.3 for more details today"
+    val docs = Seq((1L, withPii))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val (cleaned, stats) = CleanCorpus.clean(docs)
+    assert(stats.afterNearDup == 1)
+    val text = cleaned.select("text").collect().head.getString(0)
+    assert(text.contains("<EMAIL>") && text.contains("<IP>"))
+    assert(!text.contains("example.org") && !text.contains("10.1.2.3"))
+  }
+
   test("repetition gate drops degenerate repeated-content documents") {
     import spark.implicits._
     val good = "completely different content about databases engines queries plans " +

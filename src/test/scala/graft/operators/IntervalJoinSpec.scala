@@ -71,6 +71,46 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("overlap join: inclusive, exactly-once across shared bands") {
+    import spark.implicits._
+    val a = Seq(
+      (10L, 1L, ts("2026-01-01 00:00:00"), ts("2026-01-05 00:00:00")),
+      (10L, 2L, ts("2026-01-06 00:00:00"), ts("2026-01-07 00:00:00"))
+    ).toDF("key_id", "id_a", "w_start", "w_end")
+    val b = Seq(
+      (10L, 100L, ts("2026-01-03 00:00:00"), ts("2026-01-06 00:00:00")), // overlaps both
+      (10L, 101L, ts("2026-01-05 00:00:00"), ts("2026-01-05 12:00:00")), // touches 1 at its end
+      (10L, 102L, ts("2026-01-08 00:00:00"), ts("2026-01-09 00:00:00")), // overlaps none
+      (20L, 103L, ts("2026-01-03 00:00:00"), ts("2026-01-06 00:00:00"))  // wrong key
+    ).toDF("key_id", "id_b", "w_start", "w_end")
+    // 1h bands: every interval spans dozens of bands; pairs still unique
+    val out = IntervalJoin.intervalOverlap(a, b, "key_id", "w_start", "w_end",
+      bandSeconds = 3600L, rightPrefix = "b_")
+      .select($"id_a", $"b_id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == Seq((1L, 100L), (1L, 101L), (2L, 100L)))
+  }
+
+  test("overlap join matches the naive non-equi self-join on real events (sf0.001)") {
+    import spark.implicits._
+    val views = graft.sources.Tables.events(spark, sfDir)
+      .where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 12 HOUR")).as("w_end"))
+    val a = views.select($"user_id", $"event_id".as("id_a"), $"w_start", $"w_end")
+    val b = views.select($"user_id", $"event_id".as("id_b"), $"w_start", $"w_end")
+    val got = IntervalJoin.intervalOverlap(a, b, "user_id", "w_start", "w_end",
+        bandSeconds = 12L * 3600L, rightPrefix = "b_")
+      .where($"id_a" < $"b_id_b")
+      .select($"id_a", $"b_id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.as("x").join(b.as("y"),
+        $"x.user_id" === $"y.user_id" && $"x.id_a" < $"y.id_b" &&
+          $"x.w_start" <= $"y.w_end" && $"y.w_start" <= $"x.w_end")
+      .select($"x.id_a", $"y.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("plans as an equi-join on (key, band), not a nested loop") {
     import spark.implicits._
     val e = graft.sources.Tables.events(spark, sfDir)
