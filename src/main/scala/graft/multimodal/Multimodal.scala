@@ -116,18 +116,26 @@ object Multimodal {
       out
     }
 
+    /** Walk a concatenated-P6 stream without copying: per frame
+      * (width, height, startOffset, endOffset). Lets counting/metadata
+      * passes stay allocation-free. */
+    def ppmFrameOffsets(bytes: Array[Byte]): Iterator[(Int, Int, Int, Int)] =
+      new Iterator[(Int, Int, Int, Int)] {
+        private var off = 0
+        def hasNext: Boolean = off < bytes.length
+        def next(): (Int, Int, Int, Int) = {
+          val (w, h, _, end) = parsePpmHeader(bytes, off)
+          val r = (w, h, off, end)
+          off = end
+          r
+        }
+      }
+
     /** Split a concatenated-P6 stream (the `ffmpeg -f image2pipe` PPM
       * convention) into individual encoded frames by walking headers. */
     def splitPpmFrames(bytes: Array[Byte]): Iterator[Array[Byte]] =
-      new Iterator[Array[Byte]] {
-        private var off = 0
-        def hasNext: Boolean = off < bytes.length
-        def next(): Array[Byte] = {
-          val (_, _, _, end) = parsePpmHeader(bytes, off)
-          val f = java.util.Arrays.copyOfRange(bytes, off, end)
-          off = end
-          f
-        }
+      ppmFrameOffsets(bytes).map { case (_, _, start, end) =>
+        java.util.Arrays.copyOfRange(bytes, start, end)
       }
 
     // ---------- RIFF/WAVE PCM16 ----------
@@ -166,6 +174,7 @@ object Multimodal {
             val audioFormat = bb.getShort
             require(audioFormat == 1, s"only PCM supported, format=$audioFormat")
             channels = bb.getShort.toInt
+            require(channels > 0, s"invalid channel count: $channels")
             sampleRate = bb.getInt
             bb.getInt; bb.getShort // byte rate, block align
             bits = bb.getShort.toInt
@@ -279,8 +288,8 @@ object Multimodal {
               a.bytes.length.toLong, sr, 0)
           case _ =>
             var n = 0; var w = 0; var h = 0
-            Codecs.splitPpmFrames(a.bytes).foreach { f =>
-              if (n == 0) { val (fw, fh, _) = Codecs.decodePpm(f); w = fw; h = fh }
+            Codecs.ppmFrameOffsets(a.bytes).foreach { case (fw, fh, _, _) =>
+              if (n == 0) { w = fw; h = fh }
               n += 1
             }
             DecodedMeta(a.asset_id, a.kind, w, h, 3, a.bytes.length.toLong, 0, n)
@@ -325,12 +334,14 @@ object Multimodal {
 
   /** Frame sampling: 1 video asset → every `step`-th frame (generator
     * shape), frames parsed from the concatenated-PPM stream. */
-  def sampleFrames(assets: Dataset[MediaAsset], step: Int = 1): Dataset[Frame] =
+  def sampleFrames(assets: Dataset[MediaAsset], step: Int = 1): Dataset[Frame] = {
+    require(step > 0, s"step must be positive, got $step")
     assets.filter(_.kind == "video").flatMap { a =>
       Codecs.splitPpmFrames(a.bytes).zipWithIndex.collect {
         case (b, i) if i % step == 0 => Frame(a.asset_id, i, b)
       }
     }
+  }
 
   /** Whole-pipeline summary per kind — the query a pipeline dashboard
     * would run; deterministic, so usable as a rows-only query. */

@@ -19,16 +19,16 @@ import graft.sources.Tables
   */
 object Decontaminate {
 
-  /** Per-document contamination report for corpus docs at or above
-    * `minOverlap`: (doc_id, n_shingles, n_hits, overlap). */
-  def overlapReport(docs: DataFrame, evalDocs: DataFrame,
-      minOverlap: Double): DataFrame = {
-    val spark = docs.sparkSession
+  /** Shared report assembly: totals over ALL corpus shingles, hits =
+    * `hitsInput` (the corpus shingles, possibly prefiltered) ⋈ eval
+    * shingles, ratio + threshold. Both the exact and the bloom path
+    * flow through here, so their semantics cannot diverge. */
+  private def assembleReport(sh: DataFrame, hitsInput: DataFrame,
+      evalSh: DataFrame, minOverlap: Double): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = Dedup.docShingles(docs)
-    val evalSh = Dedup.docShingles(evalDocs).select($"sh").distinct()
     val totals = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = sh.join(broadcast(evalSh), "sh")
+    val hits = hitsInput.join(broadcast(evalSh), "sh")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
     totals.join(hits, Seq("doc_id"))
       .withColumn("overlap", $"n_hits".cast("double") / $"n_shingles")
@@ -37,12 +37,30 @@ object Decontaminate {
       .orderBy($"doc_id")
   }
 
+  /** Per-document contamination report for corpus docs at or above
+    * `minOverlap`: (doc_id, n_shingles, n_hits, overlap). */
+  def overlapReport(docs: DataFrame, evalDocs: DataFrame,
+      minOverlap: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.docShingles(docs)
+    val evalSh = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    assembleReport(sh, sh, evalSh, minOverlap)
+  }
+
   /** The corpus minus contaminated documents. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,
       minOverlap: Double): DataFrame = {
     val flagged = overlapReport(docs, evalDocs, minOverlap).select("doc_id")
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
+
+  /** Distinct eval-shingle sets, materialized once: three consumers
+    * (count, bloom build, verify join) would otherwise each re-run the
+    * select+distinct shuffle over the shingle index. */
+  private val evalShCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
 
   /** [[overlapReport]] with a bloom prefilter on the corpus side — the
     * 100 TB shape. The exact path probes EVERY corpus shingle against
@@ -54,16 +72,9 @@ object Decontaminate {
     * ~1% false positives — reach the exact join that removes the false
     * positives. Bloom filters have NO false negatives, so the report is
     * bit-identical to [[overlapReport]] (same oracle), only cheaper:
-    * the join probe side shrinks from |corpus shingles| to roughly
-    * |true hits|.
+    * the join probe side shrinks from the corpus shingle count to
+    * roughly the true hits.
     */
-  /** Distinct eval-shingle sets, materialized once: three consumers
-    * (count, bloom build, verify join) would otherwise each re-run the
-    * select+distinct shuffle over the shingle index. */
-  private val evalShCache =
-    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
-      maxEntries = 4, onEvict = _.unpersist())
-
   def overlapReportBloom(docs: DataFrame, evalDocs: DataFrame,
       minOverlap: Double, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
@@ -80,15 +91,7 @@ object Decontaminate {
     val bloom = evalSh.stat.bloomFilter($"sh", nEval, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
-    val totals = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = sh.where(mightContain($"sh"))
-      .join(broadcast(evalSh), "sh")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
-    totals.join(hits, Seq("doc_id"))
-      .withColumn("overlap", $"n_hits".cast("double") / $"n_shingles")
-      .where($"overlap" >= minOverlap)
-      .select($"doc_id", $"n_shingles", $"n_hits", $"overlap")
-      .orderBy($"doc_id")
+    assembleReport(sh, sh.where(mightContain($"sh")), evalSh, minOverlap)
   }
 
   /** q49: contamination report of the corpus (doc_id ≥ 50) against a

@@ -34,10 +34,19 @@ object Redact {
   def scrub(c: Column): Column =
     patterns.foldLeft(c) { case (acc, (_, re, tok)) => regexp_replace(acc, re, tok) }
 
-  /** Per-pattern match count on the UNREDACTED text (counts are taken
-    * before any replacement, so they are order-independent). */
-  def matchCounts(c: Column): Seq[(String, Column)] =
-    patterns.map { case (name, re, _) => name -> regexp_count(c, lit(re)) }
+  /** Per-pattern match counts, STAGED like the scrub itself: pattern i
+    * is counted on the text with patterns 1..i-1 already replaced, so
+    * each count is exactly the number of replacements that pattern's
+    * pass performs — the greedy phone pattern doesn't also count the
+    * id/ip shapes an earlier pass tokenizes. */
+  def matchCounts(c: Column): Seq[(String, Column)] = {
+    val (counts, _) = patterns.foldLeft((Seq.empty[(String, Column)], c)) {
+      case ((acc, stage), (name, re, tok)) =>
+        (acc :+ (name -> regexp_count(stage, lit(re))),
+          regexp_replace(stage, re, tok))
+    }
+    counts
+  }
 
   /** q65: redact a corpus with deterministically planted PII — the
     * corpus itself is synthetic word soup, so realistic PII is injected
@@ -99,23 +108,31 @@ object Redact {
        |         THEN ' call +1 (555) 0' || CAST(doc_id AS VARCHAR)
        |         ELSE '' END AS pii_text
        |  FROM documents
-       |), counted AS (
-       |  SELECT doc_id, source, pii_text,
+       |), staged AS (
+       |  -- counts are staged exactly like the scrub: pattern i counted
+       |  -- with patterns 1..i-1 already replaced
+       |  SELECT doc_id, source,
        |         len(regexp_extract_all(pii_text, '$email')) AS n_email,
-       |         len(regexp_extract_all(pii_text, '$id')) AS n_id,
-       |         len(regexp_extract_all(pii_text, '$ip')) AS n_ipv4,
-       |         len(regexp_extract_all(pii_text, '$phone')) AS n_phone
+       |         regexp_replace(pii_text, '$email', '<EMAIL>', 'g') AS r1
        |  FROM planted
+       |), s2 AS (
+       |  SELECT doc_id, source, n_email,
+       |         len(regexp_extract_all(r1, '$id')) AS n_id,
+       |         regexp_replace(r1, '$id', '<ID>', 'g') AS r2
+       |  FROM staged
+       |), s3 AS (
+       |  SELECT doc_id, source, n_email, n_id,
+       |         len(regexp_extract_all(r2, '$ip')) AS n_ipv4,
+       |         regexp_replace(r2, '$ip', '<IP>', 'g') AS r3
+       |  FROM s2
        |)
        |SELECT doc_id, source,
-       |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       |         pii_text, '$email', '<EMAIL>', 'g'),
-       |         '$id', '<ID>', 'g'),
-       |         '$ip', '<IP>', 'g'),
-       |         '$phone', '<PHONE>', 'g') AS redacted,
-       |       n_email, n_id, n_ipv4, n_phone
-       |FROM counted
-       |WHERE n_email + n_id + n_ipv4 + n_phone > 0
+       |       regexp_replace(r3, '$phone', '<PHONE>', 'g') AS redacted,
+       |       n_email, n_id, n_ipv4,
+       |       len(regexp_extract_all(r3, '$phone')) AS n_phone
+       |FROM s3
+       |WHERE n_email + n_id + n_ipv4 +
+       |      len(regexp_extract_all(r3, '$phone')) > 0
        |ORDER BY doc_id""".stripMargin
   }
 }

@@ -53,7 +53,12 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
   // instances over the same store coexist in one JVM. With a shared
   // channel, a second instance's lock() sees the overlap, and the retry
   // loop below converts it into the blocking semantics callers expect.
-  private val lockChannel: Option[java.nio.channels.FileChannel] =
+  // FileChannel is interruptible — a thread interrupt during lock()
+  // closes it for good — so the channel is reopened on interruption/
+  // closure instead of leaving every later call broken.
+  private var lockChannel: Option[java.nio.channels.FileChannel] = openLockChannel()
+
+  private def openLockChannel(): Option[java.nio.channels.FileChannel] =
     try {
       val f = new java.io.File(store.path("tasks.lock"))
       Option(f.getParentFile).foreach(_.mkdirs())
@@ -62,18 +67,37 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
         java.nio.file.StandardOpenOption.WRITE))
     } catch { case _: Exception => None }
 
-  private def withProcessLock[T](body: => T): T = lockChannel match {
-    case None => body
-    case Some(ch) =>
-      var l: java.nio.channels.FileLock = null
-      while (l == null) {
-        // lock() blocks on OTHER processes; an overlap from another
-        // instance in THIS JVM throws instead — sleep and retry.
-        try l = ch.lock()
-        catch { case _: java.nio.channels.OverlappingFileLockException =>
-          Thread.sleep(5) }
+  /** Release the lock-file channel (one FD per instance otherwise). */
+  def close(): Unit = lock.synchronized {
+    lockChannel.foreach(ch => try ch.close() catch { case _: Exception => () })
+    lockChannel = None
+  }
+
+  // Callers hold the in-JVM monitor, so lockChannel mutation is safe.
+  private def withProcessLock[T](body: => T): T = {
+    var ch = lockChannel.orNull
+    var l: java.nio.channels.FileLock = null
+    while (l == null && ch != null) {
+      // lock() blocks on OTHER processes; an overlap from another
+      // instance in THIS JVM throws instead — sleep and retry.
+      try l = ch.lock()
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException =>
+          Thread.sleep(5)
+        case e: java.nio.channels.FileLockInterruptionException =>
+          // interrupt closed the channel: reopen for future callers,
+          // propagate the cancellation (no state was mutated yet)
+          lockChannel = openLockChannel()
+          throw e
+        case _: java.nio.channels.ClosedChannelException =>
+          lockChannel = openLockChannel()
+          ch = lockChannel.orNull
       }
-      try body finally l.release()
+    }
+    if (l == null) body // no lock file available: in-JVM monitor only
+    else try body finally {
+      try l.release() catch { case _: java.nio.channels.ClosedChannelException => () }
+    }
   }
 
   /** Next task id: one above BOTH the live max and the persisted

@@ -34,7 +34,7 @@ class RedactSpec extends SparkSpec {
     assert(scrubOne(clean) == clean)
   }
 
-  test("match counts see the unredacted text per pattern") {
+  test("match counts are staged: each pattern counts only its own replacements") {
     import spark.implicits._
     val df = Seq("a@b.co x 1.2.3.4 y 123-45-6789").toDF("t")
     val row = Redact.matchCounts($"t").foldLeft(df) {
@@ -43,6 +43,9 @@ class RedactSpec extends SparkSpec {
     assert(row.getAs[Int]("email") == 1)
     assert(row.getAs[Int]("ipv4") == 1)
     assert(row.getAs[Int]("id") == 1)
+    // the greedy phone pattern would match the raw id/ip shapes, but
+    // staged counting sees them already tokenized
+    assert(row.getAs[Int]("phone") == 0)
   }
 
   test("q65 finds every planted row and no clean rows (sf0.001)") {
