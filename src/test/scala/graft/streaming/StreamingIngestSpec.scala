@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.DedupIndex
+
+/** Streaming corpus ingestion: cross-batch dedup against the durable
+  * index, replay idempotency via the batch marker, and the end-to-end
+  * streaming query over a file source. */
+class StreamingIngestSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over a lazy dog and then runs far away " +
+    "to find more interesting words for this synthetic document corpus today"
+  private val novel = "fresh unique subject matter nobody wrote before with many extra " +
+    "novel words appended here so shingles exist for this document too"
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def corpusIds(corpusDir: String): Set[Long] = {
+    import spark.implicits._
+    spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+  }
+
+  test("batches dedup against the base index AND earlier batches; replays are skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest-corpus").toString
+    DedupIndex.build(df(Seq(1L -> base)), dir)
+
+    // batch 0: a near-dup of the standing corpus + one novel doc
+    val r0 = StreamingIngest.ingestBatch(
+      df(Seq(10L -> (base + " extra"), 11L -> novel)),
+      0L, dir, corpusDir, threshold = 0.5)
+    assert(r0.contains(StreamingIngest.BatchReport(0L, 2L, 1L)))
+    assert(corpusIds(corpusDir) == Set(11L))
+
+    // batch 1: duplicates batch 0's accepted doc → dropped via the
+    // committed index
+    val r1 = StreamingIngest.ingestBatch(
+      df(Seq(20L -> (novel + " ok"))),
+      1L, dir, corpusDir, threshold = 0.5)
+    assert(r1.contains(StreamingIngest.BatchReport(1L, 1L, 0L)))
+    assert(corpusIds(corpusDir) == Set(11L))
+
+    // replay of batch 0 (at-least-once delivery): marker gates it out,
+    // corpus unchanged
+    val r0again = StreamingIngest.ingestBatch(
+      df(Seq(10L -> (base + " extra"), 11L -> novel)),
+      0L, dir, corpusDir, threshold = 0.5)
+    assert(r0again.isEmpty)
+    assert(corpusIds(corpusDir) == Set(11L))
+  }
+
+  test("end-to-end streaming query ingests a file-source corpus once") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx2").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest-corpus2").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("ingest-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    DedupIndex.build(df(Seq(1L -> base)), dir)
+    // stream input: an exact dup of the corpus, a novel doc, and an
+    // in-batch near-dup of that novel doc
+    df(Seq(100L -> base, 101L -> novel, 102L -> (novel + " tail")))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(srcDir)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[StreamingIngest.BatchReport]()
+    val q = StreamingIngest.start(stream, dir, corpusDir, ckpt,
+      threshold = 0.5, onBatch = r => reports.add(r))
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(corpusIds(corpusDir) == Set(101L))
+    import scala.jdk.CollectionConverters._
+    assert(reports.asScala.map(_.input).sum == 3L)
+    assert(reports.asScala.map(_.kept).sum == 1L)
+  }
+}
