@@ -17,6 +17,7 @@ import graft.meta.MetaStore
   * runMain graft.Main sample    <docsParquet> <outDir> <rate>               # deterministic sample
   * runMain graft.Main index-build <corpusParquet> <indexDir>                # persist dedup index
   * runMain graft.Main index-dedup <batchParquet> <indexDir> <keptOut> [thr] # dedup batch vs index
+ * runMain graft.Main ingest    <srcDir> <indexDir> <corpusOut> <ckptDir> [thr] # streaming ingest
   * runMain graft.Main serve     <metaDir> [port] [dataRoot]  # REST façade (default 8080)
   * }}}
   */
@@ -87,6 +88,18 @@ object Main {
           // args(1): corpus parquet, args(2): index dir
           operators.DedupIndex.build(spark.read.parquet(args(1)), args(2))
           println(s"dedup index built at ${args(2)}")
+        case "ingest" =>
+          // args(1): stream source dir (parquet files arriving), args(2):
+          // index dir, args(3): corpus out dir, args(4): checkpoint dir
+          val threshold = if (args.length > 5) args(5).toDouble else 0.8
+          val stream = spark.readStream
+            .schema(spark.read.parquet(args(1)).schema)
+            .parquet(args(1))
+          val q = streaming.StreamingIngest.start(stream, args(2), args(3),
+            args(4), threshold,
+            r => println(s"ingest batch ${r.batchId}: input=${r.input} kept=${r.kept}"))
+          println(s"ingesting ${args(1)} -> ${args(3)} (ctrl-c to stop)")
+          q.awaitTermination()
         case "index-dedup" =>
           // args(1): batch parquet, args(2): index dir, args(3): kept out
           val threshold = if (args.length > 4) args(4).toDouble else 0.8

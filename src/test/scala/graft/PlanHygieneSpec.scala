@@ -56,6 +56,21 @@ class PlanHygieneSpec extends SparkSpec {
       plan)
   }
 
+  test("q63/q68 banded interval joins never fall back to a nested loop") {
+    Seq(planOf(graft.operators.IntervalJoin.q63IntervalAttribution(spark, sfDir)),
+      planOf(graft.operators.IntervalJoin.q68OverlapPairs(spark, sfDir))).foreach { plan =>
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        plan)
+    }
+  }
+
+  test("q67 gap fill generates the calendar per key — no cartesian grid") {
+    val plan = planOf(queries.Relational3.q67GapFill(spark, sfDir))
+    assert(plan.contains("Generate"), plan) // sequence+explode, per key
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("every groupBy query runs partial aggregation (no single-shot hash agg)") {
     val plan = planOf(queries.Relational.q1Agg(spark, sfDir))
     // partial + final pair: HashAggregate appears at least twice
