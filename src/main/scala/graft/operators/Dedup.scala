@@ -704,6 +704,71 @@ object Dedup {
        |SELECT label AS keeper, count(*) AS n_members, max(id) AS last_member
        |FROM labels GROUP BY label ORDER BY keeper""".stripMargin
 
+  /** Segment-level (line-level) dedup — the sub-document pass of
+    * C4/CCNet-style pipelines: document-level dedup misses a boilerplate
+    * paragraph pasted into thousands of otherwise-unique pages. Text is
+    * cut into consecutive `segTokens`-token segments (last one partial);
+    * across the WHOLE corpus each distinct segment survives only at its
+    * first occurrence (lexicographic min of (doc_id, seg_idx)); documents
+    * are reassembled from their surviving segments, dropping any doc left
+    * empty.
+    *
+    * Scale shape: explode → one shuffle on the segment text (the dedup
+    * itself) → one shuffle on doc_id (reassembly). Both are inherent to
+    * the semantics; neither is all-pairs.
+    */
+  def dedupSegments(docs: DataFrame, segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs
+      .where($"text".isNotNull)
+      .withColumn("__toks", split(lower($"text"), " "))
+      .where(size($"__toks") > 0)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(__toks) / ${segTokens}d) as int) - 1),
+           |  i -> array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' '))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+    val perDoc = Window.partitionBy($"doc_id")
+    val perSeg = Window.partitionBy($"seg")
+    val kept = segs
+      .withColumn("n_segments", count(lit(1)).over(perDoc))
+      .withColumn("__first", min(struct($"doc_id", $"seg_idx")).over(perSeg))
+      .where($"__first.doc_id" === $"doc_id" && $"__first.seg_idx" === $"seg_idx")
+    kept.groupBy($"doc_id")
+      .agg(first($"n_segments").as("n_segments"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct($"seg_idx", $"seg"))),
+          x => x("seg")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** q69: corpus-wide segment dedup report (16-token segments). */
+  def q69SegmentDedup(spark: SparkSession, d: String): DataFrame =
+    dedupSegments(graft.sources.Tables.documents(spark, d), segTokens = 16)
+
+  val q69Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) > 0
+      |), segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |         array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+      |  FROM toks,
+      |       unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS g(i)
+      |), ranked AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |         count(*) OVER (PARTITION BY doc_id) AS n_segments,
+      |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |  FROM segs
+      |)
+      |SELECT doc_id, n_segments, count(*) AS n_kept,
+      |       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      |FROM ranked WHERE rn = 1
+      |GROUP BY doc_id, n_segments
+      |ORDER BY doc_id""".stripMargin
+
   def nearDupClustersSql(threshold: Double): String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -190,4 +190,34 @@ class DedupSpec extends SparkSpec {
     assert(ps.forall { case (a, b) => a < b })
     assert(ps.distinct.length == ps.length)
   }
+
+  test("segment dedup keeps each distinct segment at its first occurrence only") {
+    import spark.implicits._
+    // 4-token segments; doc 1 = A B, doc 2 = B C (B duplicated), doc 3 = A
+    val A = "alpha beta gamma delta"
+    val B = "epsilon zeta eta theta"
+    val C = "iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"$A $B"),
+      (2L, s"$B $C"),
+      (3L, A) // entirely duplicated → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, segTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("n_kept"), r.getString(3))).toList
+    assert(out == List(
+      (1L, 2L, 2L, s"$A $B"),
+      (2L, 2L, 1L, C)))
+  }
+
+  test("segment dedup keeps a trailing partial segment and in-doc duplicates once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four one two three four tail")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs, segTokens = 4).collect().head
+    assert(out.getAs[Long]("n_segments") == 3L)
+    assert(out.getAs[Long]("n_kept") == 2L) // dup window dropped, partial kept
+    assert(out.getString(3) == "one two three four tail")
+  }
 }
