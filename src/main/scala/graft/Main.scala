@@ -18,6 +18,7 @@ import graft.meta.MetaStore
   * runMain graft.Main index-build <corpusParquet> <indexDir>                # persist dedup index
   * runMain graft.Main index-dedup <batchParquet> <indexDir> <keptOut> [thr] # dedup batch vs index
  * runMain graft.Main ingest    <srcDir> <indexDir> <corpusOut> <ckptDir> [thr] # streaming ingest
+ * runMain graft.Main analyze   <metaDir> <db> <table> <dataPath> [cols...] [--approx] # column stats
   * runMain graft.Main serve     <metaDir> [port] [dataRoot]  # REST façade (default 8080)
   * }}}
   */
@@ -88,6 +89,19 @@ object Main {
           // args(1): corpus parquet, args(2): index dir
           operators.DedupIndex.build(spark.read.parquet(args(1)), args(2))
           println(s"dedup index built at ${args(2)}")
+        case "analyze" =>
+          // args(2): db, args(3): table, args(4): data parquet,
+          // args(5...): columns (default: all), optional leading "--approx"
+          val approx = args.contains("--approx")
+          val rest = args.drop(5).filterNot(_ == "--approx").toSeq
+          val df = spark.read.parquet(args(4))
+          val cols = if (rest.nonEmpty) rest else df.columns.toSeq
+          val stats = operators.Analyze.analyzeTable(store, args(2), args(3),
+            df, cols, approximate = approx)
+          stats.foreach(s => println(
+            s"${s.column}: rows=${s.nRows} nulls=${s.nNull} " +
+              s"distinct=${s.nDistinct}${if (s.approximate) "~" else ""} " +
+              s"[${s.minValue.getOrElse("")} .. ${s.maxValue.getOrElse("")}]"))
         case "ingest" =>
           // args(1): stream source dir (parquet files arriving), args(2):
           // index dir, args(3): corpus out dir, args(4): checkpoint dir

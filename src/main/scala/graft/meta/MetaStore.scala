@@ -74,6 +74,7 @@ final class MetaStore(val spark: SparkSession, val root: String) {
   def files: Dataset[Model.FileMeta] = read[Model.FileMeta]("files")(MetaStore.fileMetaEnc)
   def tasks: Dataset[Model.TaskRow] = read[Model.TaskRow]("tasks")(MetaStore.taskRowEnc)
   def settings: Dataset[Model.Setting] = read[Model.Setting]("settings")(MetaStore.settingEnc)
+  def columnStats: Dataset[Model.ColumnStat] = read[Model.ColumnStat]("column_stats")(MetaStore.columnStatEnc)
 
   /** Setting lookup with reference defaults (service_settings.go:15-23,
     * GetSetting go:50-61). Settings are read *at use time*, not cached —
@@ -117,4 +118,5 @@ object MetaStore {
   implicit val fileMetaEnc: Encoder[Model.FileMeta] = Encoders.product[Model.FileMeta]
   implicit val taskRowEnc: Encoder[Model.TaskRow] = Encoders.product[Model.TaskRow]
   implicit val settingEnc: Encoder[Model.Setting] = Encoders.product[Model.Setting]
+  implicit val columnStatEnc: Encoder[Model.ColumnStat] = Encoders.product[Model.ColumnStat]
 }

@@ -110,6 +110,22 @@ object Model {
   /** Settings row (service_settings.go:30-34). */
   final case class Setting(key: String, value: String, updatedAt: Timestamp)
 
+  /** One profiled column of a table — the engine's ANALYZE output
+    * (an extension over the reference surface, in the spirit of
+    * Iceberg's compute_table_stats): exact or sketch-based distinct
+    * counts plus bounds, persisted for planners and dashboards. */
+  final case class ColumnStat(
+      database: String,
+      table: String,
+      column: String,
+      nRows: Long,
+      nNull: Long,
+      nDistinct: Long,
+      approximate: Boolean,
+      minValue: Option[String],
+      maxValue: Option[String],
+      computedAt: Timestamp)
+
   /** Shipped setting defaults (service_settings.go:15-23). */
   object Defaults {
     val TaskConcurrency = 1
