@@ -106,8 +106,20 @@ object Main {
           // args(1): stream source dir (parquet files arriving), args(2):
           // index dir, args(3): corpus out dir, args(4): checkpoint dir
           val threshold = if (args.length > 5) args(5).toDouble else 0.8
+          // a continuous ingester normally starts against an EMPTY
+          // landing directory — poll until the first file arrives to
+          // infer the schema instead of dying at startup
+          def inferSchema(): Option[org.apache.spark.sql.types.StructType] =
+            try Some(spark.read.parquet(args(1)).schema)
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          var schemaOpt = inferSchema()
+          while (schemaOpt.isEmpty) {
+            println(s"waiting for a first file in ${args(1)} to infer the schema...")
+            Thread.sleep(5000)
+            schemaOpt = inferSchema()
+          }
           val stream = spark.readStream
-            .schema(spark.read.parquet(args(1)).schema)
+            .schema(schemaOpt.get)
             .parquet(args(1))
           val q = streaming.StreamingIngest.start(stream, args(2), args(3),
             args(4), threshold,

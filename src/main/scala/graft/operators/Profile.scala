@@ -17,41 +17,50 @@ import graft.sources.Tables
   */
 object Profile {
 
+  /** ALL columns' stats in ONE pass: a single agg flattening the
+    * per-column aggregates — one scan, one shuffle, regardless of how
+    * many columns are profiled (N separate aggs would re-read the
+    * whole table N times). Shared by [[profile]], [[approxProfile]],
+    * and [[Analyze]]. */
+  def statsRow(df: DataFrame, cols: Seq[String],
+      approximate: Boolean): org.apache.spark.sql.Row = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__p_$c"),
+        (if (approximate) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    df.agg(count(lit(1)).as("__n_rows"), aggs: _*).collect().head
+  }
+
   /** Profile the named columns: one output row per column with count,
     * nulls, exact distinct count, and min/max rendered as strings
     * (string-typed and integral columns only — float formatting is not
     * portable across engines). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("n_present"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_s"),
-        max(col(c)).cast("string").as("max_s"))
-        .withColumn("column", lit(c))
-        .select($"column", $"n_rows", ($"n_rows" - $"n_present").as("n_null"),
-          $"n_distinct", $"min_s", $"max_s")
-    }.reduce(_.unionAll(_)).orderBy($"column")
+    val r = statsRow(df, cols, approximate = false)
+    val n = r.getAs[Long]("__n_rows")
+    cols.map(c => (c, n, n - r.getAs[Long](s"__p_$c"), r.getAs[Long](s"__d_$c"),
+        r.getAs[String](s"__min_$c"), r.getAs[String](s"__max_$c")))
+      .toDF("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+      .orderBy($"column")
   }
 
   /** Approximate profile for the scale path: HLL++ distinct estimates
-    * and approximate quantiles (no cross-engine oracle — sketches
-    * differ; ProfileSpec bounds the estimation error instead). */
+    * (no cross-engine oracle — sketches differ; ProfileSpec bounds the
+    * estimation error instead). */
   def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
-    cols.map { c =>
-      df.agg(
-        approx_count_distinct(col(c)).as("approx_distinct"),
-        count(col(c)).as("n_present"))
-        .withColumn("column", lit(c))
-        .select($"column", $"approx_distinct", $"n_present")
-    }.reduce(_.unionAll(_)).orderBy($"column")
+    val r = statsRow(df, cols, approximate = true)
+    cols.map(c => (c, r.getAs[Long](s"__d_$c"), r.getAs[Long](s"__p_$c")))
+      .toDF("column", "approx_distinct", "n_present")
+      .orderBy($"column")
   }
 
   def q42Profile(spark: SparkSession, d: String): DataFrame =

@@ -20,49 +20,68 @@ import graft.operators.DedupIndex
   * themselves — unbounded horizon, shared with the batch pipeline, and
   * queryable.
   *
-  * Replay safety (foreachBatch is at-least-once): all three writes a
-  * batch performs are keyed by its deterministic `batchId` —
-  *   1. survivors → `corpusDir/ingest_batch=<id>` (Overwrite),
-  *   2. index rows → `ingest_batch=b<id>` partitions (Overwrite),
-  *   3. a `_committed_<id>` marker, written LAST.
-  * A replayed batch with a marker is skipped outright; a replay after
-  * a partial failure re-runs the dedup against an index that cannot
-  * yet contain the batch's own rows (the marker gate is written after
-  * the index commit) and overwrites the same locations — converging,
-  * never duplicating.
+  * Replay safety (foreachBatch is at-least-once): every write a batch
+  * performs is keyed by `<runId>_<batchId>` — runId derives from the
+  * checkpoint location, because the checkpoint IS Spark's run identity
+  * (a fresh checkpoint restarts batch numbering at 0; a run-scoped key
+  * keeps those fresh batches from colliding with an old run's markers
+  * or partitions) —
+  *   1. survivors → `corpusDir/ingest_batch=<key>` (Overwrite),
+  *   2. index rows → `ingest_batch=b<key>` partitions (Overwrite),
+  *   3. a `_committed_<key>` marker, written LAST.
+  * A replayed batch with a marker is skipped outright. A replay after
+  * a partial failure re-runs the dedup with the batch's OWN index
+  * partition excluded from view (`excludeLabel`), so even a crash
+  * between the index commit and the marker write replays to the same
+  * survivor set and Overwrites the same locations — converging, never
+  * losing the batch or duplicating it.
   */
 object StreamingIngest {
 
   final case class BatchReport(batchId: Long, input: Long, kept: Long)
+
+  /** Stable run identity from the checkpoint path. */
+  def runIdOf(checkpointDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+  }
 
   /** Start the ingestion query on a streaming `docs` frame (doc_id,
     * text, …). `onBatch` observes per-batch attrition (for tests and
     * dashboards). Caller owns query lifecycle. */
   def start(docs: DataFrame, indexDir: String, corpusDir: String,
       checkpointDir: String, threshold: Double = 0.8,
-      onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+      onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
+    val runId = runIdOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), batchId, indexDir, corpusDir, threshold)
+        ingestBatch(batch.toDF(), batchId, runId, indexDir, corpusDir, threshold)
           .foreach(onBatch)
       }
       .start()
+  }
 
   /** One batch of the protocol above; `None` when the batch was
     * already fully committed (marker present) and was skipped. */
-  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String,
-      corpusDir: String, threshold: Double): Option[BatchReport] = {
+  def ingestBatch(batch: DataFrame, batchId: Long, runId: String,
+      indexDir: String, corpusDir: String, threshold: Double): Option[BatchReport] = {
     val spark = batch.sparkSession
-    val marker = new Path(s"$indexDir/_committed_$batchId")
+    val key = s"${runId}_$batchId"
+    val marker = new Path(s"$indexDir/_committed_$key")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) None
     else {
+      val label = s"b$key"
+      // commit = false: the index write happens below, AFTER the corpus
+      // write; commitLabel still rides along as the exclude label so a
+      // replay ignores its own partial commit.
       val (kept, stats) = DedupIndex.dedupBatch(spark, batch, indexDir,
-        threshold, commit = false)
+        threshold, commit = false, commitLabel = Some(label))
       kept.write.mode(SaveMode.Overwrite)
-        .parquet(s"$corpusDir/ingest_batch=$batchId")
-      DedupIndex.writeIndexRows(kept, indexDir, label = s"b$batchId")
+        .parquet(s"$corpusDir/ingest_batch=$key")
+      DedupIndex.writeIndexRows(kept, indexDir, label)
       fs.create(marker, true).close()
       Some(BatchReport(batchId, stats.input, stats.kept))
     }

@@ -45,6 +45,18 @@ class AnalyzeSpec extends SparkSpec {
     assert(byTable("t2").head.nRows == 3L) // untouched
   }
 
+  test("partial-column re-analyze preserves the table's other columns") {
+    import spark.implicits._
+    val store = newStore()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    Analyze.analyzeTable(store, "db", "t", df, Seq("id", "tag"))
+    Analyze.analyzeTable(store, "db", "t", df.union(df), Seq("id")) // refresh one column
+    val byCol = store.columnStats.collect().groupBy(_.column)
+    assert(byCol.keySet == Set("id", "tag"))
+    assert(byCol("id").head.nRows == 4L)  // refreshed
+    assert(byCol("tag").head.nRows == 2L) // preserved
+  }
+
   test("approximate path lands near the exact cardinality on real data") {
     val store = newStore()
     val orders = graft.sources.Tables.orders(spark, sfDirMid)

@@ -36,6 +36,16 @@ class DedupIndexSpec extends SparkSpec {
     assert(idxIds == Set(12L))
   }
 
+  test("committing into a legacy flat-layout index fails with a migration hint") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-index-legacy").toString
+    // simulate the pre-partitioned layout: part files at the table root
+    df(Seq(1L -> base)).write.parquet(DedupIndex.keysPath(dir))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.writeIndexRows(df(Seq(2L -> other)), dir, "b0")
+    }
+    assert(e.getMessage.contains("legacy flat index layout"))
+  }
+
   test("committed batches extend the index for the next batch") {
     val dir = java.nio.file.Files.createTempDirectory("dedup-index2").toString
     DedupIndex.build(df(Seq(1L -> base)), dir)

@@ -4,7 +4,8 @@ import graft.SparkSpec
 import graft.operators.DedupIndex
 
 /** Streaming corpus ingestion: cross-batch dedup against the durable
-  * index, replay idempotency via the batch marker, and the end-to-end
+  * index, replay idempotency via the run-scoped batch marker — including
+  * the crash window AFTER the index commit — and the end-to-end
   * streaming query over a file source. */
 class StreamingIngestSpec extends SparkSpec {
 
@@ -31,7 +32,7 @@ class StreamingIngestSpec extends SparkSpec {
     // batch 0: a near-dup of the standing corpus + one novel doc
     val r0 = StreamingIngest.ingestBatch(
       df(Seq(10L -> (base + " extra"), 11L -> novel)),
-      0L, dir, corpusDir, threshold = 0.5)
+      0L, "run1", dir, corpusDir, threshold = 0.5)
     assert(r0.contains(StreamingIngest.BatchReport(0L, 2L, 1L)))
     assert(corpusIds(corpusDir) == Set(11L))
 
@@ -39,7 +40,7 @@ class StreamingIngestSpec extends SparkSpec {
     // committed index
     val r1 = StreamingIngest.ingestBatch(
       df(Seq(20L -> (novel + " ok"))),
-      1L, dir, corpusDir, threshold = 0.5)
+      1L, "run1", dir, corpusDir, threshold = 0.5)
     assert(r1.contains(StreamingIngest.BatchReport(1L, 1L, 0L)))
     assert(corpusIds(corpusDir) == Set(11L))
 
@@ -47,9 +48,34 @@ class StreamingIngestSpec extends SparkSpec {
     // corpus unchanged
     val r0again = StreamingIngest.ingestBatch(
       df(Seq(10L -> (base + " extra"), 11L -> novel)),
-      0L, dir, corpusDir, threshold = 0.5)
+      0L, "run1", dir, corpusDir, threshold = 0.5)
     assert(r0again.isEmpty)
     assert(corpusIds(corpusDir) == Set(11L))
+  }
+
+  test("crash between index commit and marker: replay converges, no data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx3").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest-corpus3").toString
+    DedupIndex.build(df(Seq(1L -> base)), dir)
+    val batch = df(Seq(11L -> novel))
+    val r0 = StreamingIngest.ingestBatch(batch, 0L, "runX", dir, corpusDir, 0.5)
+    assert(r0.contains(StreamingIngest.BatchReport(0L, 1L, 1L)))
+    // simulate the crash window: the index partition and corpus write
+    // happened, the marker did not
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_committed_runX_0"), false))
+    // replay must NOT dedup the batch against its own committed index
+    // rows (which would Overwrite the corpus partition with nothing)
+    val replay = StreamingIngest.ingestBatch(batch, 0L, "runX", dir, corpusDir, 0.5)
+    assert(replay.contains(StreamingIngest.BatchReport(0L, 1L, 1L)))
+    assert(corpusIds(corpusDir) == Set(11L))
+    // and a different run id is NOT gated by this run's markers
+    val otherRun = StreamingIngest.ingestBatch(
+      df(Seq(30L -> ("totally different themes entirely about gardens rivers " +
+        "mountains and long walks through quiet forests before dawn breaks"))),
+      0L, "runY", dir, corpusDir, 0.5)
+    assert(otherRun.contains(StreamingIngest.BatchReport(0L, 1L, 1L)))
+    assert(corpusIds(corpusDir) == Set(11L, 30L))
   }
 
   test("end-to-end streaming query ingests a file-source corpus once") {
