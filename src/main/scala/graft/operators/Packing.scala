@@ -34,6 +34,27 @@ object Packing {
       .select($"doc_id", $"lang", $"source", $"n_tok", $"bin")
   }
 
+  /** Write `docs` as token-balanced training shards: every document
+    * joins its [[packed]] bin and the output is laid out as
+    * `lang=…/source=…/bin=N` parquet partitions — each directory holds
+    * ~`tokensPerShard` tokens (a bin can exceed the budget by at most
+    * the tokens of its last document, which straddles the boundary).
+    * Deterministic: same corpus, same shards. Returns the shard count.
+    *
+    * The partitioned layout means a trainer reads shard directories
+    * independently and a re-run Overwrites in place; no shard ever
+    * depends on another's contents. */
+  def writeShards(docs: DataFrame, outDir: String, tokensPerShard: Int): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assign = packed(docs, tokensPerShard).select($"doc_id", $"bin")
+    docs.join(assign, "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang", "source", "bin").parquet(outDir)
+    spark.read.parquet(outDir)
+      .select($"lang", $"source", $"bin").distinct().count()
+  }
+
   /** q50: per-(lang, source, bin) packing summary at a 512-token
     * budget — sequence counts and fill levels. */
   def q50SequencePacking(spark: SparkSession, d: String): DataFrame = {

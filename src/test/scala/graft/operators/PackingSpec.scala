@@ -18,6 +18,29 @@ class PackingSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
   }
 
+  test("writeShards lays out token-balanced partitions that round-trip all rows") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val nShards = Packing.writeShards(docs, out, tokensPerShard = 500)
+    assert(nShards > 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id").distinct().count() == docs.count())
+    // each shard holds ≤ budget + its boundary-straddling last doc
+    val maxDocTokens = docs
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.max($"n")).collect().head.getLong(0)
+    val shardTotals = back
+      .withColumn("n_tok", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).cast("long"))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(org.apache.spark.sql.functions.sum($"n_tok").as("total"))
+      .collect().map(_.getAs[Long]("total"))
+    assert(shardTotals.forall(_ <= 500 + maxDocTokens))
+  }
+
   test("packing is per-(lang, source) shard — bins restart across shards") {
     import spark.implicits._
     val docs = Seq(
