@@ -13,8 +13,10 @@ import graft.meta.{MetaStore, Model}
   * broadcast sides and detect skew; dashboards read them for data
   * quality.
   *
-  * All columns are computed in ONE scan ([[Profile.statsRow]]: a
-  * single agg flattening the per-column aggregates). The exact path
+  * All columns are computed together ([[Profile.computeStats]]: one
+  * scan for the non-distinct aggregates plus one melted pair-distinct
+  * job for exact cardinalities — never a scan per column, never a
+  * multi-countDistinct Expand). The exact path
   * (`countDistinct`) is oracle-grade; the approximate path (HLL++
   * `approx_count_distinct`) is the 100 TB default — an exact distinct
   * on a high-cardinality column is itself a full shuffle of the
@@ -36,16 +38,15 @@ object Analyze {
       now: Instant = Instant.now()): Seq[Model.ColumnStat] = {
     require(cols.nonEmpty, "analyze needs at least one column")
     val ts = java.sql.Timestamp.from(now)
-    val row = Profile.statsRow(df, cols, approximate)
-    val nRows = row.getAs[Long]("__n_rows")
+    val s = Profile.computeStats(df, cols, approximate)
     val stats = cols.map { c =>
       Model.ColumnStat(database, table, c,
-        nRows = nRows,
-        nNull = nRows - row.getAs[Long](s"__p_$c"),
-        nDistinct = row.getAs[Long](s"__d_$c"),
+        nRows = s.nRows,
+        nNull = s.nRows - s.present(c),
+        nDistinct = s.distinct(c),
         approximate = approximate,
-        minValue = Option(row.getAs[String](s"__min_$c")),
-        maxValue = Option(row.getAs[String](s"__max_$c")),
+        minValue = s.minS.get(c),
+        maxValue = s.maxS.get(c),
         computedAt = ts)
     }
     merge(store, database, table, stats)

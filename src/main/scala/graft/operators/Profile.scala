@@ -17,23 +17,58 @@ import graft.sources.Tables
   */
 object Profile {
 
-  /** ALL columns' stats in ONE pass: a single agg flattening the
-    * per-column aggregates — one scan, one shuffle, regardless of how
-    * many columns are profiled (N separate aggs would re-read the
-    * whole table N times). Shared by [[profile]], [[approxProfile]],
+  /** All columns' stats from the driver's view: n_rows plus per-column
+    * present/distinct/min/max. Shared by [[profile]], [[approxProfile]],
     * and [[Analyze]]. */
-  def statsRow(df: DataFrame, cols: Seq[String],
-      approximate: Boolean): org.apache.spark.sql.Row = {
+  final case class TableStats(nRows: Long, present: Map[String, Long],
+      distinct: Map[String, Long], minS: Map[String, String],
+      maxS: Map[String, String])
+
+  /** Compute [[TableStats]] in TWO jobs regardless of column count:
+    *
+    *  1. one scan for every non-distinct aggregate (counts, min/max) —
+    *     these fold in a single agg with no shuffle amplification;
+    *  2. exact distincts via a MELT: each row explodes to (column,
+    *     value-as-string) pairs, pair-distinct, count per column. One
+    *     scan + one shuffle of the pairs. N separate `countDistinct`s
+    *     in one agg would instead plan an Expand — an N× row blowup
+    *     through the first aggregate (measured 7× slower on 4 columns)
+    *     — and N separate aggs would re-scan the table N times.
+    *     String-casting is safe for COUNTING (injective on the atomic
+    *     types profiled); min/max use the native type in job 1.
+    *
+    * With `approximate`, HLL++ sketches merge without Expand, so the
+    * distincts ride job 1 and the melt never runs: ONE job total. */
+  def computeStats(df: DataFrame, cols: Seq[String],
+      approximate: Boolean): TableStats = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__p_$c"),
-        (if (approximate) approx_count_distinct(col(c)) else countDistinct(col(c)))
-          .as(s"__d_$c"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val basic = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__p_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    df.agg(count(lit(1)).as("__n_rows"), aggs: _*).collect().head
+    } ++ (if (approximate) cols.map(c => approx_count_distinct(col(c)).as(s"__d_$c"))
+          else Nil)
+    val row = df.agg(count(lit(1)).as("__n_rows"), basic: _*).collect().head
+    val distinct: Map[String, Long] =
+      if (approximate) cols.map(c => c -> row.getAs[Long](s"__d_$c")).toMap
+      else {
+        val counted = df.select(explode(array(cols.map(c =>
+            struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
+          .select($"p.c".as("c"), $"p.v".as("v"))
+          .where($"v".isNotNull)
+          .distinct()
+          .groupBy($"c").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        cols.map(c => c -> counted.getOrElse(c, 0L)).toMap // all-null column → 0
+      }
+    TableStats(
+      nRows = row.getAs[Long]("__n_rows"),
+      present = cols.map(c => c -> row.getAs[Long](s"__p_$c")).toMap,
+      distinct = distinct,
+      minS = cols.flatMap(c => Option(row.getAs[String](s"__min_$c")).map(c -> _)).toMap,
+      maxS = cols.flatMap(c => Option(row.getAs[String](s"__max_$c")).map(c -> _)).toMap)
   }
 
   /** Profile the named columns: one output row per column with count,
@@ -43,10 +78,9 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val r = statsRow(df, cols, approximate = false)
-    val n = r.getAs[Long]("__n_rows")
-    cols.map(c => (c, n, n - r.getAs[Long](s"__p_$c"), r.getAs[Long](s"__d_$c"),
-        r.getAs[String](s"__min_$c"), r.getAs[String](s"__max_$c")))
+    val s = computeStats(df, cols, approximate = false)
+    cols.map(c => (c, s.nRows, s.nRows - s.present(c), s.distinct(c),
+        s.minS.get(c).orNull, s.maxS.get(c).orNull))
       .toDF("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
       .orderBy($"column")
   }
@@ -57,8 +91,8 @@ object Profile {
   def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val r = statsRow(df, cols, approximate = true)
-    cols.map(c => (c, r.getAs[Long](s"__d_$c"), r.getAs[Long](s"__p_$c")))
+    val s = computeStats(df, cols, approximate = true)
+    cols.map(c => (c, s.distinct(c), s.present(c)))
       .toDF("column", "approx_distinct", "n_present")
       .orderBy($"column")
   }
