@@ -91,6 +91,50 @@ object EventStreams {
         })
   }
 
+  /** The same running per-user totals as [[userActivity]], on the
+    * Spark 4 arbitrary-state API (`transformWithState` /
+    * `StatefulProcessor`) — typed state handles with declarative TTL
+    * instead of hand-rolled timeout bookkeeping, and room for multiple
+    * named states and timers per key. Requires the RocksDB state store
+    * provider (the API rejects the default HDFS-backed store); the
+    * caller sets `spark.sql.streaming.stateStore.providerClass`. */
+  final class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserActivity] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      // TTL evicts a user idle past the horizon — the declarative form
+      // of userActivity's remove-on-timeout branch
+      totals = getHandle.getValueState[SessionState]("totals",
+        Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserActivity] = {
+      val prev = Option(totals.get()).getOrElse(SessionState(0L, 0.0, 0L))
+      var n = prev.nEvents
+      var total = prev.totalValue
+      var last = prev.lastTs
+      rows.foreach { e =>
+        n += 1; total += e.value; last = math.max(last, e.ts.getTime)
+      }
+      totals.update(SessionState(n, total, last))
+      Iterator.single(UserActivity(user, n, total))
+    }
+  }
+
+  def userActivityTws(events: Dataset[Event]): Dataset[UserActivity] = {
+    implicit val outEnc = Encoders.product[UserActivity]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        // ProcessingTime: the mode TTL state requires (TTL clocks are
+        // processing-time based)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** Streaming dedup for at-least-once / replayed feeds: duplicate
     * event ids arriving within the watermark horizon collapse to the
     * first arrival, and the dedup state is evicted once the watermark

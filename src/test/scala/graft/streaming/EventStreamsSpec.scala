@@ -89,6 +89,41 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState running totals converge to the batch aggregate") {
+    import spark.implicits._
+    import EventStreams._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = EventStreams.runAvailableNow(spark, src,
+        df => userActivityTws(
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+            .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+            .as[Event]).toDF(),
+        "tws_stream", org.apache.spark.sql.streaming.OutputMode.Update())
+      // Update mode emits one row per (user, batch); the final row per
+      // user (max n_events) must equal the batch group aggregate.
+      val finals = out.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      val batch = graft.sources.Tables.events(spark, sfDir)
+        .selectExpr("user_id", "value").collect()
+        .groupBy(_.getLong(0))
+      assert(finals.size == batch.size)
+      finals.foreach { case (u, (_, n, total)) =>
+        assert(n == batch(u).length.toLong)
+        assert(math.abs(total - batch(u).map(_.getDouble(1)).sum) < 1e-6)
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counters across batches") {
     import spark.implicits._
     import EventStreams._
