@@ -24,21 +24,25 @@ object Clustering {
 
   /** Per-vector cluster assignment: (vec_id, cluster_id, cos) with
     * cosine to the owning centroid. Deterministic: centroids from the
-    * seedless trainer, argmax ties break on cluster_id ascending. */
+    * seedless trainer, argmax ties break on cluster_id ascending.
+    *
+    * Delegates to [[Similarity.ivfIndex]] — a k-means clustering IS an
+    * IVF coarse layer, and that index is the built-once/query-many
+    * artifact with the bounded plan-keyed cache, so repeated clustering
+    * calls (and q73's three summary branches) reuse one trained,
+    * materialized assignment instead of re-running Lloyd rounds per
+    * call. The centroid cosine is one narrow broadcast-join map over
+    * the cached assignment. */
   def assign(spark: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
-    val cents = spark.createDataset(
-        Similarity.kmeansCentroids(e.as[(Long, Array[Double])], k, iters).toSeq)
-      .toDF("cluster_id", "cv")
-    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cluster_id".asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.cos($"v", $"cv"))
-      .withColumn("rn", row_number().over(w))
-      .where($"rn" === 1)
-      .select($"vec_id", $"cluster_id", $"cos")
+    val (cents, assigned) = Similarity.ivfIndex(e, k, iters)
+    assigned
+      .join(broadcast(cents), "cent_id")
+      .select($"vec_id", $"cent_id".as("cluster_id"),
+        Similarity.cos($"v", $"cv").as("cos"))
   }
 
   /** q73: cluster summary — size, the medoid-ish representative (the
