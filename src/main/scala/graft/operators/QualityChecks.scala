@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Declarative data-quality checks over the warehouse tables — the
+  * constraint-report pass (uniqueness, completeness, referential
+  * integrity, domain ranges) an admin runs before trusting a snapshot,
+  * and a training pipeline runs before ingesting a drop. Each check is
+  * one aggregate or one anti-join; the report is their union — all
+  * integer counts, fully oracle-checkable.
+  *
+  * Scale shape: every check is a single-purpose scan (uniqueness =
+  * groupBy count on the key; orphans = broadcast-or-shuffle anti-join
+  * on the fk; domains/nulls = scan-side conditional counts that
+  * collapse into ONE pass per table). Nothing materializes violations
+  * row-by-row — only counts travel.
+  */
+object QualityChecks {
+
+  /** q76: the standard constraint suite on the TPC-H-ish tables.
+    * Output: (check, n_violations) — 0 everywhere on healthy data,
+    * and the generated corpus IS healthy, so the oracle also proves
+    * the checks agree on zero across engines (the spec proves they
+    * catch planted violations). */
+  def q76QualityChecks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, d)
+    val customer = Tables.customer(spark, d)
+    val lineitem = Tables.lineitem(spark, d)
+
+    // Uniqueness: duplicated primary-key values (count each extra row).
+    val dupOrders = orders.groupBy($"o_orderkey").count()
+      .where($"count" > 1)
+      .agg(coalesce(sum($"count" - 1), lit(0L)).as("n"))
+      .select(lit("orders_pk_dup").as("check_name"), $"n".as("n_violations"))
+
+    // Referential integrity: fk rows with no parent (anti-joins).
+    val orphanOrders = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_fk_customer").as("check_name"), $"n_violations")
+    val orphanLines = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"), $"n_violations")
+
+    // Completeness + domain: one conditional-count pass per table.
+    val lineDomains = lineitem.agg(
+        sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        sum(when($"l_extendedprice" < 0, 1L).otherwise(0L)).as("bad_price"),
+        sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("null_fk"))
+    val lineChecks = lineDomains.select(
+        array(
+          struct(lit("lineitem_qty_positive").as("check_name"), $"bad_qty".as("n_violations")),
+          struct(lit("lineitem_price_nonneg").as("check_name"), $"bad_price".as("n_violations")),
+          struct(lit("lineitem_fk_not_null").as("check_name"), $"null_fk".as("n_violations"))).as("a"))
+      .select(explode($"a").as("s"))
+      .select($"s.check_name", $"s.n_violations")
+
+    dupOrders
+      .unionByName(orphanOrders)
+      .unionByName(orphanLines)
+      .unionByName(lineChecks)
+      .orderBy($"check_name")
+  }
+
+  val q76Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders_pk_dup' AS check_name, coalesce(sum(n - 1), 0) AS n_violations
+      |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer', count(*) FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', count(*) FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_positive', sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_price_nonneg', sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_not_null', sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |) ORDER BY check_name""".stripMargin
+}

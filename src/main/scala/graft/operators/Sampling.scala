@@ -142,6 +142,40 @@ object Sampling {
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
 
+  /** Deterministic train/val/test assignment on a stable key: one md5,
+    * two threshold compares — 'train' below `trainRate`, 'val' in the
+    * next `valRate` band, 'test' above. The split is a pure row-local
+    * function of the key: stable under repartition, engine-portable,
+    * and appending new data never reassigns an existing row. */
+  def splitAssign(key: Column, trainRate: Double, valRate: Double): Column = {
+    val h = hash8(key)
+    when(h < lit(hexThreshold(trainRate)), "train")
+      .when(h < lit(hexThreshold(trainRate + valRate)), "val")
+      .otherwise("test")
+  }
+
+  /** q75: per-(lang, split) corpus counts for an 80/10/10 split —
+    * the sanity report a pipeline prints before shipping shards. */
+  def q75Splits(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("split", splitAssign($"doc_id", 0.8, 0.1))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"lang", $"split")
+  }
+
+  val q75Sql: String =
+    s"""WITH assigned AS (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8) < '${hexThreshold(0.8)}' THEN 'train'
+       |         WHEN substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8) < '${hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   val q48Sql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
        |       min(doc_id) AS first_id, max(doc_id) AS last_id

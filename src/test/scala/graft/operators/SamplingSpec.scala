@@ -105,4 +105,22 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sample(docs, $"doc_id", 0.0).count() == 0L)
     assert(Sampling.sample(docs, $"doc_id", 1.0).count() == docs.count())
   }
+
+  test("splits are exhaustive, disjoint, stable, and near 80/10/10") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDirMid)
+    val n = docs.count().toDouble
+    val assigned = docs.withColumn("split", Sampling.splitAssign($"doc_id", 0.8, 0.1))
+    val counts = assigned.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == n.toLong)
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    // row-local: repartitioning never changes an assignment
+    val again = assigned.repartition(7)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assigned.select($"doc_id", $"split").collect().foreach { r =>
+      assert(again(r.getLong(0)) == r.getString(1))
+    }
+  }
 }
