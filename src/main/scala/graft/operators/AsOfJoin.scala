@@ -38,8 +38,17 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
+  /** `forward = true` flips the direction: each probe row matches the
+    * EARLIEST build row at or after its time (`p.time <= b.time`) —
+    * next-event attribution, shipment-after-order lookups. Same
+    * one-shuffle union+window shape; only the time sort reverses, so
+    * the running `last` has seen exactly the build rows at-or-after the
+    * probe when it reaches it, the closest one most recently. Tie
+    * handling is unchanged: equal (key, time) build rows resolve to the
+    * greatest `tieBreak`. */
   def asOf(probeIn: DataFrame, buildIn: DataFrame, key: String, time: String,
-      tieBreak: String, buildPrefix: String = "b_"): DataFrame = {
+      tieBreak: String, buildPrefix: String = "b_",
+      forward: Boolean = false): DataFrame = {
     val spark = probeIn.sparkSession
     import spark.implicits._
     // NULL time or key on the build side can't satisfy the join
@@ -67,8 +76,9 @@ object AsOfJoin {
     // time; at equal time build rows first (inclusive match) with
     // larger tiebreaks later (so `last` picks the max-tieBreak build
     // row of a tied group).
+    val timeOrder = if (forward) $"__t".desc_nulls_first else $"__t".asc_nulls_first
     val w = Window.partitionBy(col(key))
-      .orderBy($"__t".asc_nulls_first, $"__build".desc, $"__tb".asc_nulls_first)
+      .orderBy(timeOrder, $"__build".desc, $"__tb".asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = b.unionByName(p)
       .withColumn("__match", last($"__payload", ignoreNulls = true).over(w))

@@ -165,6 +165,74 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Top-k most-similar documents per query doc, by n-gram Jaccard —
+    * the text-side similarity SEARCH (q25's embedding top-k, for
+    * shingles). Candidates come from the inverted shingle index: a doc
+    * pairs with a query iff they share ≥1 shingle, which is EXACT for
+    * Jaccard > 0 — so unlike the LSH paths this search equals brute
+    * force by construction, while still never forming the n² cross
+    * join. The intersection counts fall out of the same index join;
+    * one extra shuffle ranks (query_id, jaccard desc) with a bounded
+    * row_number.
+    *
+    * Scale note: the candidate volume is Σ_shingle df(shingle)·|hits|,
+    * which a frequent shingle can blow up; production corpora prune
+    * stop-shingles by document frequency (drop the predicate from BOTH
+    * engines to keep oracle parity) or go through [[minhashLsh]]. On
+    * the synthetic corpus the max df is small, so q83 keeps the
+    * unpruned exact form.
+    */
+  def similarTopK(spark: SparkSession, d: String, k: Int = 3,
+      nQueries: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(Tables.documents(spark, d))
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val qsh = sh.where($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"sh")
+    val inter = qsh.join(sh.where($"doc_id" >= nQueries)
+        .select($"doc_id".as("cand_id"), $"sh"), Seq("sh"))
+      .groupBy($"query_id", $"cand_id")
+      .agg(count(lit(1)).as("inter"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"jaccard".desc, $"cand_id".asc)
+    inter
+      .join(counts.select($"doc_id".as("query_id"), $"n".as("nq")), Seq("query_id"))
+      .join(counts.select($"doc_id".as("cand_id"), $"n".as("nc")), Seq("cand_id"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"nq" + $"nc" - $"inter"))
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= k)
+      .select($"query_id", $"rnk", $"cand_id", $"jaccard")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  def similarTopKSql(k: Int, nQueries: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, count(*) AS inter
+       |  FROM sh q JOIN sh c ON q.sh = c.sh
+       |  WHERE q.doc_id < $nQueries AND c.doc_id >= $nQueries
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(inter AS DOUBLE) / (cq.n + cc.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN counts cq ON cq.doc_id = query_id
+       |  JOIN counts cc ON cc.doc_id = cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, jaccard,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY jaccard DESC, cand_id ASC) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, rnk, cand_id, jaccard FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   val MinhashPerms = 64
   val LshBands = 32 // r = 2 rows/band: P(catch | j=0.8) = 1-(1-.64)^32 ≈ 1-1e-14
 

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactNumeric.money
+import graft.sources.Tables
+
+/** Round-6 relational breadth: gaps-and-islands streaks, ranking-window
+  * breadth (ntile / percent_rank / cume_dist), multi-grain time rollups,
+  * array higher-order functions, and exact two-variable statistics.
+  * Every query keeps the cross-engine exactness rules: integer or
+  * DECIMAL-summed arithmetic everywhere, doubles only from identical
+  * expression trees over exact inputs.
+  */
+object Relational4 {
+
+  /** q79: activity streaks (gaps-and-islands) — per user, runs of
+    * consecutive active days. The classic island key is
+    * `day - row_number()` over the distinct active days: constant
+    * within a run of consecutive days, distinct across runs. Output is
+    * per-user streak stats (longest/count/total), integers only.
+    *
+    * Scale shape: distinct days and the window share one shuffle on
+    * user_id (the window needs no second exchange — same key), then a
+    * two-level groupBy collapses islands; per-user state is bounded by
+    * active days, never raw events.
+    */
+  def q79Streaks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val islands = days
+      .withColumn("grp", datediff($"day", lit("1970-01-01").cast("date"))
+        - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
+
+  val q79Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), islands AS (
+      |  SELECT user_id,
+      |         datediff('day', DATE '1970-01-01', day)
+      |           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days
+      |), runs AS (
+      |  SELECT user_id, grp, count(*) AS len FROM islands GROUP BY 1, 2
+      |)
+      |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+      |       CAST(sum(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q80: ranking-window breadth — quartile (ntile), percent_rank and
+    * cume_dist of every customer's balance within its market segment.
+    * percent_rank = (rank-1)/(n-1) and cume_dist = rows≤current/n are
+    * integer ratios evaluated as one double division in both engines —
+    * bit-exact. Balances are cast to DECIMAL so ordering ties resolve
+    * identically. One shuffle on the segment; per-group sort is the
+    * whole cost.
+    */
+  def q80RankWindows(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy(money($"c_acctbal").asc, $"c_custkey".asc)
+    Tables.customer(spark, d)
+      .select($"c_custkey", $"c_mktsegment",
+        money($"c_acctbal").as("bal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .withColumn("bal", $"bal".cast("double"))
+      .orderBy($"c_custkey")
+  }
+
+  val q80Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) ASC, c_custkey ASC)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q81: multi-grain time rollup — revenue by month, quarter and year
+    * in one result (the admin dashboard's zoomable time axis). Each
+    * grain is a date_trunc groupBy over DECIMAL-cast money; grains are
+    * unioned with a literal tag. Spark computes the three grains as
+    * three partial-agg passes over one scan (the month agg could feed
+    * the coarser grains, but re-aggregating DECIMAL sums is exact
+    * either way and keeps each branch trivially pushdown-friendly).
+    */
+  def q81TimeRollup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, d)
+      .select($"o_orderdate", money($"o_totalprice").as("price"))
+    def grain(g: String): DataFrame = o
+      .groupBy(to_date(date_trunc(g, $"o_orderdate")).as("bucket"))
+      .agg(sum($"price").as("rev"), count(lit(1)).as("n_orders"))
+      .select(lit(g).as("grain"), $"bucket",
+        $"rev".cast("double").as("revenue"), $"n_orders")
+    grain("month").unionByName(grain("quarter")).unionByName(grain("year"))
+      .orderBy($"grain", $"bucket")
+  }
+
+  val q81Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders
+      |)
+      |SELECT grain, bucket, revenue, n_orders FROM (
+      |  SELECT 'month' AS grain, CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket,
+      |         CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n_orders
+      |  FROM o GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'quarter', CAST(date_trunc('quarter', o_orderdate) AS DATE),
+      |         CAST(sum(price) AS DOUBLE), count(*)
+      |  FROM o GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'year', CAST(date_trunc('year', o_orderdate) AS DATE),
+      |         CAST(sum(price) AS DOUBLE), count(*)
+      |  FROM o GROUP BY 2
+      |)
+      |ORDER BY grain, bucket""".stripMargin
+
+  /** q82: array higher-order functions over the embedding column —
+    * per-vector component stats without ever exploding the array:
+    * positive-component count (filter+size), max component and its
+    * first index (array_max/array_position). All comparisons, no
+    * arithmetic over floats → exact across engines (floats widen to
+    * double losslessly at output). This is the codegen-friendly shape
+    * for per-row vector feature extraction: one projection, no
+    * shuffle, no UDF.
+    */
+  def q82ArrayStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, d)
+      .select($"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        size(filter($"embedding", x => x > 0f)).cast("long").as("n_pos"),
+        array_max($"embedding").cast("double").as("max_val"),
+        array_position($"embedding", array_max($"embedding")).as("argmax"))
+      .orderBy($"vec_id")
+  }
+
+  val q82Sql: String =
+    """SELECT vec_id,
+      |       len(embedding) AS dim,
+      |       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+      |       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** q86: exact two-variable statistics — Pearson correlation and
+    * sample stddev of (quantity, extendedprice) per return flag, in the
+    * engineered-exact form: all five power sums accumulate as DECIMAL
+    * (order-independent, exact), then ONE identical double expression
+    * tree per output on both engines — same IEEE ops in the same order,
+    * bit-identical results. Never the built-in corr()/stddev(), whose
+    * float accumulation order differs per engine/partitioning.
+    */
+  def q86ExactCorr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, d).select($"l_returnflag",
+      money($"l_quantity").as("x"), money($"l_extendedprice").as("y"))
+    val sums = l.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    // double-domain combination; operand order mirrored in the SQL
+    val n = $"n".cast("double"); val sx = $"sx".cast("double")
+    val sy = $"sy".cast("double"); val sxx = $"sxx".cast("double")
+    val syy = $"syy".cast("double"); val sxy = $"sxy".cast("double")
+    sums.select($"l_returnflag", $"n",
+        ((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_xy"),
+        sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))).as("stddev_x"),
+        sqrt((n * syy - sy * sy) / (n * (n - lit(1.0)))).as("stddev_y"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q86Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(x) AS sx, sum(y) AS sy,
+      |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |               CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |        FROM lineitem)
+      |  GROUP BY 1
+      |)
+      |SELECT l_returnflag, n,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy,
+      |       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_x,
+      |       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_y
+      |FROM s ORDER BY l_returnflag""".stripMargin
+}

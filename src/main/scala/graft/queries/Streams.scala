@@ -144,4 +144,40 @@ object Streams {
       |  WHERE v.user_id = p.user_id AND v.ts <= p.ts
       |  ORDER BY ts DESC, event_id DESC LIMIT 1) l ON true
       |ORDER BY p.event_id""".stripMargin
+
+  /** q85: forward as-of — for every purchase, the user's NEXT view at
+    * or after the purchase time (post-purchase re-engagement; the
+    * mirror of q52). Same one-shuffle [[graft.operators.AsOfJoin]]
+    * machinery with `forward = true`; the oracle is the LATERAL top-1
+    * with the comparison and sort flipped, max-event_id tiebreak
+    * preserved. */
+  def q85ForwardAsOf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts")
+    graft.operators.AsOfJoin
+      .asOf(purchases, views, key = "user_id", time = "ts",
+        tieBreak = "event_id", buildPrefix = "next_", forward = true)
+      .orderBy($"event_id")
+  }
+
+  val q85Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), p AS (
+      |  SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |       l.event_id AS next_event_id, l.ts AS next_ts
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT event_id, ts FROM v
+      |  WHERE v.user_id = p.user_id AND v.ts >= p.ts
+      |  ORDER BY ts ASC, event_id DESC LIMIT 1) l ON true
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -94,4 +94,54 @@ class AsOfJoinSpec extends SparkSpec {
     }.toSet
     assert(got == expected)
   }
+  test("forward mode picks the earliest build row at or after each probe time") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")), // next build at 11:00
+      (2L, 10L, ts("2026-01-01 11:00:00")), // inclusive: matches 11:00
+      (3L, 10L, ts("2026-01-01 12:00:00")), // nothing after -> null
+      (4L, 20L, ts("2026-01-01 10:30:00"))  // other key, before-only build -> null
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, 100L, ts("2026-01-01 09:00:00")),
+      (10L, 101L, ts("2026-01-01 11:00:00")),
+      (20L, 102L, ts("2026-01-01 10:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", "event_id",
+        buildPrefix = "b_", forward = true)
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("b_event_id"))).toSeq ==
+      Seq(Some(101L), Some(101L), None, None))
+  }
+
+  test("forward mode: ties at equal time still resolve to the greatest tieBreak") {
+    import spark.implicits._
+    val t = ts("2026-01-01 10:00:00")
+    val probe = Seq((1L, 10L, ts("2026-01-01 09:30:00"))).toDF("event_id", "user_id", "ts")
+    val build = Seq((10L, 100L, t), (10L, 107L, t), (10L, 103L, t))
+      .toDF("user_id", "event_id", "ts")
+    val out = AsOfJoin.asOf(probe, build, "user_id", "ts", "event_id",
+      buildPrefix = "b_", forward = true).collect()
+    assert(out.head.getAs[Long]("b_event_id") == 107L)
+  }
+
+  test("forward mode equals the brute-force next-at-or-after join on real events") {
+    import spark.implicits._
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = e.where($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val v = e.where($"event_type" === "view").select($"user_id", $"event_id", $"ts")
+    val got = AsOfJoin.asOf(p, v, "user_id", "ts", "event_id",
+        buildPrefix = "next_", forward = true)
+      .select($"event_id", $"next_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("next_event_id")))).toMap
+    val views = v.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val want = p.collect().map { r =>
+      val (pid, uid, pts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+      val cands = views.filter(x => x._1 == uid && !x._3.before(pts))
+      val best = if (cands.isEmpty) None
+        else Some(cands.minBy(x => (x._3.getTime, -x._2))._2)
+      pid -> best.map(_.asInstanceOf[Any])
+    }.toMap
+    assert(got == want)
+  }
 }
