@@ -15,44 +15,81 @@ import graft.sources.Tables
   * predicate — Spark plans it as BroadcastNestedLoopJoin and it dies at
   * scale. The production shape here is FastSS deletion-neighborhood
   * blocking (Bocek et al., "Fast Similarity Search in Large
-  * Dictionaries", 2007): two strings are within edit distance 1 iff
-  * their deletion neighborhoods (the string itself plus every
-  * one-character-deleted variant) intersect. So each row explodes into
-  * |s|+1 variant keys, candidates are an equi-join on the variant — a
-  * plain shuffled hash join, never a nested loop — and a codegen'd
-  * `levenshtein` verifies candidates exactly. Output == brute force
-  * (the blocking is lossless for k=1), cost is O(n·len) keys instead
-  * of O(n²) comparisons.
+  * Dictionaries", 2007), with the POSITION refinement that makes the
+  * candidate set tight instead of merely lossless:
+  *
+  *   - substitution (equal lengths, distance 1): the two strings share
+  *     a deletion variant at the SAME position — join deletions on
+  *     (variant, pos);
+  *   - insert/delete (length ±1): the longer string's deletion equals
+  *     the shorter string itself — join full strings against deletions;
+  *   - exact duplicates: equal full strings.
+  *
+  * Joining deletions on the bare variant (position-blind) would also be
+  * correct but admits every cross-position collision — ~len× more
+  * candidates, all killed later by the verify. The joins run on the
+  * 64-bit xxhash of the variant (8-byte shuffle key; a hash collision
+  * can only ADD candidates, which the exact codegen'd `levenshtein`
+  * verify removes — still lossless). Cost is O(n·len) keys and a
+  * near-true-positive candidate stream, instead of O(n²) comparisons.
   */
 object FuzzyJoin {
 
-  /** Deletion neighborhood of `strCol` as (id, variant) rows: the
-    * string itself plus each single-character deletion. Pure generated
-    * columns — sequence+transform+explode, no UDF, no shuffle. */
-  private def deletionVariants(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    df.select(col(idCol), col(strCol),
-      explode(array_union(
-        array(col(strCol)),
-        transform(sequence(lit(1), length(col(strCol))),
-          i => concat(col(strCol).substr(lit(1), i - 1),
-                      col(strCol).substr(i + 1, length(col(strCol)))))
-      )).as("variant"))
+  /** 64-bit variant key: two independently-seeded murmur32 halves.
+    * Collisions only add candidates (removed by the exact verify), so
+    * any stable hash works — this one runs in the typed flatMap. */
+  private def variantHash(s: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995) & 0xffffffffL)
 
-  /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= 1.
-    * FastSS candidates, exact verify, distinct (a pair can share
-    * several variants). */
+  /** Deletion neighborhood with positions, variants pre-hashed:
+    * (id, str, vh, pos) where pos = 0 is the string itself and pos = i
+    * is the single deletion at 1-based index i. A typed flatMap with
+    * primitive string ops — the interpreted higher-order-function
+    * explode costs ~5× more and would be re-evaluated once per join
+    * branch referencing this frame. */
+  private def deletionVariants(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(strCol)).as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val sb = new java.lang.StringBuilder(s.length - 1)
+        (0 until s.length).iterator.map { i =>
+          sb.setLength(0)
+          sb.append(s, 0, i).append(s, i + 1, s.length)
+          (id, s, variantHash(sb.toString), i + 1)
+        } ++ Iterator.single((id, s, variantHash(s), 0))
+      }
+      .toDF(idCol, strCol, "vh", "pos")
+  }
+
+  /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= 1. */
   def pairsWithin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = deletionVariants(df, idCol, strCol)
-    val a = v.select(col(idCol).as("id_a"), col(strCol).as("str_a"), $"variant")
-    val b = v.select(col(idCol).as("id_b"), col(strCol).as("str_b"), $"variant")
-    a.join(b, Seq("variant"))
+    val v = deletionVariants(df.where(col(strCol).isNotNull), idCol, strCol)
+    val dels = v.where($"pos" > 0)
+    val selfs = v.where($"pos" === 0)
+    def side(tag: String, in: DataFrame, withPos: Boolean) = {
+      val cols = Seq(col(idCol).as(s"id_$tag"), col(strCol).as(s"str_$tag"), $"vh") ++
+        (if (withPos) Seq($"pos") else Nil)
+      in.select(cols: _*)
+    }
+    // substitutions + (via equal variants at equal positions) some dups
+    val subs = side("a", dels, withPos = true)
+      .join(side("b", dels, withPos = true), Seq("vh", "pos"))
       .where($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", $"str_a", $"str_b").distinct()
+    // insert/delete (one orientation only: shorter self = longer's
+    // deletion) + exact dups (self = self) — normalize ids afterwards
+    val insdel = side("a", selfs, withPos = false)
+      .join(side("b", v, withPos = false), Seq("vh"))
+      .where($"id_a" =!= $"id_b")
+    def verified(cands: DataFrame) = cands
       .withColumn("dist", levenshtein($"str_a", $"str_b"))
       .where($"dist" <= 1)
-      .select($"id_a", $"id_b", $"dist")
+      .select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"), $"dist")
+    verified(subs).unionByName(verified(insdel)).distinct()
   }
 
   /** q78: near-identical customer names (one digit off / one character

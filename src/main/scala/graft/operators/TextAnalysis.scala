@@ -358,4 +358,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_fingerprints"), min($"fp").as("min_fp"))
       .orderBy($"doc_id")
   }
+
+  /** q84: compression-ratio quality signal (the compressibility filter
+    * of Gopher/RefinedWeb: templated or degenerate-repetitive text
+    * deflates far below natural prose, and near-random glyph soup
+    * barely deflates at all — both tails get dropped). DEFLATE level 6
+    * over UTF-8 bytes via `java.util.zip.Deflater`, one reused
+    * per-partition instance, zero allocation churn; purely
+    * embarrassingly parallel scan work.
+    *
+    * DEFLATE output bytes depend on the JVM's zlib, so the ratio is
+    * deterministic within an engine but NOT a cross-engine constant —
+    * no SQL oracle (rows-only check); TextAnalysisSpec pins the
+    * invariants (determinism, repetitive << prose < random).
+    */
+  def compressionRatio(spark: SparkSession, d: String): DataFrame =
+    compressionRatioOf(Tables.documents(spark, d))
+
+  def compressionRatioOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        val mapped = it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+        // release the native zlib stream when the partition is drained
+        new Iterator[(Long, Long, Long)] {
+          private var closed = false
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !closed) { deflater.end(); closed = true }
+            h
+          }
+          def next(): (Long, Long, Long) = mapped.next()
+        }
+      }
+      .toDF("doc_id", "n_bytes", "c_bytes")
+      .withColumn("ratio", $"c_bytes".cast("double") / $"n_bytes")
+      .withColumn("keep", $"ratio".between(0.3, 0.9))
+      .orderBy($"doc_id")
+  }
 }

@@ -86,13 +86,17 @@ object Relational2 {
     * (the plan Catalyst produces for the correlated form). */
   def q38CorrelatedAvg(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, d)
-    val avgQty = li.groupBy($"l_partkey".as("p_key"))
-      .agg(sum(money($"l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
     // qty < 0.5 * sum/cnt ⇔ 2*qty*cnt < sum — multiplication-only form
     // keeps the comparison exact in both engines (no decimal-division
-    // rounding-rule differences).
-    li.join(avgQty, $"l_partkey" === $"p_key")
+    // rounding-rule differences). The per-group sums come from an
+    // unordered window over l_partkey instead of a groupBy + join-back:
+    // ONE shuffle of lineitem instead of two (the agg exchange plus the
+    // re-shuffled join probe), with no sort (whole-partition frame).
+    val w = Window.partitionBy($"l_partkey")
+    li.withColumn("sum_qty", sum(money($"l_quantity")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
       .where(money($"l_quantity") * lit(2) * $"cnt" < $"sum_qty")
       .agg(
         count(lit(1)).as("n_small_lines"),

@@ -162,21 +162,28 @@ object Relational4 {
 
   /** q86: exact two-variable statistics — Pearson correlation and
     * sample stddev of (quantity, extendedprice) per return flag, in the
-    * engineered-exact form: all five power sums accumulate as DECIMAL
-    * (order-independent, exact), then ONE identical double expression
-    * tree per output on both engines — same IEEE ops in the same order,
-    * bit-identical results. Never the built-in corr()/stddev(), whose
-    * float accumulation order differs per engine/partitioning.
+    * engineered-exact form. The inputs are scaled to integer CENTS
+    * (DECIMAL(18,2) × 100 → exact), every power sum accumulates as a
+    * scale-0 DECIMAL (order-independent, exact, and — the crux — its
+    * CAST to DOUBLE is a SINGLE rounding in both engines; a scale-4
+    * decimal would double-round in DuckDB, int128→double then /10⁴,
+    * drifting an ulp from Spark's correctly-rounded BigDecimal path).
+    * The final combination is one identical IEEE expression tree per
+    * output: corr is scale-invariant, stddevs divide the cent scale
+    * back out. Never the built-in corr()/stddev(), whose float
+    * accumulation order differs per engine/partitioning.
     */
   def q86ExactCorr(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val l = Tables.lineitem(spark, d).select($"l_returnflag",
-      money($"l_quantity").as("x"), money($"l_extendedprice").as("y"))
+      (money($"l_quantity") * 100).cast("long").as("x"),
+      (money($"l_extendedprice") * 100).cast("long").as("y"))
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val sums = l.groupBy($"l_returnflag").agg(
       count(lit(1)).as("n"),
-      sum($"x").as("sx"), sum($"y").as("sy"),
-      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
-      sum($"x" * $"y").as("sxy"))
+      sum(big($"x")).as("sx"), sum(big($"y")).as("sy"),
+      sum(big($"x" * $"x")).as("sxx"), sum(big($"y" * $"y")).as("syy"),
+      sum(big($"x" * $"y")).as("sxy"))
     // double-domain combination; operand order mirrored in the SQL
     val n = $"n".cast("double"); val sx = $"sx".cast("double")
     val sy = $"sy".cast("double"); val sxx = $"sxx".cast("double")
@@ -184,19 +191,20 @@ object Relational4 {
     sums.select($"l_returnflag", $"n",
         ((n * sxy - sx * sy)
           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_xy"),
-        sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))).as("stddev_x"),
-        sqrt((n * syy - sy * sy) / (n * (n - lit(1.0)))).as("stddev_y"))
+        (sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))) / lit(100.0)).as("stddev_x"),
+        (sqrt((n * syy - sy * sy) / (n * (n - lit(1.0)))) / lit(100.0)).as("stddev_y"))
       .orderBy($"l_returnflag")
   }
 
   val q86Sql: String =
     """WITH s AS (
       |  SELECT l_returnflag, count(*) AS n,
-      |         sum(x) AS sx, sum(y) AS sy,
-      |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      |         sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |         sum(CAST(x*x AS DECIMAL(38,0))) AS sxx, sum(CAST(y*y AS DECIMAL(38,0))) AS syy,
+      |         sum(CAST(x*y AS DECIMAL(38,0))) AS sxy
       |  FROM (SELECT l_returnflag,
-      |               CAST(l_quantity AS DECIMAL(18,2)) AS x,
-      |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
       |        FROM lineitem)
       |  GROUP BY 1
       |)
@@ -205,8 +213,8 @@ object Relational4 {
       |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
       |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy,
       |       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_x,
+      |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS stddev_x,
       |       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-      |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_y
+      |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS stddev_y
       |FROM s ORDER BY l_returnflag""".stripMargin
 }

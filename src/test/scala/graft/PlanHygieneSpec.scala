@@ -64,6 +64,21 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("q78 fuzzy join blocks on deletion variants — an equi-join, not a nested loop") {
+    val plan = planOf(graft.operators.FuzzyJoin.q78FuzzyNames(spark, sfDir))
+    // a raw levenshtein(a,b) <= 1 cross predicate would plan as
+    // BroadcastNestedLoopJoin; FastSS blocking must keep it an equi-join
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("q85 forward as-of keeps the union+window single-shuffle shape") {
+    val plan = planOf(queries.Streams.q85ForwardAsOf(spark, sfDir))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("q67 gap fill generates the calendar per key — no cartesian grid") {
     val plan = planOf(queries.Relational3.q67GapFill(spark, sfDir))
     assert(plan.contains("Generate"), plan) // sequence+explode, per key

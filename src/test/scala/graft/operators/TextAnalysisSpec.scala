@@ -73,4 +73,32 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("compression ratio: repetitive << prose < random, and deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = Seq(
+      (1L, "spam " * 200),                                  // degenerate repetition
+      (2L, (1 to 150).map(n => s"token$n word${n * 7 % 50}").mkString(" ")),
+      (3L, Seq.fill(1000)((rnd.nextInt(93) + 33).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatioOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L))
+    assert(out(1L) < 0.1)   // repeated token deflates to almost nothing
+    assert(out(3L) > 0.7)   // pseudo-random glyphs barely deflate
+    val again = TextAnalysis.compressionRatioOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == again)
+  }
+
+  test("compression ratio on the real corpus: sane bounds, every doc scored") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = TextAnalysis.compressionRatio(spark, sfDir).collect()
+    assert(out.length == docs.where(docs("text").isNotNull).count())
+    assert(out.forall { r =>
+      val ratio = r.getDouble(3)
+      ratio > 0.0 && ratio <= 1.2 // tiny docs can exceed 1.0 (header overhead)
+    })
+  }
 }
