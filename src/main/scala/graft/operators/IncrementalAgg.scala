@@ -63,11 +63,12 @@ object IncrementalAgg {
   }
 
   /** Finalized view: partial state plus derived measures (avg from
-    * sum/count — exact DECIMAL division once per group at read time). */
+    * sum/count — one double division over the exact DECIMAL sum, the
+    * same single-rounding expression in any engine). */
   def finalized(state: DataFrame, measure: String): DataFrame = {
     val s = s"sum_$measure"
     state.withColumn(s"avg_$measure",
-      (col(s) / col("n_rows")).cast("decimal(18,6)"))
+      col(s).cast("double") / col("n_rows").cast("double"))
   }
 
   /** Maintain the named rollup over `database.table` up to
@@ -117,4 +118,30 @@ object IncrementalAgg {
     import spark.implicits._
     store.write(markTable, Seq(snap).toDF("snapshot_id"))
   }
+
+  /** q87: the partial-state rollup surfaced as a query — orders by
+    * priority with the finalized avg, exactly what a maintained
+    * `rollup_by_priority` table would serve without touching the fact
+    * table. Doubles come from exact DECIMAL sums via one cast/division
+    * each, so the oracle hash-matches. */
+  def q87RollupPartials(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val orders = graft.sources.Tables.orders(spark, d)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    finalized(partials(orders, Seq("o_orderpriority"), "o_totalprice"), "o_totalprice")
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("sum_o_totalprice").cast("double").as("sum_price"),
+        col("min_o_totalprice").as("min_price"),
+        col("max_o_totalprice").as("max_price"),
+        col("avg_o_totalprice").as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q87Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       min(o_totalprice) AS min_price,
+      |       max(o_totalprice) AS max_price,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -160,6 +160,39 @@ object Relational4 {
       |       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** q88: per-group mode — the most frequent quantity per return flag
+    * with a deterministic smallest-value tiebreak. Two-level
+    * aggregation: count per (group, value) — partial-agg friendly, the
+    * per-group value histogram is the only shuffled state — then a
+    * bounded rank. The anti-pattern is collecting each group's values
+    * into one task (collect_list / global sort); this shape never holds
+    * more than the distinct-value histogram.
+    */
+  def q88Mode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, d)
+      .groupBy($"l_returnflag", money($"l_quantity").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"n".desc, $"qty".asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .where($"rnk" === 1)
+      .select($"l_returnflag", $"qty".cast("double").as("mode_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  val q88Sql: String =
+    """WITH counts AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS qty, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT l_returnflag, qty, n,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY n DESC, qty ASC) AS rnk
+      |  FROM counts
+      |)
+      |SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty, n
+      |FROM ranked WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
+
   /** q86: exact two-variable statistics — Pearson correlation and
     * sample stddev of (quantity, extendedprice) per return flag, in the
     * engineered-exact form. The inputs are scaled to integer CENTS

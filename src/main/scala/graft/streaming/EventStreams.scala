@@ -104,11 +104,15 @@ object EventStreams {
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      // TTL evicts a user idle past the horizon — the declarative form
-      // of userActivity's remove-on-timeout branch
+      // No TTL: processing-time TTL arms a cleanup timer every batch, so
+      // a drain-and-stop run (AvailableNow) keeps scheduling timer-only
+      // batches and never terminates — observed as a hard hang in both
+      // awaitTermination and processAllAvailable. Idle-user eviction on
+      // a continuous deployment belongs to a TTLConfig added there (or
+      // the mapGroupsWithState timeout variant, [[userActivity]]).
       totals = getHandle.getValueState[SessionState]("totals",
         Encoders.product[SessionState],
-        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
         timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserActivity] = {
@@ -130,9 +134,7 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new UserTotalsProcessor,
-        // ProcessingTime: the mode TTL state requires (TTL clocks are
-        // processing-time based)
-        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming dedup for at-least-once / replayed feeds: duplicate
@@ -184,8 +186,12 @@ object EventStreams {
       .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // AvailableNow self-terminates once the initially-available data is
+    // processed — await that, do NOT processAllAvailable(): a stateful
+    // operator with processing-time TTL/timers keeps scheduling timer
+    // batches, so "all available" never drains and the wait never
+    // returns (observed with transformWithState + TTLConfig).
+    q.awaitTermination()
     spark.table(queryName)
   }
 }

@@ -84,7 +84,7 @@ class IncrementalAggSpec extends SparkSpec {
     val (s1, _) = IncrementalAgg.refresh(store, "db", "t", "byk", Seq("k"), "v", 1L)
     val avgs = IncrementalAgg.finalized(s1, "v")
       .select("k", "avg_v").collect()
-      .map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toMap
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(avgs == Map("a" -> 15.0, "b" -> 5.0))
   }
 }
