@@ -193,6 +193,79 @@ object Relational4 {
       |SELECT l_returnflag, CAST(qty AS DOUBLE) AS mode_qty, n
       |FROM ranked WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
 
+  /** q89: market-basket co-occurrence — the top part pairs bought
+    * together in one order. Baskets self-join on the order key AFTER a
+    * frequency prune (parts in ≥ minCount orders; same predicate on
+    * both engines, so the oracle still matches exactly): the prune
+    * bounds the quadratic per-basket blowup by basket size × frequent
+    * items, the standard a-priori trick. Pair counts then rank with a
+    * bounded top-k, ties broken on the pair.
+    */
+  def q89CoOccurrence(spark: SparkSession, d: String, minCount: Int = 3,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val frequent = items.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .where($"n_orders" >= minCount)
+      .select($"l_partkey")
+    val pruned = items.join(frequent, Seq("l_partkey"))
+    val pairs = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
+      .join(pruned.select($"l_orderkey", $"l_partkey".as("part_b")), Seq("l_orderkey"))
+      .where($"part_a" < $"part_b")
+    pairs.groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_together"))
+      .orderBy($"n_together".desc, $"part_a".asc, $"part_b".asc)
+      .limit(topK)
+  }
+
+  def q89Sql(minCount: Int, topK: Int): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), frequent AS (
+       |  SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= $minCount
+       |), pruned AS (
+       |  SELECT i.l_orderkey, i.l_partkey FROM items i JOIN frequent USING (l_partkey)
+       |)
+       |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_together
+       |FROM pruned a JOIN pruned b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY 1, 2
+       |ORDER BY n_together DESC, part_a ASC, part_b ASC
+       |LIMIT $topK""".stripMargin
+
+  /** q90: SCD2 interval build — turn an event log into
+    * validity-interval dimension rows: per (user, attribute stream),
+    * each event's value is valid from its timestamp until the next
+    * event (NULL = still current). One window pass per key, the
+    * warehouse "slowly changing dimension type 2" load. Row-count
+    * equals the event count — no state beyond the per-key sort.
+    */
+  def q90Scd2(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, d)
+      .where($"event_type" === "signup" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_id", $"event_type",
+        $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  val q90Sql: String =
+    """SELECT user_id, event_id, event_type,
+      |       ts AS valid_from,
+      |       lead(ts, 1) OVER w AS valid_to,
+      |       (lead(ts, 1) OVER w IS NULL) AS is_current
+      |FROM (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type IN ('signup', 'purchase'))
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** q86: exact two-variable statistics — Pearson correlation and
     * sample stddev of (quantity, extendedprice) per return flag, in the
     * engineered-exact form. The inputs are scaled to integer CENTS
