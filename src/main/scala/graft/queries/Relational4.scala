@@ -266,6 +266,49 @@ object Relational4 {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** q91: rolling 7-day distinct active users per day (the WAU curve).
+    * COUNT(DISTINCT) over a sliding window isn't a window function in
+    * any engine; the scalable exact form explodes each (user, day)
+    * observation onto the ≤7 report days it contributes to — a bounded
+    * ×7 expansion of the already-deduplicated user-day grid — then one
+    * distinct-count per report day. Report days are clamped to the
+    * observed range so the curve has no synthetic lead-in. Shuffle
+    * volume is 7×|user-days|, never events; distinct state is per-day
+    * user sets, the same cost the direct query would pay.
+    */
+  def q91RollingDau(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    // one 1-row agg job at plan time, like the mixture-sampler's rate
+    // map: the clamp bound is a scalar, not a per-row join
+    val maxDay = days.agg(max($"day")).head().getDate(0)
+    days
+      .select($"user_id",
+        explode(sequence($"day", least(date_add($"day", 6), lit(maxDay))))
+          .as("report_day"))
+      .groupBy($"report_day")
+      .agg(countDistinct($"user_id").as("wau"),
+        count(lit(1)).as("active_user_days"))
+      .orderBy($"report_day")
+  }
+
+  val q91Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), bounds AS (
+      |  SELECT max(day) AS max_day FROM days
+      |), contrib AS (
+      |  SELECT d.user_id, g.report_day
+      |  FROM days d, bounds b,
+      |       unnest(generate_series(d.day, least(d.day + 6, b.max_day),
+      |                              INTERVAL 1 DAY)) AS g(report_day)
+      |)
+      |SELECT CAST(report_day AS DATE) AS report_day,
+      |       count(DISTINCT user_id) AS wau,
+      |       count(*) AS active_user_days
+      |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q86: exact two-variable statistics — Pearson correlation and
     * sample stddev of (quantity, extendedprice) per return flag, in the
     * engineered-exact form. The inputs are scaled to integer CENTS
