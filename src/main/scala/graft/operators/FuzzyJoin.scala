@@ -53,7 +53,7 @@ object FuzzyJoin {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(strCol)).as[(Long, String)]
       .flatMap { case (id, s) =>
-        val sb = new java.lang.StringBuilder(s.length - 1)
+        val sb = new java.lang.StringBuilder(math.max(s.length - 1, 0))
         (0 until s.length).iterator.map { i =>
           sb.setLength(0)
           sb.append(s, 0, i).append(s, i + 1, s.length)

@@ -146,8 +146,8 @@ object IntervalJoin {
       |         ts + INTERVAL 12 HOUR AS w_end FROM e WHERE event_type = 'view'
       |)
       |SELECT a.user_id, count(*) AS n_pairs,
-      |       sum(epoch_us(least(a.w_end, b.w_end)) -
-      |           epoch_us(greatest(a.w_start, b.w_start))) AS overlap_us
+      |       CAST(sum(epoch_us(least(a.w_end, b.w_end)) -
+      |           epoch_us(greatest(a.w_start, b.w_start))) AS BIGINT) AS overlap_us
       |FROM v a JOIN v b ON a.user_id = b.user_id AND a.event_id < b.event_id
       |   AND a.w_start <= b.w_end AND b.w_start <= a.w_end
       |GROUP BY a.user_id

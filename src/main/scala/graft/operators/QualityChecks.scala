@@ -69,7 +69,7 @@ object QualityChecks {
 
   val q76Sql: String =
     """SELECT * FROM (
-      |  SELECT 'orders_pk_dup' AS check_name, coalesce(sum(n - 1), 0) AS n_violations
+      |  SELECT 'orders_pk_dup' AS check_name, CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_violations
       |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
       |  UNION ALL
       |  SELECT 'orders_fk_customer', count(*) FROM orders o
@@ -78,10 +78,10 @@ object QualityChecks {
       |  SELECT 'lineitem_fk_orders', count(*) FROM lineitem l
       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |  UNION ALL
-      |  SELECT 'lineitem_qty_positive', sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+      |  SELECT 'lineitem_qty_positive', CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL
-      |  SELECT 'lineitem_price_nonneg', sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) FROM lineitem
+      |  SELECT 'lineitem_price_nonneg', CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL
-      |  SELECT 'lineitem_fk_not_null', sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |  SELECT 'lineitem_fk_not_null', CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |) ORDER BY check_name""".stripMargin
 }

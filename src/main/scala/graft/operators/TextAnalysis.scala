@@ -404,8 +404,9 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "n_bytes", "c_bytes")
-      .withColumn("ratio", $"c_bytes".cast("double") / $"n_bytes")
-      .withColumn("keep", $"ratio".between(0.3, 0.9))
+      .withColumn("ratio",
+        when($"n_bytes" > 0, $"c_bytes".cast("double") / $"n_bytes"))
+      .withColumn("keep", coalesce($"ratio".between(0.3, 0.9), lit(false)))
       .orderBy($"doc_id")
   }
 }

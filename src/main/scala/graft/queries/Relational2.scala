@@ -95,7 +95,12 @@ object Relational2 {
     // ONE shuffle of lineitem instead of two (the agg exchange plus the
     // re-shuffled join probe), with no sort (whole-partition frame).
     val w = Window.partitionBy($"l_partkey")
-    li.withColumn("sum_qty", sum(money($"l_quantity")).over(w))
+    // The inner-join form drops null-partkey rows; partitionBy would
+    // group them into a null partition instead. Pin the join semantics
+    // explicitly so reuse on nullable keys stays equivalent (l_partkey
+    // is non-null in TPC-H, so this is a no-op filter here).
+    li.where($"l_partkey".isNotNull)
+      .withColumn("sum_qty", sum(money($"l_quantity")).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
       .where(money($"l_quantity") * lit(2) * $"cnt" < $"sum_qty")
       .agg(

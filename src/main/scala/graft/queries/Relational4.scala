@@ -282,15 +282,21 @@ object Relational4 {
       .select($"user_id", to_date($"ts").as("day")).distinct()
     // one 1-row agg job at plan time, like the mixture-sampler's rate
     // map: the clamp bound is a scalar, not a per-row join
-    val maxDay = days.agg(max($"day")).head().getDate(0)
-    days
-      .select($"user_id",
-        explode(sequence($"day", least(date_add($"day", 6), lit(maxDay))))
-          .as("report_day"))
-      .groupBy($"report_day")
-      .agg(countDistinct($"user_id").as("wau"),
-        count(lit(1)).as("active_user_days"))
-      .orderBy($"report_day")
+    Option(days.agg(max($"day")).head().getDate(0)) match {
+      case None =>
+        // empty events: degrade to an empty frame like the sibling queries
+        days.select($"day".as("report_day"),
+          lit(0L).as("wau"), lit(0L).as("active_user_days")).limit(0)
+      case Some(maxDay) =>
+        days
+          .select($"user_id",
+            explode(sequence($"day", least(date_add($"day", 6), lit(maxDay))))
+              .as("report_day"))
+          .groupBy($"report_day")
+          .agg(countDistinct($"user_id").as("wau"),
+            count(lit(1)).as("active_user_days"))
+          .orderBy($"report_day")
+    }
   }
 
   val q91Sql: String =

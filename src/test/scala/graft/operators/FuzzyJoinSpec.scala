@@ -28,6 +28,25 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("empty and single-char strings survive and pair correctly") {
+    import spark.implicits._
+    // "" has no deletion variants (used to NegativeArraySizeException);
+    // it pairs with every single-char string (one insertion) and the
+    // other empty (dist 0).
+    val df = Seq((1L, ""), (2L, ""), (3L, "a"), (4L, "b"), (5L, "ab"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.pairsWithin1(df, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val names = Map(1L -> "", 2L -> "", 3L -> "a", 4L -> "b", 5L -> "ab")
+    val want = (for {
+      a <- names.keys; b <- names.keys if a < b
+      d = levenshteinRef(names(a), names(b)) if d <= 1
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L, 0)))
+    assert(got.contains((1L, 3L, 1)))
+  }
+
   test("blocked pairs equal brute force on real customer names") {
     import spark.implicits._
     val c = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")

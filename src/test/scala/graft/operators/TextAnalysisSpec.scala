@@ -92,6 +92,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("compression ratio: empty text yields null ratio, not Infinity") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "some actual prose to score here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatioOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(3))          // n_bytes = 0 -> no ratio
+    assert(!out(1L).getBoolean(4))       // keep = false (null fails between)
+    assert(out(2L).getDouble(3) > 0.0 && !out(2L).getDouble(3).isInfinity)
+  }
+
   test("compression ratio on the real corpus: sane bounds, every doc scored") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val out = TextAnalysis.compressionRatio(spark, sfDir).collect()
