@@ -25,7 +25,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Optimized-plan fingerprint per query: a slow round-over-round
+    // number is classifiable as plan-change vs environment by diffing
+    // these hashes — canonicalized plan so expression ids don't churn
+    // the fingerprint between sessions.
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val h = try {
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
+        java.security.MessageDigest.getInstance("MD5").digest(plan.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "error" }
+      "\"" + name + "\":\"" + h + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

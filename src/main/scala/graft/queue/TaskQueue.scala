@@ -229,11 +229,49 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
     }
   } }
 
+  /** Retry every errored, not-yet-retried task — oldest first, like the
+    * reference's retry-all loop (service_task_queue.go:109-147: status =
+    * error AND retried = false, ORDER BY started_at ASC, each through
+    * the same clone path as the manual retry). `database = None` is the
+    * global form (`POST /api/tasks/retry-all`); `Some(db)` the per-db
+    * one. Returns the number of clones enqueued. */
+  def retryAll(database: Option[String]): Long = lock.synchronized { withProcessLock {
+    val rows = all()
+    val retryable = rows
+      .filter(t => t.status == TaskStatus.Error && !t.retried &&
+        database.forall(_ == t.database))
+      .sortBy(t => (t.startedAt.getTime, t.id))
+    if (retryable.isEmpty) 0L
+    else {
+      var nid = nextId(rows)
+      val retriedIds = retryable.map(_.id).toSet
+      val clones = retryable.map { t =>
+        val c = TaskRow(nid, t.database, t.table, t.kind, t.engine,
+          startedAt = now(), pickedUpAt = None, finishedAt = None,
+          status = TaskStatus.Queued, retried = false, errorMessage = None,
+          input = t.input, result = Map.empty)
+        nid += 1
+        c
+      }
+      save(rows.map(r => if (retriedIds(r.id)) r.copy(retried = true) else r)
+        ++ clones)
+      clones.size.toLong
+    }
+  } }
+
   /** Delete terminal tasks; returns how many were removed. */
-  def flush(): Long = lock.synchronized { withProcessLock {
+  def flush(): Long = flush(None)
+
+  /** Per-database flush (`DELETE /api/tasks/:database`). The reference
+    * deletes every row in scope (service_task_queue.go:537-555); here
+    * only terminal rows go — deleting a RUNNING row under a live worker
+    * would orphan its completion write, a hazard the reference's SQL
+    * row-versioning absorbs but a whole-table rewrite does not. */
+  def flush(database: Option[String]): Long = lock.synchronized { withProcessLock {
     val rows = all()
     val (gone, keep) = rows.partition(t =>
-      t.status == TaskStatus.Success || t.status == TaskStatus.Error)
+      (t.status == TaskStatus.Success || t.status == TaskStatus.Error) &&
+        database.forall(_ == t.database))
     save(keep)
     gone.size.toLong
   } }
@@ -242,18 +280,38 @@ final class TaskQueue(store: MetaStore, clock: () => Instant = () => Instant.now
     * lock too: save()'s rename-swap has a window where the tasks path is
     * absent, so an unlocked concurrent reader could transiently see an
     * empty queue or a FileNotFound. */
-  def counts(): Map[String, Long] = lock.synchronized { withProcessLock {
+  def counts(): Map[String, Long] = counts(None)
+
+  /** Per-database (or global, `database = None`) live-status counts —
+    * the reference adds `WHERE database = ?` to the same GROUP BY
+    * (service_task_queue.go:411-443). */
+  def counts(database: Option[String]): Map[String, Long] = lock.synchronized { withProcessLock {
     import org.apache.spark.sql.functions._
-    store.tasks
+    database.foldLeft(store.tasks.toDF())((df, db) => df.filter(col("database") === db))
       .filter(col("status").isin(TaskStatus.Queued, TaskStatus.Running))
       .groupBy(col("status")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   } }
 
   /** Paginated list + total (A5, service_task_queue.go:469-507). */
-  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) = lock.synchronized { withProcessLock {
-    val filtered = all().filter(t => statuses.isEmpty || statuses.contains(t.status))
-      .sortBy(t => (-t.startedAt.getTime, -t.id))
-    (filtered.slice(offset, offset + limit), filtered.size.toLong)
-  } }
+  def list(statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) =
+    list(None, None, Seq.empty, statuses, limit, offset)
+
+  /** The reference's full filter surface (service_task_queue.go:445-535):
+    * optional database/table equality, kind/status IN-lists, started_at
+    * DESC, limit defaulting to 20 when non-positive, offset clamped to
+    * ≥0. Total counts the filtered set before pagination. */
+  def list(database: Option[String], table: Option[String], kinds: Seq[String],
+      statuses: Seq[String], limit: Int, offset: Int): (Seq[TaskRow], Long) =
+    lock.synchronized { withProcessLock {
+      val effLimit = if (limit <= 0) 20 else limit
+      val effOffset = math.max(0, offset)
+      val filtered = all()
+        .filter(t => database.forall(_ == t.database) &&
+          table.forall(_ == t.table) &&
+          (kinds.isEmpty || kinds.contains(t.kind)) &&
+          (statuses.isEmpty || statuses.contains(t.status)))
+        .sortBy(t => (-t.startedAt.getTime, -t.id))
+      (filtered.slice(effOffset, effOffset + effLimit), filtered.size.toLong)
+    } }
 }
