@@ -73,11 +73,74 @@ final class Engine(
       Map("retention_days" -> days.toString))
   }
 
+  /** One table's outcome inside a batch enqueue
+    * (service_tasks.go:46-55). */
+  final case class BatchFailure(table: String, error: String)
+  final case class BatchResult(taskIds: Seq[Long], enqueuedCount: Long,
+      failedTables: Seq[BatchFailure])
+
+  /** Trim, drop blanks, first-occurrence dedupe — the reference's
+    * normalizeBatchTables (service_tasks.go:479-497). */
+  private def normalizeTables(tables: Seq[String]): Seq[String] =
+    tables.map(_.trim).filter(_.nonEmpty).distinct
+
+  /** Per-table enqueue loop with the reference's partial-failure
+    * semantics (service_tasks.go:298-326): a failed table lands in
+    * failedTables and the rest still enqueue. */
+  private def enqueueBatch(tables: Seq[String])(
+      one: String => Seq[Long]): Either[String, BatchResult] = {
+    val normalized = normalizeTables(tables)
+    if (normalized.isEmpty) Left("at least one table must be provided")
+    else Right(normalized.foldLeft(BatchResult(Seq.empty, 0L, Seq.empty)) {
+      (acc, table) =>
+        try {
+          val ids = one(table)
+          acc.copy(taskIds = acc.taskIds ++ ids,
+            enqueuedCount = acc.enqueuedCount + ids.size)
+        } catch {
+          case e: Exception => acc.copy(failedTables = acc.failedTables :+
+            BatchFailure(table, Option(e.getMessage).getOrElse(e.toString)))
+        }
+    })
+  }
+
+  /** Database-wide enqueue group (`POST /api/maintenance/:database/...`,
+    * main.go:41-45; service_tasks.go:138-148). */
+  def enqueueExpireSnapshotsBatch(database: String, tables: Seq[String],
+      retentionDays: Int): Either[String, BatchResult] =
+    enqueueBatch(tables)(t => Seq(enqueueExpireSnapshots(database, t, retentionDays)))
+
+  def enqueueRemoveOrphanFilesBatch(database: String, tables: Seq[String],
+      retentionDays: Int): Either[String, BatchResult] =
+    enqueueBatch(tables)(t => Seq(enqueueRemoveOrphanFiles(database, t, retentionDays)))
+
+  /** Batch optimize: date validation FIRST, then the per-table loop —
+    * a bad chunk_by fails only its own table; every chunk id of a table
+    * is appended and counted (service_tasks.go:150-187). A table whose
+    * range holds no needs-optimize partitions contributes zero ids and
+    * is not a failure. The per-table chunk_by defaults to "day". */
+  def enqueueOptimizeBatch(database: String, tables: Seq[(String, String)],
+      targetFileSizeMb: Int, from: LocalDate, to: LocalDate): Either[String, BatchResult] = {
+    if (from.isAfter(to)) Left("from date must be before or equal to the to date")
+    else {
+      val chunkByOf = tables.map { case (t, c) =>
+        t.trim -> (if (c == null || c.trim.isEmpty) "day" else c.trim)
+      }.toMap
+      enqueueBatch(tables.map(_._1)) { table =>
+        enqueueOptimize(database, table, targetFileSizeMb, from, to,
+          chunkByOf(table)) match {
+          case Left(err) => throw new IllegalArgumentException(err)
+          case Right(ids) => ids
+        }
+      }
+    }
+  }
+
   /** Procedure-callback handler (service_tasks.go:346-375): spark-engine
     * tasks only, running status only; the payload lands JSON-encoded
     * under result["procedure"]. */
   def updateProcedureResult(taskId: Long, query: String, rows: Long,
-      receivedAt: Instant): Either[String, Unit] = {
+      receivedAt: Instant, meta: Map[String, String] = Map.empty): Either[String, Unit] = {
     val task = queue.list(Seq.empty, Int.MaxValue, 0)._1.find(_.id == taskId)
     task match {
       case None => Left(s"task $taskId not found")
@@ -86,9 +149,12 @@ final class Engine(
       case Some(t) if t.status != Model.TaskStatus.Running =>
         Left(s"task $taskId cannot accept procedure callback in status ${t.status}")
       case Some(_) =>
+        // meta keys ride the same flat payload namespaced `meta.<k>`,
+        // present only when non-empty (service_tasks.go:365-369)
+        val metaKv = meta.map { case (k, v) => s"meta.$k" -> v }
         if (queue.updateResultNested(taskId, "procedure", Map(
           "query" -> query, "rows" -> rows.toString,
-          "received_at" -> receivedAt.toString))) Right(())
+          "received_at" -> receivedAt.toString) ++ metaKv)) Right(())
         else Left(s"task $taskId no longer running")
     }
   }

@@ -44,8 +44,9 @@ final class Api(store: MetaStore, engine: Engine,
     val path = ex.getRequestURI.getPath.stripPrefix("/api").stripSuffix("/")
     val segs = path.split("/").toList.filter(_.nonEmpty)
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val query = queryParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
     val result =
-      try route(method, segs, body)
+      try route(method, segs, body, query)
       catch {
         // only the parse/bind layer raises BadRequest (missing body
         // keys, unparsable dates, non-numeric ids, bad escapes) — a
@@ -64,7 +65,18 @@ final class Api(store: MetaStore, engine: Engine,
     ex.close()
   }
 
-  private def route(method: String, segs: List[String], body: String): (Int, String) =
+  /** Repeated-key query-string parse (`?status=queued&status=error`,
+    * the gin `form:"..."` multi-bind shape). */
+  private def queryParams(raw: String): Map[String, Seq[String]] =
+    raw.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      val eq = kv.indexOf('=')
+      val (k, v) = if (eq < 0) (kv, "") else (kv.take(eq), kv.drop(eq + 1))
+      java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+        java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+
+  private def route(method: String, segs: List[String], body: String,
+      query: Map[String, Seq[String]]): (Int, String) =
     (method, segs) match {
       // -- iceberg (handler_iceberg.go) -------------------------------
       case ("GET", "iceberg" :: "databases" :: Nil) =>
@@ -80,25 +92,44 @@ final class Api(store: MetaStore, engine: Engine,
             "columns" -> arr(t.columns.map(c =>
               obj("name" -> str(c.name), "type" -> str(c.`type`))))))
         }
+      // rollback (main.go:93): move the snapshot pointer, rebuild the
+      // partition slice from that snapshot's manifest, then full-refresh
+      // the table row like the reference (handler_iceberg.go:126-145).
+      case ("POST", "iceberg" :: db :: table :: "snapshots" :: sid :: "rollback" :: Nil) =>
+        val snapshotId = bind(sid.toLong)
+        graft.operators.Maintenance.rollbackToSnapshot(store, db, table,
+          snapshotId, graft.meta.SmallFiles.fromSettings(store),
+          java.time.Instant.now())
+        ok(obj("snapshot_id" -> num(snapshotId), "status" -> str("ok")))
+      // snapshot file-integrity check (main.go:94,
+      // service_file_integrity.go:44-92): expected = the snapshot's
+      // manifest rows; missing = expected paths absent from the backing
+      // store. The existence probe runs per scheme-resolved FileSystem —
+      // the same expected-minus-listed anti-join shape as q14, driver-side
+      // here because one snapshot's file list is control-plane-small.
+      case ("GET", "iceberg" :: db :: table :: "snapshots" :: sid :: "missing-files" :: Nil) =>
+        val snapshotId = bind(sid.toLong)
+        val expected = store.files
+          .filter(f => f.database == db && f.table == table &&
+            f.snapshotId == snapshotId && f.content == 0)
+          .collect().map(_.filePath).sorted
+        val conf = store.spark.sparkContext.hadoopConfiguration
+        val missing = expected.filterNot { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).exists(path)
+        }
+        ok(obj("snapshot_id" -> num(snapshotId),
+          "missing_files" -> arr(missing.toSeq.map(str))))
+      case ("GET", "iceberg" :: db :: table :: "snapshots" :: Nil) =>
+        snapshotsJson(db, table)
+      case ("GET", "iceberg" :: db :: table :: "partitions" :: Nil) =>
+        partitionsJson(db, table)
 
       // -- metadata (handler_metadata.go) -----------------------------
       case ("GET", "metadata" :: db :: table :: "partitions" :: Nil) =>
-        val rows = store.partitions.collect()
-          .filter(p => p.database == db && p.table == table)
-          .sortBy(p => graft.meta.PartitionModel.canonicalString(p.partition))
-        ok(arr(rows.map(p => obj(
-          "partition" -> str(graft.meta.PartitionModel.canonicalString(p.partition)),
-          "recordCount" -> num(p.recordCount), "fileCount" -> num(p.fileCount),
-          "totalDataFileSizeInBytes" -> num(p.totalDataFileSizeInBytes),
-          "needsOptimize" -> p.needsOptimize.toString))))
+        partitionsJson(db, table)
       case ("GET", "metadata" :: db :: table :: "snapshots" :: Nil) =>
-        val rows = store.snapshots.collect()
-          .filter(s => s.database == db && s.table == table).sortBy(-_.snapshotId)
-        ok(arr(rows.map(s => obj(
-          "snapshotId" -> num(s.snapshotId),
-          "parentId" -> s.parentId.map(num).getOrElse("null"),
-          "operation" -> str(s.operation),
-          "committedAt" -> str(s.committedAt.toString)))))
+        snapshotsJson(db, table)
 
       // -- browse (handler_browse.go) ---------------------------------
       case ("GET", "browse" :: db :: "tables" :: Nil) =>
@@ -128,21 +159,68 @@ final class Api(store: MetaStore, engine: Engine,
             "needsOptimize" -> r.getBoolean(4).toString,
             "needsOptimizeCount" -> num(r.getLong(5))))))
         }
+      // data-file listing for one fully-selected partition (main.go:86,
+      // service_browse_files.go:46-76). The spec comes from the stored
+      // table metadata; hidden (year/month/day) selections resolve to the
+      // raw partition literal; the response renders the partition map in
+      // selection order (F9) like the reference's DataFileItem rows.
+      case ("POST", "browse" :: db :: table :: "files" :: Nil) =>
+        val filters = bind(Json.parseFlat(body))
+        store.tables.collect().find(t => t.database == db && t.name == table) match {
+          case None => notFound(s"$db.$table")
+          case Some(t) =>
+            val current = t.currentSnapshotId
+            val files = store.files.filter(f =>
+              f.database == db && f.table == table &&
+                current.forall(_ == f.snapshotId))
+            graft.operators.Browse.listFiles(files, t.partitions, filters) match {
+              case Left(err) => (400, obj("error" -> str(err)))
+              case Right((rawOrder, df)) => ok(arr(df.collect().toSeq.map { r =>
+                val partition = r.getMap[String, String](4).toMap
+                obj(
+                  "content" -> num(r.getInt(0).toLong),
+                  "file_path" -> str(r.getString(1)),
+                  "file_format" -> str(r.getString(2)),
+                  "spec_id" -> num(r.getInt(3).toLong),
+                  "partition" -> str(PartitionModel.renderOrdered(partition, rawOrder)),
+                  "record_count" -> num(r.getLong(5)),
+                  "file_size_in_bytes" -> num(r.getLong(6)))
+              }))
+            }
+        }
 
       // -- tasks (handler_tasks.go) -----------------------------------
       case ("GET", "tasks" :: Nil) =>
-        val (rows, total) = engine.queue.list(Seq.empty, 100, 0)
-        ok(obj("total" -> num(total), "tasks" -> arr(rows.map(taskJson))))
+        listTasksJson(None, query)
       case ("GET", "tasks" :: "counts" :: Nil) =>
-        ok(obj(engine.queue.counts().toSeq.sortBy(_._1)
-          .map { case (k, v) => k -> num(v) }: _*))
+        countsJson(None)
       case ("DELETE", "tasks" :: Nil) =>
         ok(obj("flushed" -> num(engine.queue.flush())))
+      case ("POST", "tasks" :: "retry-all" :: Nil) =>
+        ok(obj("retried_count" -> num(engine.queue.retryAll(None))))
       case ("POST", "tasks" :: "retry" :: id :: Nil) =>
         engine.queue.retry(bind(id.toLong)) match {
           case Some(clone) => ok(obj("retryTaskId" -> num(clone)))
           case None => (400, obj("error" -> str(s"task $id cannot be retried")))
         }
+      // procedure-result callback (main.go:52; service_tasks.go:346-375):
+      // spark-engine running tasks only; rows land as a count, meta keys
+      // namespaced into the flat result payload.
+      case ("POST", "tasks" :: "callback" :: id :: "result" :: Nil) =>
+        val (taskId, q, rowCount, meta) = bind {
+          val in = Json.objOf(Json.parse(body))
+          val meta = in.get("meta").map(Json.objOf).getOrElse(Map.empty)
+            .map { case (k, v) => k -> Json.strOf(v) }
+          (id.toLong, Json.strOf(in("query")),
+            in.get("rows").map(v => Json.arrOf(v).size.toLong).getOrElse(0L), meta)
+        }
+        engine.updateProcedureResult(taskId, q, rowCount,
+          java.time.Instant.now(), meta) match {
+          case Right(()) => ok(obj("status" -> str("ok")))
+          case Left(err) => (400, obj("error" -> str(err)))
+        }
+      case ("POST", "tasks" :: db :: "retry-all" :: Nil) =>
+        ok(obj("retried_count" -> num(engine.queue.retryAll(Some(db)))))
       case ("POST", "tasks" :: db :: table :: "optimize" :: Nil) =>
         val (target, from, to, chunkBy) = bind {
           val in = Json.parseFlat(body)
@@ -162,34 +240,79 @@ final class Api(store: MetaStore, engine: Engine,
         val days = bind(Json.parseFlat(body)
           .get("retention_days").flatMap(_.toIntOption).getOrElse(7))
         ok(obj("taskId" -> num(engine.enqueueRemoveOrphanFiles(db, table, days))))
+      // per-database task surface (main.go:58-60)
+      case ("GET", "tasks" :: db :: "counts" :: Nil) =>
+        countsJson(Some(db))
+      case ("GET", "tasks" :: db :: Nil) =>
+        listTasksJson(Some(db), query)
+      case ("DELETE", "tasks" :: db :: Nil) =>
+        ok(obj("flushed" -> num(engine.queue.flush(Some(db)))))
 
-      // -- refresh (handler_refresh.go; GET like the reference) -------
+      // -- maintenance: database-wide batch enqueue (main.go:41-45) ----
+      case ("POST", "maintenance" :: db :: "expire-snapshots" :: Nil) =>
+        val (tables, days) = bind(batchTablesBody(body))
+        batchJson(engine.enqueueExpireSnapshotsBatch(db, tables, days))
+      case ("POST", "maintenance" :: db :: "remove-orphan-files" :: Nil) =>
+        val (tables, days) = bind(batchTablesBody(body))
+        batchJson(engine.enqueueRemoveOrphanFilesBatch(db, tables, days))
+      case ("POST", "maintenance" :: db :: "optimize" :: Nil) =>
+        val (tables, target, from, to) = bind {
+          val in = Json.objOf(Json.parse(body))
+          val tables = in.get("tables").map(Json.arrOf).getOrElse(Seq.empty).map { t =>
+            val o = Json.objOf(t)
+            (Json.strOf(o.getOrElse("table", Json.JStr(""))),
+              o.get("chunk_by").map(Json.strOf).getOrElse("day"))
+          }
+          (tables,
+            in.get("target_file_size_mb").map(Json.intOf).getOrElse(0),
+            java.time.LocalDate.parse(Json.strOf(in("from"))),
+            java.time.LocalDate.parse(Json.strOf(in("to"))))
+        }
+        batchJson(engine.enqueueOptimizeBatch(db, tables, target, from, to))
+
+      // -- refresh (handler_refresh.go; GET like the reference,
+      // main.go:73-80) ------------------------------------------------
       // The live catalog binding is a data-root directory: table `t` of
-      // any database lives at <dataRoot>/<t> (the TESTDATA layout). A
-      // real deployment swaps this for the Iceberg catalog client.
-      case ("GET", "refresh" :: "full" :: db :: Nil) =>
-        dataRoot match {
-          case None => (400, obj("error" -> str("no data root configured")))
-          case Some(root) =>
-            // listFiles() is null for a missing/non-directory root
-            val live = Option(new java.io.File(root).listFiles())
-              .getOrElse(return (400,
-                obj("error" -> str(s"data root $root is not a readable directory"))))
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .map(f => f.getName.stripSuffix(".parquet") -> f.getPath).toMap
-            val stale = graft.operators.Refresh.fullRefresh(store, db, live,
-              java.time.Instant.now())
-            ok(obj("refreshed" -> num(live.size.toLong),
-              "removedStale" -> num(stale.size.toLong)))
+      // any database lives at <dataRoot>/<t>.parquet (the TESTDATA
+      // layout), under the store's single database name. A real
+      // deployment swaps this for the Iceberg catalog client.
+      case ("GET", "refresh" :: "tables" :: Nil) =>
+        // table descriptions only + stale cascade (RefreshAllTables,
+        // service_refresh.go:62-101)
+        withLiveTables { (db, live) =>
+          graft.operators.Refresh.fullRefresh(store, db, live,
+            java.time.Instant.now())
+          ok(obj("status" -> str("ok")))
+        }
+      case ("GET", "refresh" :: "full" :: Nil) =>
+        // every table: description + partitions + snapshots
+        // (RefreshFull → RefreshDatabase → RefreshTableFull)
+        withLiveTables { (db, live) =>
+          refreshDatabaseFull(db, live)
+          ok(obj("status" -> str("ok")))
+        }
+      case ("GET", "refresh" :: db :: Nil) =>
+        withLiveTables { (_, live) =>
+          refreshDatabaseFull(db, live)
+          ok(obj("status" -> str("ok")))
         }
       case ("GET", "refresh" :: db :: table :: Nil) =>
-        dataRoot match {
-          case None => (400, obj("error" -> str("no data root configured")))
-          case Some(root) =>
-            val path = s"$root/$table.parquet"
-            graft.operators.Refresh.refreshTable(store, db, table, path,
-              java.time.Instant.now())
-            ok(obj("refreshed" -> str(s"$db.$table")))
+        withLivePath(table) { path =>
+          graft.operators.Refresh.refreshTableFull(store, db, table, path,
+            java.time.Instant.now())
+          ok(obj("status" -> str("ok")))
+        }
+      case ("GET", "refresh" :: db :: table :: "partitions" :: Nil) =>
+        withLivePath(table) { path =>
+          graft.operators.Refresh.refreshPartitionsLive(store, db, table, path,
+            java.time.Instant.now())
+          partitionsJson(db, table)
+        }
+      case ("GET", "refresh" :: db :: table :: "snapshots" :: Nil) =>
+        withLivePath(table) { path =>
+          graft.operators.Refresh.refreshSnapshotsLive(store, db, table, path,
+            java.time.Instant.now())
+          snapshotsJson(db, table)
         }
 
       // -- settings (handler_settings.go) -----------------------------
@@ -223,9 +346,108 @@ final class Api(store: MetaStore, engine: Engine,
     "id" -> num(t.id), "database" -> str(t.database), "table" -> str(t.table),
     "kind" -> str(t.kind), "engine" -> str(t.engine), "status" -> str(t.status),
     "retried" -> t.retried.toString,
+    "canRetry" -> (t.status == Model.TaskStatus.Error && !t.retried).toString,
     "errorMessage" -> t.errorMessage.map(str).getOrElse("null"),
     "input" -> obj(t.input.toSeq.sortBy(_._1).map { case (k, v) => k -> str(v) }: _*),
     "result" -> obj(t.result.toSeq.sortBy(_._1).map { case (k, v) => k -> str(v) }: _*))
+
+  /** The reference's paginated list bind + response (`items`/`total`,
+    * ListTasksInput form params: table, kind[], status[], limit, offset;
+    * handler_tasks.go:41-48, types.go:130-133). */
+  private def listTasksJson(db: Option[String], query: Map[String, Seq[String]]): (Int, String) = {
+    val one = (k: String) => query.getOrElse(k, Seq.empty).lastOption
+    val (rows, total) = engine.queue.list(db,
+      one("table").filter(_.nonEmpty),
+      query.getOrElse("kind", Seq.empty).filter(_.nonEmpty),
+      query.getOrElse("status", Seq.empty).filter(_.nonEmpty),
+      bind(one("limit").map(_.toInt).getOrElse(0)),
+      bind(one("offset").map(_.toInt).getOrElse(0)))
+    ok(obj("items" -> arr(rows.map(taskJson)), "total" -> num(total)))
+  }
+
+  /** TaskCountsResponse: always both keys (handler_tasks.go:71-74). */
+  private def countsJson(db: Option[String]): (Int, String) = {
+    val c = engine.queue.counts(db)
+    ok(obj("running" -> num(c.getOrElse(Model.TaskStatus.Running, 0L)),
+      "queued" -> num(c.getOrElse(Model.TaskStatus.Queued, 0L))))
+  }
+
+  /** Shared `{tables: [...], retention_days: n}` batch-body bind. */
+  private def batchTablesBody(body: String): (Seq[String], Int) = {
+    val in = Json.objOf(Json.parse(body))
+    (in.get("tables").map(Json.arrOf).getOrElse(Seq.empty).map(Json.strOf),
+      in.get("retention_days").map(Json.intOf).getOrElse(7))
+  }
+
+  /** BatchEnqueueResult rendering (service_tasks.go:46-50). */
+  private def batchJson(result: Either[String, Engine#BatchResult]): (Int, String) =
+    result match {
+      case Left(err) => (400, obj("error" -> str(err)))
+      case Right(r) => ok(obj(
+        "task_ids" -> arr(r.taskIds.map(num)),
+        "enqueued_count" -> num(r.enqueuedCount),
+        "failed_tables" -> arr(r.failedTables.map(f =>
+          obj("table" -> str(f.table), "error" -> str(f.error))))))
+    }
+
+  private def partitionsJson(db: String, table: String): (Int, String) = {
+    val rows = store.partitions.collect()
+      .filter(p => p.database == db && p.table == table)
+      .sortBy(p => PartitionModel.canonicalString(p.partition))
+    ok(arr(rows.map(p => obj(
+      "partition" -> str(PartitionModel.canonicalString(p.partition)),
+      "recordCount" -> num(p.recordCount), "fileCount" -> num(p.fileCount),
+      "totalDataFileSizeInBytes" -> num(p.totalDataFileSizeInBytes),
+      "needsOptimize" -> p.needsOptimize.toString))))
+  }
+
+  private def snapshotsJson(db: String, table: String): (Int, String) = {
+    val rows = store.snapshots.collect()
+      .filter(s => s.database == db && s.table == table).sortBy(-_.snapshotId)
+    ok(arr(rows.map(s => obj(
+      "snapshotId" -> num(s.snapshotId),
+      "parentId" -> s.parentId.map(num).getOrElse("null"),
+      "operation" -> str(s.operation),
+      "committedAt" -> str(s.committedAt.toString)))))
+  }
+
+  /** The parquet files of the data root as `table -> path`, fed to the
+    * refresh group; the store's (single) database name stands in for the
+    * catalog's database listing. */
+  private def withLiveTables(
+      f: (String, Map[String, String]) => (Int, String)): (Int, String) =
+    dataRoot match {
+      case None => (400, obj("error" -> str("no data root configured")))
+      case Some(root) =>
+        Option(new java.io.File(root).listFiles()) match {
+          case None => (400,
+            obj("error" -> str(s"data root $root is not a readable directory")))
+          case Some(files) =>
+            val live = files.toSeq
+              .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+              .map(x => x.getName.stripSuffix(".parquet") -> x.getPath).toMap
+            val db = store.tables.collect().map(_.database).distinct.sorted
+              .headOption.getOrElse("default")
+            f(db, live)
+        }
+    }
+
+  private def withLivePath(table: String)(f: String => (Int, String)): (Int, String) =
+    dataRoot match {
+      case None => (400, obj("error" -> str("no data root configured")))
+      case Some(root) => f(s"$root/$table.parquet")
+    }
+
+  /** RefreshDatabase (service_refresh.go:222-251): stale cascade via
+    * fullRefresh, then partitions + snapshots per live table. */
+  private def refreshDatabaseFull(db: String, live: Map[String, String]): Unit = {
+    val now = java.time.Instant.now()
+    graft.operators.Refresh.fullRefresh(store, db, live, now)
+    live.toSeq.sortBy(_._1).foreach { case (table, path) =>
+      graft.operators.Refresh.refreshPartitionsLive(store, db, table, path, now)
+      graft.operators.Refresh.refreshSnapshotsLive(store, db, table, path, now)
+    }
+  }
 
   private def ok(json: String): (Int, String) = (200, json)
   private def notFound(what: String): (Int, String) =
@@ -270,11 +492,120 @@ object Json {
 
   /** Parse a flat JSON object of string/number values into a string map
     * (numbers keep their literal form). Nested values are not needed by
-    * any reference endpoint body. */
+    * most reference endpoint bodies; the batch/callback routes use
+    * [[parse]] instead. */
   def parseFlat(body: String): Map[String, String] =
     pair.findAllMatchIn(body).map { m =>
       unescape(m.group(1)) -> (if (m.group(2) != null) unescape(m.group(2)) else m.group(3))
     }.toMap
+
+  /** Minimal JSON value tree for the request bodies that carry arrays
+    * (maintenance batches: `tables: [...]`; procedure callback:
+    * `rows: [{...}]`, `meta: {...}`). */
+  sealed trait JVal
+  final case class JStr(s: String) extends JVal
+  final case class JNum(raw: String) extends JVal
+  final case class JBool(b: Boolean) extends JVal
+  case object JNull extends JVal
+  final case class JObj(fields: Map[String, JVal]) extends JVal
+  final case class JArr(items: Seq[JVal]) extends JVal
+
+  /** Recursive-descent parse of one JSON value; throws
+    * IllegalArgumentException on malformed input (the bind layer maps
+    * that to a 400). */
+  def parse(body: String): JVal = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad json at offset $i: $msg")
+    def ws(): Unit = while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= body.length || body.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def string(): String = {
+      expect('"')
+      val start = i
+      while (i < body.length && body.charAt(i) != '"') {
+        if (body.charAt(i) == '\\') i += 1
+        i += 1
+      }
+      if (i >= body.length) fail("unterminated string")
+      val raw = body.substring(start, i)
+      i += 1
+      unescape(raw)
+    }
+    def value(): JVal = {
+      ws()
+      if (i >= body.length) fail("unexpected end")
+      body.charAt(i) match {
+        case '"' => JStr(string())
+        case '{' =>
+          i += 1; ws()
+          val fields = Map.newBuilder[String, JVal]
+          if (i < body.length && body.charAt(i) == '}') i += 1
+          else {
+            var more = true
+            while (more) {
+              ws(); val k = string(); ws(); expect(':')
+              fields += k -> value()
+              ws()
+              if (i < body.length && body.charAt(i) == ',') i += 1
+              else { expect('}'); more = false }
+            }
+          }
+          JObj(fields.result())
+        case '[' =>
+          i += 1; ws()
+          val items = Seq.newBuilder[JVal]
+          if (i < body.length && body.charAt(i) == ']') i += 1
+          else {
+            var more = true
+            while (more) {
+              items += value()
+              ws()
+              if (i < body.length && body.charAt(i) == ',') i += 1
+              else { expect(']'); more = false }
+            }
+          }
+          JArr(items.result())
+        case 't' if body.startsWith("true", i) => i += 4; JBool(true)
+        case 'f' if body.startsWith("false", i) => i += 5; JBool(false)
+        case 'n' if body.startsWith("null", i) => i += 4; JNull
+        case c if c == '-' || c.isDigit =>
+          val start = i
+          i += 1
+          while (i < body.length &&
+            (body.charAt(i).isDigit || "+-.eE".indexOf(body.charAt(i)) >= 0)) i += 1
+          JNum(body.substring(start, i))
+        case c => fail(s"unexpected '$c'")
+      }
+    }
+    val v = value()
+    ws()
+    if (i != body.length) fail("trailing content")
+    v
+  }
+
+  /** Convenience accessors over a parsed body; absent/mistyped keys
+    * throw NoSuchElementException → 400 via bind. */
+  def objOf(v: JVal): Map[String, JVal] = v match {
+    case JObj(f) => f
+    case _ => throw new NoSuchElementException("expected a json object")
+  }
+  def strOf(v: JVal): String = v match {
+    case JStr(s) => s
+    case JNum(raw) => raw
+    case _ => throw new NoSuchElementException("expected a string")
+  }
+  def arrOf(v: JVal): Seq[JVal] = v match {
+    case JArr(items) => items
+    case _ => throw new NoSuchElementException("expected an array")
+  }
+  def intOf(v: JVal): Int = v match {
+    case JNum(raw) => raw.toDouble.toInt
+    case JStr(s) => s.toInt
+    case _ => throw new NoSuchElementException("expected a number")
+  }
 
   private def unescape(s: String): String = {
     val out = new StringBuilder

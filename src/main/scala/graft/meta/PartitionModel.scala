@@ -146,6 +146,59 @@ object PartitionModel {
     Right(out.result())
   }
 
+  /** Files-browse selection resolution — unlike [[resolveSelections]],
+    * a COMPLETE selection is required (every spec field filtered), with
+    * the reference's exact validation order and messages
+    * (service_browse_files.go:83-142): no spec → error; any unknown
+    * filter key → error; filter count must equal field count; hidden
+    * fields collapse per raw field into one literal; a field without
+    * raw-field metadata is a hard error. Returns (rawFieldName, value)
+    * pairs in spec order. */
+  def resolveCompleteSelections(
+      spec: Seq[PartitionField],
+      filters: Map[String, String]): Either[String, Seq[(String, String)]] = {
+    if (spec.isEmpty) return Left("table does not define any partitions")
+    val valid = spec.map(_.name).toSet
+    filters.keys.find(!valid(_)) match {
+      case Some(k) => return Left(s"""unknown partition key "$k"""")
+      case None =>
+    }
+    if (filters.size != spec.size)
+      return Left("listing data files requires a complete partition selection")
+    val out = Seq.newBuilder[(String, String)]
+    val seenRaw = scala.collection.mutable.Set.empty[String]
+    for (field <- spec) {
+      if (field.rawFieldName == null || field.rawFieldName.isEmpty)
+        return Left(s"""partition "${field.name}" is missing raw field metadata""")
+      if (!seenRaw(field.rawFieldName)) {
+        seenRaw += field.rawFieldName
+        if (field.isHidden) {
+          def req(key: String): Either[String, String] =
+            filters.get(key).filter(_.nonEmpty)
+              .toRight(s"""missing partition filter "$key"""")
+          val t = field.hidden.map(_.`type`).getOrElse("")
+          val lit =
+            if (!Set("day", "month", "year").contains(t))
+              Left(s"unsupported hidden transform: $t")
+            else for {
+              y <- req("year")
+              m <- if (t == "year") Right("") else req("month")
+              d <- if (t == "day") req("day") else Right("")
+              v <- hiddenFilterLiteral(t, y, m, d)
+            } yield v
+          lit match {
+            case Right(v) => out += field.rawFieldName -> v
+            case Left(e) => return Left(e)
+          }
+        } else filters.get(field.name) match {
+          case Some(v) => out += field.rawFieldName -> v
+          case None => return Left(s"""missing partition filter "${field.name}"""")
+        }
+      }
+    }
+    Right(out.result())
+  }
+
   /** Canonical partition-key string (sorted keys); empty map renders as
     * "unpartitioned" (iceberg_client.go:223-226); null values as "null". */
   def canonicalString(values: Map[String, String]): String =

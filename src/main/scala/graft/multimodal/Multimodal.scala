@@ -344,7 +344,15 @@ object Multimodal {
   }
 
   /** Whole-pipeline summary per kind — the query a pipeline dashboard
-    * would run; deterministic, so usable as a rows-only query. */
+    * would run. Every column is an exact integer over the DECODED
+    * metadata (count / byte totals / width totals / frame totals), so
+    * the result is oracle-checkable: the asset construction is
+    * deterministic in doc_id, and the encoded byte lengths follow the
+    * container math (P6 header + 3wh; 44-byte RIFF header + 2n), which
+    * DuckDB can recompute from the documents table without decoding a
+    * single payload ([[q34Sql]]). The engine side still runs the REAL
+    * decoders — the oracle checks that the decode round-trip lands
+    * exactly on the container math. */
   def pipelineSummary(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val assets = syntheticAssets(spark, d)
@@ -352,9 +360,44 @@ object Multimodal {
     decoded.toDF()
       .groupBy($"kind")
       .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("total_bytes"),
-        avg($"width").cast("decimal(10,2)").as("avg_width"),
+        sum($"width").as("total_width"),
         max($"sample_rate").as("max_sample_rate"),
         sum($"n_frames").as("total_frames"))
       .orderBy($"kind")
   }
+
+  /** DuckDB oracle for [[pipelineSummary]]: replays the deterministic
+    * asset-construction arithmetic (kind by doc_id mod 3; image/video
+    * dimensions and audio sample counts from doc_id; P6 header length
+    * `3 + len(w) + 1 + len(h) + 5` and 44-byte WAV header) and the
+    * decoder's metadata mapping, without touching any bytes. */
+  val q34Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |         8 + doc_id % 9 AS iw, 8 + doc_id % 7 AS ih,
+      |         400 + doc_id % 400 AS n_samp,
+      |         8 + doc_id % 5 AS vw, 8 + doc_id % 3 AS vh,
+      |         3 + doc_id % 4 AS nf
+      |  FROM documents
+      |), decoded AS (
+      |  SELECT 'image' AS kind,
+      |         3 + length(CAST(iw AS VARCHAR)) + 1 + length(CAST(ih AS VARCHAR)) + 5
+      |           + iw * ih * 3 AS n_bytes,
+      |         iw AS width, 0 AS sample_rate, 1 AS n_frames
+      |  FROM a WHERE m = 0
+      |  UNION ALL
+      |  SELECT 'audio', 44 + 2 * n_samp, n_samp, 8000, 0 FROM a WHERE m = 1
+      |  UNION ALL
+      |  SELECT 'video',
+      |         nf * (3 + length(CAST(vw AS VARCHAR)) + 1 + length(CAST(vh AS VARCHAR)) + 5
+      |           + vw * vh * 3),
+      |         vw, 0, nf
+      |  FROM a WHERE m = 2
+      |)
+      |SELECT kind, count(*) AS n_assets,
+      |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |       CAST(sum(width) AS BIGINT) AS total_width,
+      |       CAST(max(sample_rate) AS INTEGER) AS max_sample_rate,
+      |       CAST(sum(n_frames) AS BIGINT) AS total_frames
+      |FROM decoded GROUP BY kind ORDER BY kind""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.meta.Model
+import graft.meta.{Model, PartitionModel}
 
 /** The partition drill-down entry point (reference §3.1,
   * handler_browse.go:137-178): given a table's expanded partition spec
@@ -54,4 +54,32 @@ object Browse {
           sum($"needsOptimize".cast("int")).as("needs_optimize_count"))
         .orderBy($"value"))
   }
+
+  /** S8 over HTTP: the data-file listing behind
+    * `POST /api/browse/:db/:table/files` (reference main.go:86,
+    * service_browse_files.go:46-76,193-215): a COMPLETE partition
+    * selection resolves — hidden transforms to raw literals — then the
+    * `$files`-shaped slice is filtered to content=0 data files whose
+    * partition values match every selection, ordered file_size DESC,
+    * file_path ASC. Returns the selection's raw field names (the F9
+    * render order) alongside the frame; the partition map stays a map —
+    * the HTTP layer renders it per row with
+    * [[PartitionModel.renderOrdered]]. A complete selection pins one
+    * partition, so the result is file-count-of-one-partition small
+    * regardless of table size. */
+  def listFiles(
+      files: Dataset[Model.FileMeta],
+      spec: Seq[Model.PartitionField],
+      filters: Map[String, String]): Either[String, (Seq[String], DataFrame)] =
+    PartitionModel.resolveCompleteSelections(spec, filters).map { selections =>
+      val matched = selections.foldLeft(
+        files.toDF().where(col("content") === 0)) { case (df, (raw, v)) =>
+        df.where(col("partition").getItem(raw) === v)
+      }
+      (selections.map(_._1),
+        matched.select(col("content"), col("filePath"), col("fileFormat"),
+            col("specId"), col("partition"), col("recordCount"),
+            col("fileSizeInBytes"))
+          .orderBy(col("fileSizeInBytes").desc, col("filePath").asc))
+    }
 }

@@ -99,6 +99,96 @@ object Refresh {
     stale
   }
 
+  /** Refresh granularity: rebuild one table's `partitions` slice from
+    * the live data path and return the fresh rows (the reference's
+    * delete-then-reinsert RefreshPartitions, service_refresh.go:121-161).
+    * The parquet-dir catalog binding reports one unpartitioned partition
+    * whose stats come from the file footprint; needs_optimize scores
+    * with the settings-resolved thresholds like every other scoring
+    * site. A real Iceberg catalog swaps the listing for the
+    * `.partitions` metadata table behind the same signature. */
+  def refreshPartitionsLive(store: MetaStore, database: String, table: String,
+      dataPath: String, now: Instant,
+      cfg: SmallFiles.Config = SmallFiles.Config()): Seq[Model.PartitionStat] = {
+    val spark = store.spark
+    import spark.implicits._
+    import MetaStore._
+    val (fileSizes, recordCount) = liveFootprint(store, dataPath)
+    val effective = SmallFiles.fromSettings(store, cfg)
+    val snapshotId = store.tables.collect()
+      .find(t => t.database == database && t.name == table)
+      .flatMap(_.currentSnapshotId).getOrElse(0L)
+    val fresh = Seq(Model.PartitionStat(database, table, Map.empty, 0,
+      recordCount, fileSizes.size.toLong, fileSizes.sum,
+      Timestamp.from(now), snapshotId,
+      SmallFiles.needsOptimize(fileSizes, Map.empty, effective, now)))
+    val keep =
+      if (store.exists("partitions"))
+        store.partitions.collect().toSeq
+          .filterNot(p => p.database == database && p.table == table)
+      else Seq.empty
+    store.write("partitions", spark.createDataset(keep ++ fresh))
+    fresh
+  }
+
+  /** Refresh granularity: rebuild one table's `snapshots` slice from the
+    * live catalog and return the fresh rows (delete-then-reinsert,
+    * service_refresh.go:163-200). The parquet-dir binding has no commit
+    * lineage, so it reports a single current append snapshot — id
+    * preserved from the stored pointer so manifest-tracked lineage is
+    * not abandoned; committedAt is the data's modification time. */
+  def refreshSnapshotsLive(store: MetaStore, database: String, table: String,
+      dataPath: String, now: Instant): Seq[Model.SnapshotMeta] = {
+    val spark = store.spark
+    import spark.implicits._
+    import MetaStore._
+    val snapshotId = store.tables.collect()
+      .find(t => t.database == database && t.name == table)
+      .flatMap(_.currentSnapshotId).getOrElse(1L)
+    val mtime = {
+      val p = new org.apache.hadoop.fs.Path(dataPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Instant.ofEpochMilli(fs.getFileStatus(p).getModificationTime)
+      else now
+    }
+    val fresh = Seq(Model.SnapshotMeta(database, table, Timestamp.from(mtime),
+      snapshotId, None, "append", dataPath, Map.empty))
+    val keep =
+      if (store.exists("snapshots"))
+        store.snapshots.collect().toSeq
+          .filterNot(s => s.database == database && s.table == table)
+      else Seq.empty
+    store.write("snapshots", spark.createDataset(keep ++ fresh))
+    fresh
+  }
+
+  /** Refresh granularity: table row + partitions + snapshots, the
+    * reference's RefreshTableFull (service_refresh.go:253-271). */
+  def refreshTableFull(store: MetaStore, database: String, table: String,
+      dataPath: String, now: Instant): Unit = {
+    refreshTable(store, database, table, dataPath, now)
+    refreshPartitionsLive(store, database, table, dataPath, now)
+    refreshSnapshotsLive(store, database, table, dataPath, now)
+    ()
+  }
+
+  /** File sizes + row count of a live parquet table (file or directory
+    * of part files). The listing is control-plane-small (one table's
+    * data files); the row count is a distributed parquet count. */
+  private def liveFootprint(store: MetaStore, dataPath: String): (Seq[Long], Long) = {
+    val spark = store.spark
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = fs.getFileStatus(p)
+    val sizes =
+      if (status.isDirectory)
+        fs.listStatus(p).toSeq.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(_.getLen)
+      else Seq(status.getLen)
+    (sizes, spark.read.parquet(dataPath).count())
+  }
+
   /** Rebuild the `partitions` slice of one table from a `files`-shaped
     * manifest already in the store (the reference's ListPartitions +
     * needs_optimize scoring, service_iceberg.go:117-170). */

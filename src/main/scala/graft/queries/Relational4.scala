@@ -220,6 +220,51 @@ object Relational4 {
       .limit(topK)
   }
 
+  /** Production co-occurrence with a SKEW GUARD: the a-priori prune
+    * bounds pair blowup for normal baskets, but a single mega-basket
+    * (one order holding 10k frequent items) still self-joins into a
+    * 50M-pair row. Here each basket keeps at most `maxBasketItems`
+    * items — the HIGHEST-support ones, so the dropped tail is the
+    * least-frequent items whose pairs are least able to reach the
+    * global top-k — making the per-basket pair cost ≤ C(cap, 2)
+    * regardless of input skew. With a cap at or above the largest
+    * basket this equals [[q89CoOccurrence]] exactly (spec-checked);
+    * q89 itself stays the uncapped oracle query. Dropped volume is
+    * surfaced through `logDropped(droppedItems, truncatedBaskets)` —
+    * a one-row control-plane agg, so capping is never silent.
+    *
+    * The ranking's basket-key shuffle is the same key the pair join
+    * shuffles on; the added cost is a per-basket sort, itself bounded
+    * by the mega-basket this guard exists for. */
+  def coOccurrenceCapped(items0: DataFrame, minCount: Int, topK: Int,
+      maxBasketItems: Int,
+      logDropped: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val spark = items0.sparkSession
+    import spark.implicits._
+    val items = items0.toDF("l_orderkey", "l_partkey").distinct()
+    val frequent = items.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("support"))
+      .where($"support" >= minCount)
+    val ranked = items.join(frequent, Seq("l_partkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"l_orderkey")
+          .orderBy($"support".desc, $"l_partkey".asc)))
+    val dropped = ranked.where($"rk" > maxBasketItems)
+      .agg(count(lit(1)).as("items"),
+        countDistinct($"l_orderkey").as("baskets"))
+      .collect().head
+    logDropped(dropped.getLong(0), dropped.getLong(1))
+    val kept = ranked.where($"rk" <= maxBasketItems)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = kept.select($"l_orderkey", $"l_partkey".as("part_a"))
+      .join(kept.select($"l_orderkey", $"l_partkey".as("part_b")), Seq("l_orderkey"))
+      .where($"part_a" < $"part_b")
+    pairs.groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_together"))
+      .orderBy($"n_together".desc, $"part_a".asc, $"part_b".asc)
+      .limit(topK)
+  }
+
   def q89Sql(minCount: Int, topK: Int): String =
     s"""WITH items AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

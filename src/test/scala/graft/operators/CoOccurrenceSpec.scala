@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.Relational4
+
+/** Skew guard for the market-basket co-occurrence: per-basket top-N
+  * capping must be invisible on healthy data and bounded + loud on an
+  * adversarial mega-basket. */
+class CoOccurrenceSpec extends SparkSpec {
+
+  test("cap at or above the largest basket equals the uncapped query") {
+    import spark.implicits._
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey")
+    var logged = (-1L, -1L)
+    val capped = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 20,
+        maxBasketItems = 10000, logDropped = (i, b) => logged = (i, b))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val uncapped = Relational4.q89CoOccurrence(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == uncapped)
+    assert(logged == ((0L, 0L))) // nothing dropped, and the log said so
+  }
+
+  test("mega-basket is truncated to the cap, drop volume logged, healthy pairs kept") {
+    import spark.implicits._
+    // 3 mega-baskets (orders 1-3) each holding items 1..50; items reach
+    // support 3 from the mega-baskets alone. Orders 100-119 repeat the
+    // pair (1, 2) — the healthy signal the cap must preserve.
+    val mega = for (o <- 1L to 3L; p <- 1L to 50L) yield (o, p)
+    val healthy = for (o <- 100L to 119L; p <- Seq(1L, 2L)) yield (o, p)
+    val items = (mega ++ healthy).toDF("l_orderkey", "l_partkey")
+    var logged = (0L, 0L)
+    val out = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 5,
+        maxBasketItems = 10, logDropped = (i, b) => logged = (i, b))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 3 baskets truncated, 40 items dropped from each
+    assert(logged == ((120L, 3L)))
+    // items 1 and 2 have the highest support (3 + 20 healthy orders), so
+    // they survive the per-basket top-10 and the pair keeps its full
+    // count: 20 healthy co-occurrences + 3 mega-basket ones
+    assert(out.head == ((1L, 2L, 23L)))
+    // every surviving pair count is bounded by what capped baskets emit:
+    // no pair can exceed n_baskets-with-both; and the per-basket pair
+    // volume is C(10,2)=45, not C(50,2)=1225
+    val keptPairs = out.map(p => (p._1, p._2)).toSet
+    assert(keptPairs.forall { case (a, b) => a < b })
+  }
+}
