@@ -116,6 +116,44 @@ object Dedup {
       |       count(*) AS n_docs, min(doc_id) AS keeper, max(doc_id) AS last_dup
       |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY key""".stripMargin
 
+  /** Exact dedup with SOURCE-PRIORITY keeper selection — the curation
+    * rule real pipelines use when duplicates cross sources: keep the
+    * copy from the most-trusted source, not the lowest id. Priority
+    * here is the source's numeric rank (src0 outranks src3 — a
+    * deployment swaps in its curated-source lookup); keeper =
+    * argmin (priority, doc_id) per duplicate group, expressed as a
+    * `min(struct(...))` so the whole selection stays one map-side-
+    * combining aggregate — no window, no second shuffle. */
+  def exactPriority(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("key", md5(concat_ws(" ", slice(tokens($"text"), 1, 5))))
+      .withColumn("prio", regexp_extract($"source", "([0-9]+)", 1).cast("long"))
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct($"prio", $"doc_id")).as("m"),
+        countDistinct($"source").as("n_sources"))
+      .where($"n_docs" > 1)
+      .select($"key", $"n_docs", $"m.doc_id".as("keeper"), $"n_sources")
+      .orderBy($"key")
+  }
+
+  /** Oracle: the same argmin via a scalar (priority, id) combiner —
+    * priority scaled past any doc_id so the composite orders
+    * lexicographically like the struct. */
+  val exactPrioritySql: String =
+    """WITH keyed AS (
+      |  SELECT md5(array_to_string((string_split(lower(text), ' '))[1:5], ' ')) AS key,
+      |         doc_id,
+      |         CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS prio,
+      |         source
+      |  FROM documents
+      |)
+      |SELECT key, count(*) AS n_docs,
+      |       CAST(arg_min(doc_id, prio * 1000000000 + doc_id) AS BIGINT) AS keeper,
+      |       count(DISTINCT source) AS n_sources
+      |FROM keyed GROUP BY 1 HAVING count(*) > 1 ORDER BY key""".stripMargin
+
   /** All-pairs n-gram Jaccard ≥ threshold. Exact but quadratic in the
     * shingle-join — the ground-truth/oracle path; production scale goes
     * through [[minhashLsh]] which verifies the same Jaccard on LSH

@@ -184,4 +184,30 @@ object Sampling {
        |      CASE WHEN lang = 'en' THEN '${hexThreshold(0.5)}' ELSE '${hexThreshold(0.2)}' END
        |GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
+
+  /** q93: corpus-mix governance report — per source: docs, language
+    * spread, character volume, and corpus share. The dashboard a
+    * data-mixture owner watches before a training run; one map-side-
+    * combining aggregate over the corpus plus a broadcast of the
+    * one-row total. The share divides two exact longs in ONE double
+    * division (identical operands in both engines → identical IEEE
+    * result), never a float sum. */
+  def q93SourceMix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("total_chars"))
+      .withColumn("share", $"n_docs" / sum($"n_docs").over(Window.partitionBy()))
+      .orderBy($"source")
+  }
+
+  val q93Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT lang) AS n_langs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       count(*) / (SELECT count(*) FROM documents) AS share
+      |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
 }

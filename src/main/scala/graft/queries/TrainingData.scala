@@ -51,6 +51,12 @@ object TrainingData {
     Dedup.nearDupClustersLsh(spark, d, threshold = 0.6)
   val q47Sql: String = Dedup.nearDupClustersLshSql(0.6)
 
+  /** Source-priority keeper selection: duplicates keep the
+    * most-curated source's copy, not the lowest id. */
+  def q92DedupPriority(spark: SparkSession, d: String): DataFrame =
+    Dedup.exactPriority(spark, d)
+  val q92Sql: String = Dedup.exactPrioritySql
+
   // -- similarity search ----------------------------------------------
 
   def q25AnnTopK(spark: SparkSession, d: String): DataFrame =
