@@ -6,6 +6,32 @@ object Bench {
     val cpus = Sessions.defaultCores
     val spark = Sessions.local("graft-bench", cpus)
 
+    // Optimized-plan fingerprint per query, taken on the fresh session:
+    // a STRUCTURAL digest (node-name tree + per-node output columns),
+    // not the rendered plan string — the string embeds run-dependent
+    // identities (JVM lambda counters, temp store paths, cache-builder
+    // ids that shift with accumulator counts), which made string hashes
+    // churn between byte-identical builds. The structural digest is
+    // stable run-over-run and still moves on what the fingerprint is
+    // FOR: an operator appearing/disappearing/reordering or a schema
+    // change. (A literal-only change — a tweaked constant — won't move
+    // it; that's a semantics diff, visible in CORRECTNESS, not a
+    // plan-shape diff.)
+    def digest(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+      p.nodeName + p.output.map(_.name).mkString("[", ",", "]") +
+        p.children.map(digest).mkString("(", ",", ")")
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // derived-index caches cleared so every fingerprint is the cold
+      // plan a fresh job would compile, independent of bench ordering
+      graft.util.PlanCache.clearAll()
+      val h = try {
+        val plan = digest(fn(spark, sfDir).queryExecution.optimizedPlan)
+        java.security.MessageDigest.getInstance("MD5").digest(plan.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "error" }
+      name -> ("\"" + name + "\":\"" + h + "\"")
+    }.toMap
+
     // Warm up code paths + JIT on the smallest SF so the first timed
     // query doesn't pay session/codegen/JIT startup.
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -25,19 +51,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Optimized-plan fingerprint per query: a slow round-over-round
-    // number is classifiable as plan-change vs environment by diffing
-    // these hashes — canonicalized plan so expression ids don't churn
-    // the fingerprint between sessions.
-    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val h = try {
-        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.canonicalized.toString
-        java.security.MessageDigest.getInstance("MD5").digest(plan.getBytes("UTF-8"))
-          .take(6).map(b => f"$b%02x").mkString
-      } catch { case _: Throwable => "error" }
-      "\"" + name + "\":\"" + h + "\""
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plans,"sf":"$sfDir"}""")
+    val plansJson = plans.toSeq.sortBy(_._1).map(_._2).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

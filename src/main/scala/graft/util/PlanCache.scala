@@ -12,6 +12,7 @@ package graft.util
   */
 final class PlanCache[K, V <: AnyRef](maxEntries: Int, onEvict: V => Unit) {
   require(maxEntries > 0, "maxEntries must be positive")
+  PlanCache.register(this)
 
   private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
@@ -42,4 +43,21 @@ final class PlanCache[K, V <: AnyRef](maxEntries: Int, onEvict: V => Unit) {
   }
 
   def size: Int = synchronized(map.size)
+}
+
+object PlanCache {
+  // Every instance, so "drop every derived index in the engine" is one
+  // call — used by the bench's plan-fingerprint pass, which needs each
+  // query's COLD plan (a warm cache splices an InMemoryRelation whose
+  // rendering embeds run-dependent ids into the logical plan). The
+  // instances are a handful of object-level singletons, so a strong
+  // list doesn't leak.
+  private val instances = scala.collection.mutable.ListBuffer.empty[PlanCache[_, _]]
+
+  private def register(c: PlanCache[_, _]): Unit =
+    instances.synchronized { instances += c }
+
+  /** Clear every PlanCache in the process. */
+  def clearAll(): Unit =
+    instances.synchronized { instances.foreach(_.clear()) }
 }

@@ -91,4 +91,29 @@ class PlanHygieneSpec extends SparkSpec {
     // partial + final pair: HashAggregate appears at least twice
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("q92 priority keeper is one aggregate pass — no window, no join-back") {
+    val plan = planOf(queries.TrainingData.q92DedupPriority(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q93 source mix scans documents once and prunes to its three columns") {
+    val plan = formattedPlanOf(graft.operators.Sampling.q93SourceMix(spark, sfDir))
+    // one scan node in the numbered tree (formatted mode repeats the
+    // node name once more in the details section)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"), readSchema) // the wide column stays unread
+  }
+
+  test("capped co-occurrence pair join is an equi-join on the basket key") {
+    import org.apache.spark.sql.functions.col
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val plan = planOf(queries.Relational4.coOccurrenceCapped(items, 3, 20, 100))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
 }
