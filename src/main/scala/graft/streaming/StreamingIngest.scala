@@ -38,7 +38,8 @@ import graft.operators.DedupIndex
   */
 object StreamingIngest {
 
-  final case class BatchReport(batchId: Long, input: Long, kept: Long)
+  final case class BatchReport(batchId: Long, input: Long, kept: Long,
+      contaminated: Long = 0L)
 
   /** Stable run identity from the checkpoint path. */
   def runIdOf(checkpointDir: String): String = {
@@ -49,15 +50,26 @@ object StreamingIngest {
 
   /** Start the ingestion query on a streaming `docs` frame (doc_id,
     * text, …). `onBatch` observes per-batch attrition (for tests and
-    * dashboards). Caller owns query lifecycle. */
+    * dashboards). `evalDocs` arms STREAMING DECONTAMINATION: each
+    * micro-batch is screened against the benchmark set's shingles (the
+    * bloom-prefiltered path; the eval shingle set is built once and
+    * cached across batches) BEFORE dedup, so leaked eval documents
+    * never reach the corpus or the index — the guard a pipeline
+    * ingesting from the open web runs continuously, not as a one-shot
+    * batch sweep. Screening is a pure function of (batch, eval set), so
+    * the replay-convergence story is unchanged. Caller owns query
+    * lifecycle. */
   def start(docs: DataFrame, indexDir: String, corpusDir: String,
       checkpointDir: String, threshold: Double = 0.8,
-      onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
+      onBatch: BatchReport => Unit = _ => (),
+      evalDocs: Option[DataFrame] = None,
+      minOverlap: Double = 0.5): StreamingQuery = {
     val runId = runIdOf(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        ingestBatch(batch.toDF(), batchId, runId, indexDir, corpusDir, threshold)
+        ingestBatch(batch.toDF(), batchId, runId, indexDir, corpusDir, threshold,
+          evalDocs, minOverlap)
           .foreach(onBatch)
       }
       .start()
@@ -66,7 +78,9 @@ object StreamingIngest {
   /** One batch of the protocol above; `None` when the batch was
     * already fully committed (marker present) and was skipped. */
   def ingestBatch(batch: DataFrame, batchId: Long, runId: String,
-      indexDir: String, corpusDir: String, threshold: Double): Option[BatchReport] = {
+      indexDir: String, corpusDir: String, threshold: Double,
+      evalDocs: Option[DataFrame] = None,
+      minOverlap: Double = 0.5): Option[BatchReport] = {
     val spark = batch.sparkSession
     val key = s"${runId}_$batchId"
     val marker = new Path(s"$indexDir/_committed_$key")
@@ -74,16 +88,27 @@ object StreamingIngest {
     if (fs.exists(marker)) None
     else {
       val label = s"b$key"
+      // decontamination FIRST: a leaked eval document must not even
+      // reach the dedup index, or a later clean near-duplicate of it
+      // would be dropped as "already ingested"
+      val (screened, nContaminated) = evalDocs match {
+        case Some(ev) =>
+          val survivors = graft.operators.Decontaminate
+            .decontaminateBloom(batch, ev, minOverlap)
+          (survivors, batch.count() - survivors.count())
+        case None => (batch, 0L)
+      }
       // commit = false: the index write happens below, AFTER the corpus
       // write; commitLabel still rides along as the exclude label so a
       // replay ignores its own partial commit.
-      val (kept, stats) = DedupIndex.dedupBatch(spark, batch, indexDir,
+      val (kept, stats) = DedupIndex.dedupBatch(spark, screened, indexDir,
         threshold, commit = false, commitLabel = Some(label))
       kept.write.mode(SaveMode.Overwrite)
         .parquet(s"$corpusDir/ingest_batch=$key")
       DedupIndex.writeIndexRows(kept, indexDir, label)
       fs.create(marker, true).close()
-      Some(BatchReport(batchId, stats.input, stats.kept))
+      Some(BatchReport(batchId, stats.input + nContaminated, stats.kept,
+        nContaminated))
     }
   }
 }

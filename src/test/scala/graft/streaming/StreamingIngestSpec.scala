@@ -102,4 +102,29 @@ class StreamingIngestSpec extends SparkSpec {
     assert(reports.asScala.map(_.input).sum == 3L)
     assert(reports.asScala.map(_.kept).sum == 1L)
   }
+
+  test("streaming decontamination drops leaked eval docs before the index sees them") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx4").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest-corpus4").toString
+    DedupIndex.build(df(Seq(1L -> base)), dir)
+    val evalSet = df(Seq(900L -> novel)) // the benchmark set
+    // batch 0: a leaked eval doc (near-verbatim) + a clean doc
+    val clean = "completely separate prose with plenty of original tokens " +
+      "covering topics the benchmark never mentions in any sentence at all"
+    val r0 = StreamingIngest.ingestBatch(
+      df(Seq(10L -> (novel + " tail"), 11L -> clean)),
+      0L, "runD", dir, corpusDir, threshold = 0.5,
+      evalDocs = Some(evalSet), minOverlap = 0.5)
+    assert(r0.contains(StreamingIngest.BatchReport(0L, 2L, 1L, contaminated = 1L)))
+    assert(corpusIds(corpusDir) == Set(11L))
+    // batch 1: a clean near-dup of the LEAKED doc must still be
+    // contaminated-dropped (not index-deduped — the leak never entered
+    // the index), and a dup of the clean doc dedups normally
+    val r1 = StreamingIngest.ingestBatch(
+      df(Seq(20L -> (novel + " other tail"), 21L -> (clean + " x"))),
+      1L, "runD", dir, corpusDir, threshold = 0.5,
+      evalDocs = Some(evalSet), minOverlap = 0.5)
+    assert(r1.contains(StreamingIngest.BatchReport(1L, 2L, 0L, contaminated = 1L)))
+    assert(corpusIds(corpusDir) == Set(11L))
+  }
 }
