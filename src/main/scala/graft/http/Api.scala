@@ -103,10 +103,10 @@ final class Api(store: MetaStore, engine: Engine,
         ok(obj("snapshot_id" -> num(snapshotId), "status" -> str("ok")))
       // snapshot file-integrity check (main.go:94,
       // service_file_integrity.go:44-92): expected = the snapshot's
-      // manifest rows; missing = expected paths absent from the backing
-      // store. The existence probe runs per scheme-resolved FileSystem —
-      // the same expected-minus-listed anti-join shape as q14, driver-side
-      // here because one snapshot's file list is control-plane-small.
+      // manifest rows; missing = expected minus a PREFIX LISTING of the
+      // backing store — one list call per parent directory, like the
+      // reference's single S3 ListObjectsV2 sweep, never a per-file
+      // existence round-trip.
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: sid :: "missing-files" :: Nil) =>
         val snapshotId = bind(sid.toLong)
         val expected = store.files
@@ -114,10 +114,15 @@ final class Api(store: MetaStore, engine: Engine,
             f.snapshotId == snapshotId && f.content == 0)
           .collect().map(_.filePath).sorted
         val conf = store.spark.sparkContext.hadoopConfiguration
-        val missing = expected.filterNot { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(conf).exists(path)
-        }
+        val listed = expected.map(p => new org.apache.hadoop.fs.Path(p).getParent)
+          .distinct.flatMap { dir =>
+            val fs = dir.getFileSystem(conf)
+            if (fs.exists(dir))
+              fs.listStatus(dir).toSeq.map(_.getPath.toUri.getPath)
+            else Seq.empty
+          }.toSet
+        val missing = expected.filterNot(p =>
+          listed(new org.apache.hadoop.fs.Path(p).toUri.getPath))
         ok(obj("snapshot_id" -> num(snapshotId),
           "missing_files" -> arr(missing.toSeq.map(str))))
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: Nil) =>
