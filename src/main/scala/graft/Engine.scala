@@ -123,9 +123,14 @@ final class Engine(
       targetFileSizeMb: Int, from: LocalDate, to: LocalDate): Either[String, BatchResult] = {
     if (from.isAfter(to)) Left("from date must be before or equal to the to date")
     else {
-      val chunkByOf = tables.map { case (t, c) =>
-        t.trim -> (if (c == null || c.trim.isEmpty) "day" else c.trim)
-      }.toMap
+      // first occurrence wins on duplicate table names, like the
+      // reference's normalizeBatchOptimizeTables (service_tasks.go:500)
+      val chunkByOf = tables.foldLeft(Map.empty[String, String]) {
+        case (acc, (t, c)) =>
+          val key = t.trim
+          if (acc.contains(key)) acc
+          else acc + (key -> (if (c == null || c.trim.isEmpty) "day" else c.trim))
+      }
       enqueueBatch(tables.map(_._1)) { table =>
         enqueueOptimize(database, table, targetFileSizeMb, from, to,
           chunkByOf(table)) match {

@@ -151,7 +151,7 @@ final class Api(store: MetaStore, engine: Engine,
           "totalDataFileSizeInBytes" -> num(mine.map(_.totalDataFileSizeInBytes).sum),
           "needsOptimize" -> mine.exists(_.needsOptimize).toString))
       case ("POST", "browse" :: db :: table :: "partitions" :: Nil) =>
-        val filters = bind(Json.parseFlat(body))
+        val filters = bind(partitionFilters(body))
         val spec = specOf(db, table)
         graft.operators.Browse.drillDown(
           store.partitions.filter(p => p.database == db && p.table == table),
@@ -170,7 +170,7 @@ final class Api(store: MetaStore, engine: Engine,
       // raw partition literal; the response renders the partition map in
       // selection order (F9) like the reference's DataFileItem rows.
       case ("POST", "browse" :: db :: table :: "files" :: Nil) =>
-        val filters = bind(Json.parseFlat(body))
+        val filters = bind(partitionFilters(body))
         store.tables.collect().find(t => t.database == db && t.name == table) match {
           case None => notFound(s"$db.$table")
           case Some(t) =>
@@ -376,6 +376,20 @@ final class Api(store: MetaStore, engine: Engine,
     ok(obj("running" -> num(c.getOrElse(Model.TaskStatus.Running, 0L)),
       "queued" -> num(c.getOrElse(Model.TaskStatus.Queued, 0L))))
   }
+
+  /** Browse filter bind: the reference wraps selections in a
+    * `partitions` object (`{"partitions": {"year": "2026"}}`,
+    * handler_browse.go:58-68); a bare flat object is also accepted. */
+  private def partitionFilters(body: String): Map[String, String] =
+    if (body.trim.isEmpty) Map.empty
+    else Json.parse(body) match {
+      case Json.JObj(fields) => fields.get("partitions") match {
+        case Some(p) => Json.objOf(p).map { case (k, v) => k -> Json.strOf(v) }
+        case None => fields.collect { case (k, Json.JStr(v)) => k -> v
+          case (k, Json.JNum(raw)) => k -> raw }
+      }
+      case _ => Map.empty
+    }
 
   /** Shared `{tables: [...], retention_days: n}` batch-body bind. */
   private def batchTablesBody(body: String): (Seq[String], Int) = {

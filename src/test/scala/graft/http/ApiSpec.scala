@@ -106,10 +106,14 @@ class ApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(summary.contains(""""partitionCount": 2"""))
     assert(summary.contains(""""fileCount": 6"""))
     assert(summary.contains(""""needsOptimize": true"""))
-    // Drill into year=2026 → next level (month) aggregation.
-    val (code, body) = send("POST", "/browse/db/li/partitions", """{"year": "2026"}""")
+    // Drill into year=2026 → next level (month) aggregation; both the
+    // reference's wrapped body and the bare flat form bind.
+    val (code, body) = send("POST", "/browse/db/li/partitions",
+      """{"partitions": {"year": "2026"}}""")
     assert(code == 200, body)
     assert(body.contains(""""value": "01"""") && body.contains(""""value": "02""""))
+    val (fc, fbody) = send("POST", "/browse/db/li/partitions", """{"year": "2026"}""")
+    assert(fc == 200 && fbody == body)
     // Unknown key → 400 with the reference's validation error.
     val (bad, err) = send("POST", "/browse/db/li/partitions", """{"bogus": "1"}""")
     assert(bad == 400 && err.contains("unknown partition key"))
