@@ -114,4 +114,48 @@ class TaskQueueSpec extends SparkSpec {
       q.enqueue("db", "t", "vacuum", "spark", Map.empty)
     }
   }
+
+  test("retryAll clones every errored unretried task oldest-first, scoped by db") {
+    val q = newQueue()
+    val a = q.enqueue("db1", "t", Model.TaskKind.Optimize, "spark", Map("k" -> "a"))
+    val b = q.enqueue("db2", "t", Model.TaskKind.Optimize, "spark", Map("k" -> "b"))
+    val c = q.enqueue("db1", "t", Model.TaskKind.Optimize, "spark", Map("k" -> "c"))
+    Seq(a, b, c).foreach { id =>
+      while (q.claim(100).exists(_.id != id)) {}
+      q.complete(id, Map.empty, Some("boom"))
+    }
+    // per-db scope: only db1's two errored tasks clone; originals flagged
+    assert(q.retryAll(Some("db1")) == 2L)
+    val (rows, _) = q.list(Seq.empty, 100, 0)
+    val clones = rows.filter(t => t.status == Model.TaskStatus.Queued)
+    assert(clones.map(_.input("k")).toSet == Set("a", "c"))
+    // oldest-first: a's clone got the smaller id
+    assert(clones.minBy(_.id).input("k") == "a")
+    assert(rows.filter(_.id == a).forall(_.retried))
+    // global pass picks up the remaining db2 task, then nothing is left
+    assert(q.retryAll(None) == 1L)
+    assert(q.retryAll(None) == 0L)
+  }
+
+  test("filtered list and per-db counts/flush honor their scopes") {
+    val q = newQueue()
+    val a = q.enqueue("db1", "t1", Model.TaskKind.Optimize, "spark", Map.empty)
+    q.enqueue("db1", "t2", Model.TaskKind.ExpireSnapshots, "spark", Map.empty)
+    q.enqueue("db2", "t1", Model.TaskKind.Optimize, "trino", Map.empty)
+    // kind + table filters, reference default limit 20 when limit <= 0
+    val (byKind, totalKind) = q.list(Some("db1"), None,
+      Seq(Model.TaskKind.Optimize), Seq.empty, 0, 0)
+    assert(totalKind == 1L && byKind.head.id == a)
+    val (byTable, _) = q.list(None, Some("t1"), Seq.empty, Seq.empty, 0, 0)
+    assert(byTable.map(_.database).toSet == Set("db1", "db2"))
+    // per-db counts see only their database's queued rows
+    assert(q.counts(Some("db1"))(Model.TaskStatus.Queued) == 2L)
+    assert(q.counts(Some("db2"))(Model.TaskStatus.Queued) == 1L)
+    // per-db flush drops only db1's terminal rows
+    while (q.claim(100).exists(_.id != a)) {}
+    q.complete(a, Map.empty, None)
+    assert(q.flush(Some("db2")) == 0L) // db2 has no terminal rows
+    assert(q.flush(Some("db1")) == 1L)
+    assert(q.list(Seq.empty, 100, 0)._2 == 2L)
+  }
 }
