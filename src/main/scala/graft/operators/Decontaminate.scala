@@ -115,6 +115,46 @@ object Decontaminate {
     overlapReport(all.where($"doc_id" >= 50), all.where($"doc_id" < 50), 0.5)
   }
 
+  /** Contamination ATTRIBUTION: which eval document leaked into which
+    * corpus document, by shared-shingle count — the audit view behind
+    * the drop decision ([[overlapReport]] says only THAT a doc is
+    * contaminated; this says against WHAT, which is what a benchmark
+    * owner reviews). Eval side is benchmark-sized → broadcast; one
+    * groupBy on the (corpus, eval) pair. */
+  def contaminationPairs(docs: DataFrame, evalDocs: DataFrame,
+      minShared: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.docShingles(docs)
+    val evalSh = Dedup.docShingles(evalDocs)
+      .select($"doc_id".as("eval_doc_id"), $"sh")
+    sh.join(broadcast(evalSh), "sh")
+      .groupBy($"doc_id", $"eval_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= minShared)
+      .orderBy($"doc_id", $"eval_doc_id")
+  }
+
+  /** q94: attribution pairs for the q49 split at ≥ 20 shared shingles. */
+  def q94ContaminationPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.documents(spark, d)
+    contaminationPairs(all.where($"doc_id" >= 50), all.where($"doc_id" < 50), 20L)
+  }
+
+  val q94Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |)
+      |SELECT c.doc_id, e.doc_id AS eval_doc_id, count(*) AS n_shared
+      |FROM sh c JOIN sh e ON c.sh = e.sh
+      |WHERE c.doc_id >= 50 AND e.doc_id < 50
+      |GROUP BY 1, 2 HAVING count(*) >= 20
+      |ORDER BY c.doc_id, e.doc_id""".stripMargin
+
   /** q62: the same contamination report as q49 through the bloom
     * prefilter — must hash-match the exact path's oracle. */
   def q62DecontaminateBloom(spark: SparkSession, d: String): DataFrame = {

@@ -97,6 +97,34 @@ object Profile {
       .orderBy($"column")
   }
 
+  /** Fixed-width histogram of a numeric column — the distribution view
+    * a profiling pass adds to min/max/distinct: one map-side-combining
+    * aggregate, bins keyed by `floor(value / width)` (a single IEEE
+    * division + floor, identical in any engine — never a float SUM).
+    * Nulls are excluded like every aggregate. */
+  def histogram(df: DataFrame, column: String, width: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(column).isNotNull)
+      .select(floor(col(column) / width).cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", $"bin" * width)
+      .select($"bin", $"bin_lo", $"n")
+      .orderBy($"bin")
+  }
+
+  /** q95: event-value distribution at width 50. */
+  def q95ValueHistogram(spark: SparkSession, d: String): DataFrame =
+    histogram(Tables.events(spark, d), "value", 50.0)
+
+  val q95Sql: String =
+    """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+      |       CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+      |       count(*) AS n
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
   def q42Profile(spark: SparkSession, d: String): DataFrame =
     profile(Tables.orders(spark, d),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))

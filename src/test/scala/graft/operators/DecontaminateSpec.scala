@@ -19,6 +19,36 @@ class DecontaminateSpec extends SparkSpec {
     assert(bloom == exact && exact.nonEmpty)
   }
 
+  test("contamination pairs equal a brute-force shared-shingle count") {
+    import spark.implicits._
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = all.where($"doc_id" >= 50)
+    val eval = all.where($"doc_id" < 50)
+    val got = Decontaminate.contaminationPairs(corpus, eval, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    def shingles(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.select($"doc_id", $"text").collect()
+        .filter(!_.isNullAt(1))
+        .map { r =>
+          r.getLong(0) -> r.getString(1).toLowerCase.split(' ')
+            .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+        }.toMap
+    val c = shingles(corpus); val e = shingles(eval)
+    val brute = (for {
+      (cid, cs) <- c; (eid, es) <- e
+      n = (cs & es).size.toLong if n >= 5
+    } yield (cid, eid) -> n).toMap
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("contamination pairs with an empty eval side is empty, not a crash") {
+    import spark.implicits._
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val none = all.where($"doc_id" < -1)
+    assert(Decontaminate.contaminationPairs(all, none, 1L).isEmpty)
+  }
+
   test("a very lossy filter (high fpp) still yields the exact report") {
     import spark.implicits._
     val all = graft.sources.Tables.documents(spark, sfDir)

@@ -18,6 +18,29 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("histogram bins partition the rows: n sums to the non-null count") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.events(spark, sfDirMid)
+    val hist = Profile.histogram(events, "value", 50.0).collect()
+    val nonNull = events.where(col("value").isNotNull).count()
+    assert(hist.map(_.getAs[Long]("n")).sum == nonNull)
+    // bins strictly increasing, bin_lo = bin * width
+    val bins = hist.map(_.getAs[Long]("bin")).toSeq
+    assert(bins == bins.sorted && bins.distinct == bins)
+    hist.foreach(r =>
+      assert(r.getAs[Double]("bin_lo") == r.getAs[Long]("bin") * 50.0))
+  }
+
+  test("histogram handles negative values and exact boundaries") {
+    import spark.implicits._
+    val df = Seq(-0.1, -50.0, 0.0, 49.999, 50.0, 99.9, 100.0)
+      .toDF("value")
+    val got = Profile.histogram(df, "value", 50.0).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    // floor semantics: -0.1 → bin -1, -50.0 → bin -1, 50.0 → bin 1 (not 0)
+    assert(got == Map(-1L -> 2L, 0L -> 2L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("compaction with sort clustering keeps data identical and files sorted") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
