@@ -828,14 +828,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val segs = docs
-      .where($"text".isNotNull)
-      .withColumn("__toks", split(lower($"text"), " "))
-      .where(size($"__toks") > 0)
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, cast(ceil(size(__toks) / ${segTokens}d) as int) - 1),
-           |  i -> array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' '))""".stripMargin))
-        .as(Seq("seg_idx", "seg")))
+    val segs = segmentsOf(docs, segTokens)
     val perDoc = Window.partitionBy($"doc_id")
     val perSeg = Window.partitionBy($"seg")
     val kept = segs
@@ -849,6 +842,138 @@ object Dedup {
           x => x("seg")), " ").as("clean_text"))
       .orderBy($"doc_id")
   }
+
+  /** Consecutive `segTokens`-token segments of each document:
+    * (doc_id, seg_idx, seg) — the shared cut of the sub-document passes
+    * ([[dedupSegments]], [[removeBoilerplate]]). */
+  private def segmentsOf(docs: DataFrame, segTokens: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .where($"text".isNotNull)
+      .withColumn("__toks", split(lower($"text"), " "))
+      .where(size($"__toks") > 0)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(__toks) / ${segTokens}d) as int) - 1),
+           |  i -> array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' '))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+  }
+
+  /** Boilerplate removal by corpus document frequency — the OTHER
+    * sub-document pass of C4-style pipelines (ref: the dedup stage
+    * family surveyed for q69): a segment occurring in `minDf`-or-more
+    * DISTINCT documents is boilerplate (nav chrome, license headers,
+    * cookie banners) and is dropped from EVERY document, unlike
+    * [[dedupSegments]]'s first-occurrence-wins which keeps one copy.
+    * A document repeating its own segment is repetition, not
+    * boilerplate — frequency counts distinct docs. Documents left with
+    * no segments drop out of the report, like q69.
+    *
+    * Scale shape: explode → groupBy(seg) for the df table → join back
+    * on seg (AQE broadcasts it when the boilerplate vocabulary is
+    * small) → one doc_id shuffle shared by the count window and the
+    * reassembly groupBy. No all-pairs anywhere.
+    */
+  def removeBoilerplate(docs: DataFrame, segTokens: Int, minDf: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    require(minDf > 1, s"minDf must be > 1, got $minDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val segs = segmentsOf(docs, segTokens)
+    val df = segs.groupBy($"seg").agg(countDistinct($"doc_id").as("df"))
+    segs.join(df, "seg")
+      .withColumn("n_segments", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .where($"df" < minDf)
+      .groupBy($"doc_id")
+      .agg(first($"n_segments").as("n_segments"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct($"seg_idx", $"seg"))),
+          x => x("seg")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** q96: boilerplate report (16-token segments, df ≥ 3 = boilerplate). */
+  def q96Boilerplate(spark: SparkSession, d: String): DataFrame =
+    removeBoilerplate(Tables.documents(spark, d), segTokens = 16, minDf = 3)
+
+  val q96Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) > 0
+      |), segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |         array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+      |  FROM toks,
+      |       unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS g(i)
+      |), df AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+      |), flagged AS (
+      |  SELECT s.doc_id, s.seg_idx, s.seg, d.df,
+      |         count(*) OVER (PARTITION BY s.doc_id) AS n_segments
+      |  FROM segs s JOIN df d USING (seg)
+      |)
+      |SELECT doc_id, n_segments, count(*) AS n_kept,
+      |       string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      |FROM flagged WHERE df < 3
+      |GROUP BY doc_id, n_segments
+      |ORDER BY doc_id""".stripMargin
+
+  /** Cross-source duplication matrix — corpus governance: which source
+    * pairs feed near-identical content (a crawl that mirrors another, a
+    * dataset re-released under a new name). Pairs come from the SAME
+    * verified MinHash-LSH edge list the dedup family shares (equal to
+    * brute-force Jaccard whp, so the all-pairs SQL is a valid oracle),
+    * then roll up to unordered (source, source) cells. The per-pair
+    * source lookup joins the two small id→source projections; the pair
+    * side is the near-dup edge list — orders of magnitude below the
+    * corpus, AQE broadcasts it.
+    */
+  def sourceOverlap(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashLshOf(docs, threshold)
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.toDF("id_a", "source_a"), "id_a")
+      .join(src.toDF("id_b", "source_b"), "id_b")
+      .select(least($"source_a", $"source_b").as("src_a"),
+        greatest($"source_a", $"source_b").as("src_b"))
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** q97: near-dup source matrix at the q47 threshold. */
+  def q97SourceOverlap(spark: SparkSession, d: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, d), threshold = 0.6)
+
+  def sourceOverlapSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
+       |)
+       |SELECT least(da.source, db.source) AS src_a,
+       |       greatest(da.source, db.source) AS src_b,
+       |       count(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = id_a
+       |JOIN documents db ON db.doc_id = id_b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   /** q69: corpus-wide segment dedup report (16-token segments). */
   def q69SegmentDedup(spark: SparkSession, d: String): DataFrame =

@@ -328,6 +328,75 @@ object TextAnalysis {
        |SELECT bigram, count(*) AS n FROM bg
        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT $n""".stripMargin
 
+  /** Bigram association by lift — q60 ranks bigrams by raw frequency,
+    * which surfaces pairs of individually-frequent words; lift ranks by
+    * how much MORE often the pair co-occurs than its parts predict:
+    * lift = P(ab) / (P(a·)·P(·b)) over adjacent-pair events, i.e.
+    * (c_ab · N) / (c_first(a) · c_second(b)) with N = total bigrams,
+    * c_first/c_second = marginal counts of the token in first/second
+    * position. All four factors are exact BIGINTs folded into ONE IEEE
+    * division, so the double hashes identically in Spark and DuckDB
+    * (the BM25 parity discipline); position marginals keep the
+    * products ≪ 2^53 where a token-total formulation would overflow
+    * exact-double range by sf0.1. At petabyte scale the counts
+    * themselves stay BIGINT-exact (N ~ 1e12; products ~1e20 exceed
+    * int64 — compute lift in log-space doubles there; the exact
+    * integer form is the oracle-parity choice at test SF).
+    *
+    * Scale shape: one token scan → bigram groupBy; marginals are
+    * groupBys OF THE BIGRAM COUNTS (vocabulary-sized, broadcast by
+    * AQE); one bounded top-n sort.
+    */
+  def bigramLift(spark: SparkSession, d: String, n: Int = 20, minCount: Int = 5): DataFrame =
+    bigramLiftOf(Tables.documents(spark, d), n, minCount)
+
+  def bigramLiftOf(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = docs
+      .where($"text".isNotNull)
+      .select($"text").as[String]
+      .flatMap(t => t.toLowerCase.split(' ').sliding(2)
+        .withFilter(_.length == 2).map(g => (g.mkString(" "), g(0), g(1))))
+      .toDF("bigram", "tok_a", "tok_b")
+      .groupBy($"bigram", $"tok_a", $"tok_b")
+      .agg(count(lit(1)).as("n_ab"))
+    val first  = bg.groupBy($"tok_a").agg(sum($"n_ab").as("c_first"))
+    val second = bg.groupBy($"tok_b").agg(sum($"n_ab").as("c_second"))
+    val total  = bg.agg(sum($"n_ab").as("n_bg"))
+    bg.join(first, "tok_a").join(second, "tok_b").crossJoin(broadcast(total))
+      .where($"n_ab" >= minCount)
+      .select($"bigram", $"n_ab",
+        (($"n_ab" * $"n_bg").cast("double") /
+          ($"c_first" * $"c_second").cast("double")).as("lift"))
+      .orderBy($"lift".desc, $"bigram".asc)
+      .limit(n)
+  }
+
+  def bigramLiftSql(n: Int, minCount: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL
+       |), bg AS (
+       |  SELECT t[i] AS tok_a, t[i+1] AS tok_b,
+       |         array_to_string(t[i:i+1], ' ') AS bigram
+       |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+       |), c AS (
+       |  SELECT bigram, tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM bg GROUP BY 1, 2, 3
+       |), fst AS (
+       |  SELECT tok_a, CAST(sum(n_ab) AS BIGINT) AS c_first FROM c GROUP BY 1
+       |), snd AS (
+       |  SELECT tok_b, CAST(sum(n_ab) AS BIGINT) AS c_second FROM c GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_ab) AS BIGINT) AS n_bg FROM c
+       |)
+       |SELECT bigram, n_ab,
+       |       CAST(n_ab * n_bg AS DOUBLE) / CAST(c_first * c_second AS DOUBLE) AS lift
+       |FROM c JOIN fst USING (tok_a) JOIN snd USING (tok_b) CROSS JOIN tot
+       |WHERE n_ab >= $minCount
+       |ORDER BY lift DESC, bigram ASC LIMIT $n""".stripMargin
+
   /** Winnowing document fingerprint: k-gram hashes, sliding-window
     * minimum (window w) → distinct fingerprint set per doc. Hash-seeded
     * (xxhash64) → rows-only + TextAnalysisSpec invariants. */

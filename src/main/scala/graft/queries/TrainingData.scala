@@ -57,6 +57,22 @@ object TrainingData {
     Dedup.exactPriority(spark, d)
   val q92Sql: String = Dedup.exactPrioritySql
 
+  /** Corpus-wide boilerplate removal: segments in ≥3 distinct docs
+    * dropped everywhere (vs q69's first-occurrence-wins). */
+  def q96Boilerplate(spark: SparkSession, d: String): DataFrame =
+    Dedup.q96Boilerplate(spark, d)
+  val q96Sql: String = Dedup.q96Sql
+
+  /** Cross-source near-dup matrix over the q47 LSH edge list. */
+  def q97SourceOverlap(spark: SparkSession, d: String): DataFrame =
+    Dedup.q97SourceOverlap(spark, d)
+  val q97Sql: String = Dedup.sourceOverlapSql(0.6)
+
+  /** Bigram association by lift (exact-integer single-division). */
+  def q98BigramLift(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLift(spark, d, n = 20, minCount = 5)
+  val q98Sql: String = TextAnalysis.bigramLiftSql(20, 5)
+
   // -- similarity search ----------------------------------------------
 
   def q25AnnTopK(spark: SparkSession, d: String): DataFrame =

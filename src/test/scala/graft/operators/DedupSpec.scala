@@ -220,4 +220,52 @@ class DedupSpec extends SparkSpec {
     assert(out.getAs[Long]("n_kept") == 2L) // dup window dropped, partial kept
     assert(out.getString(3) == "one two three four tail")
   }
+
+  test("boilerplate removal drops df>=minDf segments from every doc, not just copies") {
+    import spark.implicits._
+    // 4-token segments: B appears in 3 docs (boilerplate at minDf=3),
+    // A in 2 (kept), C/D unique. Doc 4 is pure boilerplate → dropped.
+    val A = "alpha beta gamma delta"
+    val B = "epsilon zeta eta theta"
+    val C = "iota kappa lambda mu"
+    val D = "nu xi omicron pi"
+    val docs = Seq(
+      (1L, s"$A $B $C"),
+      (2L, s"$B $D"),
+      (3L, s"$A $B"),
+      (4L, B)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, segTokens = 4, minDf = 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("n_kept"), r.getString(3))).toList
+    assert(out == List(
+      (1L, 3L, 2L, s"$A $C"),
+      (2L, 2L, 1L, D),
+      (3L, 2L, 1L, A)))
+  }
+
+  test("boilerplate df counts distinct docs: in-doc repetition is not boilerplate") {
+    import spark.implicits._
+    val A = "alpha beta gamma delta"
+    val docs = Seq((1L, s"$A $A $A")).toDF("doc_id", "text")
+    // df(A)=1 despite 3 occurrences — nothing removed
+    val out = Dedup.removeBoilerplate(docs, segTokens = 4, minDf = 3).collect().head
+    assert(out.getAs[Long]("n_kept") == 3L)
+    assert(out.getString(3) == s"$A $A $A")
+  }
+
+  test("source overlap rolls verified near-dup pairs up to unordered source cells") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "srcB"),
+      (2L, base, "srcA"),          // dup of 1 across sources → (srcA, srcB)
+      (3L, base, "srcA"),          // dup of 1,2 → (srcA,srcB) + (srcA,srcA)
+      (4L, "completely different words about unrelated topics entirely here now", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, threshold = 0.8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // pairs: (1,2) AB, (1,3) AB, (2,3) AA — least/greatest ordering
+    assert(out == Set(("srcA", "srcB", 2L), ("srcA", "srcA", 1L)))
+  }
 }

@@ -112,4 +112,29 @@ class TextAnalysisSpec extends SparkSpec {
       ratio > 0.0 && ratio <= 1.2 // tiny docs can exceed 1.0 (header overhead)
     })
   }
+
+  test("bigram lift: hand-computed position-marginal lift, lift-desc/bigram-asc order") {
+    import spark.implicits._
+    // bigrams: (a,b)x2, (b,a)x1, (b,c)x1; N=4
+    // c_first: a->2, b->2; c_second: a->1, b->2, c->1
+    // lift(a b)=2*4/(2*2)=2.0  lift(b a)=1*4/(2*1)=2.0  lift(b c)=1*4/(2*1)=2.0
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLiftOf(docs, n = 10, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out == List(("a b", 2L, 2.0), ("b a", 1L, 2.0), ("b c", 1L, 2.0)))
+  }
+
+  test("bigram lift separates association from raw frequency") {
+    import spark.implicits._
+    // "x y" always co-occurs (lift max); "the the" is frequent but its
+    // parts are everywhere, so lift ~ 1.
+    val docs = Seq(
+      (1L, "the the the the x y the the x y"),
+      (2L, "the x y the the the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLiftOf(docs, n = 3, minCount = 2).collect()
+      .map(r => r.getString(0)).toList
+    assert(out.head == "x y")
+    assert(out.contains("x y") && out.length <= 3)
+  }
 }
