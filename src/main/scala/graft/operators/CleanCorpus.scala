@@ -4,10 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus cleaning pipeline — the operator a
-  * data-curation user actually calls: quality filter → decontamination →
-  * exact dedup → near-dup dedup (MinHash LSH + connected components,
-  * keeper = min id) → PII scrub → the kept corpus plus per-stage
-  * attrition stats.
+  * data-curation user actually calls: quality filter → (optional)
+  * corpus-frequency boilerplate strip → decontamination → exact dedup →
+  * near-dup dedup (MinHash LSH + connected components, keeper = min id)
+  * → PII scrub → the kept corpus plus per-stage attrition stats.
   *
   * Every stage is a DataFrame transform: quality is a projection
   * filter, exact dedup one shuffle on the content hash, near-dup the
@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
 object CleanCorpus {
 
   final case class Stats(
-      input: Long, afterQuality: Long, afterDecontam: Long,
-      afterExact: Long, afterNearDup: Long)
+      input: Long, afterQuality: Long, afterBoilerplate: Long,
+      afterDecontam: Long, afterExact: Long, afterNearDup: Long)
 
   /** Repetition gate defaults (the Gopher-rule thresholds family):
     * drop documents whose duplicate word-3-gram share or single-token
@@ -34,7 +34,9 @@ object CleanCorpus {
     * repetition metrics (both reuse the shared shingle index). */
   def clean(docs: DataFrame, jaccardThreshold: Double = 0.8,
       evalDocs: Option[DataFrame] = None,
-      maxEvalOverlap: Double = 0.5): (DataFrame, Stats) = {
+      maxEvalOverlap: Double = 0.5,
+      boilerplateMinDf: Option[Int] = None,
+      boilerplateSegTokens: Int = 16): (DataFrame, Stats) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -47,9 +49,19 @@ object CleanCorpus {
       .where($"dup_3gram_share" <= MaxDup3gramShare &&
         $"top_tok_share" <= MaxTopTokenShare)
       .select($"doc_id")
-    val quality0 = docs.join(keepIds, "doc_id")
+    val quality1 = docs.join(keepIds, "doc_id")
       .join(repetitionOk, "doc_id").cache()
-    val nQuality = quality0.count()
+    val nQuality = quality1.count()
+
+    // 1a. corpus-frequency boilerplate strip (C4-style, before dedup so
+    // near-dups that differ only in chrome collapse to exact dups;
+    // before decontamination so shared chrome can't fake eval overlap).
+    val quality0 = boilerplateMinDf match {
+      case Some(minDf) =>
+        Dedup.stripBoilerplate(quality1, boilerplateSegTokens, minDf).cache()
+      case None => quality1
+    }
+    val nBoilerplate = if (boilerplateMinDf.isDefined) quality0.count() else nQuality
 
     // 1b. benchmark decontamination (leakage guard), when an eval set
     // is supplied.
@@ -58,7 +70,7 @@ object CleanCorpus {
       case None => quality0
     }
     // without an eval set the stage is a no-op — reuse the count
-    val nDecontam = if (evalDocs.isDefined) quality.count() else nQuality
+    val nDecontam = if (evalDocs.isDefined) quality.count() else nBoilerplate
 
     // 2. exact dedup: keep min doc_id per full-text hash
     val exactKeepers = quality
@@ -83,9 +95,10 @@ object CleanCorpus {
     // Stage caches served their multiple readers; only `exact` — the
     // returned frame's parent — stays cached (caller unpersists when
     // done with the cleaned corpus).
-    quality0.unpersist()
+    quality1.unpersist()
+    if (boilerplateMinDf.isDefined) quality0.unpersist()
     if (evalDocs.isDefined) quality.unpersist()
 
-    (cleaned, Stats(input, nQuality, nDecontam, nExact, nFinal))
+    (cleaned, Stats(input, nQuality, nBoilerplate, nDecontam, nExact, nFinal))
   }
 }

@@ -893,6 +893,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Pipeline form of [[removeBoilerplate]]: returns `docs` with `text`
+    * rewritten to the boilerplate-stripped form (lowercased,
+    * single-space token join — the segmentation normalization), all
+    * other columns preserved. Documents whose every segment is
+    * boilerplate are dropped. Run BEFORE dedup: two near-dups that
+    * differ only in nav chrome become exact dups once stripped.
+    */
+  def stripBoilerplate(docs: DataFrame, segTokens: Int, minDf: Int): DataFrame = {
+    require(minDf > 1, s"minDf must be > 1, got $minDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = segmentsOf(docs, segTokens)
+    val df = segs.groupBy($"seg").agg(countDistinct($"doc_id").as("df"))
+    val clean = segs.join(df, "seg")
+      .where($"df" < minDf)
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"seg_idx", $"seg"))),
+        x => x("seg")), " ").as("__clean_text"))
+    docs.join(clean, "doc_id")
+      .withColumn("text", $"__clean_text")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** q96: boilerplate report (16-token segments, df ≥ 3 = boilerplate). */
   def q96Boilerplate(spark: SparkSession, d: String): DataFrame =
     removeBoilerplate(Tables.documents(spark, d), segTokens = 16, minDf = 3)

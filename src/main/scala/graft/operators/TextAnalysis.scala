@@ -350,17 +350,32 @@ object TextAnalysis {
   def bigramLift(spark: SparkSession, d: String, n: Int = 20, minCount: Int = 5): DataFrame =
     bigramLiftOf(Tables.documents(spark, d), n, minCount)
 
+  // The bigram count table is read four ways by [[bigramLiftOf]] (the
+  // counts themselves, both position marginals, the total); without
+  // materialization each read is its own corpus scan + tokenize +
+  // bigram shuffle — 4× the I/O of the right plan. The count table is
+  // vocabulary-pair-bounded, orders of magnitude below the corpus, so
+  // cache it — same bounded-LRU discipline as the dedup shingle index.
+  private val bigramCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
+  /** Drop the cached bigram count tables (session teardown / data change). */
+  def clearCaches(): Unit = bigramCache.clear()
+
   def bigramLiftOf(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bg = docs
-      .where($"text".isNotNull)
-      .select($"text").as[String]
-      .flatMap(t => t.toLowerCase.split(' ').sliding(2)
-        .withFilter(_.length == 2).map(g => (g.mkString(" "), g(0), g(1))))
-      .toDF("bigram", "tok_a", "tok_b")
-      .groupBy($"bigram", $"tok_a", $"tok_b")
-      .agg(count(lit(1)).as("n_ab"))
+    val bg = bigramCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized)(
+      docs
+        .where($"text".isNotNull)
+        .select($"text").as[String]
+        .flatMap(t => t.toLowerCase.split(' ').sliding(2)
+          .withFilter(_.length == 2).map(g => (g.mkString(" "), g(0), g(1))))
+        .toDF("bigram", "tok_a", "tok_b")
+        .groupBy($"bigram", $"tok_a", $"tok_b")
+        .agg(count(lit(1)).as("n_ab"))
+        .cache())
     val first  = bg.groupBy($"tok_a").agg(sum($"n_ab").as("c_first"))
     val second = bg.groupBy($"tok_b").agg(sum($"n_ab").as("c_second"))
     val total  = bg.agg(sum($"n_ab").as("n_bg"))

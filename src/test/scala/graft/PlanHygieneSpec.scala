@@ -108,6 +108,32 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!readSchema.contains("text"), readSchema) // the wide column stays unread
   }
 
+  test("q96 boilerplate broadcasts the segment-df table and shares one doc shuffle") {
+    val plan = planOf(queries.TrainingData.q96Boilerplate(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+    // the df(seg) table joins back broadcast, not shuffled
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the n_segments window and the reassembly groupBy reuse a single
+    // doc_id exchange — a second one means the shared partitioning broke
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q97 source overlap stays on the LSH edge list — no all-pairs fallback") {
+    val plan = planOf(queries.TrainingData.q97SourceOverlap(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
+  test("q98 bigram lift reads the materialized count table, not four corpus scans") {
+    graft.util.PlanCache.clearAll()
+    val plan = planOf(queries.TrainingData.q98BigramLift(spark, sfDir))
+    // counts + both marginals + the total all read the cached table
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // bounded top-n
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("capped co-occurrence pair join is an equi-join on the basket key") {
     import org.apache.spark.sql.functions.col
     val items = graft.sources.Tables.lineitem(spark, sfDir)

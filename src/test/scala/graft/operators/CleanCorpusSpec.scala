@@ -86,6 +86,53 @@ class CleanCorpusSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("boilerplate stage collapses chrome-only near-dups into exact dups before dedup") {
+    import spark.implicits._
+    // Two 5-token banners, each leading 3 docs (df = 3 = minDf →
+    // boilerplate). Docs 1 and 2 share a body under DIFFERENT banners:
+    // near-dups before the strip, byte-equal after it — so the cheap
+    // exact-hash stage catches what would otherwise need LSH.
+    val banner1 = "subscribe via our newsletter today"
+    val banner2 = "copyright notice twenty twenty five"
+    val body = "completely different content about databases engines queries plans " +
+      "optimizers shuffles partitions executors drivers caching storage formats " +
+      "various other technical topics worth keeping around"
+    val others = Seq(
+      "unrelated article discussing entirely separate material concerning gardening " +
+        "weather patterns cooking recipes travel destinations hobbies music instruments " +
+        "painting techniques sculpture history literature poetry",
+      "quarterly financial overview covering revenue margins expenses forecasts " +
+        "budgets headcount growth initiatives partnerships acquisitions regional " +
+        "performance currency impacts guidance adjustments outlook commentary",
+      "scientific report summarizing experiments measurements instruments calibration " +
+        "samples observations hypotheses conclusions methodology statistics variance " +
+        "uncertainty replication peer review publication process notes",
+      "sports recap describing matches scores players transfers injuries standings " +
+        "tournaments qualifiers finals champions records statistics highlights " +
+        "interviews coaching tactics formations substitutions attendance")
+    val docs = Seq(
+      (1L, s"$banner1 $body"),
+      (2L, s"$banner2 $body"),     // same body, different chrome
+      (3L, s"$banner1 ${others(0)}"),
+      (4L, s"$banner2 ${others(1)}"),
+      (5L, s"$banner1 ${others(2)}"),
+      (6L, s"$banner2 ${others(3)}")
+    ).map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+
+    val (cleaned, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.9,
+      boilerplateMinDf = Some(3), boilerplateSegTokens = 5)
+    assert(stats.afterQuality == 6)
+    assert(stats.afterBoilerplate == 6) // stripped, none emptied
+    assert(stats.afterExact == 5)       // 2 became an exact dup of 1
+    assert(stats.afterNearDup == 5)     // nothing left for LSH to find
+    val kept = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+    // both banners are gone from every surviving text
+    val texts = cleaned.select("text").collect().map(_.getString(0))
+    assert(texts.forall(t => !t.contains("subscribe") && !t.contains("copyright")))
+  }
+
   test("pipeline on the real corpus reduces it monotonically") {
     val docs = graft.sources.Tables.documents(spark, sfDirMid)
     val (_, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.8)
