@@ -4,10 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus cleaning pipeline — the operator a
-  * data-curation user actually calls: quality filter → (optional)
-  * corpus-frequency boilerplate strip → decontamination → exact dedup →
-  * near-dup dedup (MinHash LSH + connected components, keeper = min id)
-  * → PII scrub → the kept corpus plus per-stage attrition stats.
+  * data-curation user actually calls: rule quality filter → (optional)
+  * model quality gate → (optional) corpus-frequency boilerplate strip →
+  * decontamination → exact dedup → near-dup dedup (MinHash LSH +
+  * connected components, keeper = min id) → PII scrub → the kept corpus
+  * plus per-stage attrition stats.
   *
   * Every stage is a DataFrame transform: quality is a projection
   * filter, exact dedup one shuffle on the content hash, near-dup the
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
 object CleanCorpus {
 
   final case class Stats(
-      input: Long, afterQuality: Long, afterBoilerplate: Long,
+      input: Long, afterQuality: Long, afterModel: Long, afterBoilerplate: Long,
       afterDecontam: Long, afterExact: Long, afterNearDup: Long)
 
   /** Repetition gate defaults (the Gopher-rule thresholds family):
@@ -36,7 +37,8 @@ object CleanCorpus {
       evalDocs: Option[DataFrame] = None,
       maxEvalOverlap: Double = 0.5,
       boilerplateMinDf: Option[Int] = None,
-      boilerplateSegTokens: Int = 16): (DataFrame, Stats) = {
+      boilerplateSegTokens: Int = 16,
+      qualityModel: Option[(QualityClassifier.Model, Double)] = None): (DataFrame, Stats) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -49,9 +51,18 @@ object CleanCorpus {
       .where($"dup_3gram_share" <= MaxDup3gramShare &&
         $"top_tok_share" <= MaxTopTokenShare)
       .select($"doc_id")
-    val quality1 = docs.join(keepIds, "doc_id")
+    val quality2 = docs.join(keepIds, "doc_id")
       .join(repetitionOk, "doc_id").cache()
-    val nQuality = quality1.count()
+    val nQuality = quality2.count()
+
+    // 1a'. model gate: graded second opinion after the binary rules —
+    // a shuffle-free scored filter (the 100 TB path is one projection).
+    val quality1 = qualityModel match {
+      case Some((model, threshold)) =>
+        QualityClassifier.filterByModel(quality2, model, threshold).cache()
+      case None => quality2
+    }
+    val nModel = if (qualityModel.isDefined) quality1.count() else nQuality
 
     // 1a. corpus-frequency boilerplate strip (C4-style, before dedup so
     // near-dups that differ only in chrome collapse to exact dups;
@@ -61,7 +72,7 @@ object CleanCorpus {
         Dedup.stripBoilerplate(quality1, boilerplateSegTokens, minDf).cache()
       case None => quality1
     }
-    val nBoilerplate = if (boilerplateMinDf.isDefined) quality0.count() else nQuality
+    val nBoilerplate = if (boilerplateMinDf.isDefined) quality0.count() else nModel
 
     // 1b. benchmark decontamination (leakage guard), when an eval set
     // is supplied.
@@ -95,10 +106,11 @@ object CleanCorpus {
     // Stage caches served their multiple readers; only `exact` — the
     // returned frame's parent — stays cached (caller unpersists when
     // done with the cleaned corpus).
-    quality1.unpersist()
+    quality2.unpersist()
+    if (qualityModel.isDefined) quality1.unpersist()
     if (boilerplateMinDf.isDefined) quality0.unpersist()
     if (evalDocs.isDefined) quality.unpersist()
 
-    (cleaned, Stats(input, nQuality, nBoilerplate, nDecontam, nExact, nFinal))
+    (cleaned, Stats(input, nQuality, nModel, nBoilerplate, nDecontam, nExact, nFinal))
   }
 }

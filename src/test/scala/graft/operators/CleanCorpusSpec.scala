@@ -133,6 +133,31 @@ class CleanCorpusSpec extends SparkSpec {
     assert(texts.forall(t => !t.contains("subscribe") && !t.contains("copyright")))
   }
 
+  test("model gate: a rule-distilled model agrees with the rules it was trained on") {
+    import spark.implicits._
+    val prose = (1 to 10).map(i =>
+      s"document number$i discusses distributed query engines covering " +
+        s"partition pruning shuffle boundaries broadcast joins codegen stages " +
+        s"columnar scans predicate pushdown adaptive execution topic$i metrics " +
+        s"latency throughput resource scheduling memory spill management")
+    val junk = (11 to 20).map(i => Seq.fill(25)(s"spam$i").mkString(" "))
+    val docs = (prose ++ junk).zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val model = QualityClassifier.distillFromRules(docs)
+    val (_, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.9,
+      qualityModel = Some((model, 0.5)))
+    // rules drop the 10 junk docs; on this cleanly separable corpus the
+    // distilled model agrees with the rules and drops nothing further
+    assert(stats.afterQuality == 10)
+    assert(stats.afterModel == 10)
+    assert(stats.afterNearDup == 10)
+    // an impossible threshold shows the gate actually bites
+    val (_, hard) = CleanCorpus.clean(docs, jaccardThreshold = 0.9,
+      qualityModel = Some((model, 1.01)))
+    assert(hard.afterQuality == 10 && hard.afterModel == 0 && hard.afterNearDup == 0)
+  }
+
   test("pipeline on the real corpus reduces it monotonically") {
     val docs = graft.sources.Tables.documents(spark, sfDirMid)
     val (_, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.8)
