@@ -79,6 +79,94 @@ object Similarity {
       .orderBy($"query_id", $"neighbor_id")
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * most-similar corpus vectors with a DIFFERENT label — close in
+    * embedding space but semantically negative, the pairs a contrastive
+    * loss learns most from. Same broadcast-anchors + primitive kernel +
+    * bounded window shape as [[bruteForceTopK]]; the label predicate
+    * runs inside the kernel loop, so same-label pairs are never even
+    * scored. Exact — the all-pairs oracle is valid SQL. The 100 TB
+    * path is [[hardNegativesIvf]], which probes IVF lists instead of
+    * scanning the corpus.
+    */
+  def hardNegatives(spark: SparkSession, d: String, k: Int = 5, nAnchors: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", normalized($"embedding").as("v"), $"label")
+      .as[(Long, Array[Double], Int)]
+    val anchors = Tables.embeddings(spark, d)
+      .where($"vec_id" < nAnchors)
+      .select($"vec_id", normalized($"embedding").as("v"), $"label")
+      .as[(Long, Array[Double], Int)]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(anchors)
+    val scored = e.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (idN, v, lbl) =>
+        qs.iterator.filter(_._3 != lbl).map { case (idQ, q, _) =>
+          var s = 0.0
+          var j = 0
+          while (j < v.length) { s += q(j) * v(j); j += 1 }
+          (idQ, idN, s)
+        }
+      }
+    }.toDF("anchor_id", "negative_id", "cos")
+    val w = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"negative_id".asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where($"rn" <= k)
+      .select($"anchor_id", $"negative_id")
+      .orderBy($"anchor_id", $"negative_id")
+  }
+
+  def hardNegativesSql(k: Int, nAnchors: Int): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(c.embedding AS DOUBLE[])) AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+       |  WHERE q.vec_id < $nAnchors
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |                               ORDER BY cos DESC, negative_id ASC) AS rn
+       |  FROM scored
+       |)
+       |SELECT anchor_id, negative_id FROM ranked WHERE rn <= $k
+       |ORDER BY anchor_id, negative_id""".stripMargin
+
+  /** IVF-bucketed hard negatives — the production shape: anchors probe
+    * their nProbe nearest centroid lists, candidates join by cent_id,
+    * and the label predicate filters candidates BEFORE scoring. Probes
+    * nProbe/nCentroids of the corpus like [[annIvf]]; recall vs the
+    * exact [[hardNegatives]] is asserted in SimilaritySpec. */
+  def hardNegativesIvf(spark: SparkSession, d: String, k: Int = 5, nAnchors: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, d)
+    val e = emb.select($"vec_id", normalized($"embedding").as("v"))
+    val labels = emb.select($"vec_id", $"label")
+    val (cents, assigned) = ivfIndex(e, nCentroids, kmeansIters)
+    val wProbe = Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"cent_id".asc)
+    val aprobes = e.where($"vec_id" < nAnchors)
+      .join(labels, "vec_id")
+      .select($"vec_id".as("anchor_id"), $"v".as("qv"), $"label".as("anchor_label"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", cos($"qv", $"cv"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where($"rn" <= nProbe)
+      .select($"anchor_id", $"qv", $"anchor_label", $"cent_id")
+    val scored = aprobes.join(assigned, Seq("cent_id"))
+      .join(labels, "vec_id")
+      .where($"label" =!= $"anchor_label")
+      .select($"anchor_id", $"vec_id".as("negative_id"), cos($"qv", $"v").as("cos"))
+    val topK = udaf(new graft.functions.TopKAggregator(k))
+    scored
+      .groupBy($"anchor_id")
+      .agg(topK($"cos", $"negative_id").as("ids"))
+      .select($"anchor_id", explode($"ids").as("negative_id"))
+      .orderBy($"anchor_id", $"negative_id")
+  }
+
   def bruteForceTopKSql(k: Int, nQueries: Int): String =
     s"""WITH scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -89,6 +89,12 @@ object TrainingData {
   def q31AnnIvf(spark: SparkSession, d: String): DataFrame =
     Similarity.annIvf(spark, d, k = 5, nQueries = 10)
 
+  /** Hard-negative mining: per anchor, top-k nearest with a different
+    * label (exact; IVF production variant spec-checked for recall). */
+  def q100HardNegatives(spark: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(spark, d, k = 5, nAnchors = 10)
+  val q100Sql: String = Similarity.hardNegativesSql(5, 10)
+
   // -- text analysis ---------------------------------------------------
 
   def q27TokenStats(spark: SparkSession, d: String): DataFrame =

@@ -48,6 +48,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall")
   }
 
+  private lazy val hardNeg = resultSet(Similarity.hardNegatives(spark, sfDirMid, 5, 10))
+
+  test("hard negatives: every returned pair crosses labels, k per anchor") {
+    val labels = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byAnchor = hardNeg.groupBy(_._1)
+    assert(byAnchor.size == 10)
+    byAnchor.foreach { case (_, ns) => assert(ns.size == 5) }
+    assert(hardNeg.forall { case (a, n) => labels(a) != labels(n) })
+  }
+
+  test("hard negatives differ from plain top-k where the neighborhood is same-label") {
+    // with 10 balanced labels most near-neighbors cross labels, but the
+    // two sets must not be forced equal — at least the label invariant
+    // separates them on any anchor whose top-k contains a same-label hit
+    val labels = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sameLabelInTopK = brute.exists { case (q, n) => labels(q) == labels(n) }
+    if (sameLabelInTopK) assert(hardNeg != brute)
+  }
+
+  test("IVF hard negatives: recall >= 0.8 vs exact, label invariant holds") {
+    val ivf = resultSet(Similarity.hardNegativesIvf(spark, sfDirMid, 5, 10))
+    val labels = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivf.forall { case (a, n) => labels(a) != labels(n) })
+    val recall = hardNeg.intersect(ivf).size.toDouble / hardNeg.size
+    assert(recall >= 0.8, s"IVF hard-negative recall $recall")
+  }
+
   test("IVF returns at most k neighbors per query, none equal to the query") {
     val ivf = Similarity.annIvf(spark, sfDirMid, 5, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
