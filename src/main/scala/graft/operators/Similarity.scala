@@ -89,12 +89,18 @@ object Similarity {
     * path is [[hardNegativesIvf]], which probes IVF lists instead of
     * scanning the corpus.
     */
-  def hardNegatives(spark: SparkSession, d: String, k: Int = 5, nAnchors: Int = 10): DataFrame = {
+  def hardNegatives(spark: SparkSession, d: String, k: Int = 5, nAnchors: Int = 10): DataFrame =
+    hardNegativesOf(Tables.embeddings(spark, d), k, nAnchors)
+
+  /** DataFrame form of [[hardNegatives]]: `emb` needs (vec_id,
+    * embedding, label); anchors are vec_id < nAnchors. */
+  def hardNegativesOf(emb: DataFrame, k: Int, nAnchors: Int): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(spark, d)
+    val e = emb
       .select($"vec_id", normalized($"embedding").as("v"), $"label")
       .as[(Long, Array[Double], Int)]
-    val anchors = Tables.embeddings(spark, d)
+    val anchors = emb
       .where($"vec_id" < nAnchors)
       .select($"vec_id", normalized($"embedding").as("v"), $"label")
       .as[(Long, Array[Double], Int)]

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Random-input parity for the round's corpus operators: each engine
+  * path must equal a naive Scala model on adversarial small inputs
+  * (tiny vocabularies → heavy segment/bigram collisions; few labels →
+  * dense same-label neighborhoods). */
+class TrainingDataPropSpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(42L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // docs over a 6-word vocabulary, 0-20 tokens each → segments collide
+  private val genDocs: Gen[List[String]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    Gen.listOfN(8, Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+  }
+
+  private def naiveSegments(text: String, segTokens: Int): List[(Int, String)] = {
+    // mirror the engine exactly: split("") is [""], so an empty text
+    // yields ONE empty-string segment, not zero segments
+    val toks = text.toLowerCase.split(' ').toList
+    toks.grouped(segTokens).map(_.mkString(" ")).zipWithIndex
+      .map { case (s, i) => (i, s) }.toList
+  }
+
+  test("boilerplate removal equals the naive df-threshold model") {
+    import spark.implicits._
+    val segTokens = 3
+    val minDf = 2
+    val prop = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val segs = docs.flatMap { case (id, t) =>
+        naiveSegments(t, segTokens).map { case (i, s) => (id, i, s) }
+      }
+      val df = segs.groupBy(_._3).map { case (s, xs) =>
+        s -> xs.map(_._1).distinct.size
+      }
+      val expected = segs
+        .groupBy(_._1)
+        .flatMap { case (id, ss) =>
+          val kept = ss.filter(x => df(x._3) < minDf).sortBy(_._2)
+          if (kept.isEmpty) None
+          else Some((id, ss.size.toLong, kept.size.toLong,
+            kept.map(_._3).mkString(" ")))
+        }.toSet
+      val got = Dedup.removeBoilerplate(
+          docs.toDF("doc_id", "text"), segTokens, minDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_segments"),
+          r.getAs[Long]("n_kept"), r.getString(3))).toSet
+      val stripped = Dedup.stripBoilerplate(
+          docs.toDF("doc_id", "text"), segTokens, minDf)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      got == expected &&
+        stripped == expected.map { case (id, _, _, t) => (id, t) }
+    }
+    check(prop)
+  }
+
+  test("bigram lift equals the naive marginal model, arithmetic included") {
+    import spark.implicits._
+    val prop = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val bigrams = texts.flatMap { t =>
+        val toks = t.toLowerCase.split(' ').toList
+        toks.zip(toks.drop(1))
+      }
+      if (bigrams.isEmpty) Prop.passed
+      else {
+        val nAb = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val cFirst = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        val cSecond = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+        val n = bigrams.size.toLong
+        val expected = nAb.map { case ((a, b), c) =>
+          (s"$a $b", c, (c * n).toDouble / (cFirst(a) * cSecond(b)).toDouble)
+        }.toSet
+        val got = TextAnalysis.bigramLiftOf(
+            docs.toDF("doc_id", "text"), n = 10000, minCount = 1)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        Prop(got == expected)
+      }
+    }
+    check(prop)
+  }
+
+  test("hard negatives equal the naive label-filtered top-k, ties included") {
+    import spark.implicits._
+    val k = 3
+    val nAnchors = 3L
+    // 2-dim embeddings on a coarse grid → frequent exact cosine ties;
+    // 2 labels → dense same-label neighborhoods the filter must skip
+    val genEmb: Gen[List[(Array[Float], Int)]] =
+      Gen.listOfN(12, for {
+        x <- Gen.choose(-2, 2)
+        y <- Gen.choose(-2, 2)
+        l <- Gen.choose(0, 1)
+      } yield (Array(x.toFloat, y.toFloat), l))
+    val prop = Prop.forAll(genEmb) { rows =>
+      val emb = rows.zipWithIndex.map { case ((v, l), i) => (i.toLong, v, l) }
+      def norm(v: Array[Float]): Array[Double] = {
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        if (n == 0.0) d.map(_ => 0.0) else d.map(_ / n)
+      }
+      val expected = emb.filter(_._1 < nAnchors).flatMap { case (aid, av, al) =>
+        val a = norm(av)
+        emb.filter(_._3 != al)
+          .map { case (nid, nv, _) =>
+            val b = norm(nv)
+            var s = 0.0
+            var j = 0
+            while (j < b.length) { s += a(j) * b(j); j += 1 }
+            (nid, s)
+          }
+          .sortBy { case (nid, c) => (-c, nid) }
+          .take(k)
+          .map { case (nid, _) => (aid, nid) }
+      }.toSet
+      val got = Similarity.hardNegativesOf(
+          emb.toDF("vec_id", "embedding", "label"), k, nAnchors.toInt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    }
+    check(prop)
+  }
+}
