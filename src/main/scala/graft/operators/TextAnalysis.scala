@@ -412,6 +412,50 @@ object TextAnalysis {
        |WHERE n_ab >= $minCount
        |ORDER BY lift DESC, bigram ASC LIMIT $n""".stripMargin
 
+  /** Text cleanup chain: Unicode NFC (the custom codegen expression —
+    * composed vs decomposed accents otherwise split exact-dedup hashes
+    * and shingle joins) → strip zero-width characters → control
+    * characters to spaces → collapse space runs → trim. The regexes
+    * stay in the Java ∩ RE2 portable subset (the PII-chain discipline)
+    * so the DuckDB oracle runs the same chain verbatim. Entirely
+    * scan-side: no shuffle, no UDF boundary.
+    * Callers must `NormalizeNfc.register(spark)` first. */
+  def cleanText(c: Column): Column = {
+    val nfc = call_function(graft.functions.NormalizeNfc.name, c)
+    val noZw = regexp_replace(nfc, "[\\u200B-\\u200D\\uFEFF]", "")
+    val noCtl = regexp_replace(noZw, "[\\x00-\\x1F\\x7F]", " ")
+    trim(regexp_replace(noCtl, " +", " "))
+  }
+
+  /** q101: per-document cleanup report — cleaned text + changed flag.
+    * On an already-clean corpus this is an identity map, which is
+    * exactly what the hash oracle asserts: the chain never mangles
+    * clean text; the mangled-input cases live in TextAnalysisSpec. */
+  def q101CleanText(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.NormalizeNfc.register(spark)
+    Tables.documents(spark, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", cleanText($"text").as("clean_text"),
+        (cleanText($"text") =!= $"text").as("changed"))
+      .orderBy($"doc_id")
+  }
+
+  val q101Sql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(nfc_normalize(text), '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+      |      '[\x{00}-\x{1F}\x{7F}]', ' ', 'g'),
+      |    ' +', ' ', 'g')) AS clean_text,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(nfc_normalize(text), '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+      |      '[\x{00}-\x{1F}\x{7F}]', ' ', 'g'),
+      |    ' +', ' ', 'g')) <> text AS changed
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   /** Winnowing document fingerprint: k-gram hashes, sliding-window
     * minimum (window w) → distinct fingerprint set per doc. Hash-seeded
     * (xxhash64) → rows-only + TextAnalysisSpec invariants. */

@@ -113,6 +113,40 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("cleanText: NFC composition, zero-width strip, control chars, space runs") {
+    import spark.implicits._
+    graft.functions.NormalizeNfc.register(spark)
+    val decomposed = "caf" + "é" // e + combining acute
+    val cases = Seq(
+      (1L, decomposed),                     // → café (composed U+00E9)
+      (2L, "a​b﻿c"),              // zero-width chars vanish
+      (3L, "line1\r\nline2\tend"),          // CRLF + tab → single spaces
+      (4L, "  spaced   out  "),             // runs collapse, ends trim
+      (5L, "already clean ascii"),          // identity
+      (6L, null.asInstanceOf[String])       // null survives as null
+    ).toDF("doc_id", "text")
+    val out = cases.select($"doc_id", TextAnalysis.cleanText($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café")
+    assert(out(2L) == "abc")
+    assert(out(3L) == "line1 line2 end")
+    assert(out(4L) == "spaced out")
+    assert(out(5L) == "already clean ascii")
+    assert(out(6L) == null)
+  }
+
+  test("cleanText normalization makes canonically-equal texts dedup-equal") {
+    import spark.implicits._
+    graft.functions.NormalizeNfc.register(spark)
+    val composed = "résumé text here"
+    val decomposed = "résumé text here"
+    assert(composed != decomposed) // different bytes...
+    val out = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      .select(TextAnalysis.cleanText($"text").as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1)) // ...same text after the chain
+  }
+
   test("bigram lift: hand-computed position-marginal lift, lift-desc/bigram-asc order") {
     import spark.implicits._
     // bigrams: (a,b)x2, (b,a)x1, (b,c)x1; N=4
