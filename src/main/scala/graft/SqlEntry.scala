@@ -48,6 +48,9 @@ object SqlEntry {
     spark.udf.register("needs_optimize", F.udaf(
       new graft.functions.SmallFileAggregator(cfg.thresholdBytes, cfg.minCount,
         cfg.minSharePercent)))
+    // native codegen expressions (not UDFs) — registry-level
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.NormalizeNfc.register(spark)
   }
 
   /** A1 table summary as pure SQL over the registered views —

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-corpus cleaning pipeline — the operator a
-  * data-curation user actually calls: rule quality filter → (optional)
+  * data-curation user actually calls: (optional) Unicode cleanup →
+  * rule quality filter → (optional)
   * model quality gate → (optional) corpus-frequency boilerplate strip →
   * decontamination → exact dedup → near-dup dedup (MinHash LSH +
   * connected components, keeper = min id) → PII scrub → the kept corpus
@@ -38,20 +39,31 @@ object CleanCorpus {
       maxEvalOverlap: Double = 0.5,
       boilerplateMinDf: Option[Int] = None,
       boilerplateSegTokens: Int = 16,
-      qualityModel: Option[(QualityClassifier.Model, Double)] = None): (DataFrame, Stats) = {
+      qualityModel: Option[(QualityClassifier.Model, Double)] = None,
+      normalize: Boolean = false): (DataFrame, Stats) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     val input = docs.count()
 
+    // 0. Unicode cleanup (no attrition — a pure scan-side rewrite):
+    // canonically-equal texts must hash equal before any dedup key is
+    // computed, or composed/decomposed variants slip past every stage.
+    val docs0 =
+      if (!normalize) docs
+      else {
+        graft.functions.NormalizeNfc.register(spark)
+        docs.withColumn("text", TextAnalysis.cleanText($"text"))
+      }
+
     // 1. quality gate: scoring rules + repetition rules
-    val keepIds = TextAnalysis.qualityScoreOf(docs)
+    val keepIds = TextAnalysis.qualityScoreOf(docs0)
       .where($"keep").select($"doc_id")
-    val repetitionOk = TextAnalysis.repetitionMetricsOf(docs)
+    val repetitionOk = TextAnalysis.repetitionMetricsOf(docs0)
       .where($"dup_3gram_share" <= MaxDup3gramShare &&
         $"top_tok_share" <= MaxTopTokenShare)
       .select($"doc_id")
-    val quality2 = docs.join(keepIds, "doc_id")
+    val quality2 = docs0.join(keepIds, "doc_id")
       .join(repetitionOk, "doc_id").cache()
     val nQuality = quality2.count()
 

@@ -158,6 +158,27 @@ class CleanCorpusSpec extends SparkSpec {
     assert(hard.afterQuality == 10 && hard.afterModel == 0 && hard.afterNearDup == 0)
   }
 
+  test("normalize stage makes composed and decomposed accents exact dups") {
+    import spark.implicits._
+    // same text, composed é (U+00E9) vs decomposed e+U+0301 — different
+    // bytes, canonically equal
+    val composed = "résumé writing advice covering layout headings achievements " +
+      "metrics keywords formatting length tailoring proofreading references " +
+      "summary skills experience education certifications contact details"
+    val decomposed = java.text.Normalizer.normalize(
+      composed, java.text.Normalizer.Form.NFD)
+    assert(composed != decomposed)
+    val docs = Seq((1L, composed), (2L, decomposed))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val (_, raw) = CleanCorpus.clean(docs, jaccardThreshold = 0.99)
+    assert(raw.afterExact == 2) // bytes differ → exact dedup misses them
+    val (cleaned, norm) = CleanCorpus.clean(docs, jaccardThreshold = 0.99,
+      normalize = true)
+    assert(norm.afterExact == 1) // normalized → the hash catches the dup
+    assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("pipeline on the real corpus reduces it monotonically") {
     val docs = graft.sources.Tables.documents(spark, sfDirMid)
     val (_, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.8)
