@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sub-document duplication *measurement* and *within-document* cleanup —
+  * the two passes document-level and corpus-segment-level dedup
+  * ([[Dedup.exact]], [[Dedup.dedupSegments]]) don't cover:
+  *
+  *  - [[dupSpanCoverage]]: per-document share of tokens lying inside a
+  *    token span that occurs elsewhere in the corpus (the exact-substring
+  *    duplication signal of Lee et al., "Deduplicating Training Data
+  *    Makes Language Models Better" — there computed with a suffix
+  *    array; here as a distributed shingle count + interval union,
+  *    which is the shape that scales on Spark).
+  *  - [[dedupSegmentsIntraDoc]]: first-occurrence-wins removal of
+  *    segments repeated *within* one document (loops, stutter, copy
+  *    paste inside a page). Corpus-level q69 keys every segment through
+  *    a corpus-wide shuffle; the intra-doc pass needs NO shuffle at all
+  *    — `array_distinct` keeps first occurrences scan-side, so at
+  *    100 TB it costs exactly one read of the corpus.
+  */
+object SpanDedup {
+
+  /** Per-document duplicated-span coverage for `k`-token shingles that
+    * occur at least `minCount` times corpus-wide (within-doc repeats
+    * count — a span pasted twice into one page is still duplication).
+    *
+    * Output: (doc_id, n_tokens, covered_tokens) where covered_tokens is
+    * the size of the union of all duplicated spans [pos, pos+k-1] —
+    * overlapping spans are NOT double-counted (interval union via a
+    * running-max window, not a naive sum).
+    *
+    * Scale shape: one scan exploding positions, one shuffle counting
+    * shingles (partial agg), one equi-join back on the shingle, one
+    * per-doc window + agg. Nothing is all-pairs and no driver state;
+    * the join's build side (duplicated shingles) is bounded by
+    * total_shingles / minCount, so AQE can still broadcast it when the
+    * corpus is small. Integer-only arithmetic → exact DuckDB oracle.
+    */
+  def dupSpanCoverageOf(docs: DataFrame, k: Int, minCount: Int = 2): DataFrame = {
+    require(k > 0, s"shingle size must be positive, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val base = docs.where($"text".isNotNull)
+      .select($"doc_id", split(lower($"text"), " ").as("__toks"))
+    val positions = base.select(
+        $"doc_id",
+        posexplode(transform(
+          sequence(lit(0), greatest(size($"__toks") - k, lit(0))),
+          i => concat_ws(" ", slice($"__toks", i + 1, lit(k)))))
+          .as(Seq("pos", "sh")))
+      .where(size(split($"sh", " ")) === k)
+
+    val dups = positions.groupBy($"sh")
+      .agg(count(lit(1)).as("__n"))
+      .where($"__n" >= minCount)
+      .select($"sh")
+
+    // spans sorted by start within each doc; a span's fresh contribution
+    // is the part past the running max end of everything before it.
+    val prevW = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = $"pos".cast("long")
+    val end = start + (k - 1)
+    val covered = positions.join(dups, "sh")
+      .withColumn("__prev_end", max(end).over(prevW))
+      .select($"doc_id",
+        greatest(lit(0L),
+          end - greatest(start, coalesce($"__prev_end" + 1, start)) + 1)
+          .as("__c"))
+      .groupBy($"doc_id").agg(sum($"__c").as("covered_tokens"))
+
+    base.select($"doc_id", size($"__toks").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  def dupSpanCoverage(spark: SparkSession, d: String, k: Int = 5,
+      minCount: Int = 2): DataFrame =
+    dupSpanCoverageOf(Tables.documents(spark, d), k, minCount)
+
+  /** DuckDB oracle: identical interval-union algebra over the same
+    * shingle positions (1-based slice, so pos = i - 1). */
+  def dupSpanCoverageSql(k: Int, minCount: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${k - 1}], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - ${k - 1})) AS g(i)
+       |), dups AS (
+       |  SELECT sh FROM sh GROUP BY sh HAVING count(*) >= $minCount
+       |), spans AS (
+       |  SELECT s.doc_id, s.pos, s.pos + ${k - 1} AS e
+       |  FROM sh s JOIN dups USING (sh)
+       |), uni AS (
+       |  SELECT doc_id, pos, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+       |  FROM spans
+       |), cov AS (
+       |  SELECT doc_id,
+       |         CAST(sum(greatest(0, e - greatest(pos, coalesce(prev_e + 1, pos)) + 1))
+       |              AS BIGINT) AS covered_tokens
+       |  FROM uni GROUP BY 1
+       |)
+       |SELECT d.doc_id, len(string_split(lower(d.text), ' ')) AS n_tokens,
+       |       coalesce(cov.covered_tokens, 0) AS covered_tokens
+       |FROM documents d LEFT JOIN cov USING (doc_id)
+       |WHERE d.text IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
+  /** Within-document segment dedup: cut each document into consecutive
+    * `segTokens`-token chunks (last one partial) and keep only the first
+    * occurrence of each distinct chunk, preserving order. Unlike
+    * corpus-level [[Dedup.dedupSegments]] this never leaves the row:
+    * `array_distinct` is documented to keep first occurrences in input
+    * order, so the whole pass is a scan-side projection — zero shuffles,
+    * whole-stage codegen, embarrassingly parallel at any corpus size.
+    *
+    * Output: (doc_id, n_segments, n_kept, clean_text) for every
+    * non-empty document.
+    */
+  def dedupSegmentsIntraDocOf(docs: DataFrame, segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where($"text".isNotNull)
+      .withColumn("__toks", split(lower($"text"), " "))
+      .where(size($"__toks") > 0)
+      .select($"doc_id", expr(
+        s"""transform(sequence(0, cast(ceil(size(__toks) / ${segTokens}d) as int) - 1),
+           |  i -> array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' '))""".stripMargin)
+        .as("__segs"))
+      .select($"doc_id", size($"__segs").cast("long").as("n_segments"),
+        array_distinct($"__segs").as("__kept"))
+      .select($"doc_id", $"n_segments",
+        size($"__kept").cast("long").as("n_kept"),
+        array_join($"__kept", " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  def dedupSegmentsIntraDoc(spark: SparkSession, d: String,
+      segTokens: Int = 2): DataFrame =
+    dedupSegmentsIntraDocOf(Tables.documents(spark, d), segTokens)
+
+  /** DuckDB oracle: explicit first-occurrence-wins (min seg_idx per
+    * (doc, seg), reassemble ordered by it) — the set-semantics spelling
+    * of `array_distinct`. */
+  def dedupSegmentsIntraDocSql(segTokens: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) > 0
+       |), segs AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(t[(i*$segTokens+1):((i+1)*$segTokens)], ' ') AS seg
+       |  FROM toks,
+       |       unnest(generate_series(0, CAST(ceil(len(t) / $segTokens.0) AS BIGINT) - 1)) AS g(i)
+       |), firsts AS (
+       |  SELECT doc_id, seg, min(seg_idx) AS k FROM segs GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY 1
+       |)
+       |SELECT f.doc_id, t.n_segments, count(*) AS n_kept,
+       |       string_agg(f.seg, ' ' ORDER BY f.k) AS clean_text
+       |FROM firsts f JOIN tot t USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY doc_id""".stripMargin
+}

@@ -412,6 +412,81 @@ object TextAnalysis {
        |WHERE n_ab >= $minCount
        |ORDER BY lift DESC, bigram ASC LIMIT $n""".stripMargin
 
+  /** CCNet-style language-model familiarity score, without the float
+    * hazards of a real perplexity: per document, the share of its
+    * adjacent-token bigrams that are "familiar" — corpus count at or
+    * above the corpus MEAN bigram count. The threshold is corpus-
+    * relative (familiar ⇔ n · n_distinct ≥ n_total, evaluated by
+    * integer cross-multiplication, no division), so the operator is
+    * scale-invariant: growing the corpus 10× doesn't reclassify
+    * everything the way a fixed absolute count would. The only float
+    * is ONE final int/int division per doc (IEEE division is correctly
+    * rounded → bit-identical across engines), and the head/middle/tail
+    * bucket cut is on that exact quotient. CCNet buckets by KenLM
+    * perplexity; `ln` parity across libm builds is unattainable, so the
+    * monotone integer surrogate is the engine-portable formulation
+    * (same discipline as BM25's odds-ratio idf in [[Relevance]]).
+    *
+    * Scale shape: one token scan → bigram counts (one shuffle, partial
+    * agg); the familiar set is at most n_total / mean = n_distinct
+    * entries but in practice total/threshold-bounded, joined back on
+    * the bigram (AQE broadcasts it when small); one per-doc agg.
+    * Documents with fewer than two tokens have no bigrams and are
+    * excluded (score undefined).
+    */
+  def bigramFamiliarityOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = docs.where($"text".isNotNull)
+      .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram"))
+    val counts = bg.groupBy($"bigram").agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum($"n").as("n_total"), count(lit(1)).as("n_distinct"))
+    val familiar = counts.crossJoin(broadcast(stats))
+      .where($"n" * $"n_distinct" >= $"n_total")
+      .select($"bigram", lit(1).as("__fam"))
+    val quotient =
+      $"n_familiar".cast("double") / $"n_bigrams".cast("double")
+    bg.join(familiar, Seq("bigram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count($"__fam").as("n_familiar"))
+      .select($"doc_id", $"n_bigrams", $"n_familiar",
+        quotient.as("familiarity"),
+        when(quotient >= 0.9, "head")
+          .when(quotient >= 0.5, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  def bigramFamiliarity(spark: SparkSession, d: String): DataFrame =
+    bigramFamiliarityOf(Tables.documents(spark, d))
+
+  /** DuckDB oracle: same integer cross-multiplied threshold and the
+    * same single int/int division (HUGEINT/BIGINT mixing is confined
+    * to comparisons, never emitted). */
+  val bigramFamiliaritySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL
+      |), bg AS (
+      |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      |), counts AS (
+      |  SELECT bigram, count(*) AS n FROM bg GROUP BY 1
+      |), stats AS (
+      |  SELECT sum(n) AS n_total, count(*) AS n_distinct FROM counts
+      |), fam AS (
+      |  SELECT bigram FROM counts CROSS JOIN stats
+      |  WHERE n * n_distinct >= n_total
+      |)
+      |SELECT b.doc_id, count(*) AS n_bigrams, count(f.bigram) AS n_familiar,
+      |       CAST(count(f.bigram) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS familiarity,
+      |       CASE WHEN CAST(count(f.bigram) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.9 THEN 'head'
+      |            WHEN CAST(count(f.bigram) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.5 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM bg b LEFT JOIN fam f ON f.bigram = b.bigram
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Text cleanup chain: Unicode NFC (the custom codegen expression —
     * composed vs decomposed accents otherwise split exact-dedup hashes
     * and shingle joins) → strip zero-width characters → control

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis, SpanDedup}
 
 /** Training-data pipeline query surface: dedup family, similarity
   * search, text analysis. Thin wiring over the operators in
@@ -112,4 +112,24 @@ object TrainingData {
   /** Winnowing fingerprints — hash-seeded, rows-only. */
   def q30Fingerprint(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(spark, d)
+
+  // -- sub-document duplication ----------------------------------------
+
+  /** Duplicated-span coverage (Lee et al. exact-substring signal):
+    * per doc, tokens inside a 5-gram that recurs corpus-wide. */
+  def q102DupSpans(spark: SparkSession, d: String): DataFrame =
+    SpanDedup.dupSpanCoverage(spark, d, k = 5, minCount = 2)
+  val q102Sql: String = SpanDedup.dupSpanCoverageSql(5, 2)
+
+  /** Within-document segment dedup — zero-shuffle first-occurrence-wins
+    * over 2-token chunks. */
+  def q103IntraDocDedup(spark: SparkSession, d: String): DataFrame =
+    SpanDedup.dedupSegmentsIntraDoc(spark, d, segTokens = 2)
+  val q103Sql: String = SpanDedup.dedupSegmentsIntraDocSql(2)
+
+  /** Corpus-relative bigram familiarity buckets (CCNet-style quality
+    * signal, integer-exact formulation). */
+  def q104Familiarity(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramFamiliarity(spark, d)
+  val q104Sql: String = TextAnalysis.bigramFamiliaritySql
 }
