@@ -210,4 +210,85 @@ object Sampling {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       count(*) / (SELECT count(*) FROM documents) AS share
       |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** EXACT per-source quota: keep at most `cap` documents per source,
+    * rank = doc_id ascending (deterministic; swap in a hash rank for an
+    * unbiased subset — the shape is identical). This is the governance
+    * counterpart of [[q64MixtureSample]]'s rate-based damping: rates
+    * give an EXPECTED cap with binomial wiggle and zero shuffles; this
+    * gives a HARD cap at the cost of one shuffle partitioned by source.
+    * At 100 TB that shuffle is the skew hazard (one mega-source = one
+    * hot partition); the mitigation is a pre-filter — rank only within
+    * sources whose count exceeds the cap, pass small sources through
+    * untouched, so the window shuffle carries only over-cap sources.
+    */
+  def sourceCapOf(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val withTotal = docs
+      .withColumn("__n_total", count(lit(1)).over(Window.partitionBy($"source")))
+    val small = withTotal.where($"__n_total" <= cap)
+      .select($"doc_id", $"source", $"__n_total")
+    val capped = withTotal.where($"__n_total" > cap)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .where($"__rk" <= cap)
+      .select($"doc_id", $"source", $"__n_total")
+    small.unionByName(capped)
+      .groupBy($"source")
+      .agg(first($"__n_total").as("n_total"), count(lit(1)).as("n_kept"),
+        min($"doc_id").as("first_kept"), max($"doc_id").as("last_kept"))
+      .orderBy($"source")
+  }
+
+  def q105SourceCap(spark: SparkSession, d: String): DataFrame =
+    sourceCapOf(Tables.documents(spark, d), cap = 40)
+
+  val q105Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         count(*) OVER (PARTITION BY source) AS n_total,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT source, min(n_total) AS n_total, count(*) AS n_kept,
+      |       min(doc_id) AS first_kept, max(doc_id) AS last_kept
+      |FROM ranked WHERE rk <= 40
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Curriculum phase assignment: order the corpus by an integer
+    * difficulty proxy (token count — short documents first) with doc_id
+    * as the total-order tie-break, and cut it into `phases` equal ntile
+    * buckets. All-integer (ntile boundaries are the SQL-standard
+    * bucket-size-differs-by-at-most-one rule on an identical total
+    * order), so the oracle matches exactly.
+    *
+    * Scale note: ntile over a single global window is a one-partition
+    * sort — fine for a per-phase MANIFEST (row per doc is the output
+    * contract here), but at 100 TB assign phases by pre-computed score
+    * quantiles (`approxQuantile` cutoffs broadcast as a CASE) instead
+    * of a global window; same output modulo boundary ties. */
+  def curriculumOf(docs: DataFrame, phases: Int): DataFrame = {
+    require(phases > 0, s"phases must be positive, got $phases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs.where($"text".isNotNull)
+      .select($"doc_id",
+        size(split(lower($"text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("phase", ntile(phases).over(
+        Window.orderBy($"n_tokens", $"doc_id")))
+      .orderBy($"doc_id")
+  }
+
+  def q106Curriculum(spark: SparkSession, d: String): DataFrame =
+    curriculumOf(Tables.documents(spark, d), phases = 4)
+
+  val q106Sql: String =
+    """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
+      |       ntile(4) OVER (ORDER BY len(string_split(lower(text), ' ')), doc_id) AS phase
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
 }

@@ -142,4 +142,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
   }
+
+  test("q103 intra-doc dedup is shuffle-free except the presentation sort") {
+    // the dedup itself is a scan-side array_distinct projection; the only
+    // Exchange allowed is the final orderBy's range partitioning.
+    val plan = planOf(queries.TrainingData.q103IntraDocDedup(spark, sfDir))
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q102 span coverage joins positions to duplicated shingles as an equi-join") {
+    val plan = planOf(queries.TrainingData.q102DupSpans(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // interval union is the per-doc window, present exactly once
+    assert("WindowExec|Window ".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("q104 familiarity broadcasts the corpus stats and keeps partial aggs") {
+    val plan = planOf(queries.TrainingData.q104Familiarity(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
 }

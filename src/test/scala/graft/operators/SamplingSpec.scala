@@ -123,4 +123,34 @@ class SamplingSpec extends SparkSpec {
       assert(again(r.getLong(0)) == r.getString(1))
     }
   }
+
+  test("source cap: hard cap on big sources, pass-through for small ones") {
+    import spark.implicits._
+    // source a: 5 docs (cap 3 -> keep ids 1,2,3); source b: 2 docs (all kept)
+    val docs = ((1L to 5L).map(i => (i, s"t$i", "en", "a", 2L)) ++
+      Seq((10L, "x", "en", "b", 1L), (11L, "y", "en", "b", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Sampling.sourceCapOf(docs, cap = 3)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((5L, 3L, 1L, 3L)))
+    assert(got("b") == ((2L, 2L, 10L, 11L)))
+  }
+
+  test("curriculum phases: monotone in score, sizes differ by at most one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 23L).map(i =>
+      (i, Array.fill(1 + rnd.nextInt(30))("w").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sampling.curriculumOf(docs, phases = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 23)
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // phase is monotone along the (n_tokens, doc_id) order
+    val ordered = rows.sortBy(r => (r._2, r._1)).map(_._3)
+    assert(ordered.sameElements(ordered.sorted))
+  }
 }
