@@ -411,23 +411,36 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: signatures within `maxHamming` bits. The
-    * self-join is blocked by signature chunks (8×8-bit keys; pigeonhole:
-    * ≤7 differing bits → at least one 8-bit chunk identical, so the
-    * block join is lossless up to maxHamming=7). */
-  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
+  /** Generic hamming-ball self-join over 64-bit signatures, blocked by
+    * 8×8-bit signature chunks (pigeonhole: ≤7 differing bits → at least
+    * one 8-bit chunk identical, so the block join is LOSSLESS up to
+    * maxHamming = 7). `sig` must have a long id column and a long
+    * signature column; output (id_a, id_b, dist), id_a < id_b. Shared
+    * by text SimHash and perceptual image-hash dedup. */
+  def hammingBlockedPairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"chunk blocking is lossless only up to hamming 7, got $maxHamming")
+    val spark = sig.sparkSession
     import spark.implicits._
-    val sig = simhash(spark, d)
-    val chunks = sig.select($"doc_id", $"simhash", explode(array(
-      (0 until 8).map(c => struct(lit(c).as("c"),
-        shiftright($"simhash", c * 8).bitwiseAND(0xFFL).as("ck"))): _*)).as("b"))
-      .select($"doc_id", $"simhash", $"b.c".as("c"), $"b.ck".as("ck"))
+    val chunks = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .select($"__id", $"__sig", explode(array(
+        (0 until 8).map(c => struct(lit(c).as("c"),
+          shiftright($"__sig", c * 8).bitwiseAND(0xFFL).as("ck"))): _*)).as("b"))
+      .select($"__id", $"__sig", $"b.c".as("c"), $"b.ck".as("ck"))
     chunks.as("a").join(chunks.as("b"),
-        $"a.c" === $"b.c" && $"a.ck" === $"b.ck" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        hamming($"a.simhash", $"b.simhash").as("dist"))
+        $"a.c" === $"b.c" && $"a.ck" === $"b.ck" && $"a.__id" < $"b.__id")
+      .select($"a.__id".as("id_a"), $"b.__id".as("id_b"),
+        hamming($"a.__sig", $"b.__sig").as("dist"))
       .distinct()
       .where($"dist" <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs: signatures within `maxHamming` bits via
+    * the lossless chunk-blocked self-join. */
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
+    import spark.implicits._
+    hammingBlockedPairs(simhash(spark, d), "doc_id", "simhash", maxHamming)
       .orderBy($"id_a", $"id_b")
   }
 

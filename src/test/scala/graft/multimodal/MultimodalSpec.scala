@@ -115,4 +115,37 @@ class MultimodalSpec extends SparkSpec {
     val audio = s.find(_.getString(0) == "audio").get
     assert(audio.getAs[Int]("max_sample_rate") == 8000)
   }
+
+  test("aHash: identical pixels hash equal; uniform brightness shift is near-invariant") {
+    val rnd = new scala.util.Random(5)
+    val w = 12; val h = 9
+    val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val a = Codecs.aHash(w, h, px)
+    assert(Codecs.aHash(w, h, px.clone()) == a)
+    // +1 on every byte (what consecutive synthetic frames do) moves the
+    // mean with the pixels — hash distance stays small
+    val shifted = px.map(b => (((b & 0xFF) + 1) & 0xFF).toByte)
+    val d = java.lang.Long.bitCount(a ^ Codecs.aHash(w, h, shifted))
+    assert(d <= 8, s"uniform shift moved $d bits")
+    // scrambled pixels are far
+    val scrambled = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    assert(java.lang.Long.bitCount(a ^ Codecs.aHash(w, h, scrambled)) > 8)
+  }
+
+  test("frame near-dup equals brute force over all frame hashes (pigeonhole lossless)") {
+    import spark.implicits._
+    val hashes = Multimodal.frameHashes(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashes.nonEmpty)
+    val want = (for {
+      (ka, ha) <- hashes; (kb, hb) <- hashes if ka < kb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (ka / 100, (ka % 100).toInt, kb / 100, (kb % 100).toInt, d)).toSet
+    val got = Multimodal.frameNearDup(spark, sfDir, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(got == want)
+    // the signal is real: intra-video consecutive-frame pairs exist
+    assert(want.exists { case (a, _, b, _, _) => a == b })
+  }
 }
