@@ -40,7 +40,8 @@ object CleanCorpus {
       boilerplateMinDf: Option[Int] = None,
       boilerplateSegTokens: Int = 16,
       qualityModel: Option[(QualityClassifier.Model, Double)] = None,
-      normalize: Boolean = false): (DataFrame, Stats) = {
+      normalize: Boolean = false,
+      intraDocSegTokens: Option[Int] = None): (DataFrame, Stats) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -49,12 +50,34 @@ object CleanCorpus {
     // 0. Unicode cleanup (no attrition — a pure scan-side rewrite):
     // canonically-equal texts must hash equal before any dedup key is
     // computed, or composed/decomposed variants slip past every stage.
-    val docs0 =
+    // any stage that rewrites text must re-derive n_chars — the quality
+    // gate computes mean word length from it, and a stale count scores
+    // the OLD text against the NEW token stream.
+    def refreshChars(df: DataFrame): DataFrame =
+      if (df.columns.contains("n_chars"))
+        df.withColumn("n_chars", length($"text").cast("long"))
+      else df
+
+    val docsN =
       if (!normalize) docs
       else {
         graft.functions.NormalizeNfc.register(spark)
-        docs.withColumn("text", TextAnalysis.cleanText($"text"))
+        refreshChars(docs.withColumn("text", TextAnalysis.cleanText($"text")))
       }
+
+    // 0b. within-document segment dedup (also pure scan-side — the
+    // zero-shuffle array_distinct pass): in-doc stutter collapses
+    // BEFORE quality metrics score it and before any dedup key forms,
+    // so a page that repeats one paragraph 50× neither fails the
+    // repetition gate spuriously nor hashes unlike its single-copy twin.
+    val docs0 = intraDocSegTokens match {
+      case None => docsN
+      case Some(seg) =>
+        val cleaned = SpanDedup.dedupSegmentsIntraDocOf(docsN, seg)
+          .select($"doc_id", $"clean_text")
+        refreshChars(docsN.drop("text").join(cleaned, "doc_id")
+          .withColumnRenamed("clean_text", "text"))
+    }
 
     // 1. quality gate: scoring rules + repetition rules
     val keepIds = TextAnalysis.qualityScoreOf(docs0)

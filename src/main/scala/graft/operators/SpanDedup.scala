@@ -145,12 +145,14 @@ object SpanDedup {
       .select($"doc_id", $"n_segments",
         size($"__kept").cast("long").as("n_kept"),
         array_join($"__kept", " ").as("clean_text"))
-      .orderBy($"doc_id")
   }
 
   def dedupSegmentsIntraDoc(spark: SparkSession, d: String,
-      segTokens: Int = 2): DataFrame =
+      segTokens: Int = 2): DataFrame = {
+    import spark.implicits._
     dedupSegmentsIntraDocOf(Tables.documents(spark, d), segTokens)
+      .orderBy($"doc_id")
+  }
 
   /** DuckDB oracle: explicit first-occurrence-wins (min seg_idx per
     * (doc, seg), reassemble ordered by it) — the set-semantics spelling

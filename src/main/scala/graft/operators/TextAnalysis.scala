@@ -363,10 +363,12 @@ object TextAnalysis {
   /** Drop the cached bigram count tables (session teardown / data change). */
   def clearCaches(): Unit = bigramCache.clear()
 
-  def bigramLiftOf(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
+  /** The materialized corpus bigram count table (bigram, tok_a, tok_b,
+    * n_ab), shared by [[bigramLiftOf]] and [[bigramFamiliarityOf]]. */
+  private def bigramCountsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bg = bigramCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized)(
+    bigramCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized)(
       docs
         .where($"text".isNotNull)
         .select($"text").as[String]
@@ -376,6 +378,12 @@ object TextAnalysis {
         .groupBy($"bigram", $"tok_a", $"tok_b")
         .agg(count(lit(1)).as("n_ab"))
         .cache())
+  }
+
+  def bigramLiftOf(docs: DataFrame, n: Int, minCount: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = bigramCountsOf(docs)
     val first  = bg.groupBy($"tok_a").agg(sum($"n_ab").as("c_first"))
     val second = bg.groupBy($"tok_b").agg(sum($"n_ab").as("c_second"))
     val total  = bg.agg(sum($"n_ab").as("n_bg"))
@@ -439,7 +447,9 @@ object TextAnalysis {
     import spark.implicits._
     val bg = docs.where($"text".isNotNull)
       .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram"))
-    val counts = bg.groupBy($"bigram").agg(count(lit(1)).as("n"))
+    // corpus counts come from the SAME materialized bigram table as
+    // bigramLift — one corpus tokenize+shuffle serves both operators.
+    val counts = bigramCountsOf(docs).select($"bigram", $"n_ab".as("n"))
     val stats = counts.agg(sum($"n").as("n_total"), count(lit(1)).as("n_distinct"))
     val familiar = counts.crossJoin(broadcast(stats))
       .where($"n" * $"n_distinct" >= $"n_total")

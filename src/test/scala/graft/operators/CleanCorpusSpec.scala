@@ -179,6 +179,30 @@ class CleanCorpusSpec extends SparkSpec {
     assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("intra-doc stage collapses in-doc stutter so twins dedup exactly") {
+    import spark.implicits._
+    // 26 tokens (even) so the repeated chunk aligns on 2-token chunk
+    // boundaries; its first chunk IS "spark shuffles".
+    val base = "spark shuffles partition data across executors during wide " +
+      "transformations and the scheduler assigns tasks to cores respecting " +
+      "locality while the optimizer prunes columns and pushes filters"
+    assert(base.split(' ').length == 26)
+    // doc 2 repeats doc 1's first chunk 30 times — without the intra-doc
+    // pass it fails the repetition gate; with it, it reduces to exactly
+    // doc 1's text and exact dedup folds the pair.
+    val stutter = base + " " + Array.fill(30)("spark shuffles").mkString(" ")
+    val docs = Seq((1L, base), (2L, stutter))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val (_, raw) = CleanCorpus.clean(docs, jaccardThreshold = 0.99)
+    val (cleaned, intra) = CleanCorpus.clean(docs, jaccardThreshold = 0.99,
+      intraDocSegTokens = Some(2))
+    assert(raw.afterQuality == 1, s"raw=$raw")   // stutter doc gate-killed
+    assert(intra.afterQuality == 2, s"intra=$intra") // survives cleaned
+    assert(intra.afterExact == 1)                // ...then folds into doc 1
+    assert(cleaned.count() == 1)
+  }
+
   test("pipeline on the real corpus reduces it monotonically") {
     val docs = graft.sources.Tables.documents(spark, sfDirMid)
     val (_, stats) = CleanCorpus.clean(docs, jaccardThreshold = 0.8)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Every corpus operator must degrade to an empty result on an empty
+  * (or all-null-text) input — never throw. The advisor's recurring
+  * finding class (FuzzyJoin empty-string crash, q91 empty-events NPE)
+  * as a standing battery for the newer operators. */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private def nullTextDocs: DataFrame = {
+    import spark.implicits._
+    Seq((1L, null: String, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("span coverage: empty and null-text inputs yield empty frames") {
+    assert(SpanDedup.dupSpanCoverageOf(emptyDocs, k = 5).count() == 0)
+    assert(SpanDedup.dupSpanCoverageOf(nullTextDocs, k = 5).count() == 0)
+  }
+
+  test("intra-doc dedup: empty and null-text inputs yield empty frames") {
+    assert(SpanDedup.dedupSegmentsIntraDocOf(emptyDocs, 2).count() == 0)
+    assert(SpanDedup.dedupSegmentsIntraDocOf(nullTextDocs, 2).count() == 0)
+  }
+
+  test("bigram familiarity: empty, null-text, and no-bigram inputs yield empty frames") {
+    import spark.implicits._
+    assert(TextAnalysis.bigramFamiliarityOf(emptyDocs).count() == 0)
+    assert(TextAnalysis.bigramFamiliarityOf(nullTextDocs).count() == 0)
+    val oneTok = Seq((1L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.bigramFamiliarityOf(oneTok).count() == 0)
+  }
+
+  test("source cap and curriculum: empty inputs yield empty frames") {
+    assert(Sampling.sourceCapOf(emptyDocs, cap = 3).count() == 0)
+    assert(Sampling.curriculumOf(emptyDocs, phases = 4).count() == 0)
+  }
+
+  test("BPE training: empty corpus learns zero merges; encode of empty stats is empty") {
+    val merges = BpeTrain.learnMerges(emptyDocs, nMerges = 5)
+    assert(merges.isEmpty)
+    assert(BpeTrain.encodeStats(emptyDocs, merges).count() == 0)
+    // distributed loop too
+    assert(BpeTrain.learnMerges(emptyDocs, nMerges = 5, localVocabMax = 0).isEmpty)
+  }
+}
