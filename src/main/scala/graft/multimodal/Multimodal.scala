@@ -413,6 +413,37 @@ object Multimodal {
       .orderBy("asset_a", "frame_a", "asset_b", "frame_b")
   }
 
+  /** Visual dup CLUSTERS — the scale-correct output shape. The pair
+    * list ([[frameNearDup]]) is inherently quadratic inside any group
+    * of identical signatures (n identical frames → n(n−1)/2 rows), so
+    * the production path groups identical hashes FIRST (one groupBy —
+    * exact visual dups collapse to a signature row), runs the hamming
+    * block-join over DISTINCT signatures only, and labels whole
+    * signature groups with connected components. Output per cluster:
+    * keeper (min frame key), total frames, distinct signatures. */
+  def visualDupClusters(spark: SparkSession, d: String,
+      maxHamming: Int = 7): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hashes = frameHashes(syntheticAssets(spark, d))
+    val sigs = hashes.groupBy($"ahash")
+      .agg(count(lit(1)).as("n_frames"), min($"frame_key").as("rep"))
+      .cache()
+    val sigEdges = graft.operators.Dedup.hammingBlockedPairs(
+      sigs.select($"ahash".as("id"), $"ahash".as("sig")), "id", "sig", maxHamming)
+    val labels = graft.operators.Dedup.connectedComponents(sigEdges)
+      .withColumnRenamed("id", "ahash")
+    sigs.join(labels, Seq("ahash"), "left")
+      .select($"ahash", $"n_frames", $"rep",
+        coalesce($"label", $"ahash").as("label"))
+      .groupBy($"label")
+      .agg(sum($"n_frames").as("n_frames"),
+        count(lit(1)).as("n_signatures"),
+        min($"rep").as("keeper"))
+      .select($"keeper", $"n_frames", $"n_signatures")
+      .orderBy($"keeper")
+  }
+
   /** Whole-pipeline summary per kind — the query a pipeline dashboard
     * would run. Every column is an exact integer over the DECODED
     * metadata (count / byte totals / width totals / frame totals), so

@@ -148,4 +148,24 @@ class MultimodalSpec extends SparkSpec {
     // the signal is real: intra-video consecutive-frame pairs exist
     assert(want.exists { case (a, _, b, _, _) => a == b })
   }
+
+  test("visual dup clusters equal union-find over brute-force hamming pairs") {
+    val hashes = Multimodal.frameHashes(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find over ALL frame pairs within hamming 7
+    val parent = scala.collection.mutable.HashMap(hashes.map(h => h._1 -> h._1): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for { (ka, ha) <- hashes; (kb, hb) <- hashes
+          if ka < kb && java.lang.Long.bitCount(ha ^ hb) <= 7 } {
+      val (ra, rb) = (find(ka), find(kb))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = hashes.groupBy(h => find(h._1)).map { case (root, members) =>
+      (members.map(_._1).min, members.length.toLong,
+        members.map(_._2).distinct.length.toLong)
+    }.toSet
+    val got = Multimodal.visualDupClusters(spark, sfDir, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
