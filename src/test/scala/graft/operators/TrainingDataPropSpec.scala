@@ -136,4 +136,57 @@ class TrainingDataPropSpec extends SparkSpec {
     }
     check(prop)
   }
+
+  test("bigram familiarity equals the naive mean-threshold model") {
+    import spark.implicits._
+    val prop = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      val bigrams = docs.flatMap { case (id, t) =>
+        t.toLowerCase.split(' ').toList.sliding(2)
+          .withFilter(_.length == 2).map(g => (id, g.mkString(" "))).toList
+      }
+      val counts = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+      val nTotal = counts.values.sum
+      val nDistinct = counts.size.toLong
+      val familiar = counts.collect {
+        case (b, n) if n * nDistinct >= nTotal => b
+      }.toSet
+      val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val nb = bs.size.toLong
+        val nf = bs.count(b => familiar(b._2)).toLong
+        val q = nf.toDouble / nb.toDouble
+        val bucket = if (q >= 0.9) "head" else if (q >= 0.5) "middle" else "tail"
+        (id, nb, nf, q, bucket)
+      }.toSet
+      val frame = docs.map { case (id, t) => (id, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = TextAnalysis.bigramFamiliarityOf(frame)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSet
+      got == expected
+    }
+    check(prop)
+  }
+
+  test("source cap equals the naive sort-and-take model under skew") {
+    import spark.implicits._
+    val cap = 3
+    val genSourced: Gen[List[(Long, String)]] =
+      Gen.listOfN(20, Gen.oneOf("mega", "mega", "mega", "mid", "rare"))
+        .map(_.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) })
+    val prop = Prop.forAll(genSourced) { rows =>
+      val expected = rows.groupBy(_._2).map { case (src, xs) =>
+        val ids = xs.map(_._1).sorted
+        val kept = ids.take(cap)
+        (src, ids.size.toLong, kept.size.toLong, kept.min, kept.max)
+      }.toSet
+      val frame = rows.map { case (id, s) => (id, s"text $id", "en", s) }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = Sampling.sourceCapOf(frame, cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      got == expected
+    }
+    check(prop)
+  }
 }
