@@ -237,6 +237,22 @@ object Multimodal {
       sig
     }
 
+    /** Dominant-frequency estimate in Hz from the mean zero-crossing
+      * rate: a sign change per half-period means f ≈ crossings /
+      * (2 · duration). Exact integer crossing count; one final
+      * division. The simplest real content fingerprint for tonal
+      * audio — amplitude- and duration-invariant. */
+    def dominantFreq(sampleRate: Int, samples: Array[Short]): Double = {
+      if (samples.length < 2) return 0.0
+      var zc = 0L
+      var i = 1
+      while (i < samples.length) {
+        if ((samples(i - 1) < 0) != (samples(i) < 0)) zc += 1
+        i += 1
+      }
+      zc.toDouble * sampleRate / (2.0 * (samples.length - 1))
+    }
+
     /** Audio feature: RMS energy over `dim` equal windows, normalized by
       * full scale. */
     def audioFeature(samples: Array[Short], dim: Int = 16): Array[Float] = {
@@ -442,6 +458,33 @@ object Multimodal {
         min($"rep").as("keeper"))
       .select($"keeper", $"n_frames", $"n_signatures")
       .orderBy($"keeper")
+  }
+
+  /** Audio near-dup groups by content fingerprint: decode every WAV,
+    * estimate the dominant frequency from zero crossings, quantize to
+    * `bucketHz` bins, and group — same tone at a different length or
+    * gain lands in the same bucket (the zero-crossing estimate is
+    * amplitude- and duration-invariant). Buckets with one member are
+    * dropped: the output is the dup-REVIEW list. Scan-side decode +
+    * one low-cardinality groupBy; at 100 TB the decode dominates and
+    * parallelizes per file. Quantization boundaries sit on exact
+    * integer-division results, so grouping is deterministic. */
+  def audioDupGroups(spark: SparkSession, d: String,
+      bucketHz: Int = 25): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    syntheticAssets(spark, d).filter(_.kind == "audio")
+      .map { a =>
+        val (sr, _, samples) = Codecs.decodeWav(a.bytes)
+        val f = Codecs.dominantFreq(sr, samples)
+        (a.asset_id, (math.round(f / bucketHz) * bucketHz).toInt)
+      }
+      .toDF("asset_id", "f_bucket")
+      .groupBy($"f_bucket")
+      .agg(count(lit(1)).as("n_assets"),
+        min($"asset_id").as("first_asset"), max($"asset_id").as("last_asset"))
+      .where($"n_assets" >= 2)
+      .orderBy($"f_bucket")
   }
 
   /** Whole-pipeline summary per kind — the query a pipeline dashboard

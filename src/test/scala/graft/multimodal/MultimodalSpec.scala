@@ -168,4 +168,35 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("dominant frequency recovers a sine's pitch, invariant to gain and length") {
+    def sine(sr: Int, n: Int, f: Double, amp: Double) =
+      Array.tabulate(n)(i => (math.sin(2 * math.Pi * f * i / sr) * amp).toShort)
+    val f0 = Codecs.dominantFreq(8000, sine(8000, 800, 440.0, 3000))
+    assert(math.abs(f0 - 440.0) < 15.0, s"est $f0")
+    // louder and longer versions estimate the same pitch
+    val loud = Codecs.dominantFreq(8000, sine(8000, 800, 440.0, 20000))
+    val long = Codecs.dominantFreq(8000, sine(8000, 3200, 440.0, 3000))
+    assert(math.abs(f0 - loud) < 10.0 && math.abs(f0 - long) < 10.0)
+    // a different pitch separates by more than one 25 Hz bucket
+    val other = Codecs.dominantFreq(8000, sine(8000, 800, 600.0, 3000))
+    assert(math.abs(other - f0) > 100.0)
+    assert(Codecs.dominantFreq(8000, Array.empty[Short]) == 0.0)
+  }
+
+  test("audio dup groups bucket same-pitch assets and match a naive recompute") {
+    val got = Multimodal.audioDupGroups(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // naive recompute from the decoded assets
+    val naive = assets.filter(_.kind == "audio").collect().map { a =>
+      val (sr, _, s) = Codecs.decodeWav(a.bytes)
+      (a.asset_id, (math.round(Codecs.dominantFreq(sr, s) / 25) * 25).toInt)
+    }.groupBy(_._2).collect { case (b, xs) if xs.length >= 2 =>
+      (b, xs.length.toLong, xs.map(_._1).min, xs.map(_._1).max)
+    }.toSet
+    assert(got.toSet == naive)
+    // buckets come out sorted
+    assert(got.map(_._1).sameElements(got.map(_._1).sorted))
+  }
 }
