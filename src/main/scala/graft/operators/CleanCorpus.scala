@@ -18,6 +18,49 @@ import org.apache.spark.sql.functions._
   */
 object CleanCorpus {
 
+  /** Scan-side text preparation shared by the batch pipeline (stages
+    * 0/0b) and the streaming ingest front door: optional Unicode NFC
+    * cleanup, optional within-document segment dedup. Both are pure
+    * projections — zero shuffles — so they compose into a streaming
+    * micro-batch unchanged. Any stage that rewrites text re-derives
+    * n_chars: the quality gate computes mean word length from it, and
+    * a stale count would score the OLD text against the NEW tokens. */
+  def prepare(docs: DataFrame, normalize: Boolean,
+      intraDocSegTokens: Option[Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def refreshChars(df: DataFrame): DataFrame =
+      if (df.columns.contains("n_chars"))
+        df.withColumn("n_chars", length($"text").cast("long"))
+      else df
+    val docsN =
+      if (!normalize) docs
+      else {
+        graft.functions.NormalizeNfc.register(spark)
+        refreshChars(docs.withColumn("text", TextAnalysis.cleanText($"text")))
+      }
+    // within-document segment dedup: in-doc stutter collapses BEFORE
+    // quality metrics score it and before any dedup key forms, so a
+    // page repeating one paragraph 50× neither fails the repetition
+    // gate spuriously nor hashes unlike its single-copy twin. Inlined
+    // as a projection (the same array_distinct rewrite as
+    // [[SpanDedup.dedupSegmentsIntraDocOf]]) rather than a join back,
+    // keeping the whole prepare pass shuffle-free.
+    intraDocSegTokens match {
+      case None => docsN
+      case Some(seg) =>
+        refreshChars(docsN
+          .withColumn("__toks", split(lower($"text"), " "))
+          .withColumn("text",
+            when($"text".isNotNull && size($"__toks") > 0, array_join(
+              array_distinct(expr(
+                s"""transform(sequence(0, cast(ceil(size(__toks) / ${seg}d) as int) - 1),
+                   |  i -> array_join(slice(__toks, i * $seg + 1, $seg), ' '))""".stripMargin)),
+              " ")).otherwise($"text"))
+          .drop("__toks"))
+    }
+  }
+
   final case class Stats(
       input: Long, afterQuality: Long, afterModel: Long, afterBoilerplate: Long,
       afterDecontam: Long, afterExact: Long, afterNearDup: Long)
@@ -50,34 +93,7 @@ object CleanCorpus {
     // 0. Unicode cleanup (no attrition — a pure scan-side rewrite):
     // canonically-equal texts must hash equal before any dedup key is
     // computed, or composed/decomposed variants slip past every stage.
-    // any stage that rewrites text must re-derive n_chars — the quality
-    // gate computes mean word length from it, and a stale count scores
-    // the OLD text against the NEW token stream.
-    def refreshChars(df: DataFrame): DataFrame =
-      if (df.columns.contains("n_chars"))
-        df.withColumn("n_chars", length($"text").cast("long"))
-      else df
-
-    val docsN =
-      if (!normalize) docs
-      else {
-        graft.functions.NormalizeNfc.register(spark)
-        refreshChars(docs.withColumn("text", TextAnalysis.cleanText($"text")))
-      }
-
-    // 0b. within-document segment dedup (also pure scan-side — the
-    // zero-shuffle array_distinct pass): in-doc stutter collapses
-    // BEFORE quality metrics score it and before any dedup key forms,
-    // so a page that repeats one paragraph 50× neither fails the
-    // repetition gate spuriously nor hashes unlike its single-copy twin.
-    val docs0 = intraDocSegTokens match {
-      case None => docsN
-      case Some(seg) =>
-        val cleaned = SpanDedup.dedupSegmentsIntraDocOf(docsN, seg)
-          .select($"doc_id", $"clean_text")
-        refreshChars(docsN.drop("text").join(cleaned, "doc_id")
-          .withColumnRenamed("clean_text", "text"))
-    }
+    val docs0 = prepare(docs, normalize, intraDocSegTokens)
 
     // 1. quality gate: scoring rules + repetition rules
     val keepIds = TextAnalysis.qualityScoreOf(docs0)

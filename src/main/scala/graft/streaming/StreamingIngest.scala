@@ -80,7 +80,9 @@ object StreamingIngest {
   def ingestBatch(batch: DataFrame, batchId: Long, runId: String,
       indexDir: String, corpusDir: String, threshold: Double,
       evalDocs: Option[DataFrame] = None,
-      minOverlap: Double = 0.5): Option[BatchReport] = {
+      minOverlap: Double = 0.5,
+      normalize: Boolean = false,
+      intraDocSegTokens: Option[Int] = None): Option[BatchReport] = {
     val spark = batch.sparkSession
     val key = s"${runId}_$batchId"
     val marker = new Path(s"$indexDir/_committed_$key")
@@ -88,15 +90,21 @@ object StreamingIngest {
     if (fs.exists(marker)) None
     else {
       val label = s"b$key"
+      // scan-side prepare (NFC cleanup, in-doc stutter collapse) runs
+      // BEFORE any shingle key forms — both are pure projections, so
+      // the micro-batch plan stays shuffle-free through this point and
+      // replays deterministically.
+      val prepared = graft.operators.CleanCorpus.prepare(
+        batch, normalize, intraDocSegTokens)
       // decontamination FIRST: a leaked eval document must not even
       // reach the dedup index, or a later clean near-duplicate of it
       // would be dropped as "already ingested"
       val (screened, nContaminated) = evalDocs match {
         case Some(ev) =>
           val survivors = graft.operators.Decontaminate
-            .decontaminateBloom(batch, ev, minOverlap)
-          (survivors, batch.count() - survivors.count())
-        case None => (batch, 0L)
+            .decontaminateBloom(prepared, ev, minOverlap)
+          (survivors, prepared.count() - survivors.count())
+        case None => (prepared, 0L)
       }
       // commit = false: the index write happens below, AFTER the corpus
       // write; commitLabel still rides along as the exclude label so a

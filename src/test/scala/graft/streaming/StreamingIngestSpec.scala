@@ -127,4 +127,32 @@ class StreamingIngestSpec extends SparkSpec {
     assert(r1.contains(StreamingIngest.BatchReport(1L, 2L, 0L, contaminated = 1L)))
     assert(corpusIds(corpusDir) == Set(11L))
   }
+
+  test("prepare stages run in the micro-batch: NFC variants and stutter dedup against the index") {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx5").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("ingest-corpus5").toString
+    // standing corpus: one plain doc and one where EVERY word carries a
+    // composed accent — an NFD byte-variant shares zero shingles with it
+    // unless the ingest normalizes first
+    val accented = "café résumé naïve entrée cliché touché fiancée protégé " +
+      "déjà señor niño piñata jalapeño crème brûlée soirée matinée purée sauté"
+    DedupIndex.build(df(Seq(1L -> base, 2L -> accented)), dir)
+    val decomposed = java.text.Normalizer.normalize(
+      accented, java.text.Normalizer.Form.NFD)
+    assert(decomposed != accented)
+    val r0 = StreamingIngest.ingestBatch(
+      df(Seq(30L -> (decomposed + " tiny tail"))),
+      0L, "runP", dir, corpusDir, threshold = 0.5,
+      normalize = true, intraDocSegTokens = Some(2))
+    // normalized → near-dup of standing doc 2 → dropped
+    assert(r0.contains(StreamingIngest.BatchReport(0L, 1L, 0L)))
+    // a stutter doc: without the in-doc collapse its 80 extra repeated
+    // tokens push jaccard vs the standing doc below threshold
+    val stutter = base + " " + Array.fill(40)(
+      base.split(' ').take(2).mkString(" ")).mkString(" ")
+    val r1 = StreamingIngest.ingestBatch(
+      df(Seq(31L -> stutter)), 1L, "runP", dir, corpusDir, threshold = 0.5,
+      normalize = true, intraDocSegTokens = Some(2))
+    assert(r1.contains(StreamingIngest.BatchReport(1L, 1L, 0L)))
+  }
 }
