@@ -445,11 +445,19 @@ object TextAnalysis {
   def bigramFamiliarityOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bg = docs.where($"text".isNotNull)
-      .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram"))
     // corpus counts come from the SAME materialized bigram table as
     // bigramLift — one corpus tokenize+shuffle serves both operators.
-    val counts = bigramCountsOf(docs).select($"bigram", $"n_ab".as("n"))
+    familiarityScore(docs, bigramCountsOf(docs).select($"bigram", $"n_ab".as("n")))
+  }
+
+  /** The familiarity scoring kernel: `docs` against an arbitrary bigram
+    * count table (recomputed here, or the standing
+    * [[CorpusStatsStore]] state — the online path). */
+  def familiarityScore(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = docs.where($"text".isNotNull)
+      .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram"))
     val stats = counts.agg(sum($"n").as("n_total"), count(lit(1)).as("n_distinct"))
     val familiar = counts.crossJoin(broadcast(stats))
       .where($"n" * $"n_distinct" >= $"n_total")
