@@ -955,6 +955,56 @@ object Dedup {
       |GROUP BY doc_id, n_segments
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document TEMPLATE SHARE — the quality-filter-facing view of
+    * the boilerplate machinery: the fraction of a document's segments
+    * that are corpus boilerplate (segment present in `minDf`-or-more
+    * DISTINCT documents). q96 rewrites documents; this SCORES them, so
+    * a pipeline can threshold or sample by templated-ness without
+    * mutating text. Same two shuffles as q96 (seg-df + per-doc agg);
+    * counts are exact longs and the share is one int/int division —
+    * oracle-exact. */
+  def templateShareOf(docs: DataFrame, segTokens: Int, minDf: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    require(minDf > 1, s"minDf must be > 1, got $minDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = segmentsOf(docs, segTokens)
+    val df = segs.groupBy($"seg").agg(countDistinct($"doc_id").as("df"))
+    segs.join(df, "seg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        count(when($"df" >= minDf, lit(1))).as("n_template"))
+      .select($"doc_id", $"n_segments", $"n_template",
+        ($"n_template".cast("double") / $"n_segments".cast("double"))
+          .as("template_share"))
+      .orderBy($"doc_id")
+  }
+
+  /** q111: template share at the q96 parameters (16-token segments,
+    * df ≥ 3 = boilerplate). */
+  def q111TemplateShare(spark: SparkSession, d: String): DataFrame =
+    templateShareOf(Tables.documents(spark, d), segTokens = 16, minDf = 3)
+
+  val q111Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(lower(text), ' ')) > 0
+      |), segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |         array_to_string(t[(i*16+1):(i*16+16)], ' ') AS seg
+      |  FROM toks,
+      |       unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS g(i)
+      |), df AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+      |)
+      |SELECT s.doc_id, count(*) AS n_segments,
+      |       count(CASE WHEN d.df >= 3 THEN 1 END) AS n_template,
+      |       CAST(count(CASE WHEN d.df >= 3 THEN 1 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS template_share
+      |FROM segs s JOIN df d USING (seg)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
   /** Cross-source duplication matrix — corpus governance: which source
     * pairs feed near-identical content (a crawl that mirrors another, a
     * dataset re-released under a new name). Pairs come from the SAME

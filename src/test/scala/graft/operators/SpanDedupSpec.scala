@@ -94,6 +94,28 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("template share scores without rewriting; planted chrome scores high") {
+    import spark.implicits._
+    // 2-token segments, df>=2 across distinct docs = template
+    val chrome = "accept cookies"
+    val docs = docsOf(
+      1L -> s"$chrome unique alpha words",         // segs: chrome + 2 others
+      2L -> s"$chrome other beta tokens",
+      3L -> s"$chrome $chrome $chrome")            // all-template doc
+    val got = Dedup.templateShareOf(docs, segTokens = 2, minDf = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    // in-doc repetition alone is NOT template: df counts distinct docs
+    val solo = docsOf(1L -> "own chant own chant own chant",
+      2L -> "completely different words here")
+    val soloGot = Dedup.templateShareOf(solo, segTokens = 2, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(soloGot(1L) == 0L)
+  }
+
   test("bigram familiarity: corpus-relative threshold and buckets") {
     // bigrams: doc1 "a b","b a","a b" doc2 "a b","b c"; counts:
     // "a b"->3, "b a"->1, "b c"->1; total=5, distinct=3 -> familiar
