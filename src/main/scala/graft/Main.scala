@@ -14,7 +14,7 @@ import graft.meta.MetaStore
   * runMain graft.Main tasks     <metaDir>                  # list tasks
   * runMain graft.Main optimize  <metaDir> <db> <table> <from> <to> [day|week|month]
   * runMain graft.Main clean     <docsParquet> <outDir> [jaccardThreshold]   # corpus cleaning
- * runMain graft.Main curate    <docsParquet> <shardDir> [thr] [evalParquet] [shardTokens] [boilerMinDf] # clean -> token-balanced shards
+ * runMain graft.Main curate    <docsParquet> <shardDir> [thr] [evalParquet] [shardTokens] [boilerMinDf] [nfc] [intraSegTokens] # clean -> token-balanced shards
   * runMain graft.Main sample    <docsParquet> <outDir> <rate>               # deterministic sample
   * runMain graft.Main index-build <corpusParquet> <indexDir>                # persist dedup index
   * runMain graft.Main index-dedup <batchParquet> <indexDir> <keptOut> [thr] # dedup batch vs index
@@ -83,14 +83,18 @@ object Main {
         case "curate" =>
           // args(1): docs parquet, args(2): shard out dir,
           // [args(3): jaccard thr], [args(4): eval parquet],
-          // [args(5): shard tokens], [args(6): boilerplate min df]
+          // [args(5): shard tokens], [args(6): boilerplate min df],
+          // [args(7): "nfc" to normalize], [args(8): intra-doc seg tokens]
           val docs = spark.read.parquet(args(1))
           val thr = if (args.length > 3) args(3).toDouble else 0.8
           val eval = if (args.length > 4) Some(spark.read.parquet(args(4))) else None
           val shardTokens = if (args.length > 5) args(5).toInt else 1 << 20
           val boilerMinDf = if (args.length > 6) Some(args(6).toInt) else None
+          val nfc = args.length > 7 && args(7) == "nfc"
+          val intraSeg = if (args.length > 8) Some(args(8).toInt) else None
           val (cleaned, stats) =
-            operators.CleanCorpus.clean(docs, thr, eval, boilerplateMinDf = boilerMinDf)
+            operators.CleanCorpus.clean(docs, thr, eval, boilerplateMinDf = boilerMinDf,
+              normalize = nfc, intraDocSegTokens = intraSeg)
           val nShards = operators.Packing.writeShards(cleaned, args(2), shardTokens)
           println(s"curate: input=${stats.input} quality=${stats.afterQuality} " +
             s"boilerplate=${stats.afterBoilerplate} decontam=${stats.afterDecontam} " +

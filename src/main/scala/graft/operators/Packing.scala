@@ -51,7 +51,17 @@ object Packing {
     docs.join(assign, "doc_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("lang", "source", "bin").parquet(outDir)
-    spark.read.parquet(outDir)
+    // an all-filtered corpus writes zero part files — reading the dir
+    // back to count shards would fail schema inference; 0 shards is
+    // the honest answer, not a crash (hit via curate with an eval set
+    // that decontaminates everything).
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(new org.apache.hadoop.fs.Path(outDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (!hasData) 0L
+    else spark.read.parquet(outDir)
       .select($"lang", $"source", $"bin").distinct().count()
   }
 

@@ -41,6 +41,13 @@ class PackingSpec extends SparkSpec {
     assert(shardTotals.forall(_ <= 500 + maxDocTokens))
   }
 
+  test("writeShards on an all-filtered corpus reports 0 shards, no crash") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir).where($"doc_id" < 0)
+    val out = java.nio.file.Files.createTempDirectory("shards-empty").toString
+    assert(Packing.writeShards(docs, out, tokensPerShard = 500) == 0L)
+  }
+
   test("packing is per-(lang, source) shard — bins restart across shards") {
     import spark.implicits._
     val docs = Seq(
