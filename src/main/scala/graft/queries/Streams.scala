@@ -180,4 +180,67 @@ object Streams {
       |  WHERE v.user_id = p.user_id AND v.ts >= p.ts
       |  ORDER BY ts ASC, event_id DESC LIMIT 1) l ON true
       |ORDER BY p.event_id""".stripMargin
+
+  /** q112: per-event session *assignment* — the window-function
+    * sessionization that complements q33's `session_window` aggregate.
+    * Where q33 only emits per-session summaries, this labels every
+    * event with its session ordinal, position within the session, and
+    * offset from the session start — the shape a feature pipeline
+    * joins back to raw events (q33 can't: the aggregate has lost the
+    * event ids).
+    *
+    * One shuffle total: the lag/cumsum window hash-partitions on
+    * user_id; the per-session windows cluster on (user_id, sess_id),
+    * which HashPartitioning(user_id) already satisfies (same user ⇒
+    * same partition), so EnsureRequirements inserts only a sort, not
+    * a second exchange. All outputs are exact integers (epoch-µs
+    * arithmetic) — no float parity risk vs the oracle.
+    */
+  def q112Sessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ws = Window.partitionBy($"user_id", $"sess_id")
+    val gap = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+    Tables.events(spark, d)
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("new_sess",
+        when(gap.isNull || gap >= gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pos_in_sess",
+        row_number().over(ws.orderBy($"ts", $"event_id")))
+      .withColumn("since_start_us",
+        unix_micros($"ts") - min(unix_micros($"ts")).over(ws))
+      .withColumn("sess_n", count(lit(1)).over(ws))
+      .select($"event_id", $"user_id", $"sess_id", $"pos_in_sess",
+        $"since_start_us", $"sess_n")
+      .orderBy($"event_id")
+  }
+
+  val q112Sql: String =
+    """WITH raw AS (
+      |  -- µs-truncate like Tables.events (see q33Sql)
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), e AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM raw
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM e
+      |)
+      |SELECT event_id, user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |       CAST(row_number() OVER ws AS INTEGER) AS pos_in_sess,
+      |       epoch_us(ts) - min(epoch_us(ts)) OVER wp AS since_start_us,
+      |       count(*) OVER wp AS sess_n
+      |FROM s
+      |WINDOW ws AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id),
+      |       wp AS (PARTITION BY user_id, sess_id)
+      |ORDER BY event_id""".stripMargin
 }
