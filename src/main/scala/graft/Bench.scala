@@ -48,11 +48,19 @@ object Bench {
     }
     val (r1, r2) = (round(), round())
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the timing line compact; sub-ms digits
+    // are JIT noise anyway.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = math.rint(results.values.sum * 1000) / 1000
     val plansJson = plans.toSeq.sortBy(_._1).map(_._2).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$plansJson,"sf":"$sfDir"}""")
+    // Plans line FIRST, timings line LAST: the driver captures a bounded
+    // tail of stdout, and round 7 proved a single jumbo line gets
+    // truncated from the front — the timings must be the final,
+    // self-contained, parseable line.
+    println(s"""{"metric":"plans","plans":$plansJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,19 +26,36 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy flag) and convert to a
-    * microsecond timestamp — truncation toward negative infinity matches
-    * DuckDB's ns→µs handling for the epochs in play. */
+  /** `events.ts` has shipped under two physical schemas across data
+    * regenerations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long via the legacy flag, then
+    * convert) and plain TIMESTAMP(MICROS)/NTZ (read natively). Branch on
+    * the resolved schema so either generation of TESTDATA loads, and
+    * normalize NTZ → session-local TimestampType so downstream
+    * `unix_micros`/window arithmetic and the DuckDB oracle agree. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` is integral long division: `floor(ts / 1000)` would route
-    // through a double, whose 53-bit mantissa can't hold an epoch-ns
-    // value (~1.7e18) — timestamps came out up to ~256 ns off, visible
-    // the moment a query emits raw microsecond values.
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(load(spark, d, "events"))
   }
+
+  /** Normalize whichever physical `ts` representation was read into a
+    * session-local TimestampType column. Works on batch and streaming
+    * DataFrames alike (pure schema inspection + projection). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // `div` is integral long division: `floor(ts / 1000)` would route
+        // through a double, whose 53-bit mantissa can't hold an epoch-ns
+        // value (~1.7e18) — timestamps came out up to ~256 ns off, visible
+        // the moment a query emits raw microsecond values.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Reinterpret the wall-clock value as UTC-instant micros so
+        // unix_micros() yields the same integers DuckDB computes from the
+        // parquet µs values (sessions run in UTC; conversion is exact).
+        raw.withColumn("ts", to_timestamp(col("ts")))
+      case _ => raw // already TimestampType
+    }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }

@@ -23,7 +23,7 @@ class EventStreamsSpec extends SparkSpec {
     // watermark never passes the stream's max event time).
     val streamed = EventStreams.runAvailableNow(spark, src,
       df => EventStreams.windowedCounts(
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        graft.sources.Tables.normalizeEventTs(df)),
       "wc_stream", org.apache.spark.sql.streaming.OutputMode.Complete())
     val batch = EventStreams.windowedCounts(graft.sources.Tables.events(spark, sfDir))
     val s = streamed.collect().map(_.toSeq).toSet
@@ -36,7 +36,7 @@ class EventStreamsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val out = EventStreams.runAvailableNow(spark, src,
       df => EventStreams.sessionWindows(
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        graft.sources.Tables.normalizeEventTs(df)),
       "sess_stream")
     val rows = out.collect()
     assert(rows.nonEmpty)
@@ -60,7 +60,7 @@ class EventStreamsSpec extends SparkSpec {
       dir.resolve("events-b.parquet"))
     val deduped = EventStreams.runAvailableNow(spark, dir.toString,
       df => EventStreams.dedupedEvents(
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        graft.sources.Tables.normalizeEventTs(df)),
       "dedup_stream")
     val batchDistinct = graft.sources.Tables.events(spark, sfDir)
       .select("event_id").distinct().count()
@@ -72,7 +72,7 @@ class EventStreamsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.runAvailableNow(spark, src,
       df => EventStreams.purchaseAttribution(
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        graft.sources.Tables.normalizeEventTs(df)),
       "ssj_stream")
     val batch = EventStreams.purchaseAttribution(
       graft.sources.Tables.events(spark, sfDir))
@@ -98,8 +98,7 @@ class EventStreamsSpec extends SparkSpec {
     try {
       val out = EventStreams.runAvailableNow(spark, src,
         df => userActivityTws(
-          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+          graft.sources.Tables.normalizeEventTs(df)
             .selectExpr("event_id", "ts", "user_id", "event_type", "value")
             .as[Event]).toDF(),
         "tws_stream", org.apache.spark.sql.streaming.OutputMode.Update())
