@@ -544,4 +544,141 @@ object Multimodal {
       |       CAST(max(sample_rate) AS INTEGER) AS max_sample_rate,
       |       CAST(sum(n_frames) AS BIGINT) AS total_frames
       |FROM decoded GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Full oracle for [[frameNearDup]]: the aHash kernel is pure integer
+    * math over bytes that are themselves integer-derived from the
+    * document text ((t(i mod len) + 31·i + salt) mod 256 — signedness
+    * washes out mod 256), so DuckDB can recompute every frame's 64
+    * luma bits from `hex(encode(text))` and take pair hamming distance
+    * as the count of disagreeing bits — no 64-bit signature value is
+    * ever constructed, sidestepping BIGINT sign pitfalls. The engine
+    * side still runs the REAL decoder + pigeonhole-blocked join; the
+    * oracle brute-forces all pairs (fine at oracle scale, and the
+    * chunk blocking is lossless for dist ≤ 7 so the sets coincide). */
+  val q108Sql: String =
+    """WITH frames AS (
+      |  SELECT doc_id*100 AS frame_key,
+      |         8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h, 0 AS salt,
+      |         hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id*100 + j, 8 + (doc_id % 5), 8 + (doc_id % 3), CAST(j AS INT),
+      |         hex(encode(text)), octet_length(encode(text))
+      |  FROM documents CROSS JOIN generate_series(0, 6) AS t(j)
+      |  WHERE doc_id % 3 = 2 AND j < 3 + (doc_id % 4)
+      |), pts AS (
+      |  -- the 64 nearest-neighbour sample points of the 8x8 downscale
+      |  SELECT frame_key, len, hx, salt, (y*8 + x) AS bit,
+      |         ((y*h)//8 * w + (x*w)//8) * 3 AS si
+      |  FROM frames CROSS JOIN generate_series(0,7) AS gy(y)
+      |              CROSS JOIN generate_series(0,7) AS gx(x)
+      |), luma AS (
+      |  SELECT frame_key, bit,
+      |    (299 * ((('0x' || substr(hx, 2*((si+0) % len)+1, 2))::INT + (si+0)*31 + salt) % 256)
+      |     + 587 * ((('0x' || substr(hx, 2*((si+1) % len)+1, 2))::INT + (si+1)*31 + salt) % 256)
+      |     + 114 * ((('0x' || substr(hx, 2*((si+2) % len)+1, 2))::INT + (si+2)*31 + salt) % 256)) // 1000 AS l
+      |  FROM pts
+      |), bits AS (
+      |  SELECT frame_key, bit,
+      |         CASE WHEN l > SUM(l) OVER (PARTITION BY frame_key) // 64 THEN 1 ELSE 0 END AS b
+      |  FROM luma
+      |), dists AS (
+      |  SELECT a.frame_key AS ka, b.frame_key AS kb,
+      |         SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS dist
+      |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.frame_key < b.frame_key
+      |  GROUP BY 1, 2 HAVING dist <= 7
+      |)
+      |SELECT ka // 100 AS asset_a, CAST(ka % 100 AS INT) AS frame_a,
+      |       kb // 100 AS asset_b, CAST(kb % 100 AS INT) AS frame_b,
+      |       CAST(dist AS INT) AS dist
+      |FROM dists ORDER BY asset_a, frame_a, asset_b, frame_b""".stripMargin
+
+  /** Full oracle for [[visualDupClusters]]: same recomputed aHash bits
+    * as [[q108Sql]], identical signatures collapsed via the 64-char
+    * bit-string (sidesteps signed-BIGINT construction), near-dup edges
+    * between DISTINCT signatures by disagreeing-bit count, and the
+    * connected components the engine derives iteratively expressed as
+    * a recursive-CTE transitive closure + min-label — exact because the
+    * edge sets coincide (chunk blocking is lossless at dist ≤ 7) and
+    * the output partition is label-invariant. The closure is only
+    * feasible because it runs over distinct signatures (hundreds), not
+    * frames — the same reason the engine's CC loop scales. */
+  val q109Sql: String =
+    """WITH RECURSIVE frames AS (
+      |  SELECT doc_id*100 AS frame_key,
+      |         8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h, 0 AS salt,
+      |         hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id*100 + j, 8 + (doc_id % 5), 8 + (doc_id % 3), CAST(j AS INT),
+      |         hex(encode(text)), octet_length(encode(text))
+      |  FROM documents CROSS JOIN generate_series(0, 6) AS t(j)
+      |  WHERE doc_id % 3 = 2 AND j < 3 + (doc_id % 4)
+      |), pts AS (
+      |  SELECT frame_key, len, hx, salt, (y*8 + x) AS bit,
+      |         ((y*h)//8 * w + (x*w)//8) * 3 AS si
+      |  FROM frames CROSS JOIN generate_series(0,7) AS gy(y)
+      |              CROSS JOIN generate_series(0,7) AS gx(x)
+      |), luma AS (
+      |  SELECT frame_key, bit,
+      |    (299 * ((('0x' || substr(hx, 2*((si+0) % len)+1, 2))::INT + (si+0)*31 + salt) % 256)
+      |     + 587 * ((('0x' || substr(hx, 2*((si+1) % len)+1, 2))::INT + (si+1)*31 + salt) % 256)
+      |     + 114 * ((('0x' || substr(hx, 2*((si+2) % len)+1, 2))::INT + (si+2)*31 + salt) % 256)) // 1000 AS l
+      |  FROM pts
+      |), bits AS (
+      |  SELECT frame_key, bit,
+      |         CASE WHEN l > SUM(l) OVER (PARTITION BY frame_key) // 64 THEN 1 ELSE 0 END AS b
+      |  FROM luma
+      |), sigstr AS (
+      |  SELECT frame_key, string_agg(CAST(b AS VARCHAR), '' ORDER BY bit) AS sig
+      |  FROM bits GROUP BY frame_key
+      |), sigs AS (
+      |  SELECT sig, count(*) AS n_frames, min(frame_key) AS rep
+      |  FROM sigstr GROUP BY sig
+      |), edges AS (
+      |  SELECT a.rep AS ra, b.rep AS rb
+      |  FROM sigs a JOIN sigs b ON a.rep < b.rep
+      |  WHERE (SELECT count(*) FROM generate_series(1,64) g(i)
+      |         WHERE substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1)) <= 7
+      |), edges2 AS (
+      |  SELECT ra, rb FROM edges UNION ALL SELECT rb AS ra, ra AS rb FROM edges
+      |), reach(src, node) AS (
+      |  SELECT rep, rep FROM sigs
+      |  UNION
+      |  SELECT r.src, e.rb FROM reach r JOIN edges2 e ON r.node = e.ra
+      |), comp AS (
+      |  SELECT src AS rep, min(node) AS label FROM reach GROUP BY src
+      |)
+      |SELECT min(s.rep) AS keeper, CAST(sum(s.n_frames) AS BIGINT) AS n_frames,
+      |       count(*) AS n_signatures
+      |FROM sigs s JOIN comp c ON s.rep = c.rep
+      |GROUP BY c.label ORDER BY keeper""".stripMargin
+
+  /** Full oracle for [[audioDupGroups]]: the WAV payload is a synthesized
+    * sine whose parameters derive from doc_id, and the zero-crossing
+    * fingerprint is a sign-change count over `trunc(sin·3000)` — all
+    * recomputable per sample in SQL (the engine decodes the REAL PCM16
+    * bytes; the oracle resynthesizes them). Sample count is bounded by
+    * 799, so the oracle materializes ≤ 800 rows per asset. */
+  val q110Sql: String =
+    """WITH audio AS (
+      |  SELECT doc_id AS id,
+      |         400 + (doc_id % 400) AS n,
+      |         200.0 + (doc_id % 200) AS f
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), samp AS (
+      |  SELECT id, n, i,
+      |         CAST(trunc(sin(2*pi()*f*i/8000.0) * 3000) AS INT) AS s
+      |  FROM audio CROSS JOIN generate_series(0, 798) AS t(i)
+      |  WHERE i < n
+      |), lagged AS (
+      |  SELECT id, n, s, lag(s) OVER (PARTITION BY id ORDER BY i) AS prev FROM samp
+      |), zc AS (
+      |  SELECT id, n, SUM(CASE WHEN (prev < 0) <> (s < 0) THEN 1 ELSE 0 END) AS z
+      |  FROM lagged WHERE prev IS NOT NULL GROUP BY id, n
+      |), bucket AS (
+      |  SELECT id, CAST(floor(z * 8000.0 / (2.0*(n-1)) / 25 + 0.5) AS INT) * 25 AS f_bucket FROM zc
+      |)
+      |SELECT f_bucket, count(*) AS n_assets, min(id) AS first_asset, max(id) AS last_asset
+      |FROM bucket GROUP BY 1 HAVING count(*) >= 2 ORDER BY f_bucket""".stripMargin
 }

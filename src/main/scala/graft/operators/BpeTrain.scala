@@ -188,4 +188,17 @@ object BpeTrain {
       .map { case ((a, b), i) => (i + 1, a, b, a + b) }
       .toSeq.toDF("rank", "left", "right", "merged")
   }
+
+  /** q115: the corpus tokenized under its own learned merges — per-doc
+    * word and piece counts, the token-budget accounting every training
+    * run needs. Train-then-apply in one query: [[learnMerges]] (one
+    * corpus word-count shuffle + vocab-sized loop) feeds [[encodeStats]]
+    * (pure scan-side encode, merge table in the closure). Iterative
+    * merge learning isn't one SQL query → rows-only; BpeTrainSpec pins
+    * the encode against hand-computed pieces and the merge learner
+    * against the reference loop. */
+  def q115BpeEncode(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    encodeStats(docs, learnMerges(docs, nMerges = 20))
+  }
 }

@@ -28,17 +28,26 @@ object Profile {
     *
     *  1. one scan for every non-distinct aggregate (counts, min/max) —
     *     these fold in a single agg with no shuffle amplification;
-    *  2. exact distincts via a MELT: each row explodes to (column,
-    *     value-as-string) pairs, pair-distinct, count per column. One
-    *     scan + one shuffle of the pairs. N separate `countDistinct`s
-    *     in one agg would instead plan an Expand — an N× row blowup
-    *     through the first aggregate (measured 7× slower on 4 columns)
-    *     — and N separate aggs would re-scan the table N times.
-    *     String-casting is safe for COUNTING (injective on the atomic
-    *     types profiled); min/max use the native type in job 1.
+    *  2. exact distincts, strategy picked by input size (see
+    *     [[meltCutoverPairs]]): small inputs use N `countDistinct`s in
+    *     one agg (Expand plan — N× row blowup, but blowup of a small
+    *     thing); large inputs use a MELT — each row explodes to
+    *     (column, value-as-string) pairs, pair-distinct, count per
+    *     column: one scan + one shuffle of the pairs, no Expand through
+    *     the aggregate. N separate aggs would re-scan the table N times
+    *     and are never used. String-casting is safe for COUNTING
+    *     (injective on the atomic types profiled); min/max use the
+    *     native type in job 1.
     *
     * With `approximate`, HLL++ sketches merge without Expand, so the
     * distincts ride job 1 and the melt never runs: ONE job total. */
+  /** Exact-distinct strategy crossover, in melted (row × column) pairs.
+    * Below this the one-agg countDistinct (Expand) plan wins; above it
+    * the melt avoids Expand's N× blowup through the first aggregate.
+    * At 100 TB any real table is far above the cutover, so the scale
+    * path is always the melt. Overridable for tests. */
+  private[operators] var meltCutoverPairs: Long = 32L * 1000 * 1000
+
   def computeStats(df: DataFrame, cols: Seq[String],
       approximate: Boolean): TableStats = {
     require(cols.nonEmpty, "profile needs at least one column")
@@ -53,7 +62,17 @@ object Profile {
     val row = df.agg(count(lit(1)).as("__n_rows"), basic: _*).collect().head
     val distinct: Map[String, Long] =
       if (approximate) cols.map(c => c -> row.getAs[Long](s"__d_$c")).toMap
-      else {
+      else if (row.getAs[Long]("__n_rows") * cols.length <= meltCutoverPairs) {
+        // Small-input cutover: under ~32M melted pairs the Expand plan's
+        // N× blowup is cheaper than the melt's explode + string-cast +
+        // two-level distinct shuffle (bench: 0.23 s vs 1.68 s on 150k×4
+        // at sf0.1). Both shapes count null-excluded exact distincts, so
+        // the oracle can't tell them apart. Job 1 already told us n_rows,
+        // so the decision costs nothing.
+        val r = df.agg(countDistinct(col(cols.head)).as(s"__d_${cols.head}"),
+          cols.tail.map(c => countDistinct(col(c)).as(s"__d_$c")): _*).collect().head
+        cols.map(c => c -> r.getAs[Long](s"__d_$c")).toMap
+      } else {
         val counted = df.select(explode(array(cols.map(c =>
             struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("p"))
           .select($"p.c".as("c"), $"p.v".as("v"))

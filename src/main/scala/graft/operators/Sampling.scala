@@ -291,4 +291,96 @@ object Sampling {
       |       ntile(4) OVER (ORDER BY len(string_split(lower(text), ' ')), doc_id) AS phase
       |FROM documents WHERE text IS NOT NULL
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global training shuffle + sharding: every epoch of a
+    * training run needs the corpus in a reproducible pseudo-random
+    * order, split into shards that workers read independently. Keyed
+    * md5 gives both at once — shard = hash mod nShards (uniform,
+    * seed-keyed), pos = rank of the hash WITHIN the shard. Changing the
+    * seed re-shuffles; re-running does not.
+    *
+    * Scale: the hash is a codegen'd projection (no RNG state, no
+    * global sort); the only shuffle is the per-shard rank window,
+    * whose partitions are corpus/nShards by construction — pick
+    * nShards ≥ cluster parallelism and no partition outgrows a task.
+    * This is the manifest every epoch reader consumes; a global
+    * row_number (single-partition window) is exactly what it avoids. */
+  def shuffleShardsOf(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 15 hex digits = 60 bits: fits a positive long exactly, and DuckDB
+    // reproduces it with the same md5-hex prefix math.
+    val h = conv(substring(md5(
+        concat(lit(seed), lit(":"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    docs.select($"doc_id")
+      .withColumn("h", h)
+      .withColumn("shard", ($"h" % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h", $"doc_id")))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  def q113ShuffleShards(spark: SparkSession, d: String): DataFrame =
+    shuffleShardsOf(Tables.documents(spark, d), seed = "epoch-0", nShards = 8)
+
+  val q113Sql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+      |FROM hashed ORDER BY doc_id""".stripMargin
+
+  /** Length-bucketed batch assignment — the dynamic-batching pass that
+    * keeps padding waste bounded: documents are grouped into coarse
+    * length bands (`bandChars`-wide), sorted by exact length inside the
+    * band, and chunked into batches of `batchSize`. Padding waste per
+    * batch = n·max(len) − Σlen, the tokens a fixed-shape training step
+    * would burn on pad; bucketing by band bounds it because batch
+    * members differ by at most the band width (plus the band-boundary
+    * remainder batch).
+    *
+    * Scale: the only shuffle keys on the band — bounded cardinality,
+    * and the within-band sort is a per-partition window, NEVER a global
+    * one-partition sort. A band that outgrows a task splits fine on a
+    * salted sub-band ((band, h mod k)) without changing the waste
+    * guarantee. Output is batch-level (manifest), corpus-sized / batch. */
+  def lengthBatchesOf(docs: DataFrame, bandChars: Int, batchSize: Int): DataFrame = {
+    require(bandChars > 0 && batchSize > 0,
+      s"bandChars and batchSize must be positive, got $bandChars/$batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs.select($"doc_id", $"n_chars")
+      .withColumn("band", ($"n_chars" / bandChars).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"band").orderBy($"n_chars", $"doc_id")))
+      .withColumn("batch", (($"rk" - 1) / batchSize).cast("long"))
+      .groupBy($"band", $"batch")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+        (count(lit(1)) * max($"n_chars") - sum($"n_chars")).as("pad_waste"))
+      .orderBy($"band", $"batch")
+  }
+
+  def q114LengthBatches(spark: SparkSession, d: String): DataFrame =
+    lengthBatchesOf(Tables.documents(spark, d), bandChars = 256, batchSize = 16)
+
+  val q114Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, n_chars, n_chars // 256 AS band,
+      |         row_number() OVER (PARTITION BY n_chars // 256
+      |                            ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT band, (rk - 1) // 16 AS batch, count(*) AS n_docs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       count(*) * max(n_chars) - sum(n_chars) AS pad_waste
+      |FROM ranked GROUP BY 1, 2 ORDER BY band, batch""".stripMargin
 }

@@ -72,6 +72,33 @@ class PlanHygieneSpec extends SparkSpec {
       plan)
   }
 
+  test("q112 sessionize runs one hash exchange: user_id satisfies every window") {
+    // lag/cumsum partition on user_id; the (user_id, sess_id) windows are
+    // satisfied by the same HashPartitioning, so EnsureRequirements must
+    // add sorts, not a second hash exchange. The only other exchange is
+    // the presentation orderBy's range partitioning.
+    val plan = planOf(queries.Streams.q112Sessionize(spark, sfDir))
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("rangepartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q113 shuffle shards: codegen'd hash, per-shard window, no global sort window") {
+    val plan = planOf(graft.operators.Sampling.q113ShuffleShards(spark, sfDir))
+    // the rank partitions by shard — a single-partition global window
+    // would show hashpartitioning on an empty key list / SinglePartition
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("hashpartitioning()"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q114 length batches shuffle on the band, never a one-partition window") {
+    val plan = planOf(graft.operators.Sampling.q114LengthBatches(spark, sfDir))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("hashpartitioning()"), plan)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q85 forward as-of keeps the union+window single-shuffle shape") {
     val plan = planOf(queries.Streams.q85ForwardAsOf(spark, sfDir))
     assert(plan.contains("Window"), plan)

@@ -5,6 +5,22 @@ import graft.SparkSpec
 /** Profiling invariants + approx-sketch error bound. */
 class ProfileSpec extends SparkSpec {
 
+  test("exact-distinct strategies agree across the melt cutover") {
+    // Same table, both sides of the crossover: the Expand (small-input)
+    // and melt (scale) plans must produce identical profiles.
+    val df = graft.sources.Tables.orders(spark, sfDir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val saved = Profile.meltCutoverPairs
+    try {
+      Profile.meltCutoverPairs = Long.MaxValue // force Expand path
+      val small = Profile.profile(df, cols).collect().toSeq
+      Profile.meltCutoverPairs = 0L // force melt path
+      val melt = Profile.profile(df, cols).collect().toSeq
+      assert(small == melt)
+      assert(small.nonEmpty)
+    } finally Profile.meltCutoverPairs = saved
+  }
+
   test("approx distinct within 10% of exact for orders keys") {
     val exact = Profile.q42Profile(spark, sfDirMid).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap

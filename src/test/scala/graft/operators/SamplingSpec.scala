@@ -137,6 +137,47 @@ class SamplingSpec extends SparkSpec {
     assert(got("b") == ((2L, 2L, 10L, 11L)))
   }
 
+  test("shuffle shards: permutation, seed-keyed, uniform-ish, reproducible") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"t$i", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Sampling.shuffleShardsOf(docs, "epoch-0", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // exhaustive: every doc exactly once
+    assert(a.map(_._1).sorted.sameElements(1L to 200L))
+    // positions within a shard are 1..n, dense
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    }
+    // no empty shard at 200/8 (md5 uniformity; deterministic data)
+    assert(a.map(_._2).distinct.length == 8)
+    // reproducible; a different seed produces a different order
+    val b = Sampling.shuffleShardsOf(docs, "epoch-0", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    val c = Sampling.shuffleShardsOf(docs, "epoch-1", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(!a.sortBy(_._1).sameElements(c.sortBy(_._1)))
+  }
+
+  test("length batches: full batches within band width, waste = n*max - sum") {
+    import spark.implicits._
+    // band 0: 20 docs of lengths 1..20 → batches of 16 and 4
+    // band 1: 3 docs of length 300 → one batch, zero waste
+    val docs = ((1L to 20L).map(i => (i, "t", "en", "s", i)) ++
+      (21L to 23L).map(i => (i, "t", "en", "s", 300L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sampling.lengthBatchesOf(docs, bandChars = 256, batchSize = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // band 0, batch 0: lengths 1..16 → waste 16*16 - 136 = 120
+    assert(rows((0L, 0L)) == ((16L, 1L, 16L, 120L)))
+    // band 0, batch 1: lengths 17..20 → waste 4*20 - 74 = 6
+    assert(rows((0L, 1L)) == ((4L, 17L, 20L, 6L)))
+    assert(rows((1L, 0L)) == ((3L, 300L, 300L, 0L)))
+    assert(rows.size == 3)
+  }
+
   test("curriculum phases: monotone in score, sizes differ by at most one") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
