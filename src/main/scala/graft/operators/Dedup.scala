@@ -203,6 +203,66 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Directional shingle CONTAINMENT (Broder): |Sa ∩ Sb| / |Sa| — the
+    * near-dup signal Jaccard misses when one document swallows another
+    * (quote inside an article, page inside a concatenated dump):
+    * a 100-shingle doc fully inside a 10k-shingle doc has Jaccard
+    * ≈ 0.01 but containment 1.0. Emits one row per ordered pair at or
+    * above `threshold` (contained doc → its container).
+    *
+    * Same inverted-index shape as [[ngramJaccard]]: candidates share
+    * ≥ 1 shingle (exact for containment > 0), the pair aggregate rides
+    * the shingle equi-join, and both orientations reuse ONE unordered
+    * intersection count. Containment is a single long/long IEEE
+    * division — engine-portable, oracle-exact. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docShingles(docs)
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val both = inter.select($"id_a".as("doc_id"), $"id_b".as("container_id"), $"inter")
+      .unionByName(
+        inter.select($"id_b".as("doc_id"), $"id_a".as("container_id"), $"inter"))
+    both.join(counts, Seq("doc_id"))
+      .withColumn("containment", $"inter" / $"n")
+      .where($"containment" >= threshold)
+      .select($"doc_id", $"container_id", $"inter".as("n_shared"),
+        $"n".as("n_shingles"), $"containment")
+      .orderBy($"doc_id", $"container_id")
+  }
+
+  def q116Containment(spark: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(spark, d), threshold = 0.5)
+
+  def containmentSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), dirs AS (
+       |  SELECT id_a AS doc_id, id_b AS container_id, inter FROM inter
+       |  UNION ALL
+       |  SELECT id_b, id_a, inter FROM inter
+       |)
+       |SELECT b.doc_id, b.container_id, b.inter AS n_shared,
+       |       c.n AS n_shingles, CAST(b.inter AS DOUBLE) / c.n AS containment
+       |FROM dirs b JOIN counts c ON c.doc_id = b.doc_id
+       |WHERE CAST(b.inter AS DOUBLE) / c.n >= $threshold
+       |ORDER BY b.doc_id, b.container_id""".stripMargin
+
+  val q116Sql: String = containmentSql(0.5)
+
   /** Top-k most-similar documents per query doc, by n-gram Jaccard —
     * the text-side similarity SEARCH (q25's embedding top-k, for
     * shingles). Candidates come from the inverted shingle index: a doc

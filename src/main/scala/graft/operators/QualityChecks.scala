@@ -84,4 +84,44 @@ object QualityChecks {
       |  UNION ALL
       |  SELECT 'lineitem_fk_not_null', CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |) ORDER BY check_name""".stripMargin
+
+  /** Cross-modal completeness report — the governance gate a multimodal
+    * training pipeline runs before a corpus ships: every document must
+    * carry its embedding, no embedding may be orphaned, and the vector
+    * column must be dimension-uniform (a ragged dim breaks every
+    * downstream kernel silently). One co-partitioned full-outer join on
+    * the id + one aggregate — at 100 TB both tables shuffle once on the
+    * join key and the report is a single row. */
+  def modalityChecks(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select($"doc_id", lit(1).as("has_d"))
+    val v = vecs.select($"vec_id".as("doc_id"),
+      size($"embedding").as("dim"), lit(1).as("has_v"))
+    d.join(v, Seq("doc_id"), "full_outer")
+      .agg(
+        // coalesce OUTSIDE the sums: on an empty corpus sum() is null,
+        // and a governance report must read 0, not null
+        coalesce(sum(coalesce($"has_d", lit(0))), lit(0L)).as("n_docs"),
+        coalesce(sum(coalesce($"has_v", lit(0))), lit(0L)).as("n_vecs"),
+        coalesce(sum(when($"has_v".isNull, 1L).otherwise(0L)), lit(0L)).as("n_missing_vec"),
+        coalesce(sum(when($"has_d".isNull, 1L).otherwise(0L)), lit(0L)).as("n_orphan_vec"),
+        countDistinct($"dim").as("n_dims"),
+        min($"dim").as("dim_min"), max($"dim").as("dim_max"))
+  }
+
+  def q117ModalityChecks(spark: SparkSession, d: String): DataFrame =
+    modalityChecks(Tables.documents(spark, d), Tables.embeddings(spark, d))
+
+  val q117Sql: String =
+    """WITH j AS (
+      |  SELECT d.doc_id AS did, e.vec_id AS vid, len(e.embedding) AS dim
+      |  FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+      |)
+      |SELECT count(did) AS n_docs, count(vid) AS n_vecs,
+      |       CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_vec,
+      |       CAST(sum(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_vec,
+      |       count(DISTINCT dim) AS n_dims,
+      |       CAST(min(dim) AS INT) AS dim_min, CAST(max(dim) AS INT) AS dim_max
+      |FROM j""".stripMargin
 }

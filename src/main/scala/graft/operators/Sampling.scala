@@ -286,6 +286,33 @@ object Sampling {
   def q106Curriculum(spark: SparkSession, d: String): DataFrame =
     curriculumOf(Tables.documents(spark, d), phases = 4)
 
+  /** The 100 TB curriculum path [[curriculumOf]]'s doc prescribes:
+    * phase cutoffs from `approxQuantile` (one pass, Greenwald-Khanna,
+    * no global window), assignment as a broadcast CASE over the score —
+    * a pure scan-side projection. Differs from the exact ntile only at
+    * quantile-boundary ties (documents sharing a cutoff score land in
+    * the lower phase together instead of splitting by doc_id), which is
+    * the honest trade: phase populations wobble by the tied-score mass,
+    * order stays monotone in the score. `relativeError = 0` makes the
+    * quantiles exact while still never materializing a global sort. */
+  def curriculumAtScale(docs: DataFrame, phases: Int,
+      relativeError: Double = 0.0): DataFrame = {
+    require(phases > 0, s"phases must be positive, got $phases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs.where($"text".isNotNull)
+      .select($"doc_id",
+        size(split(lower($"text"), " ")).cast("long").as("n_tokens"))
+    val probs = (1 until phases).map(_.toDouble / phases).toArray
+    val cuts = scored.stat.approxQuantile("n_tokens", probs, relativeError)
+    // Build the CASE smallest-cut-first: fold from the largest cut down
+    // so the innermost `when` (evaluated first) is the lowest phase.
+    val phase = cuts.zipWithIndex.reverse.foldLeft(lit(phases)) {
+      case (acc, (cut, i)) => when($"n_tokens" <= cut, lit(i + 1)).otherwise(acc)
+    }
+    scored.withColumn("phase", phase).orderBy($"doc_id")
+  }
+
   val q106Sql: String =
     """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
       |       ntile(4) OVER (ORDER BY len(string_split(lower(text), ' ')), doc_id) AS phase

@@ -135,6 +135,26 @@ class DedupSpec extends SparkSpec {
     assert(hammingNear < hammingFar)
   }
 
+  test("containment finds a swallowed doc that Jaccard misses, directionally") {
+    import spark.implicits._
+    // doc 1 (8 words -> 6 shingles) is verbatim inside doc 2's much
+    // longer text; doc 3 is unrelated.
+    val small = "the quick brown fox jumps over the dog"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small), (2L, s"$filler $small $filler"), (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // direction matters: 1 is contained in 2, never the reverse
+    assert(rows.exists { case (d, c, ct) => d == 1L && c == 2L && ct == 1.0 })
+    assert(!rows.exists { case (d, c, _) => d == 2L && c == 1L })
+    assert(!rows.exists { case (d, c, _) => d == 3L || c == 3L })
+    // and the same pair's Jaccard (6 shared / ~127 union shingles) is
+    // far below any dedup threshold — the signal only containment sees
+    assert(6.0 / 127.0 < 0.1)
+  }
+
   test("exact dedup groups: keeper is the minimum doc id and groups have >1 member") {
     val rows = Dedup.exact(spark, sfDirMid).collect()
     assert(rows.nonEmpty)

@@ -49,6 +49,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.curriculumOf(emptyDocs, phases = 4).count() == 0)
   }
 
+  test("shuffle shards, length batches, scale curriculum: empty inputs yield empty frames") {
+    assert(Sampling.shuffleShardsOf(emptyDocs, "s", 8).count() == 0)
+    assert(Sampling.lengthBatchesOf(emptyDocs, 256, 16).count() == 0)
+    assert(Sampling.curriculumAtScale(emptyDocs, phases = 4).count() == 0)
+  }
+
+  test("containment: empty and null-text inputs yield empty frames") {
+    assert(Dedup.containmentPairs(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.containmentPairs(nullTextDocs, 0.5).count() == 0)
+  }
+
+  test("modality checks: empty sides produce a zero report, not a throw") {
+    import spark.implicits._
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    val r = QualityChecks.modalityChecks(emptyDocs, emptyVecs).collect().head
+    assert(r.getAs[Long]("n_docs") == 0L && r.getAs[Long]("n_vecs") == 0L)
+    val oneSided = QualityChecks.modalityChecks(nullTextDocs, emptyVecs).collect().head
+    assert(oneSided.getAs[Long]("n_docs") == 1L)
+    assert(oneSided.getAs[Long]("n_missing_vec") == 1L)
+  }
+
   test("BPE training: empty corpus learns zero merges; encode of empty stats is empty") {
     val merges = BpeTrain.learnMerges(emptyDocs, nMerges = 5)
     assert(merges.isEmpty)

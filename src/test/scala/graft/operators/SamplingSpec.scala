@@ -178,6 +178,30 @@ class SamplingSpec extends SparkSpec {
     assert(rows.size == 3)
   }
 
+  test("scale curriculum: monotone phases, near-equal sizes, ties sink low") {
+    import spark.implicits._
+    // distinct token counts → cutoffs are clean order statistics
+    val docs = (1L to 40L).map(i =>
+      (i, Array.fill(i.toInt)("w").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sampling.curriculumAtScale(docs, phases = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 40)
+    // monotone along the score order
+    val ordered = rows.sortBy(r => (r._2, r._1)).map(_._3)
+    assert(ordered.sameElements(ordered.sorted))
+    // near-equal populations (exact quantiles, distinct scores)
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.forall(s => math.abs(s - 10) <= 1))
+    // tied scores land in one (low) phase together — the documented trade
+    val tied = (1L to 12L).map(i => (i, "a b c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tiedPhases = Sampling.curriculumAtScale(tied, phases = 3)
+      .collect().map(_.getInt(2)).toSet
+    assert(tiedPhases == Set(1))
+  }
+
   test("curriculum phases: monotone in score, sizes differ by at most one") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -189,4 +189,27 @@ class TrainingDataPropSpec extends SparkSpec {
     }
     check(prop)
   }
+
+  test("containment equals the naive shingle-set model, both directions") {
+    import spark.implicits._
+    val threshold = 0.5
+    val prop = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      def shingles(t: String): Set[String] =
+        t.toLowerCase.split(' ').toList.sliding(3)
+          .withFilter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toList; (b, sb) <- sets.toList
+        if a != b && sa.nonEmpty
+        inter = (sa & sb).size
+        if inter > 0 && inter.toDouble / sa.size >= threshold
+      } yield (a, b, inter.toLong, sa.size.toLong)).toSet
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      got == expected
+    }
+    check(prop)
+  }
 }
