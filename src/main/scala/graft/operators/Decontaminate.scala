@@ -118,6 +118,26 @@ object Decontaminate {
     assembleReport(sh, sh.where(mightContain($"sh")), evalSh, minOverlap)
   }
 
+  /** The crossover from SCALE.md, as code: the bloom prefilter only
+    * beats the plain broadcast-hash probe once the eval shingle set is
+    * large enough that its hash relation thrashes executor cache while
+    * the ~40×-smaller bloom stays resident (≈10M distinct shingles) —
+    * below that the screen is pure overhead (measured 1.05 s vs 0.83 s
+    * at sf0.1). This wrapper makes the default path pick the right
+    * side of that line from the eval set's actual distinct-shingle
+    * count; callers with a standing eval set (streaming ingest) still
+    * call [[overlapReportBloom]] directly and amortize the build. */
+  def overlapReportAuto(docs: DataFrame, evalDocs: DataFrame,
+      minOverlap: Double, bloomMinEvalShingles: Long = 10L * 1000 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val distinct = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    val evalKey = distinct.queryExecution.analyzed.canonicalized
+    val nEval = evalShCache.getOrElseUpdate(evalKey)(distinct.cache()).count()
+    if (nEval >= bloomMinEvalShingles) overlapReportBloom(docs, evalDocs, minOverlap)
+    else overlapReport(docs, evalDocs, minOverlap)
+  }
+
   /** q49: contamination report of the corpus (doc_id ≥ 50) against a
     * simulated eval set (doc_id < 50, which includes near-dup plant
     * sources so real leakage exists) at 50% shingle overlap. */

@@ -137,6 +137,81 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionLabel(event_id: Long, user_id: Long, sess_id: Long,
+      pos_in_sess: Int, since_start_us: Long, sess_n: Long)
+  final case class SessionBuffer(sessId: Long, startUs: Long, lastUs: Long,
+      eventIds: Array[Long], tsUs: Array[Long])
+
+  /** Streaming twin of the batch per-event sessionization
+    * ([[graft.queries.Streams.q112Sessionize]]): labels every event
+    * with (session ordinal, position, offset-from-start, session size)
+    * and emits the COMPLETE label set for a session the moment the
+    * session closes — either a later event opens the next one, or the
+    * event-time watermark passes last-event + gap (timeout). The
+    * aggregate `session_window` path ([[sessionWindows]]) cannot
+    * produce this shape: it has already lost the event ids.
+    *
+    * Labels are exact integers over epoch-µs, identical to the batch
+    * query — closed sessions match q112's rows bit-for-bit
+    * (spec-asserted). State per user = the OPEN session's buffered
+    * events, evicted on close: bounded by session length, not stream
+    * length. Requires time-ordered arrival per user across
+    * micro-batches (the file/kafka norm); within a batch order is
+    * restored by an explicit sort. */
+  def sessionAssignments(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionLabel] = {
+    implicit val stateEnc = Encoders.product[SessionBuffer]
+    implicit val outEnc = Encoders.product[SessionLabel]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def labels(b: SessionBuffer, user: Long): Iterator[SessionLabel] = {
+      val n = b.eventIds.length.toLong
+      (0 until b.eventIds.length).iterator.map { i =>
+        SessionLabel(b.eventIds(i), user, b.sessId, i + 1,
+          b.tsUs(i) - b.startUs, n)
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuffer]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: the open session closed
+            val b = state.get
+            state.remove()
+            labels(b, user)
+          } else {
+            // micro-batch order is arbitrary; session math needs time order
+            val sorted = rows.map(e => (unixMicros(e.ts), e.event_id))
+              .toArray.sortInPlaceBy(identity)
+            var closed = List.empty[SessionBuffer]
+            var cur = state.getOption.orNull
+            sorted.foreach { case (us, id) =>
+              if (cur == null)
+                cur = SessionBuffer(1L, us, us, Array(id), Array(us))
+              else if (us - cur.lastUs >= gapUs) {
+                closed ::= cur
+                cur = SessionBuffer(cur.sessId + 1, us, us, Array(id), Array(us))
+              } else
+                cur = cur.copy(lastUs = us,
+                  eventIds = cur.eventIds :+ id, tsUs = cur.tsUs :+ us)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // close via watermark once last + gap passes (millis API)
+              state.setTimeoutTimestamp(cur.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.reverse.iterator.flatMap(b => labels(b, user))
+          }
+        })
+  }
+
+  private def unixMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+
   /** Streaming dedup for at-least-once / replayed feeds: duplicate
     * event ids arriving within the watermark horizon collapse to the
     * first arrival, and the dedup state is evicted once the watermark

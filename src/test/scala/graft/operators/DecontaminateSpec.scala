@@ -60,4 +60,21 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(lossy == exact)
   }
+
+  test("auto path picks by eval size and matches the exact report either way") {
+    import spark.implicits._
+    val all = graft.sources.Tables.documents(spark, sfDir)
+    val corpus = all.where($"doc_id" >= 50)
+    val eval = all.where($"doc_id" < 50)
+    val exact = Decontaminate.overlapReport(corpus, eval, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // tiny eval set → exact path; threshold 0 → bloom path; same rows
+    val autoExact = Decontaminate.overlapReportAuto(corpus, eval, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val autoBloom = Decontaminate.overlapReportAuto(corpus, eval, 0.5,
+        bloomMinEvalShingles = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(autoExact == exact)
+    assert(autoBloom == exact)
+  }
 }

@@ -89,6 +89,57 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionize: closed sessions carry exactly the batch q112 labels") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import EventStreams._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+    // two time-ordered files → two micro-batches: batch 2's watermark
+    // (max ts of batch 1) closes batch-1 sessions by event-time timeout,
+    // and batch-2 events close their predecessors by gap detection
+    val Array(loUs, hiUs) = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val midUs = loUs + (hiUs - loUs) / 2
+    val dir = java.nio.file.Files.createTempDirectory("events-sess")
+    ev.where(unix_micros($"ts") <= midUs).coalesce(1)
+      .write.parquet(dir.resolve("t=a").toString)
+    Thread.sleep(1100) // file-source ordering is by modification time
+    ev.where(unix_micros($"ts") > midUs).coalesce(1)
+      .write.parquet(dir.resolve("t=b").toString)
+
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("basePath", dir.toString)
+      .parquet(dir.toString + "/t=*")
+    val q = sessionAssignments(stream.as[Event], gapMinutes = 30,
+        watermark = "0 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("sess_assign")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_assign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed.nonEmpty)
+
+    val batch = graft.queries.Streams.q112Sessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // every closed session's labels match the batch query bit-for-bit
+    val closedKeys = streamed.map(t => (t._2, t._3))
+    val batchClosed = batch.filter(t => closedKeys.contains((t._2, t._3)))
+    assert(streamed == batchClosed)
+    // closed sessions are a time-prefix per user: ordinals 1..k contiguous
+    streamed.groupBy(_._2).foreach { case (_, rows) =>
+      val sessIds = rows.map(_._3)
+      assert(sessIds == (1L to sessIds.max).toSet)
+    }
+  }
+
   test("transformWithState running totals converge to the batch aggregate") {
     import spark.implicits._
     import EventStreams._
