@@ -106,6 +106,16 @@ object Main {
             org.apache.spark.sql.functions.col("doc_id"), args(3).toDouble)
           sampled.write.mode("overwrite").parquet(args(2))
           println(s"sample: ${sampled.count()} of ${docs.count()} docs -> ${args(2)}")
+        case "diff" =>
+          // args(1): old corpus parquet, args(2): new corpus parquet,
+          // args(3): report out dir — the release gate before switching
+          // a training run to a new corpus version.
+          val report = operators.CorpusDiff.diff(
+            spark.read.parquet(args(1)), spark.read.parquet(args(2)))
+          report.write.mode("overwrite").parquet(args(3))
+          val byStatus = report.groupBy("status").count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+          println(s"diff: $byStatus -> ${args(3)}")
         case "index-build" =>
           // args(1): corpus parquet, args(2): index dir
           operators.DedupIndex.build(spark.read.parquet(args(1)), args(2))

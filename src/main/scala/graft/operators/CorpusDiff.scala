@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus release diff — what changed between two versions of a
+  * document table: per-document status (added / removed / unchanged /
+  * modified) and, for modified documents, how much of the old text
+  * survives (3-gram shingle Jaccard, exact integers → one IEEE
+  * division). The release-gate view a training-data owner reads before
+  * switching a run to a new corpus snapshot; pairs naturally with
+  * [[graft.sources.SnapshotReads.readAt]] for version pinning
+  * (CorpusDiffSpec drives it through two MetaStore snapshots).
+  *
+  * Scale: one full-outer join on doc_id (both sides shuffle once on the
+  * key) classifies every document with a codegen'd comparison; the
+  * shingle work runs ONLY for modified documents — churn-bounded, not
+  * corpus-bounded. A release where 1% of documents changed shingles 1%
+  * of the corpus.
+  */
+object CorpusDiff {
+
+  def diff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val spark = oldDocs.sparkSession
+    import spark.implicits._
+    val o = oldDocs.select($"doc_id", $"text".as("old_text"))
+    val n = newDocs.select($"doc_id", $"text".as("new_text"))
+    val joined = o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"old_text".isNull, lit("added"))
+          .when($"new_text".isNull, lit("removed"))
+          .when($"old_text" === $"new_text", lit("unchanged"))
+          .otherwise(lit("modified")))
+
+    val modifiedIds = joined.where($"status" === "modified").select($"doc_id")
+    val oldSh = Dedup.docShingles(
+      oldDocs.join(modifiedIds, Seq("doc_id"), "left_semi"))
+    val newSh = Dedup.docShingles(
+      newDocs.join(modifiedIds, Seq("doc_id"), "left_semi"))
+    val na = oldSh.groupBy($"doc_id").agg(count(lit(1)).as("na"))
+    val nb = newSh.groupBy($"doc_id").agg(count(lit(1)).as("nb"))
+    val inter = oldSh.join(newSh, Seq("doc_id", "sh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("inter"))
+    // null semantics pinned to the oracle: a side with no shingles
+    // (text under one shingle long) yields null, disjoint shingle sets
+    // yield 0.0 — never NaN
+    val jac = modifiedIds
+      .join(na, Seq("doc_id"), "left").join(nb, Seq("doc_id"), "left")
+      .join(inter, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"na".isNotNull && $"nb".isNotNull,
+          coalesce($"inter", lit(0L)) /
+            ($"na" + $"nb" - coalesce($"inter", lit(0L)))).as("jaccard"))
+
+    joined.join(jac, Seq("doc_id"), "left")
+      .select($"doc_id", $"status", $"jaccard")
+      .orderBy($"doc_id")
+  }
+
+  /** q119: diff two deterministic "releases" simulated from the
+    * documents table — v1 drops the newest tail, v2 drops the oldest
+    * head and rewrites every 10th document (so all four statuses
+    * occur). The oracle replays the same construction in SQL. */
+  def q119CorpusDiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val vOld = docs.where($"doc_id" <= 450)
+    val vNew = docs.where($"doc_id" >= 50)
+      .withColumn("text",
+        when($"doc_id" % 10 === 0, concat($"text", lit(" revised in v2")))
+          .otherwise($"text"))
+    diff(vOld, vNew)
+  }
+
+  val q119Sql: String =
+    """WITH v_old AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id <= 450
+      |), v_new AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 0 THEN text || ' revised in v2'
+      |              ELSE text END AS text
+      |  FROM documents WHERE doc_id >= 50
+      |), joined AS (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |         o.text AS old_text, n.text AS new_text,
+      |         CASE WHEN o.text IS NULL THEN 'added'
+      |              WHEN n.text IS NULL THEN 'removed'
+      |              WHEN o.text = n.text THEN 'unchanged'
+      |              ELSE 'modified' END AS status
+      |  FROM v_old o FULL OUTER JOIN v_new n ON n.doc_id = o.doc_id
+      |), shing AS (
+      |  SELECT doc_id, side, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM (
+      |    SELECT doc_id, 'a' AS side, string_split(lower(old_text), ' ') AS t
+      |    FROM joined WHERE status = 'modified'
+      |    UNION ALL
+      |    SELECT doc_id, 'b', string_split(lower(new_text), ' ')
+      |    FROM joined WHERE status = 'modified'
+      |  ), unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |  GROUP BY 1, 2, 3
+      |), counts AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+      |         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+      |  FROM shing GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id, count(*) AS i
+      |  FROM shing a JOIN shing b
+      |    ON a.doc_id = b.doc_id AND a.sh = b.sh AND a.side = 'a' AND b.side = 'b'
+      |  GROUP BY 1
+      |)
+      |SELECT j.doc_id, j.status,
+      |       CASE WHEN j.status = 'modified'
+      |            THEN CAST(coalesce(i.i, 0) AS DOUBLE)
+      |                 / (c.na + c.nb - coalesce(i.i, 0))
+      |            ELSE NULL END AS jaccard
+      |FROM joined j
+      |LEFT JOIN counts c ON c.doc_id = j.doc_id
+      |LEFT JOIN inter i ON i.doc_id = j.doc_id
+      |ORDER BY j.doc_id""".stripMargin
+}

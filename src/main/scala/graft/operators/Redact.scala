@@ -135,4 +135,106 @@ object Redact {
        |      len(regexp_extract_all(r3, '$phone')) > 0
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-source PII incidence rollup — the governance dashboard over
+    * [[q65PiiRedact]]'s per-document counts: how much PII each source
+    * ships, of what class, and what fraction of its documents carry
+    * any. The scrub chain stays scan-side; this adds one low-
+    * cardinality groupBy on the source. A release gate reads this, not
+    * 500 per-doc rows. */
+  def piiRiskBySource(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = matchCounts($"text").foldLeft(docs) {
+      case (df, (name, c)) => df.withColumn(s"n_$name", c)
+    }
+    counted
+      .withColumn("has_pii",
+        when($"n_email" + $"n_id" + $"n_ipv4" + $"n_phone" > 0, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"has_pii").as("docs_with_pii"),
+        sum($"n_email").as("n_email"), sum($"n_id").as("n_id"),
+        sum($"n_ipv4").as("n_ipv4"), sum($"n_phone").as("n_phone"))
+      .withColumn("pii_share", $"docs_with_pii" / $"n_docs")
+      .orderBy($"source")
+  }
+
+  /** q118: incidence over the q65 planted corpus (the raw corpus is
+    * PII-free word soup, so the planted text is what a governance scan
+    * would actually see). */
+  def q118PiiRisk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, d)
+      .withColumn("text", concat(
+        $"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" from 10."), ($"doc_id" % 200).cast("string"), lit(".0."),
+            ($"doc_id" % 250).cast("string")))
+          .otherwise(lit("")),
+        when($"doc_id" % 13 === 0,
+          concat(lit(" ssn "), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit("-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when($"doc_id" % 17 === 0,
+          concat(lit(" call +1 (555) 0"), $"doc_id".cast("string")))
+          .otherwise(lit(""))))
+    piiRiskBySource(planted)
+  }
+
+  val q118Sql: String = {
+    val Seq(email, id, ip, phone) = patterns.map(_._2)
+    s"""WITH planted AS (
+       |  SELECT doc_id, source, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |              CAST(doc_id % 250 AS VARCHAR)
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0
+       |         THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |              lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+       |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0
+       |         THEN ' call +1 (555) 0' || CAST(doc_id AS VARCHAR)
+       |         ELSE '' END AS pii_text
+       |  FROM documents
+       |), staged AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(pii_text, '$email')) AS n_email,
+       |         regexp_replace(pii_text, '$email', '<EMAIL>', 'g') AS r1
+       |  FROM planted
+       |), s2 AS (
+       |  SELECT doc_id, source, n_email,
+       |         len(regexp_extract_all(r1, '$id')) AS n_id,
+       |         regexp_replace(r1, '$id', '<ID>', 'g') AS r2
+       |  FROM staged
+       |), s3 AS (
+       |  SELECT doc_id, source, n_email, n_id,
+       |         len(regexp_extract_all(r2, '$ip')) AS n_ipv4,
+       |         regexp_replace(r2, '$ip', '<IP>', 'g') AS r3
+       |  FROM s2
+       |), perdoc AS (
+       |  SELECT doc_id, source, n_email, n_id, n_ipv4,
+       |         len(regexp_extract_all(r3, '$phone')) AS n_phone
+       |  FROM s3
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN n_email + n_id + n_ipv4 + n_phone > 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |       CAST(sum(n_email) AS BIGINT) AS n_email,
+       |       CAST(sum(n_id) AS BIGINT) AS n_id,
+       |       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       |       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |       CAST(sum(CASE WHEN n_email + n_id + n_ipv4 + n_phone > 0
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pii_share
+       |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin
+  }
 }

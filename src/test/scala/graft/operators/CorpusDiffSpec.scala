@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.meta.{MetaStore, Model}
+import graft.sources.SnapshotReads
+
+/** Release-diff semantics on a hand corpus, and the intended
+  * deployment shape: diffing two snapshot-pinned reads of one table. */
+class CorpusDiffSpec extends SparkSpec {
+
+  test("statuses and change ratio: added, removed, unchanged, modified") {
+    import spark.implicits._
+    val common = "alpha beta gamma delta eps zeta"
+    val vOld = Seq(
+      (1L, common),                   // unchanged
+      (2L, common + " tail one"),     // modified (shares a prefix)
+      (3L, "doomed text goes away"))  // removed
+      .toDF("doc_id", "text")
+    val vNew = Seq(
+      (1L, common),
+      (2L, common + " tail two"),
+      (4L, "fresh arrival text here")) // added
+      .toDF("doc_id", "text")
+    val rows = CorpusDiff.diff(vOld, vNew).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(1L) == (("unchanged", None)))
+    assert(rows(3L) == (("removed", None)))
+    assert(rows(4L) == (("added", None)))
+    val (st, Some(j)) = rows(2L)
+    assert(st == "modified")
+    // 8 tokens → 6 shingles per side, 5 shared (only the final
+    // "zeta tail one|two" shingle differs) → jaccard 5/7
+    assert(j == 5.0 / 7.0)
+  }
+
+  test("diff of two snapshot-pinned reads — the release-gate deployment shape") {
+    import spark.implicits._
+    import MetaStore._
+    val store = new MetaStore(spark, Files.createTempDirectory("diff-meta").toString)
+    val dataDir = Files.createTempDirectory("diff-data").toString
+
+    val f1 = s"$dataDir/v1.parquet"
+    val f2 = s"$dataDir/v2.parquet"
+    Seq((1L, "one two three four"), (2L, "to be dropped"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(f1)
+    Seq((1L, "one two three four"), (3L, "newly added doc"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(f2)
+
+    def ts(s: String) = Timestamp.valueOf(s)
+    store.write("tables", spark.createDataset(Seq(
+      Model.TableMeta("db", "corpus", Seq(
+        Model.TableColumn("doc_id", "bigint"), Model.TableColumn("text", "string")),
+        Seq.empty, Some(2L), ts("2026-01-02 00:00:00")))))
+    store.write("snapshots", spark.createDataset(Seq(
+      Model.SnapshotMeta("db", "corpus", ts("2026-01-01 00:00:00"), 1L, None, "append", "m1", Map.empty),
+      Model.SnapshotMeta("db", "corpus", ts("2026-01-02 00:00:00"), 2L, Some(1L), "overwrite", "m2", Map.empty))))
+    store.write("files", spark.createDataset(Seq(
+      Model.FileMeta("db", "corpus", 1L, 0, f1, "PARQUET", 0, Map.empty, 2, 100),
+      Model.FileMeta("db", "corpus", 2L, 0, f2, "PARQUET", 0, Map.empty, 2, 100))))
+
+    val out = CorpusDiff.diff(
+        SnapshotReads.readAt(store, "db", "corpus", 1L),
+        SnapshotReads.readAt(store, "db", "corpus", 2L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
+  }
+}

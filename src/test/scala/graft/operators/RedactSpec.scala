@@ -60,4 +60,26 @@ class RedactSpec extends SparkSpec {
       assert(!red.contains("@example.com") && !red.contains(" ssn 0"))
     }
   }
+
+  test("pii risk rollup: totals reconcile with the per-doc report") {
+    import spark.implicits._
+    val risk = Redact.q118PiiRisk(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val perDoc = Redact.q65PiiRedact(spark, sfDir).collect()
+    // per-source docs_with_pii must equal the q65 row count by source
+    val bySource = perDoc.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    bySource.foreach { case (s, n) =>
+      assert(risk(s).getAs[Long]("docs_with_pii") == n, s)
+    }
+    // shares are ratios in (0, 1]; every source is present
+    val nSources = graft.sources.Tables.documents(spark, sfDir)
+      .select($"source").distinct().count()
+    assert(risk.size.toLong == nSources)
+    risk.values.foreach { r =>
+      val share = r.getAs[Double]("pii_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("docs_with_pii") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
