@@ -417,4 +417,61 @@ object Relational4 {
       |       sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
       |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS stddev_y
       |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** q120: TPC-H Q21-shaped blame attribution — suppliers who were the
+    * SOLE late shipper in multi-supplier orders ("late" = shipped more
+    * than 90 days after the order date; this schema carries no commit/
+    * receipt dates). Exercises the EXISTS + NOT-EXISTS double
+    * correlation: another supplier participated in the order, AND no
+    * other supplier was late in it.
+    *
+    * Plan shape: the two correlations become a left_semi and a
+    * left_anti join on l_orderkey with a supplier-inequality residual —
+    * never a per-row subquery re-scan. All three joins shuffle on the
+    * same order key; the final count is a low-cardinality supplier
+    * aggregate with a bounded top-k. */
+  def q120SoleLateSupplier(spark: SparkSession, d: String,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val o = Tables.orders(spark, d)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderdate")
+    val late = l.join(o, "l_orderkey")
+      .where(datediff($"l_shipdate", $"o_orderdate") > 90)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val others = l.select($"l_orderkey", $"l_suppkey".as("o_suppkey")).distinct()
+    val lateOthers = late.select($"l_orderkey", $"l_suppkey".as("o_suppkey"))
+    val sole = late.as("l1")
+      .join(others.as("x"),
+        $"l1.l_orderkey" === $"x.l_orderkey" && $"l1.l_suppkey" =!= $"x.o_suppkey",
+        "left_semi")
+      .join(lateOthers.as("y"),
+        $"l1.l_orderkey" === $"y.l_orderkey" && $"l1.l_suppkey" =!= $"y.o_suppkey",
+        "left_anti")
+    sole.join(Tables.supplier(spark, d),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_sole_late"))
+      .orderBy($"n_sole_late".desc, $"s_suppkey".asc)
+      .limit(topK)
+  }
+
+  val q120Sql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+      |)
+      |SELECT s.s_suppkey, s.s_name, count(*) AS n_sole_late
+      |FROM late l1
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (
+      |  SELECT 1 FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) l2
+      |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |AND NOT EXISTS (
+      |  SELECT 1 FROM late l3
+      |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY 1, 2
+      |ORDER BY n_sole_late DESC, s_suppkey ASC
+      |LIMIT 20""".stripMargin
 }

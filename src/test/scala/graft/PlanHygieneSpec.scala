@@ -99,6 +99,13 @@ class PlanHygieneSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q120 double correlation plans as keyed semi/anti joins, not subquery loops") {
+    val plan = planOf(queries.Relational4.q120SoleLateSupplier(spark, sfDir))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("q85 forward as-of keeps the union+window single-shuffle shape") {
     val plan = planOf(queries.Streams.q85ForwardAsOf(spark, sfDir))
     assert(plan.contains("Window"), plan)
