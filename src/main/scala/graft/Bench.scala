@@ -48,19 +48,21 @@ object Bench {
     }
     val (r1, r2) = (round(), round())
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    // Millisecond precision keeps the timing line compact; sub-ms digits
-    // are JIT noise anyway.
-    val qs = results.toSeq.sortBy(_._1)
+    def fmt(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val total = math.rint(results.values.sum * 1000) / 1000
     val plansJson = plans.toSeq.sortBy(_._1).map(_._2).mkString("{", ",", "}")
-    // Plans line FIRST, timings line LAST: the driver captures a bounded
-    // tail of stdout, and round 7 proved a single jumbo line gets
-    // truncated from the front — the timings must be the final,
-    // self-contained, parseable line.
+    // The driver captures only the LAST ~2000 chars of stdout (round 7
+    // lost its timings to exactly this), so the final line must be a
+    // self-contained, parseable JSON well under that: total + the
+    // slowest 30 queries (the ones perf review needs). The full
+    // per-query map and the plan fingerprints print on their own
+    // earlier lines for humans and for logs that keep full stdout.
     println(s"""{"metric":"plans","plans":$plansJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","queries":${fmt(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(30)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

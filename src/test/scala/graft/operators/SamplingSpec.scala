@@ -52,6 +52,23 @@ class SamplingSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("shard assignment matches a reference md5 computed off-Spark") {
+    import spark.implicits._
+    val docs = (1L to 64L).map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Sampling.shuffleShardsOf(docs, "epoch-0", 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(id: Long): Long = {
+      val hex = md.digest(s"epoch-0:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (1L to 64L).foreach { id =>
+      assert(got(id) == (h60(id) % 8).toInt, s"doc $id")
+    }
+  }
+
   test("empirical rates land near nominal per stratum") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDirMid)
