@@ -176,4 +176,95 @@ object SpanDedup {
        |FROM firsts f JOIN tot t USING (doc_id)
        |GROUP BY 1, 2
        |ORDER BY doc_id""".stripMargin
+
+  /** Cross-document span ATTRIBUTION — the complement of
+    * [[dupSpanCoverage]] (which says only HOW MUCH of a doc is
+    * duplicated): the maximal shared token runs between document
+    * pairs, with positions in both documents. This is what a dedup
+    * reviewer reads to decide whether a shared span is boilerplate, a
+    * quote, or a wholesale copy.
+    *
+    * Algorithm: shingle-position matches between two documents lie on
+    * anti-diagonals (pos_a − pos_b constant); a maximal shared run of
+    * r shingles is r CONSECUTIVE pos_a values on one diagonal, found
+    * with the classic islands trick (pos_a − row_number is constant
+    * within a run) — no suffix array, no per-pair alignment. A run of
+    * r shingles spans r + k − 1 tokens.
+    *
+    * Scale: matches come from the shingle equi-join, bounded by
+    * pruning shingles with corpus df > `maxDf` (boilerplate handled by
+    * [[Dedup.removeBoilerplate]]; same predicate in the oracle, so
+    * results stay exact). The run detection is one window per
+    * (pair, diagonal) — partitions are tiny by construction. */
+  def spanPairsOf(docs: DataFrame, k: Int, minRunTokens: Int,
+      maxDf: Int = 50, topK: Int = 50): DataFrame = {
+    require(k > 0 && minRunTokens >= k,
+      s"need k > 0 and minRunTokens >= k, got $k/$minRunTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.where($"text".isNotNull)
+      .select($"doc_id", split(lower($"text"), " ").as("__toks"))
+    val positions = base.select(
+        $"doc_id",
+        posexplode(transform(
+          sequence(lit(0), greatest(size($"__toks") - k, lit(0))),
+          i => concat_ws(" ", slice($"__toks", i + 1, lit(k)))))
+          .as(Seq("pos", "sh")))
+      .where(size(split($"sh", " ")) === k)
+    val shared = positions.groupBy($"sh")
+      .agg(count(lit(1)).as("__n"), countDistinct($"doc_id").as("__nd"))
+      .where($"__nd" >= 2 && $"__n" <= maxDf)
+      .select($"sh")
+    val p = positions.join(shared, "sh")
+    val matches = p.as("a").join(p.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"a.pos".as("pos_a"),
+        $"b.doc_id".as("doc_b"), $"b.pos".as("pos_b"))
+    val diag = ($"pos_a" - $"pos_b").as("__diag")
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"__diag").orderBy($"pos_a")
+    matches.withColumn("__diag", diag)
+      .withColumn("__isl", $"pos_a" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"__diag", $"__isl")
+      .agg(count(lit(1)).as("__r"),
+        min($"pos_a").as("start_a"), min($"pos_b").as("start_b"))
+      .withColumn("n_tokens", $"__r" + (k - 1))
+      .where($"n_tokens" >= minRunTokens)
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"n_tokens")
+      .orderBy($"n_tokens".desc, $"doc_a".asc, $"doc_b".asc,
+        $"start_a".asc, $"start_b".asc)
+      .limit(topK)
+  }
+
+  def q121SpanPairs(spark: SparkSession, d: String): DataFrame =
+    spanPairsOf(Tables.documents(spark, d), k = 5, minRunTokens = 8)
+
+  val q121Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL
+      |), sh AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS sh
+      |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+      |), shared AS (
+      |  SELECT sh FROM sh GROUP BY sh
+      |  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 50
+      |), m AS (
+      |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+      |         b.doc_id AS doc_b, b.pos AS pos_b
+      |  FROM (SELECT s.* FROM sh s JOIN shared USING (sh)) a
+      |  JOIN (SELECT s.* FROM sh s JOIN shared USING (sh)) b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |), runs AS (
+      |  SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+      |         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+      |                                    ORDER BY pos_a) AS isl,
+      |         pos_a, pos_b
+      |  FROM m
+      |)
+      |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+      |       count(*) + 4 AS n_tokens
+      |FROM runs GROUP BY doc_a, doc_b, diag, isl
+      |HAVING count(*) + 4 >= 8
+      |ORDER BY n_tokens DESC, doc_a ASC, doc_b ASC, start_a ASC, start_b ASC
+      |LIMIT 50""".stripMargin
 }

@@ -54,6 +54,33 @@ class SpanDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("span pairs: maximal shared runs with positions in both docs") {
+    // doc 1 and doc 2 share a 9-token run at different offsets; doc 3
+    // shares nothing long enough. k=3, minRun=5.
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    val docs = docsOf(
+      (1L, s"a1 a2 $run a3 a4"),
+      (2L, s"b1 b2 b3 b4 $run"),
+      (3L, "c1 c2 r1 r2 r3 c3 c4"))
+    val rows = SpanDedup.spanPairsOf(docs, k = 3, minRunTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    // exactly one qualifying run: docs (1,2), starts 2 and 4, 9 tokens
+    assert(rows.toSeq == Seq((1L, 2L, 2, 4, 9L)))
+    // the doc-3 3-token overlap is below the run threshold
+    assert(!rows.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
+  test("span pairs: two separate runs on the same pair stay separate islands") {
+    val docs = docsOf(
+      (1L, "x1 x2 x3 x4 g1 g2 y1 y2 y3 y4"),
+      (2L, "x1 x2 x3 x4 h1 h2 h3 y1 y2 y3 y4"))
+    val rows = SpanDedup.spanPairsOf(docs, k = 3, minRunTokens = 4)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    // run 1: "x1..x4" at (0,0), 4 tokens; run 2: "y1..y4" at (6,7), 4 tokens
+    assert(rows == Set((0, 0, 4L), (6, 7, 4L)))
+  }
+
   test("intra-doc segment dedup keeps first occurrences in order") {
     val docs = docsOf(
       1L -> "a b a b c d a b",   // 2-token segs: "a b","a b","c d","a b" -> keep "a b","c d"
