@@ -99,6 +99,20 @@ class PlanHygieneSpec extends SparkSpec {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("q119 corpus diff: keyed joins only, shingle work gated behind the status filter") {
+    val plan = planOf(graft.operators.CorpusDiff.q119CorpusDiff(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
+
+  test("q121 span pairs: equi-join candidates, per-(pair,diagonal) window, no alignment loop") {
+    val plan = planOf(graft.operators.SpanDedup.q121SpanPairs(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("q120 double correlation plans as keyed semi/anti joins, not subquery loops") {
     val plan = planOf(queries.Relational4.q120SoleLateSupplier(spark, sfDir))
     assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)

@@ -190,6 +190,49 @@ class TrainingDataPropSpec extends SparkSpec {
     check(prop)
   }
 
+  test("span pairs equal the naive diagonal-walk model, df-prune included") {
+    import spark.implicits._
+    val k = 2; val minRun = 3; val maxDf = 6; val topK = 1000
+    val prop = Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      def shingles(t: String): Vector[String] = {
+        val toks = t.toLowerCase.split(' ').toVector
+        if (toks.length < k) Vector.empty
+        else toks.sliding(k).map(_.mkString(" ")).toVector
+      }
+      val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      // the engine's candidate rule: shingle in >= 2 docs, total df <= maxDf
+      val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val nd = sh.toList.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      def live(s: String) = nd.getOrElse(s, 0) >= 2 && df(s) <= maxDf
+      val expected = (for {
+        (a, sa) <- sh.toList; (b, sb) <- sh.toList; if a < b
+        d <- (-(sb.length - 1)) to (sa.length - 1)
+      } yield {
+        // maximal runs along diagonal d, broken by mismatch OR pruned shingle
+        val hits = (0 until sa.length).filter { i =>
+          val j = i - d
+          j >= 0 && j < sb.length && sa(i) == sb(j) && live(sa(i))
+        }
+        hits.foldLeft(List.empty[List[Int]]) {
+          case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+            (i :: acc.head) :: acc.tail
+          case (acc, i) => List(i) :: acc
+        }.collect {
+          case run if run.length + k - 1 >= minRun =>
+            (a, b, run.min, run.min - d, (run.length + k - 1).toLong)
+        }
+      }).flatten.toSet
+      val got = SpanDedup.spanPairsOf(
+          docs.toDF("doc_id", "text"), k, minRun, maxDf, topK)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getLong(4))).toSet
+      got == expected
+    }
+    check(prop)
+  }
+
   test("containment equals the naive shingle-set model, both directions") {
     import spark.implicits._
     val threshold = 0.5
