@@ -549,9 +549,28 @@ object TextAnalysis {
       |FROM documents WHERE text IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Engine-portable k-gram hash for winnowing: a code-point polynomial
+    * mod a 30-bit prime — DuckDB replays it exactly with
+    * `list_reduce` over `unicode(substr(...))`, which is what upgrades
+    * the fingerprint query from rows-only to a full hash-match oracle
+    * (xxhash64, the previous key, exists in no other engine). All
+    * intermediates stay far below 2^63, so Java wrap-around semantics
+    * never diverge from DuckDB's checked BIGINT arithmetic. */
+  private[operators] def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Winnowing document fingerprint: k-gram hashes, sliding-window
-    * minimum (window w) → distinct fingerprint set per doc. Hash-seeded
-    * (xxhash64) → rows-only + TextAnalysisSpec invariants. */
+    * minimum (window w) → distinct fingerprint set per doc
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting"). Keyed by [[polyHash]] → exact DuckDB oracle. */
   def fingerprint(spark: SparkSession, d: String, k: Int = 4, w: Int = 5): DataFrame =
     fingerprintOf(Tables.documents(spark, d), k, w)
 
@@ -563,10 +582,9 @@ object TextAnalysis {
       .flatMap { case (id, text) =>
         text.toLowerCase.split(' ').sliding(k)
           .withFilter(_.length == k).zipWithIndex
-          .map { case (g, i) => (id, i, g.mkString(" ")) }
+          .map { case (g, i) => (id, i, polyHash(g.mkString(" "))) }
       }
-      .toDF("doc_id", "i", "kg")
-      .withColumn("h", xxhash64($"kg"))
+      .toDF("doc_id", "i", "h")
     // winnowing: fingerprint = min hash over each sliding window of w
     // consecutive k-gram hashes → one O(n)-per-doc window pass (not a
     // range self-join), distinct mins per doc.
@@ -579,6 +597,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_fingerprints"), min($"fp").as("min_fp"))
       .orderBy($"doc_id")
   }
+
+  /** DuckDB oracle for [[fingerprintOf]]: the same polynomial hash via
+    * list_reduce, the same trailing-partial winnowing window. */
+  def fingerprintSql(k: Int, w: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL
+       |), kg AS (
+       |  SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+${k - 1}], ' ') AS kg
+       |  FROM toks, unnest(generate_series(1, len(t) - ${k - 1})) AS g(i)
+       |), h AS (
+       |  SELECT doc_id, i,
+       |         list_reduce(list_prepend(0, list_transform(
+       |             range(1, length(kg) + 1),
+       |             j -> CAST(unicode(substr(kg, CAST(j AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 131 + c) % 1000000007) AS h
+       |  FROM kg
+       |), fp AS (
+       |  SELECT doc_id,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM h
+       |)
+       |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q84: compression-ratio quality signal (the compressibility filter
     * of Gopher/RefinedWeb: templated or degenerate-repetitive text

@@ -109,9 +109,13 @@ object TrainingData {
     TextAnalysis.langId(spark, d)
   val q29Sql: String = TextAnalysis.langIdSql
 
-  /** Winnowing fingerprints — hash-seeded, rows-only. */
+  /** Winnowing fingerprints — portable polynomial k-gram hash, so the
+    * whole winnowing pass (hash, sliding min, distinct set) is
+    * oracle-exact. */
   def q30Fingerprint(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(spark, d)
+
+  val q30Sql: String = TextAnalysis.fingerprintSql(4, 5)
 
   // -- sub-document duplication ----------------------------------------
 

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Invariants for the fingerprint operator (hash-seeded, no SQL oracle)
+/** Invariants for the fingerprint operator (portable polynomial hash;
+  * the exact values are oracle-checked by q30 — these pin the semantics)
   * and sanity for the oracle-checked text analysis. */
 class TextAnalysisSpec extends SparkSpec {
 
