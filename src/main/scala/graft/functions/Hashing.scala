@@ -35,4 +35,27 @@ object Hashing {
   /** Combine two longs into a band key. */
   def combine(a: Long, b: Long, seed: Int): Long =
     mix64(mix64(a ^ (seed.toLong * 0xC2B2AE3D27D4EB4FL)) ^ b)
+
+  /** Code-point polynomial mod a 30-bit prime — ENGINE-PORTABLE: DuckDB
+    * replays it with list_reduce over unicode(substr(...)), which is
+    * what lets operators keyed on it (winnowing q30, SimHash q23) be
+    * full hash-match oracles instead of rows-only. Intermediates stay
+    * below 2^63 → Java wrap semantics never diverge from DuckDB's
+    * checked BIGINT arithmetic. */
+  def poly30(s: String, mult: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** 60-bit portable hash: two independent 30-bit polynomials packed
+    * side by side. Bit dispersion is adequate for signature voting
+    * (spec-checked empirically); values stay in [0, 2^60). */
+  def portable60(s: String): Long =
+    (poly30(s, 131) << 30) | poly30(s, 137)
 }

@@ -444,29 +444,75 @@ object Dedup {
     simhashCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized)(
       simhashUncached(docs).cache())
 
+  /** Signature votes run over the 60-bit PORTABLE shingle hash
+    * ([[graft.functions.Hashing.portable60]]) rather than a seeded
+    * 64-bit mix: the signature (and therefore the q23 pair set) becomes
+    * exactly recomputable by the DuckDB oracle, upgrading SimHash from
+    * rows-only to hash-match checked. Bits 60–63 are structurally zero;
+    * the 8×8-bit chunk blocking stays lossless (an always-equal chunk
+    * can only ADD candidates, which the dist filter removes). */
   private def simhashUncached(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.Hashing
     docShingles(docs).as[(Long, String)].groupByKey(_._1)
       .mapGroups { (id, it) =>
-        val sums = new Array[Int](64)
+        val sums = new Array[Int](60)
         it.foreach { case (_, s) =>
-          val h = Hashing.hashString(s)
+          val h = Hashing.portable60(s)
           var j = 0
-          while (j < 64) {
+          while (j < 60) {
             sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
             j += 1
           }
         }
         var sig = 0L
         var j = 0
-        while (j < 64) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
+        while (j < 60) { if (sums(j) > 0) sig |= (1L << j); j += 1 }
         (id, sig)
       }
       .toDF("doc_id", "simhash")
       .orderBy($"doc_id")
   }
+
+  /** DuckDB oracle for [[simhashPairs]]: replay the portable hash per
+    * distinct shingle, vote per bit, compare 60-char bit strings. */
+  def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), h AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(0, list_transform(
+       |             range(1, length(sh) + 1),
+       |             j -> CAST(unicode(substr(sh, CAST(j AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 131 + c) % 1000000007) * 1073741824
+       |         + list_reduce(list_prepend(0, list_transform(
+       |             range(1, length(sh) + 1),
+       |             j -> CAST(unicode(substr(sh, CAST(j AS INT), 1)) AS BIGINT))),
+       |           (h, c) -> (h * 137 + c) % 1000000007) AS h
+       |  FROM sh
+       |), votes AS (
+       |  SELECT doc_id, CAST(b.i AS INT) AS bit,
+       |         SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN generate_series(0, 59) AS b(i)
+       |  GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS sig
+       |  FROM votes GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST((SELECT count(*) FROM generate_series(1, 60) g(i)
+       |             WHERE substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))
+       |            AS INT) AS dist
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE (SELECT count(*) FROM generate_series(1, 60) g(i)
+       |       WHERE substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

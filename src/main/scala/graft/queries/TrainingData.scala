@@ -28,10 +28,11 @@ object TrainingData {
     Dedup.minhashLsh(spark, d, threshold = 0.8)
   val q22Sql: String = Dedup.ngramJaccardSql(0.8)
 
-  /** Hash-seeded signature pairs — rows-only check; invariants in
-    * DedupSpec. */
+  /** SimHash pairs over the portable 60-bit signature — the DuckDB
+    * oracle replays the hash and bit votes exactly. */
   def q23SimhashPairs(spark: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(spark, d, maxHamming = 7)
+  val q23Sql: String = Dedup.simhashPairsSql(7)
 
   def q24EmbeddingNearDup(spark: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(spark, d, threshold = 0.4)
