@@ -56,6 +56,24 @@ object Tables {
         raw.withColumn("ts", to_timestamp(col("ts")))
       case _ => raw // already TimestampType
     }
-  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+  /** The pipeline tables get the same regeneration insurance as
+    * `events` (round-7 postmortem: a silent physical-type flip in
+    * driver-regenerated TESTDATA redded 18 queries): pin the columns
+    * the operators rely on to their expected types. On already-correct
+    * data every cast is an identity and Catalyst erases it — zero plan
+    * cost; on a regenerated int32/double variant the queries keep
+    * running instead of failing analysis. */
+  def documents(spark: SparkSession, d: String): DataFrame = {
+    val raw = load(spark, d, "documents")
+    raw
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+  }
+  def embeddings(spark: SparkSession, d: String): DataFrame = {
+    val raw = load(spark, d, "embeddings")
+    raw
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+  }
 }

@@ -58,6 +58,36 @@ class TablesSpec extends SparkSpec {
     assert(Tables.events(spark, dir.toString).schema("ts").dataType == TimestampType)
   }
 
+  test("documents/embeddings survive a narrower-typed regeneration") {
+    import spark.implicits._
+    val dir = writeDir()
+    // int32 ids / counts, double embeddings — plausible regeneration drift
+    Seq((1, "hello world", "en", "web", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(dir.resolve("dtmp").toString)
+    var part = java.nio.file.Files.list(dir.resolve("dtmp"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("documents.parquet"))
+    Seq((1, Array(0.5, 1.5), 3))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(dir.resolve("etmp").toString)
+    part = java.nio.file.Files.list(dir.resolve("etmp"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("embeddings.parquet"))
+
+    val docs = Tables.documents(spark, dir.toString)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    assert(docs.select("doc_id", "n_chars").collect().head.toSeq == Seq(1L, 11L))
+    val vecs = Tables.embeddings(spark, dir.toString)
+    assert(vecs.schema("vec_id").dataType == LongType)
+    assert(vecs.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    assert(vecs.schema("label").dataType == IntegerType)
+    assert(vecs.select("embedding").as[Array[Float]].collect().head.toSeq
+      == Seq(0.5f, 1.5f))
+  }
+
   test("TESTDATA events loads with a TimestampType ts and sane range") {
     val df = Tables.events(spark, sfDir)
     assert(df.schema("ts").dataType == TimestampType)
