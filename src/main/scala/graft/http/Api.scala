@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
+import org.apache.spark.sql.functions.{coalesce, col, count, explode, lit, map_keys, max, min, sum}
+
 import graft.Engine
 import graft.meta.{MetaStore, Model, PartitionModel}
 
@@ -79,12 +81,21 @@ final class Api(store: MetaStore, engine: Engine,
       query: Map[String, Seq[String]]): (Int, String) =
     (method, segs) match {
       // -- iceberg (handler_iceberg.go) -------------------------------
+      // All metadata reads below filter/aggregate ON the Dataset and
+      // only collect the (bounded) response payload — never a whole
+      // metadata table to the driver; a deployment with 10^6 partitions
+      // or 10^4 tables stays executor-side until the final rows.
       case ("GET", "iceberg" :: "databases" :: Nil) =>
-        ok(arr(store.tables.collect().map(_.database).distinct.sorted.map(str)))
+        ok(arr(store.tables.select(col("database")).distinct()
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().sorted.toSeq.map(str)))
       case ("GET", "iceberg" :: db :: "tables" :: Nil) =>
-        ok(arr(store.tables.collect().filter(_.database == db).map(_.name).sorted.map(str)))
+        ok(arr(store.tables.filter(col("database") === db)
+          .select(col("name")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().sorted.toSeq.map(str)))
       case ("GET", "iceberg" :: db :: table :: Nil) =>
-        store.tables.collect().find(t => t.database == db && t.name == table) match {
+        store.tables.filter(col("database") === db && col("name") === table)
+          .take(1).headOption match {
           case None => notFound(s"$db.$table")
           case Some(t) => ok(obj(
             "database" -> str(t.database), "table" -> str(t.name),
@@ -109,10 +120,13 @@ final class Api(store: MetaStore, engine: Engine,
       // existence round-trip.
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: sid :: "missing-files" :: Nil) =>
         val snapshotId = bind(sid.toLong)
+        // Column (not typed-lambda) filter: pushes down to the parquet
+        // scan and prunes to the single filePath column.
         val expected = store.files
-          .filter(f => f.database == db && f.table == table &&
-            f.snapshotId == snapshotId && f.content == 0)
-          .collect().map(_.filePath).sorted
+          .filter(col("database") === db && col("table") === table &&
+            col("snapshotId") === snapshotId && col("content") === 0)
+          .select(col("filePath")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().sorted
         val conf = store.spark.sparkContext.hadoopConfiguration
         val listed = expected.map(p => new org.apache.hadoop.fs.Path(p).getParent)
           .distinct.flatMap { dir =>
@@ -138,23 +152,33 @@ final class Api(store: MetaStore, engine: Engine,
 
       // -- browse (handler_browse.go) ---------------------------------
       case ("GET", "browse" :: db :: "tables" :: Nil) =>
-        ok(arr(store.tables.collect().filter(_.database == db)
-          .sortBy(_.name).map(t => obj(
+        ok(arr(store.tables.filter(col("database") === db)
+          .orderBy(col("name")).collect().toSeq.map(t => obj(
             "name" -> str(t.name), "updatedAt" -> str(t.updatedAt.toString)))))
       case ("GET", "browse" :: db :: table :: Nil) =>
-        val mine = store.partitions.collect()
-          .filter(p => p.database == db && p.table == table)
+        // The q12 table-summary shape (Metadata.scala q12TableSummary):
+        // one distributed filter+agg, one summary row to the driver —
+        // NOT a whole-partitions-table collect.
+        val row = store.partitions
+          .filter(col("database") === db && col("table") === table)
+          .agg(
+            count(lit(1)).as("partitionCount"),
+            coalesce(sum(col("fileCount")), lit(0L)).as("fileCount"),
+            coalesce(sum(col("recordCount")), lit(0L)).as("recordCount"),
+            coalesce(sum(col("totalDataFileSizeInBytes")), lit(0L)).as("totalBytes"),
+            coalesce(max(col("needsOptimize")), lit(false)).as("needsOptimize"))
+          .head()
         ok(obj(
-          "partitionCount" -> num(mine.length.toLong),
-          "fileCount" -> num(mine.map(_.fileCount).sum),
-          "recordCount" -> num(mine.map(_.recordCount).sum),
-          "totalDataFileSizeInBytes" -> num(mine.map(_.totalDataFileSizeInBytes).sum),
-          "needsOptimize" -> mine.exists(_.needsOptimize).toString))
+          "partitionCount" -> num(row.getLong(0)),
+          "fileCount" -> num(row.getLong(1)),
+          "recordCount" -> num(row.getLong(2)),
+          "totalDataFileSizeInBytes" -> num(row.getLong(3)),
+          "needsOptimize" -> row.getBoolean(4).toString))
       case ("POST", "browse" :: db :: table :: "partitions" :: Nil) =>
         val filters = bind(partitionFilters(body))
         val spec = specOf(db, table)
         graft.operators.Browse.drillDown(
-          store.partitions.filter(p => p.database == db && p.table == table),
+          store.partitions.filter(col("database") === db && col("table") === table),
           spec, filters) match {
           case Left(err) => (400, obj("error" -> str(err)))
           case Right(df) => ok(arr(df.collect().toSeq.map(r => obj(
@@ -171,13 +195,14 @@ final class Api(store: MetaStore, engine: Engine,
       // selection order (F9) like the reference's DataFileItem rows.
       case ("POST", "browse" :: db :: table :: "files" :: Nil) =>
         val filters = bind(partitionFilters(body))
-        store.tables.collect().find(t => t.database == db && t.name == table) match {
+        store.tables.filter(col("database") === db && col("name") === table)
+          .take(1).headOption match {
           case None => notFound(s"$db.$table")
           case Some(t) =>
-            val current = t.currentSnapshotId
-            val files = store.files.filter(f =>
-              f.database == db && f.table == table &&
-                current.forall(_ == f.snapshotId))
+            val snapPred = t.currentSnapshotId
+              .map(id => col("snapshotId") === id).getOrElse(lit(true))
+            val files = store.files.filter(
+              col("database") === db && col("table") === table && snapPred)
             graft.operators.Browse.listFiles(files, t.partitions, filters) match {
               case Left(err) => (400, obj("error" -> str(err)))
               case Right((rawOrder, df)) => ok(arr(df.collect().toSeq.map { r =>
@@ -340,9 +365,12 @@ final class Api(store: MetaStore, engine: Engine,
     * slice is the source of truth here, like the reference's cached
     * spec). */
   private def specOf(db: String, table: String): Seq[Model.PartitionField] = {
-    val keys = store.partitions.collect()
-      .filter(p => p.database == db && p.table == table)
-      .flatMap(_.partition.keys).toSet
+    // Distinct key names only reach the driver — a handful of strings,
+    // regardless of partition count.
+    val keys = store.partitions
+      .filter(col("database") === db && col("table") === table)
+      .select(explode(map_keys(col("partition"))).as("k")).distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
     PartitionModel.browseKeyOrder(keys, Seq("year", "month", "day"))
       .map(k => Model.PartitionField(k, k, isHidden = false, None))
   }
@@ -410,8 +438,13 @@ final class Api(store: MetaStore, engine: Engine,
     }
 
   private def partitionsJson(db: String, table: String): (Int, String) = {
-    val rows = store.partitions.collect()
-      .filter(p => p.database == db && p.table == table)
+    // Filter executor-side; only this table's rows (the response
+    // payload itself) are collected. The canonical-string sort is
+    // driver-side because it IS the response order — bounded by the
+    // payload we already committed to returning.
+    val rows = store.partitions
+      .filter(col("database") === db && col("table") === table)
+      .collect().toSeq
       .sortBy(p => PartitionModel.canonicalString(p.partition))
     ok(arr(rows.map(p => obj(
       "partition" -> str(PartitionModel.canonicalString(p.partition)),
@@ -421,8 +454,9 @@ final class Api(store: MetaStore, engine: Engine,
   }
 
   private def snapshotsJson(db: String, table: String): (Int, String) = {
-    val rows = store.snapshots.collect()
-      .filter(s => s.database == db && s.table == table).sortBy(-_.snapshotId)
+    val rows = store.snapshots
+      .filter(col("database") === db && col("table") === table)
+      .orderBy(col("snapshotId").desc).collect().toSeq
     ok(arr(rows.map(s => obj(
       "snapshotId" -> num(s.snapshotId),
       "parentId" -> s.parentId.map(num).getOrElse("null"),
@@ -445,8 +479,9 @@ final class Api(store: MetaStore, engine: Engine,
             val live = files.toSeq
               .filter(x => x.isFile && x.getName.endsWith(".parquet"))
               .map(x => x.getName.stripSuffix(".parquet") -> x.getPath).toMap
-            val db = store.tables.collect().map(_.database).distinct.sorted
-              .headOption.getOrElse("default")
+            // min(database) == distinct.sorted.headOption, one agg row.
+            val db = Option(store.tables.agg(min(col("database"))).head().getString(0))
+              .getOrElse("default")
             f(db, live)
         }
     }

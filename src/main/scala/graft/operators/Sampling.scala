@@ -408,6 +408,8 @@ object Sampling {
       |)
       |SELECT band, (rk - 1) // 16 AS batch, count(*) AS n_docs,
       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-      |       count(*) * max(n_chars) - sum(n_chars) AS pad_waste
+      |       -- CAST: sum(BIGINT) promotes through HUGEINT in DuckDB, which the
+      |       -- driver's pandas bridge renders as float64 (147.0 vs Spark's 147)
+      |       CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
       |FROM ranked GROUP BY 1, 2 ORDER BY band, batch""".stripMargin
 }

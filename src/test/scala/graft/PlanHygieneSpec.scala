@@ -213,4 +213,18 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_count") || plan.contains("partial"), plan)
   }
+
+  test("Api handlers never collect a whole metadata table driver-side") {
+    // Source-level pin: every store.<table> read in the REST layer must
+    // filter/aggregate on the Dataset BEFORE .collect()/.head(). A
+    // deployment with 10^6 partitions would otherwise OOM the driver on
+    // a GET. (The engine-side equivalents are pinned by their oracles.)
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/http/Api.scala"))
+    val direct = """store\.(tables|partitions|snapshots|files|tasks)\s*\.\s*collect\(""".r
+    assert(direct.findFirstIn(src).isEmpty,
+      s"unfiltered collect in Api.scala: ${direct.findFirstIn(src)}")
+    assert(!src.contains("collect().filter"),
+      "driver-side filter after collect in Api.scala")
+  }
 }
