@@ -53,16 +53,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = math.rint(results.values.sum * 1000) / 1000
     val plansJson = plans.toSeq.sortBy(_._1).map(_._2).mkString("{", ",", "}")
-    // The driver captures only the LAST ~2000 chars of stdout (round 7
-    // lost its timings to exactly this), so the final line must be a
-    // self-contained, parseable JSON well under that: total + the
-    // slowest 30 queries (the ones perf review needs). The full
-    // per-query map and the plan fingerprints print on their own
-    // earlier lines for humans and for logs that keep full stdout.
+    // The driver captures only the LAST ~2000 chars of output, and both
+    // rounds 7 and 8 lost per-query timings to trailing noise (Spark
+    // shutdown logs / sbt [success] trailers landing AFTER the summary).
+    // Defense in depth: (1) the full per-query detail + plan
+    // fingerprints are WRITTEN to BENCH.json in the working directory —
+    // recoverable regardless of stdout capture; (2) the compact
+    // total line prints after spark.stop(), as the process's last
+    // stdout act, sized (slowest 15) to fit the tail with margin even
+    // if a trailer follows.
+    val artifact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},
+         |"queries":${fmt(results.toSeq.sortBy(_._1))},
+         |"plans":$plansJson,
+         |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), artifact)
     println(s"""{"metric":"plans","plans":$plansJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","queries":${fmt(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
-    val slowest = results.toSeq.sortBy(-_._2).take(30)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}""")
     spark.stop()
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

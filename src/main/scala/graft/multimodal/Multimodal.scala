@@ -300,9 +300,22 @@ object Multimodal {
           case 1 =>
             val sr = 8000
             val n = 400 + (id % 400).toInt
-            val f = 200.0 + (id % 200).toDouble
-            val samples = Array.tabulate(n)(i =>
-              (math.sin(2 * math.Pi * f * i / sr) * 3000).toShort)
+            val f = 200 + (id % 200).toInt
+            // Integer phase-accumulator triangle wave, NOT sin(): the
+            // q110 oracle resynthesizes these samples in SQL, and a
+            // transcendental would hang that exactness on Math.sin and
+            // libm agreeing to the last ulp at truncation boundaries
+            // (they're only specified to 1 ulp). Integer ramp math is
+            // platform-free on both engines; the zero-crossing
+            // fingerprint the analysis needs (2 crossings/cycle at f Hz)
+            // is identical.
+            val samples = Array.tabulate(n) { i =>
+              val pos = ((i.toLong * f) % sr).toInt // cycle position
+              val amp =
+                if (pos < sr / 2) (pos * 6000) / (sr / 2) - 3000
+                else 3000 - (((pos - sr / 2) * 6000) / (sr / 2))
+              amp.toShort
+            }
             MediaAsset(id, "audio", Codecs.encodeWav(sr, samples),
               Map("lang" -> lang, "codec" -> "wav"))
           case _ =>
@@ -655,20 +668,25 @@ object Multimodal {
       |GROUP BY c.label ORDER BY keeper""".stripMargin
 
   /** Full oracle for [[audioDupGroups]]: the WAV payload is a synthesized
-    * sine whose parameters derive from doc_id, and the zero-crossing
-    * fingerprint is a sign-change count over `trunc(sin·3000)` — all
-    * recomputable per sample in SQL (the engine decodes the REAL PCM16
-    * bytes; the oracle resynthesizes them). Sample count is bounded by
-    * 799, so the oracle materializes ≤ 800 rows per asset. */
+    * integer triangle wave whose parameters derive from doc_id, and the
+    * zero-crossing fingerprint is a sign-change count over the exact
+    * integer samples — recomputable per sample in SQL with pure integer
+    * arithmetic (the engine decodes the REAL PCM16 bytes; the oracle
+    * resynthesizes them; no transcendental on either side, so there is
+    * no cross-libm ulp hazard). Sample count is bounded by 799, so the
+    * oracle materializes ≤ 800 rows per asset. */
   val q110Sql: String =
     """WITH audio AS (
       |  SELECT doc_id AS id,
       |         400 + (doc_id % 400) AS n,
-      |         200.0 + (doc_id % 200) AS f
+      |         200 + (doc_id % 200) AS f
       |  FROM documents WHERE doc_id % 3 = 1
       |), samp AS (
       |  SELECT id, n, i,
-      |         CAST(trunc(sin(2*pi()*f*i/8000.0) * 3000) AS INT) AS s
+      |         CASE WHEN (i*f) % 8000 < 4000
+      |              THEN (((i*f) % 8000) * 6000) // 4000 - 3000
+      |              ELSE 3000 - (((((i*f) % 8000) - 4000) * 6000) // 4000)
+      |         END AS s
       |  FROM audio CROSS JOIN generate_series(0, 798) AS t(i)
       |  WHERE i < n
       |), lagged AS (

@@ -52,6 +52,17 @@ object Clustering {
     * is how well unsupervised clusters recover it). */
   def q73KmeansClusters(spark: SparkSession, d: String, k: Int = 8, iters: Int = 5): DataFrame = {
     import spark.implicits._
+    // Record the trained centroids (k×dim doubles — control-plane sized)
+    // so the oracle can replay the assignment as pure SQL argmax over
+    // centroid LITERALS: Lloyd refinement isn't SQL-expressible, but an
+    // assignment against a fixed quantizer is — the same trick the
+    // multimodal oracles use for codec math. ivfIndex is plan-keyed
+    // cached, so this costs one 16-row collect, not a retrain.
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val (cents, _) = Similarity.ivfIndex(e0, k, iters)
+    trainedCentroids = Some(cents.as[(Long, Array[Double])].collect().sortBy(_._1))
     val a = assign(spark, d, k, iters)
     val labels = Tables.embeddings(spark, d).select($"vec_id", $"label")
     val al = a.join(labels, "vec_id")
@@ -68,5 +79,53 @@ object Clustering {
       .select($"cluster_id", $"label".as("top_label"), $"n".as("top_label_n"))
     sizes.join(reps, "cluster_id").join(domLabel, "cluster_id")
       .orderBy($"cluster_id")
+  }
+
+  /** Centroids trained by the last [[q73KmeansClusters]] run in this
+    * JVM — the Verify flow runs every query before dumping oracle SQL,
+    * so the literals below line up with the dumped parquet. */
+  @volatile private var trainedCentroids: Option[Array[(Long, Array[Double])]] = None
+
+  /** q73's oracle, available once the query has trained: DuckDB replays
+    * the argmax assignment against the centroid literals and rebuilds
+    * the summary. Decision-level float parity: centroids are
+    * unit-normalized, so `list_cosine_similarity(raw, cv)` equals the
+    * engine's dot(normalized, cv) up to ~1 ulp, and argmax/rep gaps are
+    * orders of magnitude wider (the q24 threshold argument). Every
+    * output column is an int/long — no floats are hashed. */
+  def q73OracleSql: Option[String] = trainedCentroids.map { cs =>
+    val values = cs.map { case (id, v) =>
+      // Double.toString: shortest round-trip decimal — DuckDB parses it
+      // back to the identical double.
+      s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH cents(cluster_id, cv) AS (
+       |  VALUES $values
+       |), scored AS (
+       |  SELECT e.vec_id, e.label, c.cluster_id,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, label, cluster_id, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cos DESC, cluster_id ASC) AS rn
+       |    FROM scored) WHERE rn = 1
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS n_vecs FROM assigned GROUP BY 1
+       |), reps AS (
+       |  SELECT cluster_id, vec_id AS rep_vec_id FROM (
+       |    SELECT cluster_id, vec_id, row_number() OVER (
+       |      PARTITION BY cluster_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM assigned) WHERE rn = 1
+       |), labs AS (
+       |  SELECT cluster_id, label AS top_label, n AS top_label_n FROM (
+       |    SELECT cluster_id, label, count(*) AS n, row_number() OVER (
+       |      PARTITION BY cluster_id ORDER BY count(*) DESC, label ASC) AS rn
+       |    FROM assigned GROUP BY 1, 2) WHERE rn = 1
+       |)
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, s.n_vecs, r.rep_vec_id,
+       |       l.top_label, l.top_label_n
+       |FROM sizes s JOIN reps r USING (cluster_id) JOIN labs l USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
   }
 }

@@ -112,7 +112,11 @@ object CorpusDiff {
       |  GROUP BY 1
       |)
       |SELECT j.doc_id, j.status,
-      |       CASE WHEN j.status = 'modified'
+      |       -- na>0 AND nb>0: a modified doc whose text is under one
+      |       -- shingle long on EITHER side is NULL (matching the
+      |       -- engine's missing-aggregate-row semantics), not 0.0 —
+      |       -- the conditional SUM would otherwise make a na=0 row.
+      |       CASE WHEN j.status = 'modified' AND c.na > 0 AND c.nb > 0
       |            THEN CAST(coalesce(i.i, 0) AS DOUBLE)
       |                 / (c.na + c.nb - coalesce(i.i, 0))
       |            ELSE NULL END AS jaccard

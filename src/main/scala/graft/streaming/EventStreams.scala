@@ -200,9 +200,23 @@ object EventStreams {
                   eventIds = cur.eventIds :+ id, tsUs = cur.tsUs :+ us)
             }
             if (cur != null) {
-              state.update(cur)
-              // close via watermark once last + gap passes (millis API)
-              state.setTimeoutTimestamp(cur.lastUs / 1000L + gapMinutes * 60L * 1000L)
+              val deadlineMs = cur.lastUs / 1000L + gapMinutes * 60L * 1000L
+              if (deadlineMs <= state.getCurrentWatermarkMs()) {
+                // Already expired vs the watermark: close NOW.
+                // EventTimeTimeout rejects a timeout that is not later
+                // than the watermark (IllegalArgumentException), so a
+                // straggler micro-batch whose events sit older than
+                // watermark − gap would otherwise kill the whole query.
+                // Closing here is exact, not a shortcut: any future
+                // on-time event has ts > watermark ≥ lastUs + gap, so it
+                // would open a new session regardless.
+                closed ::= cur
+                state.remove()
+              } else {
+                state.update(cur)
+                // close via watermark once last + gap passes (millis API)
+                state.setTimeoutTimestamp(deadlineMs)
+              }
             }
             closed.reverse.iterator.flatMap(b => labels(b, user))
           }

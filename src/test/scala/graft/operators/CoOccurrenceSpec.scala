@@ -14,11 +14,26 @@ class CoOccurrenceSpec extends SparkSpec {
       .select($"l_orderkey", $"l_partkey")
     var logged = (-1L, -1L)
     val capped = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 20,
-        maxBasketItems = 10000, logDropped = (i, b) => logged = (i, b))
+        maxBasketItems = 10000, logDropped = Some((i, b) => logged = (i, b)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val uncapped = Relational4.q89CoOccurrence(spark, sfDir)
+    // A genuinely uncapped reference build, inline (the registered q89
+    // routes through the cap-64 guard; the driver's oracle checks THAT
+    // against uncapped SQL, this checks cap-insensitivity above the max).
+    import org.apache.spark.sql.functions.{count, lit}
+    val base = items.distinct()
+    val frequent = base.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      .where($"n" >= 3).select($"l_partkey")
+    val pruned = base.join(frequent, Seq("l_partkey"))
+    val uncapped = pruned.select($"l_orderkey", $"l_partkey".as("part_a"))
+      .join(pruned.select($"l_orderkey", $"l_partkey".as("part_b")), Seq("l_orderkey"))
+      .where($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_together"))
+      .orderBy($"n_together".desc, $"part_a".asc, $"part_b".asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val registered = Relational4.q89CoOccurrence(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(capped == uncapped)
+    assert(registered == uncapped) // the cap-64 registered form is invisible here
     assert(logged == ((0L, 0L))) // nothing dropped, and the log said so
   }
 
@@ -32,7 +47,7 @@ class CoOccurrenceSpec extends SparkSpec {
     val items = (mega ++ healthy).toDF("l_orderkey", "l_partkey")
     var logged = (0L, 0L)
     val out = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 5,
-        maxBasketItems = 10, logDropped = (i, b) => logged = (i, b))
+        maxBasketItems = 10, logDropped = Some((i, b) => logged = (i, b)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // 3 baskets truncated, 40 items dropped from each
     assert(logged == ((120L, 3L)))

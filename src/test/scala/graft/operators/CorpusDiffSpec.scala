@@ -37,6 +37,20 @@ class CorpusDiffSpec extends SparkSpec {
     assert(j == 5.0 / 7.0)
   }
 
+  test("modified doc with a sub-shingle side yields NULL jaccard, not 0.0") {
+    import spark.implicits._
+    // doc 1: new side has <3 tokens (no shingles) — one-sided short.
+    // doc 2: BOTH sides <3 tokens. Either way jaccard must be NULL;
+    // the q119 oracle's conditional-SUM shape would have made 0.0 for
+    // doc 1 before the na>0 AND nb>0 guard.
+    val vOld = Seq((1L, "alpha beta gamma delta"), (2L, "hi")).toDF("doc_id", "text")
+    val vNew = Seq((1L, "um"), (2L, "yo")).toDF("doc_id", "text")
+    val rows = CorpusDiff.diff(vOld, vNew).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.isNullAt(2))).toMap
+    assert(rows(1L) == (("modified", true)))
+    assert(rows(2L) == (("modified", true)))
+  }
+
   test("diff of two snapshot-pinned reads — the release-gate deployment shape") {
     import spark.implicits._
     import MetaStore._

@@ -45,6 +45,17 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("registered q24 (IVF 16 lists × 8 probes) equals brute force exactly") {
+    // The harness plan must hash-match the all-pairs DuckDB oracle, so
+    // this configuration has to be empirically exhaustive — pinned here
+    // at both local SFs (and measured 920/920 at sf0.1).
+    for (d <- Seq(sfDir, sfDirMid)) {
+      val brute = pairs(Dedup.embeddingNearDup(spark, d, 0.4))
+      val reg = pairs(graft.queries.TrainingData.q24EmbeddingNearDup(spark, d))
+      assert(reg == brute, s"IVF(16,8) != brute at $d")
+    }
+  }
+
   test("incremental dedup drops exact, near-dup, and intra-batch dups from the delta") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy dog and then runs far away " +

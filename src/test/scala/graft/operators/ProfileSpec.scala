@@ -10,15 +10,12 @@ class ProfileSpec extends SparkSpec {
     // and melt (scale) plans must produce identical profiles.
     val df = graft.sources.Tables.orders(spark, sfDir)
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
-    val saved = Profile.meltCutoverPairs
-    try {
-      Profile.meltCutoverPairs = Long.MaxValue // force Expand path
-      val small = Profile.profile(df, cols).collect().toSeq
-      Profile.meltCutoverPairs = 0L // force melt path
-      val melt = Profile.profile(df, cols).collect().toSeq
-      assert(small == melt)
-      assert(small.nonEmpty)
-    } finally Profile.meltCutoverPairs = saved
+    val small = Profile.profile(df, cols,
+      meltCutoverPairs = Long.MaxValue).collect().toSeq // force Expand path
+    val melt = Profile.profile(df, cols,
+      meltCutoverPairs = 0L).collect().toSeq // force melt path
+    assert(small == melt)
+    assert(small.nonEmpty)
   }
 
   test("approx distinct within 10% of exact for orders keys") {
