@@ -50,19 +50,28 @@ object Clustering {
     * ascending), and the dominant ground-truth label with its count
     * (the embeddings table carries a label column — the dominant share
     * is how well unsupervised clusters recover it). */
+  /** Train (or hit the ivfIndex cache) and record the centroids for the
+    * dynamic oracles — the Verify flow runs queries before dumping
+    * oracle SQL, so the literals line up with the dumped parquet.
+    * Costs one k-row collect on a cache hit, not a retrain. */
+  private def trainAndRecord(spark: SparkSession, d: String, k: Int,
+      iters: Int): Unit = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val (cents, _) = Similarity.ivfIndex(e0, k, iters)
+    trainedCentroids = Some(cents.as[(Long, Array[Double])].collect().sortBy(_._1))
+  }
+
   def q73KmeansClusters(spark: SparkSession, d: String, k: Int = 8, iters: Int = 5): DataFrame = {
     import spark.implicits._
     // Record the trained centroids (k×dim doubles — control-plane sized)
     // so the oracle can replay the assignment as pure SQL argmax over
     // centroid LITERALS: Lloyd refinement isn't SQL-expressible, but an
     // assignment against a fixed quantizer is — the same trick the
-    // multimodal oracles use for codec math. ivfIndex is plan-keyed
-    // cached, so this costs one 16-row collect, not a retrain.
-    graft.functions.CosineSimilarity.register(spark)
-    val e0 = Tables.embeddings(spark, d)
-      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
-    val (cents, _) = Similarity.ivfIndex(e0, k, iters)
-    trainedCentroids = Some(cents.as[(Long, Array[Double])].collect().sortBy(_._1))
+    // multimodal oracles use for codec math.
+    trainAndRecord(spark, d, k, iters)
     val a = assign(spark, d, k, iters)
     val labels = Tables.embeddings(spark, d).select($"vec_id", $"label")
     val al = a.join(labels, "vec_id")
@@ -93,7 +102,9 @@ object Clustering {
     * engine's dot(normalized, cv) up to ~1 ulp, and argmax/rep gaps are
     * orders of magnitude wider (the q24 threshold argument). Every
     * output column is an int/long — no floats are hashed. */
-  def q73OracleSql: Option[String] = trainedCentroids.map { cs =>
+  /** The shared assignment prefix of the dynamic oracles: score every
+    * vector against the centroid literals, keep the argmax. */
+  private def assignmentCtes(cs: Array[(Long, Array[Double])]): String = {
     val values = cs.map { case (id, v) =>
       // Double.toString: shortest round-trip decimal — DuckDB parses it
       // back to the identical double.
@@ -110,7 +121,12 @@ object Clustering {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |                                 ORDER BY cos DESC, cluster_id ASC) AS rn
        |    FROM scored) WHERE rn = 1
-       |), sizes AS (
+       |)""".stripMargin
+  }
+
+  def q73OracleSql: Option[String] = trainedCentroids.map { cs =>
+    s"""${assignmentCtes(cs)},
+       |sizes AS (
        |  SELECT cluster_id, count(*) AS n_vecs FROM assigned GROUP BY 1
        |), reps AS (
        |  SELECT cluster_id, vec_id AS rep_vec_id FROM (
@@ -127,5 +143,45 @@ object Clustering {
        |       l.top_label, l.top_label_n
        |FROM sizes s JOIN reps r USING (cluster_id) JOIN labs l USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
+  }
+
+  /** q123: CLUSTER-BALANCED diversity sample — keep the first
+    * `perCluster` members (by vec_id, a float-free rank) of every
+    * k-means cluster. This is the "diverse subset" pipeline op: where a
+    * uniform sample mirrors the corpus's topic skew, round-robin over
+    * clusters guarantees every region of embedding space is
+    * represented — the standard recipe for seeding eval sets and
+    * dedup-aware fine-tuning mixtures.
+    *
+    * Scale: reuses the cached IVF assignment (no retrain), one
+    * per-cluster window whose partitions are corpus/k sized, output is
+    * k×perCluster rows. Rank ties are impossible (vec_id is unique), so
+    * the only cross-engine float decision is the argmax assignment
+    * itself — the same one q73 already proves robust. */
+  def q123ClusterSample(spark: SparkSession, d: String, k: Int = 8,
+      iters: Int = 5, perCluster: Int = 5): DataFrame = {
+    import spark.implicits._
+    trainAndRecord(spark, d, k, iters)
+    val a = assign(spark, d, k, iters)
+    val labels = Tables.embeddings(spark, d).select($"vec_id", $"label")
+    val w = Window.partitionBy($"cluster_id").orderBy($"vec_id".asc)
+    a.join(labels, "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= perCluster)
+      .select($"cluster_id", $"rank", $"vec_id", $"label")
+      .orderBy($"cluster_id", $"rank")
+  }
+
+  /** q123's dynamic oracle: the same centroid-literal assignment, then
+    * row_number by vec_id per cluster. */
+  def q123OracleSql: Option[String] = trainedCentroids.map { cs =>
+    s"""${assignmentCtes(cs)}
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       |       CAST(rn AS INT) AS rank, vec_id, label
+       |FROM (SELECT cluster_id, vec_id, label, row_number() OVER (
+       |        PARTITION BY cluster_id ORDER BY vec_id ASC) AS rn
+       |      FROM assigned)
+       |WHERE rn <= 5
+       |ORDER BY cluster_id, rank""".stripMargin
   }
 }

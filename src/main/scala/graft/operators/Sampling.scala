@@ -176,6 +176,66 @@ object Sampling {
        |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM assigned GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** q124: SPLIT-LEAKAGE audit — near-duplicate document pairs that
+    * straddle a train/val/test boundary. A held-out split is only held
+    * out if no near-copy of its documents sits in train; this is the
+    * check every eval pipeline runs after splitting (the within-corpus
+    * complement of external-benchmark decontamination, q49/q94).
+    *
+    * Rides the verified MinHash-LSH pair frame (the 100 TB dedup path,
+    * cached and shared with q22/q47) — the leakage audit is a cheap
+    * consumer of the pair index, not a new all-pairs pass. Join to the
+    * deterministic split assignment is a broadcast-sized lookup per
+    * side. The jaccard ≥ 0.8 threshold is the band configuration q22
+    * proves candidate-exhaustive, so the brute-force SQL is a valid
+    * oracle here too. */
+  def q124SplitLeakage(spark: SparkSession, d: String,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh(spark, d, threshold)
+    val splits = Tables.documents(spark, d)
+      .select($"doc_id", splitAssign($"doc_id", 0.8, 0.1).as("split"))
+    pairs
+      .join(splits.select($"doc_id".as("id_a"), $"split".as("split_a")), "id_a")
+      .join(splits.select($"doc_id".as("id_b"), $"split".as("split_b")), "id_b")
+      .where($"split_a" =!= $"split_b")
+      .select($"id_a", $"id_b", $"jaccard", $"split_a", $"split_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def q124Sql(threshold: Double = 0.8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |         CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+       |  FROM inter
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
+       |), assigned AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8) < '${hexThreshold(0.8)}' THEN 'train'
+       |         WHEN substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8) < '${hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+       |FROM pairs p
+       |JOIN assigned sa ON sa.doc_id = p.id_a
+       |JOIN assigned sb ON sb.doc_id = p.id_b
+       |WHERE sa.split <> sb.split
+       |ORDER BY id_a, id_b""".stripMargin
+
   val q48Sql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
        |       min(doc_id) AS first_id, max(doc_id) AS last_id

@@ -25,6 +25,40 @@ import graft.sources.Tables
   */
 object SpanDedup {
 
+  // Positional shingle frame (doc_id, pos, sh) — the shared scan of the
+  // span family: coverage (q102) and cross-doc attribution (q121) both
+  // consume the identical frame for the same k, so it is materialized
+  // once per (corpus plan, k), same bounded-LRU discipline as
+  // [[Dedup.docShingles]]. At 100 TB this is the "write the position
+  // index once, run every span analysis over it" pattern.
+  private val positionCache =
+    new graft.util.PlanCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
+  /** Drop cached position frames (session teardown / data change). */
+  def clearCaches(): Unit = positionCache.clear()
+
+  /** (doc_id, pos, sh): every k-token shingle of every document with its
+    * 0-based start position. Cached per (canonicalized plan, k). */
+  def positionalShingles(docs: DataFrame, k: Int): DataFrame =
+    positionCache.getOrElseUpdate(
+      (docs.queryExecution.analyzed.canonicalized, k))(
+      positionalShinglesUncached(docs, k).cache())
+
+  private def positionalShinglesUncached(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.where($"text".isNotNull)
+      .select($"doc_id", split(lower($"text"), " ").as("__toks"))
+      .select(
+        $"doc_id",
+        posexplode(transform(
+          sequence(lit(0), greatest(size($"__toks") - k, lit(0))),
+          i => concat_ws(" ", slice($"__toks", i + 1, lit(k)))))
+          .as(Seq("pos", "sh")))
+      .where(size(split($"sh", " ")) === k)
+  }
+
   /** Per-document duplicated-span coverage for `k`-token shingles that
     * occur at least `minCount` times corpus-wide (within-doc repeats
     * count — a span pasted twice into one page is still duplication).
@@ -49,13 +83,7 @@ object SpanDedup {
 
     val base = docs.where($"text".isNotNull)
       .select($"doc_id", split(lower($"text"), " ").as("__toks"))
-    val positions = base.select(
-        $"doc_id",
-        posexplode(transform(
-          sequence(lit(0), greatest(size($"__toks") - k, lit(0))),
-          i => concat_ws(" ", slice($"__toks", i + 1, lit(k)))))
-          .as(Seq("pos", "sh")))
-      .where(size(split($"sh", " ")) === k)
+    val positions = positionalShingles(docs, k)
 
     val dups = positions.groupBy($"sh")
       .agg(count(lit(1)).as("__n"))
@@ -202,15 +230,7 @@ object SpanDedup {
       s"need k > 0 and minRunTokens >= k, got $k/$minRunTokens")
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs.where($"text".isNotNull)
-      .select($"doc_id", split(lower($"text"), " ").as("__toks"))
-    val positions = base.select(
-        $"doc_id",
-        posexplode(transform(
-          sequence(lit(0), greatest(size($"__toks") - k, lit(0))),
-          i => concat_ws(" ", slice($"__toks", i + 1, lit(k)))))
-          .as(Seq("pos", "sh")))
-      .where(size(split($"sh", " ")) === k)
+    val positions = positionalShingles(docs, k)
     val shared = positions.groupBy($"sh")
       .agg(count(lit(1)).as("__n"), countDistinct($"doc_id").as("__nd"))
       .where($"__nd" >= 2 && $"__n" <= maxDf)

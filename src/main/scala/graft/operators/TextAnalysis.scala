@@ -209,6 +209,86 @@ object TextAnalysis {
       |SELECT lang, predicted, count(*) AS n_docs
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q125: CODE-SWITCH / mixed-language detection — run the marker
+    * language-ID per fixed-size token segment instead of per document,
+    * and count segments whose prediction disagrees with the document's
+    * stored language ('und' segments don't count: no markers is absence
+    * of evidence, not evidence of another language). Mixed-language
+    * documents poison monolingual training mixtures, and a doc-level
+    * language ID can't see them — per-segment voting is the standard
+    * cheap detector.
+    *
+    * Entirely row-local (nested higher-order functions over the token
+    * array — segment slicing, marker counting, argmax all inside one
+    * projection): zero shuffles, the 100 TB cost is exactly one corpus
+    * scan. Integer counts only → exact DuckDB oracle. */
+  def q125CodeSwitch(spark: SparkSession, d: String,
+      segTokens: Int = 20): DataFrame =
+    codeSwitchOf(Tables.documents(spark, d), segTokens)
+
+  def codeSwitchOf(docs: DataFrame, segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokens($"text")
+    val nSeg = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    def pred(seg: Column): Column = {
+      val sEn = tokenMatchCount(seg, langMarkers(0)._2)
+      val sDe = tokenMatchCount(seg, langMarkers(1)._2)
+      val sFr = tokenMatchCount(seg, langMarkers(2)._2)
+      val sEs = tokenMatchCount(seg, langMarkers(3)._2)
+      val best = greatest(sEn, sDe, sFr, sEs)
+      when(best === 0, "und")
+        .when(sDe === best, "de")
+        .when(sEn === best, "en")
+        .when(sEs === best, "es")
+        .otherwise("fr")
+    }
+    val preds = transform(
+      sequence(lit(0), greatest(nSeg - 1, lit(0))),
+      i => pred(slice(toks, i * segTokens + 1, lit(segTokens))))
+    docs
+      .where($"text".isNotNull)
+      .withColumn("n_segments", nSeg.cast("long"))
+      .withColumn("n_foreign",
+        size(filter(preds, p => p =!= $"lang" && p =!= "und")).cast("long"))
+      .select($"doc_id", $"lang", $"n_segments", $"n_foreign",
+        ($"n_foreign" > 0).as("code_switched"))
+      .orderBy($"doc_id")
+  }
+
+  def q125Sql(segTokens: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL
+       |), segs AS (
+       |  SELECT doc_id, lang,
+       |         greatest(CAST(ceil(len(t) / $segTokens.0) AS BIGINT), 1) AS n_segments,
+       |         t[(i*$segTokens+1):((i+1)*$segTokens)] AS seg
+       |  FROM toks, unnest(generate_series(0,
+       |         greatest(CAST(ceil(len(t) / $segTokens.0) AS BIGINT), 1) - 1)) AS g(i)
+       |), p AS (
+       |  SELECT doc_id, lang, n_segments,
+       |         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       |              ELSE 'fr' END AS pred
+       |  FROM (
+       |    SELECT doc_id, lang, n_segments,
+       |           len(list_filter(seg, x -> x IN ('the','a','of','and'))) AS s_en,
+       |           len(list_filter(seg, x -> x IN ('der','die','das','und'))) AS s_de,
+       |           len(list_filter(seg, x -> x IN ('le','la','les','et'))) AS s_fr,
+       |           len(list_filter(seg, x -> x IN ('el','la','los','y'))) AS s_es
+       |    FROM segs)
+       |)
+       |SELECT doc_id, lang, n_segments,
+       |       CAST(sum(CASE WHEN pred <> lang AND pred <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_foreign,
+       |       sum(CASE WHEN pred <> lang AND pred <> 'und' THEN 1 ELSE 0 END) > 0
+       |         AS code_switched
+       |FROM p GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: the k most frequent tokens overall (count desc,
     * token asc — deterministic at the boundary). Partial-aggregated
     * count + TakeOrdered: the token-count shuffle is bounded by

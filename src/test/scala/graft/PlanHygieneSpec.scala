@@ -214,6 +214,39 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"), plan)
   }
 
+  test("q122 CDC dedup: scan-side chunking, one hash shuffle, bounded top-k") {
+    val plan = planOf(graft.operators.Chunking.q122CdcDedup(spark, sfDir))
+    // the report is orderBy+limit → TakeOrderedAndProject, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan)
+    // chunk aggregation is partial before the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+  }
+
+  test("q121/q102 share one materialized position index") {
+    graft.util.PlanCache.clearAll()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    graft.operators.SpanDedup.dupSpanCoverageOf(docs, 5).count()
+    val plan = planOf(graft.operators.SpanDedup.spanPairsOf(docs, 5, 8))
+    // the second consumer must read the InMemoryRelation, not re-shingle
+    assert(plan.contains("InMemoryTableScan"), plan)
+    graft.util.PlanCache.clearAll()
+  }
+
+  test("q124 split leakage rides the LSH pair frame — no all-pairs shingle self-join") {
+    // warm the pair cache the way Verify/Bench would (q22 runs first)
+    graft.operators.Dedup.minhashLsh(spark, sfDir, 0.8).count()
+    val plan = planOf(graft.operators.Sampling.q124SplitLeakage(spark, sfDir))
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q125 code-switch is one projection — no shuffle except the presentation sort") {
+    val plan = planOf(graft.operators.TextAnalysis.q125CodeSwitch(spark, sfDir))
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
   test("Api handlers never collect a whole metadata table driver-side") {
     // Source-level pin: every store.<table> read in the REST layer must
     // filter/aggregate on the Dataset BEFORE .collect()/.head(). A
