@@ -184,4 +184,55 @@ object Clustering {
        |WHERE rn <= 5
        |ORDER BY cluster_id, rank""".stripMargin
   }
+
+  /** q128: LABEL FRAGMENTATION — the per-label mirror of q73's
+    * per-cluster summary: for every ground-truth label, how many
+    * clusters do its vectors land in, which cluster is "home" (holds
+    * the most members; ties → cluster ascending), and how concentrated
+    * is it there? A label spread thin across clusters means the
+    * embedding space doesn't separate that class — the eval that tells
+    * you whether clustering-based curation (q123's balanced sample,
+    * mixture weighting by cluster) will respect label boundaries.
+    *
+    * Scale: rides the SAME cached IVF assignment as q73/q123 (zero
+    * retrain, one narrow join), then aggregates to label×cluster —
+    * bounded cardinality. Integer outputs only → exact dynamic oracle
+    * via the shared centroid-literal CTE. */
+  def q128LabelFragmentation(spark: SparkSession, d: String, k: Int = 8,
+      iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    trainAndRecord(spark, d, k, iters)
+    val a = assign(spark, d, k, iters)
+    val labels = Tables.embeddings(spark, d).select($"vec_id", $"label")
+    val lc = a.join(labels, "vec_id")
+      .groupBy($"label", $"cluster_id").agg(count(lit(1)).as("n"))
+    val wHome = Window.partitionBy($"label").orderBy($"n".desc, $"cluster_id".asc)
+    lc.withColumn("rn", row_number().over(wHome))
+      .groupBy($"label")
+      .agg(sum($"n").as("n_vecs"),
+        count(lit(1)).as("n_clusters"),
+        max(when($"rn" === 1, $"cluster_id")).as("home_cluster"),
+        max(when($"rn" === 1, $"n")).as("home_n"))
+      .orderBy($"label")
+  }
+
+  /** q128's dynamic oracle: centroid-literal assignment, label×cluster
+    * counts, home pick by (n desc, cluster asc). */
+  def q128OracleSql: Option[String] = trainedCentroids.map { cs =>
+    s"""${assignmentCtes(cs)},
+       |lc AS (
+       |  SELECT label, cluster_id, count(*) AS n
+       |  FROM assigned GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |                               ORDER BY n DESC, cluster_id ASC) AS rn
+       |  FROM lc
+       |)
+       |SELECT label, CAST(sum(n) AS BIGINT) AS n_vecs,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(max(CASE WHEN rn = 1 THEN cluster_id END) AS BIGINT) AS home_cluster,
+       |       CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS home_n
+       |FROM ranked GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
 }

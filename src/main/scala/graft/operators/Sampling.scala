@@ -472,4 +472,208 @@ object Sampling {
       |       -- driver's pandas bridge renders as float64 (147.0 vs Spark's 147)
       |       CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
       |FROM ranked GROUP BY 1, 2 ORDER BY band, batch""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q127: token-budget apportionment — the epoch-planning step of a
+  // training-data pipeline: given per-source available token counts and
+  // integer mixture weights, split a total token budget across sources
+  // by LARGEST-REMAINDER apportionment (Hamilton's method: floor shares,
+  // then +1 to the largest fractional remainders — the house-seat
+  // algorithm), cap each source at its availability, and redistribute
+  // the capped shortfall to sources with headroom in one more pass.
+  // Everything is integer arithmetic (floors, modular remainders, rank
+  // tie-breaks on source name), so the DuckDB oracle replays it exactly.
+  //
+  // Scale shape: the data-plane cost is ONE partial-agg token count per
+  // source (bounded cardinality); the apportionment itself runs on the
+  // driver over the source list — a control-plane decision, exactly like
+  // q64's temperature rates, and the pure function is unit-testable.
+  // --------------------------------------------------------------------
+
+  /** One largest-remainder pass: split `budget` across `items`
+    * (name → weight) proportionally to weight, floors first, then +1 to
+    * the `budget·w mod W` largest remainders (ties → name ascending).
+    * Exact: allocations sum to `budget` whenever budget ≥ 0 and some
+    * weight is positive. */
+  private[operators] def largestRemainder(items: Seq[(String, Long)],
+      budget: Long): Map[String, Long] = {
+    val w = items.map(_._2).sum
+    if (w <= 0 || budget <= 0) return items.map(_._1 -> 0L).toMap
+    val base = items.map { case (n, wi) =>
+      (n, budget * wi / w, budget * wi % w)
+    }
+    val leftover = budget - base.map(_._2).sum
+    val bump = base.sortBy { case (n, _, rem) => (-rem, n) }
+      .take(leftover.toInt).map(_._1).toSet
+    base.map { case (n, b, _) => n -> (b + (if (bump(n)) 1L else 0L)) }.toMap
+  }
+
+  /** Two-pass capped apportionment: pass 1 splits `budget` by weight and
+    * caps at availability; pass 2 re-apportions the capped shortfall
+    * over the sources that still have headroom (capped again — any
+    * residual stays unallocated, reported by the capped flags). Fixed
+    * two passes: the waterfall converges geometrically and a planning
+    * query wants a deterministic plan, not a fixpoint loop. */
+  private[operators] def apportion(avail: Seq[(String, Long)],
+      weights: Map[String, Long], budget: Long): Seq[(String, Long, Long, Long, Long, Boolean)] = {
+    val items = avail.map { case (n, _) => (n, weights.getOrElse(n, 0L)) }
+    val availMap = avail.toMap
+    val target = largestRemainder(items, budget)
+    val alloc1 = target.map { case (n, t) => n -> math.min(t, availMap(n)) }
+    val shortfall = target.values.sum - alloc1.values.sum
+    val headroom = items.filter { case (n, wi) => wi > 0 && alloc1(n) < availMap(n) }
+    val add = largestRemainder(headroom, shortfall)
+    avail.map { case (n, av) =>
+      val a2 = math.min(alloc1(n) + add.getOrElse(n, 0L), av)
+      (n, av, items.find(_._1 == n).get._2, target(n), a2, target(n) > av)
+    }
+  }
+
+  /** q127: per-source token-budget allocation. Availability = whitespace
+    * token count per source; weight = (source index mod 3) + 1 (an
+    * in-query deterministic mixture preference — both engines derive it
+    * from the source name); budget = 60% of the corpus total. */
+  def q127TokenBudget(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val avail = docs
+      .groupBy($"source")
+      .agg(sum(size(graft.functions.TextFunctions.tokens($"text"))).as("available"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val weights = avail.map { case (s, _) =>
+      s -> ("""\d+""".r.findFirstIn(s).get.toLong % 3 + 1)
+    }.toMap
+    val budget = avail.map(_._2).sum * 3 / 5
+    val rows = apportion(avail, weights, budget)
+    rows.toDF("source", "available_tokens", "weight", "target_tokens",
+        "alloc_tokens", "capped")
+      .orderBy($"source")
+  }
+
+  val q127Sql: String =
+    """WITH avail AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS available,
+      |         CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 3 + 1 AS weight
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT sum(available) * 3 // 5 AS b, sum(weight) AS wsum FROM avail
+      |), p1 AS (
+      |  SELECT a.*, t.b, t.wsum,
+      |         t.b * a.weight // t.wsum AS base,
+      |         t.b * a.weight % t.wsum AS rem
+      |  FROM avail a CROSS JOIN tot t
+      |), p1r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+      |         b - (SELECT sum(base) FROM p1) AS leftover
+      |  FROM p1
+      |), pass1 AS (
+      |  SELECT source, available, weight,
+      |         base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS target
+      |  FROM p1r
+      |), capped1 AS (
+      |  SELECT *, least(target, available) AS alloc1 FROM pass1
+      |), short AS (
+      |  SELECT sum(target) - sum(alloc1) AS s FROM capped1
+      |), head AS (
+      |  SELECT c.*, s.s,
+      |         sum(weight) OVER () AS wsum2,
+      |         s.s * weight // sum(weight) OVER () AS base2,
+      |         s.s * weight % sum(weight) OVER () AS rem2
+      |  FROM capped1 c CROSS JOIN short s
+      |  WHERE c.weight > 0 AND c.alloc1 < c.available
+      |), headr AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem2 DESC, source ASC) AS rk2,
+      |         s - (SELECT sum(base2) FROM head) AS leftover2
+      |  FROM head
+      |), pass2 AS (
+      |  SELECT source,
+      |         least(alloc1 + base2 + CASE WHEN rk2 <= leftover2 THEN 1 ELSE 0 END,
+      |               available) AS alloc2
+      |  FROM headr
+      |)
+      |SELECT c.source, c.available AS available_tokens, c.weight,
+      |       c.target AS target_tokens,
+      |       CAST(coalesce(p.alloc2, c.alloc1) AS BIGINT) AS alloc_tokens,
+      |       c.target > c.available AS capped
+      |FROM capped1 c LEFT JOIN pass2 p USING (source)
+      |ORDER BY c.source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q129: reshard-movement audit — when a corpus grows from k to k+1
+  // shards, how many documents move? Modulo sharding (h mod k) moves
+  // ~k/(k+1) of the corpus (nearly everything re-buckets); RENDEZVOUS
+  // (highest-random-weight) hashing moves only ~1/(k+1) — the minimal-
+  // movement property (Thaler & Ravishankar, HRW). At 100 TB a reshard
+  // IS a full rewrite under mod and an incremental one under HRW; this
+  // query measures the difference on the actual corpus.
+  //
+  // Scale shape: the per-document HRW argmax is a ROW-LOCAL projection
+  // over a k-element literal array (no explode, no shuffle); the audit
+  // aggregates to one row and unpivots to two. The oracle replays the
+  // same 60-bit md5 hash per (doc, shard) via generate_series + argmax
+  // window — oracle-side O(n·k) is fine at verification scale.
+  // --------------------------------------------------------------------
+
+  /** Rendezvous (HRW) shard for `key`: argmax over per-shard 60-bit
+    * md5 scores. Ties (cryptographically negligible at 60 bits) break
+    * to the higher shard id via lexicographic struct max. */
+  def hrwShard(key: Column, nShards: Int, seed: String): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val scored = (0 until nShards).map { s =>
+      struct(
+        conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"),
+          lit(s.toString))), 1, 15), 16, 10).cast("long").as("h"),
+        lit(s).as("s"))
+    }
+    array_max(array(scored: _*)).getField("s")
+  }
+
+  /** q129: movement audit, k=8 → k=9, HRW vs modulo. Output one row per
+    * strategy: (strategy, n_docs, n_moved). */
+  def q129ReshardAudit(spark: SparkSession, d: String, kFrom: Int = 8,
+      kTo: Int = 9, seed: String = "shard"): DataFrame = {
+    import spark.implicits._
+    val h = conv(substring(md5(concat_ws(":", lit(seed),
+      $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long")
+    val moved = Tables.documents(spark, d).select($"doc_id")
+      .withColumn("hrw_moved",
+        (hrwShard($"doc_id", kFrom, seed) =!= hrwShard($"doc_id", kTo, seed)).cast("long"))
+      .withColumn("mod_moved", ((h % kFrom) =!= (h % kTo)).cast("long"))
+      .agg(count(lit(1)).as("n_docs"), sum($"hrw_moved").as("hrw"),
+        sum($"mod_moved").as("mod"))
+    moved.select(expr(
+        "stack(2, 'hrw', n_docs, hrw, 'mod', n_docs, mod) AS (strategy, n_docs, n_moved)"))
+      .orderBy($"strategy")
+  }
+
+  def q129Sql(kFrom: Int = 8, kTo: Int = 9, seed: String = "shard"): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, s,
+       |         ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR) || ':'
+       |                             || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS hv
+       |  FROM documents CROSS JOIN generate_series(0, ${kTo - 1}) g(s)
+       |), a_from AS (
+       |  SELECT doc_id, s AS shard FROM (
+       |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+       |                                         ORDER BY hv DESC, s DESC) AS rn
+       |    FROM h WHERE s < $kFrom) WHERE rn = 1
+       |), a_to AS (
+       |  SELECT doc_id, s AS shard FROM (
+       |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+       |                                         ORDER BY hv DESC, s DESC) AS rn
+       |    FROM h) WHERE rn = 1
+       |), m AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h0
+       |  FROM documents
+       |)
+       |SELECT 'hrw' AS strategy, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN f.shard <> t.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM a_from f JOIN a_to t USING (doc_id)
+       |UNION ALL
+       |SELECT 'mod', CAST(count(*) AS BIGINT),
+       |       CAST(sum(CASE WHEN h0 % $kFrom <> h0 % $kTo THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM m
+       |ORDER BY strategy""".stripMargin
 }
