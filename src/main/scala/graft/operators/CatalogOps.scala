@@ -8,6 +8,15 @@ import graft.meta.Model
 /** Catalog scans over the live Spark catalog — the reference's Glue
   * listing surface (SURVEY.md §2.1 S1/S2/S4;
   * iceberg_client.go:329-406).
+  *
+  * External-catalog seam: every method here goes through
+  * `spark.catalog` / `spark.table`, which resolve against whatever
+  * catalogs the session is configured with — a Glue-backed (or any
+  * other) catalog plugs in via standard session config
+  * (`spark.sql.catalog.<name>=<CatalogPlugin impl>` plus the vendor's
+  * catalog-impl settings), not via code changes in this file. The same
+  * discipline as [[graft.meta.IcebergRuntime]]: environment supplies
+  * metadata SOURCES; operator code is source-agnostic.
   */
 object CatalogOps {
 

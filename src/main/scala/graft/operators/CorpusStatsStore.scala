@@ -56,11 +56,23 @@ object CorpusStatsStore {
       .groupBy($"bigram").agg(count(lit(1)).as("n"))
   }
 
+  private def hllRoot(dir: String) = s"$dir/vocab_hll"
+
+  /** Write the vocabulary HLL registers for a version — 256 ints, the
+    * store's cheapest artifact. */
+  private def writeSketch(spark: SparkSession, dir: String, v: Int,
+      regs: Seq[Int]): Unit = {
+    import spark.implicits._
+    Seq(regs).toDF("regs").coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"${hllRoot(dir)}/v=$v")
+  }
+
   /** Initialize the store from a corpus. Returns the version written. */
   def build(docs: DataFrame, dir: String): Int = {
     val spark = docs.sparkSession
     deltaCounts(docs).write.mode(SaveMode.Overwrite)
       .parquet(s"${countsRoot(dir)}/v=1")
+    writeSketch(spark, dir, 1, DistinctSketch.vocabSketch(docs))
     1
   }
 
@@ -77,6 +89,15 @@ object CorpusStatsStore {
       .groupBy($"bigram").agg(sum($"n").as("n"))
     merged.write.mode(SaveMode.Overwrite)
       .parquet(s"${countsRoot(dir)}/v=${v + 1}")
+    // Vocabulary sketch: registers merge by elementwise max — the delta
+    // is sketched alone and folded into the standing 256 ints, the same
+    // never-re-read-history contract as the counts. Read the sketch at
+    // the PRIOR version explicitly: the counts for v+1 are already on
+    // disk, so "latest" would point past the last written sketch.
+    val mergedRegs = new graft.functions.HllAggregator().merge(
+      graft.functions.HllBuf(readSketch(spark, dir, v)),
+      graft.functions.HllBuf(DistinctSketch.vocabSketch(deltaDocs))).regs
+    writeSketch(spark, dir, v + 1, mergedRegs)
     v + 1
   }
 
@@ -98,4 +119,20 @@ object CorpusStatsStore {
     val spark = docs.sparkSession
     TextAnalysis.familiarityScore(docs, counts(spark, dir))
   }
+
+  private def readSketch(spark: SparkSession, dir: String, v: Int): Seq[Int] =
+    spark.read.parquet(s"${hllRoot(dir)}/v=$v").head().getSeq[Int](0)
+
+  /** The standing vocabulary HLL registers (latest version). */
+  def vocabRegisters(spark: SparkSession, dir: String): Seq[Int] = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no corpus stats at $dir — build first"))
+    readSketch(spark, dir, v)
+  }
+
+  /** Distinct-unigram estimate of the whole corpus the store has seen —
+    * read from 256 ints, never from data. ±6.5% standard error at
+    * m = 256. */
+  def vocabEstimate(spark: SparkSession, dir: String): Double =
+    graft.functions.HllAggregator.estimate(vocabRegisters(spark, dir))
 }

@@ -45,6 +45,15 @@ object Dedup {
     new graft.util.PlanCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame](
       maxEntries = 8, onEvict = _.unpersist())
 
+  // The unordered shingle-intersection counts (id_a < id_b, |Sa ∩ Sb|)
+  // are the shared kernel of Jaccard (q21) and containment (q116): both
+  // divide the SAME count by different denominators. The self-join +
+  // pair aggregate is the expensive leg of either query, so it
+  // materializes once like the indexes above.
+  private val interCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 8, onEvict = _.unpersist())
+
   /** Drop every cached derived index (session teardown, or when the
     * underlying documents table changed within a session). */
   def clearCaches(): Unit = {
@@ -52,7 +61,23 @@ object Dedup {
     bandCache.clear()
     pairCache.clear()
     simhashCache.clear()
+    interCache.clear()
   }
+
+  /** Materialized pairwise shingle-intersection counts:
+    * (id_a, id_b, inter) for every unordered doc pair sharing ≥ 1
+    * shingle — exact support for any similarity > 0. */
+  def docPairIntersections(docs: DataFrame): DataFrame =
+    interCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val sh = docShingles(docs)
+      sh.as("a").join(sh.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .cache()
+    }
 
   /** Distinct (doc_id, shingle) pairs — the shared input of the Jaccard
     * family. Typed flatMap (primitive string ops beat a chain of
@@ -160,13 +185,10 @@ object Dedup {
     * candidates only. */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.6): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(Tables.documents(spark, d))
+    val docs = Tables.documents(spark, d)
+    val sh = docShingles(docs)
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, counts, threshold)
+    jaccardOf(docPairIntersections(docs), counts, threshold)
   }
 
   private def jaccardOf(inter: DataFrame, counts: DataFrame, threshold: Double): DataFrame = {
@@ -220,10 +242,7 @@ object Dedup {
     import spark.implicits._
     val sh = docShingles(docs)
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = docPairIntersections(docs)
     val both = inter.select($"id_a".as("doc_id"), $"id_b".as("container_id"), $"inter")
       .unionByName(
         inter.select($"id_b".as("doc_id"), $"id_a".as("container_id"), $"inter"))

@@ -233,6 +233,16 @@ class PlanHygieneSpec extends SparkSpec {
     graft.util.PlanCache.clearAll()
   }
 
+  test("q116 containment rides q21's materialized intersection counts") {
+    graft.util.PlanCache.clearAll()
+    graft.operators.Dedup.ngramJaccard(spark, sfDir, 0.6).count()
+    val plan = planOf(graft.operators.Dedup.q116Containment(spark, sfDir))
+    // the second consumer must read the cached pair frame, not re-run
+    // the shingle self-join + pair aggregate
+    assert(plan.contains("InMemoryTableScan"), plan)
+    graft.util.PlanCache.clearAll()
+  }
+
   test("q124 split leakage rides the LSH pair frame — no all-pairs shingle self-join") {
     // warm the pair cache the way Verify/Bench would (q22 runs first)
     graft.operators.Dedup.minhashLsh(spark, sfDir, 0.8).count()

@@ -31,6 +31,20 @@ class CorpusStatsStoreSpec extends SparkSpec {
     assert(countsMap(incDir)("spark shuffles") == 3L)
   }
 
+  test("vocab sketch: incremental build+update registers equal the full-rebuild sketch") {
+    val a = docsOf(1L -> "spark shuffles data", 2L -> "rows move through stages")
+    val b = docsOf(3L -> "executors spill to disk", 4L -> "spark shuffles rows")
+    val incDir = tmp(); val fullDir = tmp()
+    CorpusStatsStore.build(a, incDir)
+    CorpusStatsStore.update(b, incDir)
+    CorpusStatsStore.build(a.unionByName(b), fullDir)
+    assert(CorpusStatsStore.vocabRegisters(spark, incDir) ==
+      CorpusStatsStore.vocabRegisters(spark, fullDir))
+    // 11 distinct tokens; the estimate reads 256 ints, not the corpus
+    val est = CorpusStatsStore.vocabEstimate(spark, incDir)
+    assert(est > 5 && est < 20, s"est=$est")
+  }
+
   test("repeated updates keep merging; a stale version dir never wins") {
     val dir = tmp()
     CorpusStatsStore.build(docsOf(1L -> "a b"), dir)
