@@ -237,4 +237,36 @@ object Redact {
        |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pii_share
        |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin
   }
+
+  /** q131: K-ANONYMITY audit over quasi-identifiers — the metadata-
+    * release side of governance (q65/q118 scan CONTENT; this scans the
+    * ATTRIBUTE COMBINATIONS a published per-document metadata table
+    * would expose). A document whose (lang, source, length-band) cell
+    * holds fewer than k members is re-identifiable from those
+    * attributes alone (Sweeney, "k-anonymity: a model for protecting
+    * privacy"); the audit lists the under-k cells a release would have
+    * to suppress or generalize.
+    *
+    * Scale: one partial-agg count at bounded cell cardinality
+    * (langs × sources × bands), then a cell-level filter — corpus-sized
+    * scan, control-plane-sized everything else. Pure integer output. */
+  def kAnonymityAudit(docs: DataFrame, k: Long = 5,
+      bandChars: Long = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupBy($"lang", $"source", ($"n_chars" / bandChars).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where($"n_docs" < k)
+      .orderBy($"lang", $"source", $"band")
+  }
+
+  def q131KanonRisk(spark: SparkSession, d: String): DataFrame =
+    kAnonymityAudit(Tables.documents(spark, d))
+
+  val q131Sql: String =
+    """SELECT lang, source, n_chars // 512 AS band, count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1, 2, 3 HAVING count(*) < 5
+      |ORDER BY lang, source, band""".stripMargin
 }

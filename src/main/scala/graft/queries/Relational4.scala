@@ -475,4 +475,61 @@ object Relational4 {
       |GROUP BY 1, 2
       |ORDER BY n_sole_late DESC, s_suppkey ASC
       |LIMIT 20""".stripMargin
+
+  /** q132: TPC-H Q22 shape (global-market opportunity) adapted to this
+    * schema — per nation, the idle high-balance customers: account
+    * balance above the average POSITIVE balance, and no orders at all.
+    * Exercises the Q22 trio: a corpus-wide scalar aggregate feeding a
+    * per-row predicate, an anti-join against the fact table, and a
+    * small-dim rollup.
+    *
+    * "Idle" = no orders SINCE the cutoff (every synthetic customer has
+    * SOME order, so Q22's no-orders-ever form would be vacuously
+    * empty; lapsed-since is the same anti-join with a pushed-down date
+    * predicate on the fact side). Float discipline: balances become
+    * integer CENTS and the above-average test is cross-multiplied
+    * (`cents·n_pos > total_pos`) — the q38 exact-average trick, so no
+    * engine ever divides. Scale: the scalar aggregate is one
+    * partial-agg row cross-joined back (broadcast, no driver collect);
+    * the anti-join shuffles on custkey; nation is a broadcast dim. */
+  def q132IdleRich(spark: SparkSession, d: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, d)
+      .select($"c_custkey", $"c_nationkey",
+        (money($"c_acctbal") * 100).cast("long").as("cents"))
+    val thresh = cust.where($"cents" > 0)
+      .agg(count(lit(1)).as("npos"), sum($"cents").as("totpos"))
+    val recent = Tables.orders(spark, d)
+      .where($"o_orderdate" >= lit(cutoff).cast("date"))
+      .select($"o_custkey")
+    val idle = cust.join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+    idle.crossJoin(broadcast(thresh))
+      .where($"cents" * $"npos" > $"totpos")
+      .join(broadcast(Tables.nation(spark, d).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_custs"), sum($"cents").as("total_bal_cents"))
+      .orderBy($"nation")
+  }
+
+  val q132Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer
+      |), pos AS (
+      |  SELECT count(*) AS npos, sum(cents) AS totpos FROM cust WHERE cents > 0
+      |), idle AS (
+      |  SELECT c.* FROM cust c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= DATE '1999-01-01')
+      |)
+      |SELECT n.n_name AS nation, count(*) AS n_custs,
+      |       CAST(sum(i.cents) AS BIGINT) AS total_bal_cents
+      |FROM idle i CROSS JOIN pos p
+      |JOIN nation n ON n.n_nationkey = i.c_nationkey
+      |WHERE i.cents * p.npos > p.totpos
+      |GROUP BY 1 ORDER BY nation""".stripMargin
 }

@@ -99,12 +99,20 @@ object StreamingIngest {
       // decontamination FIRST: a leaked eval document must not even
       // reach the dedup index, or a later clean near-duplicate of it
       // would be dropped as "already ingested"
-      val (screened, nContaminated) = evalDocs match {
+      // The overlap report aggregates to the CONTAMINATED doc ids — a
+      // tiny frame. Materialize it once and count removed rows with a
+      // broadcast-sized semi join: the old `prepared.count() −
+      // survivors.count()` ran the full prepare+bloom plan per action
+      // (and again when downstream dedup consumed the unpersisted
+      // survivors); this computes the report exactly once per batch.
+      val (screened, nContaminated, flaggedIds) = evalDocs match {
         case Some(ev) =>
-          val survivors = graft.operators.Decontaminate
-            .decontaminateBloom(prepared, ev, minOverlap)
-          (survivors, prepared.count() - survivors.count())
-        case None => (prepared, 0L)
+          val ids = graft.operators.Decontaminate
+            .overlapReportBloom(prepared, ev, minOverlap)
+            .select("doc_id").persist()
+          val removed = prepared.join(ids, Seq("doc_id"), "left_semi").count()
+          (prepared.join(ids, Seq("doc_id"), "left_anti"), removed, Some(ids))
+        case None => (prepared, 0L, None)
       }
       // commit = false: the index write happens below, AFTER the corpus
       // write; commitLabel still rides along as the exclude label so a
@@ -115,6 +123,7 @@ object StreamingIngest {
         .parquet(s"$corpusDir/ingest_batch=$key")
       DedupIndex.writeIndexRows(kept, indexDir, label)
       fs.create(marker, true).close()
+      flaggedIds.foreach(_.unpersist())
       Some(BatchReport(batchId, stats.input + nContaminated, stats.kept,
         nContaminated))
     }

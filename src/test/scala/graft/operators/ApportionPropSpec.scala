@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the pure allocation math behind q127 — no Spark
+  * session needed: largest-remainder exactness and the capped two-pass
+  * waterfall's safety invariants on random availability/weight/budget
+  * shapes (zero weights, tiny availabilities, over- and under-sized
+  * budgets all generated).
+  */
+class ApportionPropSpec extends AnyFunSuite {
+
+  private val genItems: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, Gen.choose(0L, 9L))
+  } yield ws.zipWithIndex.map { case (w, i) => (f"s$i%02d", w) }
+
+  private def check(prop: Prop, name: String): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200)
+        .withInitialSeed(Seed(42L)), prop)
+    assert(r.passed, s"$name: $r")
+  }
+
+  test("largest remainder sums exactly to the budget and stays within 1 of proportional") {
+    check(Prop.forAll(genItems, Gen.choose(0L, 10000L)) { (items, budget) =>
+      val got = Sampling.largestRemainder(items, budget)
+      val w = items.map(_._2).sum
+      if (w == 0 || budget == 0) got.values.forall(_ == 0L)
+      else {
+        got.values.sum == budget &&
+        items.forall { case (n, wi) =>
+          val floor = budget * wi / w
+          got(n) == floor || got(n) == floor + 1
+        }
+      }
+    }, "largestRemainder")
+  }
+
+  test("apportion never exceeds availability, never exceeds budget, fills when uncapped") {
+    val genAvail = for {
+      items <- genItems
+      avs <- Gen.listOfN(items.size, Gen.choose(0L, 500L))
+    } yield items.zip(avs).map { case ((n, w), av) => ((n, av), (n, w)) }
+    check(Prop.forAll(genAvail, Gen.choose(0L, 3000L)) { (pairs, budget) =>
+      val avail = pairs.map(_._1)
+      val weights = pairs.map(_._2).toMap
+      val out = Sampling.apportion(avail, weights, budget)
+      val allocSum = out.map(_._5).sum
+      val posW = weights.values.sum > 0
+      out.forall { case (_, av, _, _, alloc, _) => alloc >= 0 && alloc <= av } &&
+      allocSum <= budget &&
+      // pass 1 uncapped everywhere → allocations fill the whole budget
+      (!posW || budget == 0 || out.exists(_._6) || allocSum == budget)
+    }, "apportion")
+  }
+
+  test("hrw: removing the highest-scoring shard reassigns only that shard's keys (local model)") {
+    // Pure-model mirror of the Spark-side minimal-movement spec: argmax
+    // over k hashes vs k+1 hashes differs only where the new candidate wins.
+    def h(key: Long, s: Int): Long =
+      graft.operators.Sampling.hexThreshold(0.5).hashCode.toLong ^ // fixed salt
+        java.util.UUID.nameUUIDFromBytes(s"$key:$s".getBytes).getMostSignificantBits
+    check(Prop.forAll(Gen.listOfN(200, Gen.choose(0L, 100000L))) { keys =>
+      keys.forall { key =>
+        val a = (0 until 8).maxBy(s => (h(key, s), s))
+        val b = (0 until 9).maxBy(s => (h(key, s), s))
+        a == b || b == 8
+      }
+    }, "hrw")
+  }
+}
