@@ -404,7 +404,22 @@ object Multimodal {
     * into the single long id [[graft.operators.Dedup.hammingBlockedPairs]]
     * blocks on (frame counts are single digits; at production scale make
     * the key a proper struct or widen the factor). */
-  def frameHashes(assets: Dataset[MediaAsset]): DataFrame = {
+  // The decoded-signature table is the multimodal family's derived
+  // index: pair detection (q108) and clustering (q109) both consume it,
+  // and the PPM decode + aHash pass dominates either query's cost —
+  // same materialize-once discipline as the text shingle index.
+  private val frameHashCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
+  /** Drop cached multimodal indexes (session teardown / data change). */
+  def clearCaches(): Unit = frameHashCache.clear()
+
+  def frameHashes(assets: Dataset[MediaAsset]): DataFrame =
+    frameHashCache.getOrElseUpdate(assets.queryExecution.analyzed.canonicalized)(
+      frameHashesUncached(assets).cache())
+
+  private def frameHashesUncached(assets: Dataset[MediaAsset]): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(a => a.kind == "image" || a.kind == "video")
