@@ -36,6 +36,16 @@ object HeavyHitters {
     * decrement-all when a new item arrives with the table full. */
   private[operators] def mgSketch(it: Iterator[String], capacity: Int): mutable.Map[String, Long] = {
     val counters = mutable.Map.empty[String, Long]
+    mgUpdate(counters, it, capacity)
+    counters
+  }
+
+  /** Fold more items into an existing MG counter table — the streaming
+    * update step: MG state folds item-by-item, so resuming from a
+    * previous batch's counters is the SAME sketch as one pass over the
+    * concatenated stream. */
+  private[graft] def mgUpdate(counters: mutable.Map[String, Long],
+      it: Iterator[String], capacity: Int): Unit = {
     it.foreach { t =>
       counters.get(t) match {
         case Some(c) => counters.update(t, c + 1)
@@ -49,7 +59,6 @@ object HeavyHitters {
           dead.foreach(counters.remove)
       }
     }
-    counters
   }
 
   /** Candidate heavy hitters from per-partition MG sketches: tokens

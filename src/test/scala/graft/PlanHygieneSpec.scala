@@ -233,6 +233,15 @@ class PlanHygieneSpec extends SparkSpec {
     graft.util.PlanCache.clearAll()
   }
 
+  test("q109 clusters ride q108's materialized frame-signature table") {
+    graft.util.PlanCache.clearAll()
+    graft.multimodal.Multimodal.frameNearDup(spark, sfDir).count()
+    val plan = planOf(graft.multimodal.Multimodal.visualDupClusters(spark, sfDir))
+    // the cluster query must read the cached signatures, not re-decode
+    assert(plan.contains("InMemoryTableScan"), plan)
+    graft.util.PlanCache.clearAll()
+  }
+
   test("q116 containment rides q21's materialized intersection counts") {
     graft.util.PlanCache.clearAll()
     graft.operators.Dedup.ngramJaccard(spark, sfDir, 0.6).count()
