@@ -81,4 +81,24 @@ class EmptyInputSpec extends SparkSpec {
     // distributed loop too
     assert(BpeTrain.learnMerges(emptyDocs, nMerges = 5, localVocabMax = 0).isEmpty)
   }
+
+  test("rate anomaly: empty events yield an empty frame") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType))))
+    assert(Anomaly.rateAnomalyOf(emptyEvents).count() == 0)
+  }
+
+  test("apportion/reshard/k-anon/HLL: empty and null-text inputs degrade cleanly") {
+    assert(Sampling.apportion(Seq.empty, Map.empty, 100L).isEmpty)
+    assert(Sampling.largestRemainder(Seq.empty, 100L).isEmpty)
+    assert(Redact.kAnonymityAudit(emptyDocs).count() == 0)
+    // an empty corpus sketches to all-zero registers, estimate 0-ish
+    val regs = DistinctSketch.vocabSketch(emptyDocs)
+    assert(regs.forall(_ == 0))
+    assert(DistinctSketch.vocabSketch(nullTextDocs).forall(_ == 0))
+    assert(graft.functions.HllAggregator.estimate(regs) == 0.0)
+  }
 }
