@@ -299,6 +299,68 @@ object Dedup {
     * the synthetic corpus the max df is small, so q83 keeps the
     * unpruned exact form.
     */
+  /** q133: DEDUP YIELD CURVE — how aggressive is a Jaccard threshold?
+    * For each candidate threshold (0.5 … 0.9), the number of near-dup
+    * pairs at or above it and the number of distinct documents those
+    * pairs touch (the review/removal volume). This is the planning
+    * query run BEFORE committing a dedup pass: thresholds trade recall
+    * against false merges, and the curve shows where the corpus's own
+    * pair mass falls.
+    *
+    * Scale: rides the SAME materialized intersection-count frame as
+    * q21/q116 (third consumer — no new shingle work); the sweep is a
+    * 5-way explode of an already-tiny pair frame. Jaccard is one
+    * int/int IEEE division, identical in both engines, and the
+    * threshold grid is coarse (0.1 steps) — the q64 float-grid
+    * argument. */
+  def q133DedupYield(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val sh = docShingles(docs)
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = docPairIntersections(docs)
+      .join(counts.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(counts.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+    jac.withColumn("t10", explode(array((5 to 9).map(lit): _*)))
+      .where($"jaccard" >= $"t10" / 10.0)
+      .select($"t10", $"id_a", $"id_b")
+      .withColumn("doc", explode(array($"id_a", $"id_b")))
+      .groupBy($"t10")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct($"doc").as("n_docs"))
+      .orderBy($"t10")
+  }
+
+  val q133Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      |), counts AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jac AS (
+      |  SELECT id_a, id_b,
+      |         CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+      |  FROM inter
+      |  JOIN counts ca ON ca.doc_id = id_a
+      |  JOIN counts cb ON cb.doc_id = id_b
+      |), swept AS (
+      |  SELECT g.t10, j.id_a, j.id_b FROM jac j
+      |  CROSS JOIN generate_series(5, 9) g(t10)
+      |  WHERE j.jaccard >= g.t10 / 10.0
+      |)
+      |SELECT CAST(t10 AS INT) AS t10,
+      |       CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+      |       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+      |FROM swept, unnest([id_a, id_b]) AS u(doc)
+      |GROUP BY 1 ORDER BY t10""".stripMargin
+
   def similarTopK(spark: SparkSession, d: String, k: Int = 3,
       nQueries: Int = 20): DataFrame = {
     import spark.implicits._
