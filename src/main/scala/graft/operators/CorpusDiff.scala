@@ -124,4 +124,47 @@ object CorpusDiff {
       |LEFT JOIN counts c ON c.doc_id = j.doc_id
       |LEFT JOIN inter i ON i.doc_id = j.doc_id
       |ORDER BY j.doc_id""".stripMargin
+
+  /** q134: RELEASE MANIFEST — per-shard content checksums for corpus
+    * release integrity. Every document's normalized-content hash (the
+    * exact-dedup key family: md5 of the whitespace-token join, 60
+    * portable bits) folds into its shard's checksum with XOR — an
+    * order-free, associative, partial-agg-friendly fold, so a 100 TB
+    * manifest is one scan with 8 rows of state per partition and NO
+    * sort anywhere. Two releases' manifests diff shard-wise: a changed
+    * shard pinpoints where to run the (expensive) per-document
+    * [[diff]], the same narrowing trick as rsync's block checksums.
+    * Shard = content-independent doc_id hash, so a single edited
+    * document flips exactly its own shard's checksum. */
+  def releaseManifest(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idHash = conv(substring(md5(concat_ws(":", lit("manifest"),
+      $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long")
+    val contentHash = conv(substring(md5(concat_ws(" ",
+      graft.functions.TextFunctions.tokens($"text"))), 1, 15), 16, 10).cast("long")
+    docs.where($"text".isNotNull)
+      .select(($"doc_id"), (idHash % nShards).cast("int").as("shard"),
+        contentHash.as("ch"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(ch)").as("checksum"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"shard")
+  }
+
+  def q134ReleaseManifest(spark: SparkSession, d: String): DataFrame =
+    releaseManifest(Tables.documents(spark, d))
+
+  val q134Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('manifest:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |              % 8 AS INT) AS shard,
+      |         ('0x' || substr(md5(array_to_string(string_split(lower(text), ' '), ' ')), 1, 15))::BIGINT AS ch
+      |  FROM documents WHERE text IS NOT NULL
+      |)
+      |SELECT shard, count(*) AS n_docs, bit_xor(ch) AS checksum,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
 }

@@ -257,10 +257,22 @@ object Relational4 {
     }
     val kept = ranked.where($"rk" <= maxBasketItems)
       .select($"l_orderkey", $"l_partkey")
-    val pairs = kept.select($"l_orderkey", $"l_partkey".as("part_a"))
-      .join(kept.select($"l_orderkey", $"l_partkey".as("part_b")), Seq("l_orderkey"))
-      .where($"part_a" < $"part_b")
-    pairs.groupBy($"part_a", $"part_b")
+    // Pair generation is ROW-LOCAL: collect each (capped) basket into a
+    // sorted array and emit its C(n,2) ordered pairs with nested
+    // higher-order transforms. The previous self-join on l_orderkey
+    // recomputed the whole distinct→support→window lineage for each
+    // side (Spark's exchange reuse doesn't fire across the a/b alias
+    // asymmetry — measured 12 exchanges); the basket groupBy keys on
+    // the SAME column the ranking window partitioned by, so this adds
+    // zero exchanges, and the cap bounds per-row pair fan-out.
+    val baskets = kept.groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_partkey")).as("ps"))
+    val pairsCol = flatten(transform($"ps", (a, i) =>
+      transform(slice($"ps", i + 2, greatest(size($"ps"), lit(1))),
+        b => struct(a.as("part_a"), b.as("part_b")))))
+    baskets.select(explode(pairsCol).as("p"))
+      .select($"p.part_a", $"p.part_b")
+      .groupBy($"part_a", $"part_b")
       .agg(count(lit(1)).as("n_together"))
       .orderBy($"n_together".desc, $"part_a".asc, $"part_b".asc)
       .limit(topK)

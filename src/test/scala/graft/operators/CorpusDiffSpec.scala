@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.rand
+
 import graft.SparkSpec
 import graft.meta.{MetaStore, Model}
 import graft.sources.SnapshotReads
@@ -81,5 +83,30 @@ class CorpusDiffSpec extends SparkSpec {
         SnapshotReads.readAt(store, "db", "corpus", 2L))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "unchanged", 2L -> "removed", 3L -> "added"))
+  }
+
+  test("release manifest: editing one document flips exactly its own shard's checksum") {
+    import spark.implicits._
+    def corpus(edit: Boolean) = (1L to 40L).map { i =>
+      val t = if (edit && i == 17L) "edited text here" else s"stable text number $i"
+      (i, t, "en", "web", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = CorpusDiff.releaseManifest(corpus(edit = false)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = CorpusDiff.releaseManifest(corpus(edit = true)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a.keySet == b.keySet)
+    val changed = a.keySet.filter(s => a(s) != b(s))
+    assert(changed.size == 1, s"changed=$changed")
+    // counts identical everywhere; only the checksum moved
+    assert(a.forall { case (s, (n, _)) => b(s)._1 == n })
+  }
+
+  test("release manifest checksum is order-free: shuffled input yields identical rows") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val m1 = CorpusDiff.releaseManifest(docs).collect().toSeq
+    val m2 = CorpusDiff.releaseManifest(docs.orderBy(rand(7))).collect().toSeq
+    assert(m1 == m2)
   }
 }
