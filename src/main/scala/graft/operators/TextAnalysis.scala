@@ -654,7 +654,10 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, d: String, k: Int = 4, w: Int = 5): DataFrame =
     fingerprintOf(Tables.documents(spark, d), k, w)
 
-  def fingerprintOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+  /** The distinct winnowed fingerprint SET per document — the sampled
+    * index itself ((2/(w+1))·shingles expected density), shared by the
+    * q30 summary and the q135 pair search. */
+  def fingerprintSetOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val kgrams = docs.where($"text".isNotNull)
@@ -673,6 +676,12 @@ object TextAnalysis {
     kgrams
       .withColumn("fp", min($"h").over(winSpec))
       .select($"doc_id", $"fp").distinct()
+  }
+
+  def fingerprintOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fingerprintSetOf(docs, k, w)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_fingerprints"), min($"fp").as("min_fp"))
       .orderBy($"doc_id")
@@ -681,6 +690,12 @@ object TextAnalysis {
   /** DuckDB oracle for [[fingerprintOf]]: the same polynomial hash via
     * list_reduce, the same trailing-partial winnowing window. */
   def fingerprintSql(k: Int, w: Int): String =
+    s"""${fingerprintCtes(k, w)}
+       |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE prefix: toks → k-grams → polyHash → winnowed fp. */
+  private def fingerprintCtes(k: Int, w: Int): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
        |  WHERE text IS NOT NULL
@@ -699,9 +714,61 @@ object TextAnalysis {
        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
        |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
        |  FROM h
+       |)""".stripMargin
+
+  /** q135: near-dup candidate pairs from the SAMPLED winnowing index —
+    * docs sharing ≥ `minShared` distinct fingerprints, with both set
+    * sizes for containment/resemblance math downstream. Winnowing
+    * guarantees any shared run of ≥ w+k−1 tokens contributes at least
+    * one common fingerprint (the Schleimer et al. coverage bound), so
+    * the candidate set catches every substantial overlap while the
+    * inverted index is only ~2/(w+1) the size of the full shingle
+    * index — the storage/recall dial versus q21's exact Jaccard.
+    * Hot fingerprints are df-pruned on BOTH engines (df ≤ `maxDf`,
+    * the q121 discipline) so one boilerplate k-gram can't explode the
+    * join. Pure integers → exact oracle via the portable polyHash. */
+  def q135FingerprintPairs(spark: SparkSession, d: String, minShared: Int = 3,
+      maxDf: Int = 50, k: Int = 4, w: Int = 5): DataFrame = {
+    import spark.implicits._
+    val fps = fingerprintSetOf(
+      graft.sources.Tables.documents(spark, d), k, w)
+    val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = fps.groupBy($"fp").agg(count(lit(1)).as("__df"))
+      .where($"__df" >= 2 && $"__df" <= maxDf)
+      .select($"fp")
+    val p = fps.join(shared, "fp")
+    p.as("a").join(p.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= minShared)
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .select($"id_a", $"id_b", $"n_shared", $"n_a", $"n_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  def q135Sql(minShared: Int = 3, maxDf: Int = 50, k: Int = 4,
+      w: Int = 5): String =
+    s"""${fingerprintCtes(k, w)},
+       |fset AS (
+       |  SELECT DISTINCT doc_id, fp FROM fp
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM fset GROUP BY 1
+       |), keepfp AS (
+       |  SELECT fp FROM fset GROUP BY fp
+       |  HAVING count(*) >= 2 AND count(*) <= $maxDf
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM fset a JOIN keepfp USING (fp)
+       |  JOIN fset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared
        |)
-       |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
-       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT p.id_a, p.id_b, p.n_shared, sa.n AS n_a, sb.n AS n_b
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.id_a
+       |JOIN sizes sb ON sb.doc_id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** q84: compression-ratio quality signal (the compressibility filter
     * of Gopher/RefinedWeb: templated or degenerate-repetitive text

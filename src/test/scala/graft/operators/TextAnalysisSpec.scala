@@ -172,4 +172,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head == "x y")
     assert(out.contains("x y") && out.length <= 3)
   }
+
+  test("fingerprint pairs: winnowing coverage guarantees a shared long run surfaces") {
+    import spark.implicits._
+    // k=4, w=5 → any shared run of ≥ w+k−1 = 8 tokens must yield ≥1
+    // common fingerprint; this run is much longer, and minShared=1
+    // isolates the coverage bound from the default threshold.
+    val run = (1 to 30).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma"),
+      (2L, s"$run delta epsilon zeta"),
+      (3L, "totally different content with no overlap at all here"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextAnalysis.fingerprintSetOf(docs)
+    val shared = fps.as("a").join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared.contains((1L, 2L)))
+    assert(!shared.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
