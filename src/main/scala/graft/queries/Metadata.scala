@@ -216,4 +216,69 @@ object Metadata {
       |FROM events
       |WHERE CAST(props->>'$.k' AS INT) >= 50
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q136: CLUSTERING-QUALITY audit — the data-layout sibling of
+    * needs_optimize (A7 sizes files; this measures whether their KEY
+    * RANGES overlap). Per partition, every file carries a
+    * [min, max] l_partkey zone; files whose zones intersect cannot be
+    * pruned apart by a partkey predicate, so the overlap count is the
+    * direct "rewrite with sort order / z-order" signal an admin acts on
+    * (the reference's rewrite_data_files supports exactly that knob;
+    * graft.functions.ZOrder is the engine-side path).
+    *
+    * Scale: per-file zone stats are one partial agg over the scan; the
+    * pair comparison joins files WITHIN a partition only (≤ C(8,2)
+    * pairs here; real manifests are also partition-bounded), never
+    * across the table. Integer counts out. */
+  def q136ClusteringQuality(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ranges = graft.sources.Tables.lineitem(spark, d)
+      .withColumn("year", date_format($"l_shipdate", "yyyy"))
+      .withColumn("month", date_format($"l_shipdate", "MM"))
+      .withColumn("day", date_format($"l_shipdate", "dd"))
+      .withColumn("file_id", pmod($"l_orderkey", lit(8)).cast("int"))
+      .groupBy($"year", $"month", $"day", $"file_id")
+      .agg(min($"l_partkey").as("mn"), max($"l_partkey").as("mx"))
+    val nFiles = ranges.groupBy($"year", $"month", $"day")
+      .agg(count(lit(1)).as("n_files"))
+    val pairs = ranges.as("a").join(ranges.as("b"),
+        $"a.year" === $"b.year" && $"a.month" === $"b.month" &&
+        $"a.day" === $"b.day" && $"a.file_id" < $"b.file_id")
+      .select($"a.year".as("year"), $"a.month".as("month"), $"a.day".as("day"),
+        ($"a.mn" <= $"b.mx" && $"b.mn" <= $"a.mx").cast("long").as("ov"))
+      .groupBy($"year", $"month", $"day")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ov").as("n_overlap"))
+    nFiles.join(pairs, Seq("year", "month", "day"), "left")
+      .select($"year", $"month", $"day", $"n_files",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .orderBy($"year", $"month", $"day")
+  }
+
+  val q136Sql: String =
+    """WITH ranges AS (
+      |  SELECT strftime(l_shipdate, '%Y') AS year,
+      |         strftime(l_shipdate, '%m') AS month,
+      |         strftime(l_shipdate, '%d') AS day,
+      |         CAST(l_orderkey % 8 AS INT) AS file_id,
+      |         min(l_partkey) AS mn, max(l_partkey) AS mx
+      |  FROM lineitem GROUP BY 1, 2, 3, 4
+      |), nf AS (
+      |  SELECT year, month, day, count(*) AS n_files
+      |  FROM ranges GROUP BY 1, 2, 3
+      |), pv AS (
+      |  SELECT a.year, a.month, a.day,
+      |         CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(CASE WHEN a.mn <= b.mx AND b.mn <= a.mx
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      |  FROM ranges a JOIN ranges b
+      |    ON a.year = b.year AND a.month = b.month AND a.day = b.day
+      |   AND a.file_id < b.file_id
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT n.year, n.month, n.day, n.n_files,
+      |       coalesce(p.n_pairs, 0) AS n_pairs,
+      |       coalesce(p.n_overlap, 0) AS n_overlap
+      |FROM nf n LEFT JOIN pv p USING (year, month, day)
+      |ORDER BY year, month, day""".stripMargin
 }
