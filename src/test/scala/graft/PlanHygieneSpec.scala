@@ -233,6 +233,17 @@ class PlanHygieneSpec extends SparkSpec {
     graft.util.PlanCache.clearAll()
   }
 
+  test("q137 disjunction: single-side residuals reach both scans, join stays broadcast") {
+    val plan = planOf(queries.Relational5.q137DisjunctiveRevenue(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // Catalyst must factor the OR: quantity bounds on the lineitem scan,
+    // brand/size bounds on the part scan — neither side reads unfiltered.
+    val scans = plan.split('\n').filter(_.contains("FileScan"))
+    assert(scans.exists(s => s.contains("l_quantity")), plan)
+    assert(scans.exists(s => s.contains("p_brand")), plan)
+  }
+
   test("q109 clusters ride q108's materialized frame-signature table") {
     graft.util.PlanCache.clearAll()
     graft.multimodal.Multimodal.frameNearDup(spark, sfDir).count()
