@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.explode
+
 import graft.SparkSpec
 
 /** BPE tokenizer training: algorithm correctness on a hand-worked
@@ -74,5 +76,24 @@ class BpeTrainSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     // ranks are 1..20 and merged = left + right
     a.foreach { r => assert(r(3) == r(1).toString + r(2).toString) }
+  }
+
+  test("BPE tokenization is lossless: decode(encode(w)) == w for every corpus word and under random merge tables") {
+    import spark.implicits._
+    val merges = BpeTrain.learnMerges(
+      graft.sources.Tables.documents(spark, sfDir), nMerges = 30)
+    val rank = merges.zipWithIndex.toMap
+    val words = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      .where($"w" =!= "").distinct().as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(BpeTrain.encodeWord(w, rank).mkString == w, s"round-trip broke on '$w'")
+    }
+    // adversarial merge table: merges the corpus never saw, unsorted ranks
+    val weird = Map(("x", "x") -> 0, ("ab", "c") -> 1, ("a", "b") -> 2)
+    Seq("xxxxx", "abcabc", "", "a", "zzz xx").foreach { w =>
+      assert(BpeTrain.encodeWord(w, weird).mkString == w)
+    }
   }
 }
