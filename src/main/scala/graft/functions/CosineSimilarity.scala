@@ -117,7 +117,10 @@ object CosineSimilarity {
   }
 }
 
-/** Session-extension hook: `spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** Session-extension hook: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * installs every custom codegen expression into sessions at build time
+  * — the deployment seam for clusters where calling `register(spark)`
+  * per session isn't an option (e.g. Thrift server, notebooks). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -127,6 +130,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           require(children.length == 2,
             s"${CosineSimilarity.name} expects 2 arguments, got ${children.length}")
           CosineSimilarity(children(0), children(1))
+        }))
+    ext.injectFunction((
+      FunctionIdentifier(NormalizeNfc.name),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, NormalizeNfc.name),
+      (children: Seq[Expression]) => {
+          require(children.length == 1,
+            s"${NormalizeNfc.name} expects 1 argument, got ${children.length}")
+          NormalizeNfc(children.head)
         }))
   }
 }
