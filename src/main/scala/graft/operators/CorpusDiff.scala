@@ -156,6 +156,52 @@ object CorpusDiff {
   def q134ReleaseManifest(spark: SparkSession, d: String): DataFrame =
     releaseManifest(Tables.documents(spark, d))
 
+  /** Per-document manifest contributions: (shard, ±1, content hash) —
+    * the unit the incremental fold consumes. */
+  private def manifestRows(docs: DataFrame, sign: Int, nShards: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idHash = conv(substring(md5(concat_ws(":", lit("manifest"),
+      $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long")
+    val contentHash = conv(substring(md5(concat_ws(" ",
+      graft.functions.TextFunctions.tokens($"text"))), 1, 15), 16, 10).cast("long")
+    docs.where($"text".isNotNull)
+      .select((idHash % nShards).cast("int").as("shard"),
+        lit(sign.toLong).as("n_docs"), contentHash.as("checksum"))
+  }
+
+  /** The incremental manifest core: (shard, n_docs, checksum) with NO
+    * min/max (order statistics don't survive removals; the full
+    * [[releaseManifest]] keeps them for the build-from-scratch case). */
+  def manifestCore(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    manifestRows(docs, 1, nShards)
+      .groupBy($"shard")
+      .agg(sum($"n_docs").as("n_docs"), expr("bit_xor(checksum)").as("checksum"))
+      .orderBy($"shard")
+  }
+
+  /** Fold a release delta into a standing manifest WITHOUT touching the
+    * corpus behind it: XOR is self-inverse, so a removed document's
+    * hash folds in with the SAME operation that added it, and the doc
+    * count rides a signed sum. One 8-key shuffle over standing rows +
+    * delta docs — at 100 TB the update is O(delta), and a manifest
+    * mismatch against [[manifestCore]] of the actual corpus pinpoints
+    * the corrupted shard. */
+  def updateManifest(standing: DataFrame, added: DataFrame,
+      removed: DataFrame, nShards: Int = 8): DataFrame = {
+    val spark = standing.sparkSession
+    import spark.implicits._
+    standing.select($"shard", $"n_docs", $"checksum")
+      .unionByName(manifestRows(added, 1, nShards))
+      .unionByName(manifestRows(removed, -1, nShards))
+      .groupBy($"shard")
+      .agg(sum($"n_docs").as("n_docs"), expr("bit_xor(checksum)").as("checksum"))
+      .where($"n_docs" > 0)
+      .orderBy($"shard")
+  }
+
   val q134Sql: String =
     """WITH h AS (
       |  SELECT doc_id,

@@ -102,6 +102,25 @@ class CorpusDiffSpec extends SparkSpec {
     assert(a.forall { case (s, (n, _)) => b(s)._1 == n })
   }
 
+  test("incremental manifest: XOR-folding a delta equals a full rebuild (removal = re-fold)") {
+    import spark.implicits._
+    def corpus(rows: (Long, String)*) = rows.map { case (id, t) =>
+      (id, t, "en", "web", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v1 = corpus((1L to 40L).map(i => i -> s"text number $i"): _*)
+    // v2: doc 7 modified, doc 13 removed, docs 41-42 added
+    val v2 = corpus(((1L to 40L).filter(_ != 13L).map { i =>
+      i -> (if (i == 7L) "rewritten seven" else s"text number $i")
+    } ++ Seq(41L -> "fresh one", 42L -> "fresh two")): _*)
+    val standing = CorpusDiff.manifestCore(v1)
+    val added = corpus(7L -> "rewritten seven", 41L -> "fresh one", 42L -> "fresh two")
+    val removed = corpus(7L -> "text number 7", 13L -> "text number 13")
+    val inc = CorpusDiff.updateManifest(standing, added, removed)
+      .collect().map(_.toSeq).toSet
+    val full = CorpusDiff.manifestCore(v2).collect().map(_.toSeq).toSet
+    assert(inc == full)
+  }
+
   test("release manifest checksum is order-free: shuffled input yields identical rows") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sfDir)
