@@ -182,6 +182,34 @@ object CorpusDiff {
       .orderBy($"shard")
   }
 
+  /** Manifest-NARROWED release diff: compare the two versions' shard
+    * manifests first, then run the per-document [[diff]] only over
+    * documents whose shard actually changed — the rsync narrowing made
+    * real. Documents in untouched shards are provably identical (equal
+    * count + equal XOR of content hashes per doc_id-stable shard;
+    * doc_ids don't move shards between versions), so the expensive
+    * full-outer diff runs on changed shards only. At 100 TB with a
+    * localized release this reads 1/nShards of the corpus per touched
+    * shard instead of everything; raise nShards to tighten. Returns the
+    * same rows [[diff]] would for changed-shard docs — the spec pins
+    * equality. */
+  def selectiveDiff(vOld: DataFrame, vNew: DataFrame, nShards: Int = 8): DataFrame = {
+    val spark = vOld.sparkSession
+    import spark.implicits._
+    val changed = manifestCore(vOld, nShards).as("o")
+      .join(manifestCore(vNew, nShards).as("n"), Seq("shard"), "full")
+      .where($"o.n_docs".isNull || $"n.n_docs".isNull ||
+        $"o.n_docs" =!= $"n.n_docs" || $"o.checksum" =!= $"n.checksum")
+      .select($"shard")
+    val idHash = conv(substring(md5(concat_ws(":", lit("manifest"),
+      $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long")
+    def restrict(df: DataFrame) = df
+      .withColumn("__shard", (idHash % nShards).cast("int"))
+      .join(broadcast(changed), $"__shard" === $"shard")
+      .drop("__shard", "shard")
+    diff(restrict(vOld), restrict(vNew))
+  }
+
   /** Fold a release delta into a standing manifest WITHOUT touching the
     * corpus behind it: XOR is self-inverse, so a removed document's
     * hash folds in with the SAME operation that added it, and the doc

@@ -121,6 +121,29 @@ class CorpusDiffSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("selective diff equals the full diff on changed-shard docs, and skips clean shards") {
+    import spark.implicits._
+    def corpus(rows: (Long, String)*) = rows.map { case (id, t) =>
+      (id, t, "en", "web", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v1 = corpus((1L to 60L).map(i => i -> s"stable text number $i"): _*)
+    val v2 = corpus((1L to 60L).map { i =>
+      i -> (if (i == 11L) "edited text" else s"stable text number $i")
+    }: _*)
+    val sel = CorpusDiff.selectiveDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = CorpusDiff.diff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every selected doc agrees with the full diff…
+    sel.foreach { case (id, st) => assert(full(id) == st) }
+    // …the edit is found…
+    assert(sel(11L) == "modified")
+    // …and clean shards were skipped: strictly fewer docs than the corpus
+    assert(sel.size < 60 && sel.size >= 1)
+    // nothing outside the selected shards changed
+    assert(full.filter(_._2 != "unchanged").keySet.subsetOf(sel.keySet))
+  }
+
   test("release manifest checksum is order-free: shuffled input yields identical rows") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sfDir)
