@@ -599,6 +599,70 @@ object Sampling {
       |FROM capped1 c LEFT JOIN pass2 p USING (source)
       |ORDER BY c.source""".stripMargin
 
+  /** q140: CLUSTER-AWARE split assignment — the REMEDY for the leakage
+    * q124 detects: near-dup documents must land in the SAME split, so
+    * the split hash keys on the near-dup CLUSTER label (min member id,
+    * from the verified LSH pair frame + connected components) instead
+    * of the doc id; singletons key on their own id. By construction no
+    * near-dup pair can straddle train/val/test — a q124 audit over this
+    * assignment returns zero rows (spec-pinned).
+    *
+    * Scale: rides the SAME cached LSH pair frame as q22/q47/q124 and
+    * the pointer-doubling components of q40; the assignment itself is
+    * one broadcast-sized left join + a row-local hash. Exact oracle:
+    * DuckDB replays the clustering with the q47 recursive-CTE closure
+    * and the same md5 split thresholds. */
+  def q140ClusterSplits(spark: SparkSession, d: String,
+      threshold: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val pairs = Dedup.minhashLshOf(docs, threshold).select($"id_a", $"id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce($"label", $"doc_id"))
+      .withColumn("split", splitAssign($"group_key", 0.8, 0.1))
+      .select($"doc_id", $"group_key", $"split")
+      .orderBy($"doc_id")
+  }
+
+  def q140Sql(threshold: Double = 0.6): String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+       |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+       |), counts AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= $threshold
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src
+       |), assigned AS (
+       |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       |)
+       |SELECT doc_id, group_key,
+       |  CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 8) < '${hexThreshold(0.8)}' THEN 'train'
+       |       WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 8) < '${hexThreshold(0.9)}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
   // q129: reshard-movement audit — when a corpus grows from k to k+1
   // shards, how many documents move? Modulo sharding (h mod k) moves

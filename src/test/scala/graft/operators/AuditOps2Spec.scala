@@ -136,4 +136,22 @@ class AuditOps2Spec extends SparkSpec {
     assert(HllAggregator.rho((1L << 51) | 1L) == 1)
     assert(HllAggregator.rho((1L << 52) - 1) == 1)
   }
+
+  // ---- q140: cluster-aware splits ----
+
+  test("cluster-aware splits: no verified near-dup pair straddles splits (q124 on it is empty)") {
+    import spark.implicits._
+    val assign = Sampling.q140ClusterSplits(spark, sfDirMid)
+      .select($"doc_id", $"split").cache()
+    val pairs = Dedup.minhashLsh(spark, sfDirMid, 0.6).select($"id_a", $"id_b")
+    val straddling = pairs
+      .join(assign.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(assign.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+      .where($"sa" =!= $"sb")
+    assert(pairs.count() > 0, "expected near-dup pairs in the corpus")
+    assert(straddling.count() == 0)
+    // and the split is still usable: all three splits populated
+    assert(assign.select($"split").distinct().count() == 3)
+    assign.unpersist()
+  }
 }
