@@ -217,6 +217,52 @@ object Metadata {
       |WHERE CAST(props->>'$.k' AS INT) >= 50
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q141: TABLE GROWTH timeline — monthly file/record/byte additions
+    * with running cumulative totals over the `$files` substrate: the
+    * capacity-planning view an admin reads next to the browse rollups
+    * (q2/q10 slice by partition; this slices by TIME and accumulates).
+    * One bounded-cardinality aggregate (months), then a window over
+    * months — control-plane sized. Money-typed file_size stays DECIMAL
+    * through the cumulative sum, cast once at the edge (q56's
+    * cumulative-revenue discipline). */
+  def q141TableGrowth(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = MetaDerive.files(spark, d)
+      .groupBy($"year", $"month")
+      .agg(count(lit(1)).as("files_added"),
+        sum($"record_count").as("records_added"),
+        sum($"file_size").as("bytes_added"))
+    val w = Window.orderBy($"year", $"month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("files_total", sum($"files_added").over(w))
+      .withColumn("records_total", sum($"records_added").over(w))
+      .withColumn("bytes_total", sum($"bytes_added").over(w).cast("double"))
+      .withColumn("bytes_added", $"bytes_added".cast("double"))
+      .select($"year", $"month", $"files_added", $"records_added",
+        $"bytes_added", $"files_total", $"records_total", $"bytes_total")
+      .orderBy($"year", $"month")
+  }
+
+  val q141Sql: String = MetaDerive.filesCte +
+    """,
+      |monthly AS (
+      |  SELECT year, month, count(*) AS files_added,
+      |         CAST(sum(record_count) AS BIGINT) AS records_added,
+      |         sum(file_size) AS bytes_added
+      |  FROM files GROUP BY 1, 2
+      |)
+      |SELECT year, month, files_added, records_added,
+      |       CAST(bytes_added AS DOUBLE) AS bytes_added,
+      |       CAST(sum(files_added) OVER w AS BIGINT) AS files_total,
+      |       CAST(sum(records_added) OVER w AS BIGINT) AS records_total,
+      |       CAST(sum(bytes_added) OVER w AS DOUBLE) AS bytes_total
+      |FROM monthly
+      |WINDOW w AS (ORDER BY year, month
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY year, month""".stripMargin
+
   /** q136: CLUSTERING-QUALITY audit — the data-layout sibling of
     * needs_optimize (A7 sizes files; this measures whether their KEY
     * RANGES overlap). Per partition, every file carries a
