@@ -217,6 +217,70 @@ object Metadata {
       |WHERE CAST(props->>'$.k' AS INT) >= 50
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q142: FUSED REWRITE ADVISORY — the two rewrite signals ranked
+    * together: A7's small-file score (too many sub-threshold files)
+    * and q136's clustering quality (key zones overlap, min/max pruning
+    * defeated). A partition can need `rewrite_data_files` for either
+    * reason — binpack fixes the first, sort/z-order the second — and
+    * the advisory names which (`small_files` / `clustering` / `both`),
+    * which IS the procedure-argument decision. Top 50 by combined
+    * severity, fully tie-broken. Both inputs are bounded partition-grain
+    * aggregates; the join key is the partition tuple. */
+  def q142RewriteAdvisory(spark: SparkSession, d: String, topN: Int = 50): DataFrame = {
+    import spark.implicits._
+    val stats = MetaDerive.partitionStats(spark, d)
+      .select($"year", $"month", $"day", $"file_count", $"small_count",
+        $"needs_optimize")
+    val overlap = q136ClusteringQuality(spark, d)
+      .select($"year", $"month", $"day", $"n_pairs", $"n_overlap")
+    stats.join(overlap, Seq("year", "month", "day"))
+      .withColumn("cluster_bad", $"n_overlap" * 2 > $"n_pairs")
+      .where($"needs_optimize" || $"cluster_bad")
+      .withColumn("reason",
+        when($"needs_optimize" && $"cluster_bad", "both")
+          .when($"needs_optimize", "small_files")
+          .otherwise("clustering"))
+      .select($"year", $"month", $"day", $"file_count", $"small_count",
+        $"n_overlap", $"n_pairs", $"reason")
+      .orderBy(($"small_count" + $"n_overlap").desc, $"year", $"month", $"day")
+      .limit(topN)
+  }
+
+  def q142Sql(topN: Int = 50): String = MetaDerive.partitionStatsCte +
+    """,
+      |ranges AS (
+      |  SELECT strftime(l_shipdate, '%Y') AS year,
+      |         strftime(l_shipdate, '%m') AS month,
+      |         strftime(l_shipdate, '%d') AS day,
+      |         CAST(l_orderkey % 8 AS INT) AS file_id,
+      |         min(l_partkey) AS mn, max(l_partkey) AS mx
+      |  FROM lineitem GROUP BY 1, 2, 3, 4
+      |), pv AS (
+      |  SELECT a.year, a.month, a.day,
+      |         CAST(count(*) AS BIGINT) AS n_pairs,
+      |         CAST(sum(CASE WHEN a.mn <= b.mx AND b.mn <= a.mx
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      |  FROM ranges a JOIN ranges b
+      |    ON a.year = b.year AND a.month = b.month AND a.day = b.day
+      |   AND a.file_id < b.file_id
+      |  GROUP BY 1, 2, 3
+      |), fused AS (
+      |  SELECT s.year, s.month, s.day, s.file_count, s.small_count,
+      |         coalesce(p.n_overlap, 0) AS n_overlap,
+      |         coalesce(p.n_pairs, 0) AS n_pairs,
+      |         s.needs_optimize,
+      |         coalesce(p.n_overlap, 0) * 2 > coalesce(p.n_pairs, 0) AS cluster_bad
+      |  FROM scored s LEFT JOIN pv p USING (year, month, day)
+      |)
+      |SELECT year, month, day, file_count, small_count, n_overlap, n_pairs,
+      |       CASE WHEN needs_optimize AND cluster_bad THEN 'both'
+      |            WHEN needs_optimize THEN 'small_files'
+      |            ELSE 'clustering' END AS reason
+      |FROM fused
+      |WHERE needs_optimize OR cluster_bad
+      |ORDER BY small_count + n_overlap DESC, year, month, day
+      |LIMIT """.stripMargin + topN
+
   /** q141: TABLE GROWTH timeline — monthly file/record/byte additions
     * with running cumulative totals over the `$files` substrate: the
     * capacity-planning view an admin reads next to the browse rollups
