@@ -349,19 +349,23 @@ object Metadata {
       .withColumn("file_id", pmod($"l_orderkey", lit(8)).cast("int"))
       .groupBy($"year", $"month", $"day", $"file_id")
       .agg(min($"l_partkey").as("mn"), max($"l_partkey").as("mx"))
-    val nFiles = ranges.groupBy($"year", $"month", $"day")
-      .agg(count(lit(1)).as("n_files"))
-    val pairs = ranges.as("a").join(ranges.as("b"),
-        $"a.year" === $"b.year" && $"a.month" === $"b.month" &&
-        $"a.day" === $"b.day" && $"a.file_id" < $"b.file_id")
-      .select($"a.year".as("year"), $"a.month".as("month"), $"a.day".as("day"),
-        ($"a.mn" <= $"b.mx" && $"b.mn" <= $"a.mx").cast("long").as("ov"))
-      .groupBy($"year", $"month", $"day")
-      .agg(count(lit(1)).as("n_pairs"), sum($"ov").as("n_overlap"))
-    nFiles.join(pairs, Seq("year", "month", "day"), "left")
-      .select($"year", $"month", $"day", $"n_files",
-        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
-        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+    // Pair comparison is ROW-LOCAL: a partition holds ≤8 file zones, so
+    // collect them into one array per partition and count overlapping
+    // pairs with nested transforms — no self-join (which would recompute
+    // the zone lineage per side; exchange reuse doesn't fire across the
+    // alias asymmetry), no second scan. C(n,2) per row, n ≤ 8.
+    ranges.groupBy($"year", $"month", $"day")
+      .agg(collect_list(struct($"mn", $"mx")).as("zs"))
+      .withColumn("n_files", size($"zs").cast("long"))
+      .withColumn("n_pairs",
+        ($"n_files" * ($"n_files" - 1) / 2).cast("long"))
+      .withColumn("n_overlap", aggregate(
+        flatten(transform($"zs", (a, i) =>
+          transform(slice($"zs", i + 2, greatest(size($"zs"), lit(1))),
+            b => (a.getField("mn") <= b.getField("mx") &&
+                  b.getField("mn") <= a.getField("mx")).cast("long")))),
+        lit(0L), (acc, x) => acc + x))
+      .select($"year", $"month", $"day", $"n_files", $"n_pairs", $"n_overlap")
       .orderBy($"year", $"month", $"day")
   }
 
