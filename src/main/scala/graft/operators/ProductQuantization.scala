@@ -155,7 +155,10 @@ object ProductQuantization {
 
   /** PQ-ADC ANN: approximate top-(rerankFactor·k) per query from the
     * code scan, then exact-cosine re-rank of just those candidates.
-    * Approximate recall (no SQL oracle) — bounded in SimilaritySpec. */
+    * Lloyd codebook training isn't SQL-expressible, but search against
+    * the TRAINED codebooks is — [[annPqOracleSql]] replays encoding,
+    * the ADC scan, the candidate cut, and the exact re-rank in DuckDB
+    * against the recorded codebook literals. */
   def annPq(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
       m: Int = 8, ksub: Int = 16, iters: Int = 4, rerankFactor: Int = 10): DataFrame = {
     import spark.implicits._
@@ -163,6 +166,7 @@ object ProductQuantization {
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
     val (books, codes) = pqIndex(e, m, ksub, iters)
+    pqRecorded = Some((books, k, nQueries, rerankFactor))
     val sub = books(0)(0).length
     val queries = e.where($"vec_id" < nQueries)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
@@ -205,5 +209,83 @@ object ProductQuantization {
       .where($"rn" <= k)
       .select($"query_id", $"neighbor_id")
       .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** Codebooks recorded by the last [[annPq]] run in this JVM plus the
+    * (k, nQueries, rerankFactor) it ran with — the Verify flow runs
+    * every query before dumping oracle SQL, so the literals line up
+    * with the dumped parquet. */
+  @volatile private var pqRecorded:
+    Option[(Array[Array[Array[Double]]], Int, Int, Int)] = None
+
+  /** q55's dynamic oracle: DuckDB replays PQ *search* against the
+    * trained-codebook literals —
+    *   1. normalize (the same x/‖v‖ arithmetic as the engine),
+    *   2. encode: per (vector, subspace), the first code minimizing the
+    *      squared L2 to the codeword (`list_position(d, list_min(d))`
+    *      returns the FIRST minimum ≡ the engine's strict-< argmin),
+    *   3. ADC: per (query, candidate), sum the per-subspace query·codeword
+    *      dots in subspace order (the engine's accumulation order),
+    *   4. candidate cut at rerankFactor·k by (adc DESC, id ASC), exact
+    *      cosine re-rank, top-k.
+    * Output is id pairs — no floats are hashed; every float decision
+    * (argmin, candidate cut, final rank) rides margins far above the
+    * ulp-level differences between the two engines' sums. */
+  def annPqOracleSql: Option[String] = pqRecorded.map { case (books, k, nQueries, rr) =>
+    val m = books.length
+    val ksub = books(0).length
+    val sub = books(0)(0).length
+    val bkLit = books.map(book => book.map(cw =>
+      s"[${cw.map(_.toString).mkString(", ")}]").mkString("[", ", ", "]"))
+      .mkString("[", ",\n        ", "]")
+    val nCand = rr * k
+    s"""WITH bk(b) AS (
+       |  VALUES ($bkLit::DOUBLE[][][])
+       |), norm AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v
+       |  FROM (SELECT vec_id, embedding,
+       |               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                 x -> x * x))) AS nrm
+       |        FROM embeddings)
+       |), subdists AS (
+       |  SELECT n.vec_id, mi.mi,
+       |         list_transform(range(0, $ksub), c ->
+       |           list_sum(list_transform(range(1, ${sub + 1}), j ->
+       |             (v[CAST(mi.mi * $sub + j AS INT)] - b[CAST(mi.mi + 1 AS INT)][CAST(c + 1 AS INT)][CAST(j AS INT)])
+       |             * (v[CAST(mi.mi * $sub + j AS INT)] - b[CAST(mi.mi + 1 AS INT)][CAST(c + 1 AS INT)][CAST(j AS INT)])))) AS dists
+       |  FROM norm n CROSS JOIN bk, range(0, $m) AS mi(mi)
+       |), codelist AS (
+       |  SELECT vec_id,
+       |         list(CAST(list_position(dists, list_min(dists)) - 1 AS INT)
+       |              ORDER BY mi) AS cs
+       |  FROM subdists GROUP BY vec_id
+       |), adc AS (
+       |  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |         list_sum(list_transform(range(0, $m), mi ->
+       |           list_sum(list_transform(range(1, ${sub + 1}), j ->
+       |             q.v[CAST(mi * $sub + j AS INT)]
+       |             * b[CAST(mi + 1 AS INT)][cc.cs[CAST(mi + 1 AS INT)] + 1][CAST(j AS INT)])))) AS s
+       |  FROM norm q
+       |  CROSS JOIN bk
+       |  JOIN codelist cc ON cc.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |), cands AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, neighbor_id ASC) AS rn FROM adc) WHERE rn <= $nCand
+       |), rer AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cos
+       |  FROM cands c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM rer) WHERE rn <= $k
+       |ORDER BY query_id, neighbor_id""".stripMargin
   }
 }

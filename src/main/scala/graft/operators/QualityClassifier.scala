@@ -108,16 +108,20 @@ object QualityClassifier {
     Model(FeatureCols, fitted.coefficients.toArray.toSeq, fitted.intercept)
   }
 
-  /** The scoring expression: sigmoid(intercept + w·x) over the feature
-    * columns — plain codegen'd arithmetic, no MLlib on the hot path.
-    */
-  def scoreExpr(model: Model): Column = {
-    val z = model.featureNames.zip(model.coefficients)
+  /** The pre-sigmoid linear score z = intercept + w·x, folded
+    * left-to-right in [[FeatureCols]] order (the order matters for
+    * bit-reproducibility of the sum — the oracle mirrors it). */
+  def linearExpr(model: Model): Column =
+    model.featureNames.zip(model.coefficients)
       .foldLeft(lit(model.intercept)) { case (acc, (name, w)) =>
         acc + col(name) * lit(w)
       }
-    lit(1.0) / (lit(1.0) + exp(-z))
-  }
+
+  /** The scoring expression: sigmoid(intercept + w·x) over the feature
+    * columns — plain codegen'd arithmetic, no MLlib on the hot path.
+    */
+  def scoreExpr(model: Model): Column =
+    lit(1.0) / (lit(1.0) + exp(-linearExpr(model)))
 
   /** Featurize + score: adds `quality_prob` to `docs`. One projection. */
   def score(docs: DataFrame, model: Model): DataFrame =
@@ -169,19 +173,83 @@ object QualityClassifier {
   }
 
   /** q99: distill the rule gates on the corpus, score every document,
-    * report per-source model acceptance (docs, kept at 0.5, share).
-    * Model scores are iterative-solver floats → rows-only check; the
-    * invariants live in QualityClassifierSpec.
+    * report per-source model acceptance (docs, kept). "Kept" is the
+    * LINEAR decision z ≥ 0 — identical to quality_prob ≥ 0.5 (sigmoid
+    * is monotone with sigmoid(0) = 0.5) but free of the cross-engine
+    * `exp` rounding that would make the boundary engine-dependent.
+    * L-BFGS training isn't SQL-expressible, but scoring against the
+    * FITTED weights is: [[q99OracleSql]] replays the six row-local
+    * features and the linear decision in DuckDB against the recorded
+    * weight literals (the q73 dynamic-oracle pattern applied to model
+    * scoring). Output columns are counts only — no floats are hashed.
     */
   def q99QualityModel(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, d)
     val model = distillFromRules(docs)
-    score(docs, model)
+    recordedModel = Some(model)
+    featuresOf(docs)
+      .withColumn("__z", linearExpr(model))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when($"quality_prob" >= 0.5, 1L).otherwise(0L)).as("n_kept"),
-        avg($"quality_prob").as("mean_prob"))
+        sum(when($"__z" >= 0.0, 1L).otherwise(0L)).as("n_kept"))
       .orderBy($"source")
+  }
+
+  /** Model fitted by the last [[q99QualityModel]] run in this JVM — the
+    * Verify flow runs every query before dumping oracle SQL, so the
+    * weight literals line up with the dumped parquet. */
+  @volatile private var recordedModel: Option[Model] = None
+
+  /** q99's dynamic oracle: replay [[featuresOf]] (tokenization, stopword
+    * ratio, per-row distinct 3-gram share, max token multiplicity,
+    * non-word ratio) and the z ≥ 0 linear decision in DuckDB. Feature
+    * values match the engine's to within ulps (same IEEE divides, same
+    * left-to-right weighted sum; log1p vs ln(1+n) on exact integer
+    * inputs differ ≤ 1 ulp), and the decision margin |z| is orders of
+    * magnitude wider — QualityClassifierSpec pins the empirical margin. */
+  def q99OracleSql: Option[String] = recordedModel.map { m =>
+    val Seq(wLog, wStop, wMwl, wDup, wTop, wNon) = m.coefficients
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, text,
+       |         string_split(lower(text), ' ') AS tk,
+       |         len(string_split(lower(text), ' ')) AS n_tok,
+       |         (text IS NOT NULL AND len(trim(text)) > 0) AS ok
+       |  FROM documents
+       |), runs AS (
+       |  SELECT doc_id, max(c) AS max_run FROM (
+       |    SELECT t.doc_id, u.tok, count(*) AS c
+       |    FROM toks t, unnest(t.tk) AS u(tok)
+       |    GROUP BY t.doc_id, u.tok)
+       |  GROUP BY doc_id
+       |), feats AS (
+       |  SELECT t.source,
+       |    CASE WHEN ok THEN ln(1 + n_tok) ELSE 0.0 END AS f_log_tokens,
+       |    CASE WHEN ok THEN len(list_filter(tk, x -> x IN ($stopList)))
+       |                      / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS f_stop_ratio,
+       |    CASE WHEN ok THEN (length(text) - (n_tok - 1))
+       |                      / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS f_mean_word_len,
+       |    CASE WHEN ok AND n_tok > 2 THEN
+       |      (n_tok - 2 - len(list_distinct(list_transform(range(1, n_tok - 1),
+       |         i -> array_to_string(tk[i:i+2], ' ')))))
+       |      / CAST(n_tok - 2 AS DOUBLE) ELSE 0.0 END AS f_dup_3gram_share,
+       |    CASE WHEN ok THEN r.max_run / CAST(n_tok AS DOUBLE)
+       |         ELSE 0.0 END AS f_top_tok_share,
+       |    CASE WHEN ok AND length(text) > 0 THEN
+       |      (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+       |      / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS f_nonword_ratio
+       |  FROM toks t LEFT JOIN runs r USING (doc_id)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN ${m.intercept}
+       |                          + f_log_tokens * $wLog
+       |                          + f_stop_ratio * $wStop
+       |                          + f_mean_word_len * $wMwl
+       |                          + f_dup_3gram_share * $wDup
+       |                          + f_top_tok_share * $wTop
+       |                          + f_nonword_ratio * $wNon >= 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM feats GROUP BY source ORDER BY source""".stripMargin
   }
 }

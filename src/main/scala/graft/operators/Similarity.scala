@@ -363,14 +363,21 @@ object Similarity {
     * its nearest centroid; a query probes its `nProbe` nearest centroid
     * lists only — the classic inverted-file layout where at scale each
     * centroid list is a partition and probing prunes
-    * (nCentroids-nProbe)/nCentroids of the corpus. Approximate → no SQL
-    * oracle; recall bound in SimilaritySpec. */
+    * (nCentroids-nProbe)/nCentroids of the corpus. Lloyd refinement
+    * isn't SQL-expressible, but search against the TRAINED quantizer
+    * is: [[annIvfOracleSql]] replays assignment, probing, and the
+    * cosine top-k in DuckDB against the recorded centroid literals —
+    * the q73 dynamic-oracle pattern applied to ANN. */
   def annIvf(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 4): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d).select($"vec_id", normalized($"embedding").as("v"))
     val (cents, assigned) = ivfIndex(e, nCentroids, kmeansIters)
+    // Record the quantizer for the dynamic oracle (k rows; on a cache
+    // hit this is a collect of the already-materialized centroid frame).
+    ivfRecorded = Some((cents.as[(Long, Array[Double])].collect().sortBy(_._1),
+      k, nQueries, nProbe))
     val wProbe = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cent_id".asc)
     val qprobes = e.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
@@ -390,5 +397,107 @@ object Similarity {
       .agg(topK($"cos", $"neighbor_id").as("ids"))
       .select($"query_id", explode($"ids").as("neighbor_id"))
       .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** Quantizer recorded by the last [[annIvf]] run in this JVM, plus
+    * the (k, nQueries, nProbe) it ran with — the Verify flow runs every
+    * query before dumping oracle SQL, so the literals line up with the
+    * dumped parquet. */
+  @volatile private var ivfRecorded:
+    Option[(Array[(Long, Array[Double])], Int, Int, Int)] = None
+
+  /** q31's dynamic oracle: DuckDB replays IVF *search* against the
+    * trained-centroid literals — nearest-centroid assignment for the
+    * corpus, top-`nProbe` list selection per query, exact cosine top-k
+    * over the probed lists. Float parity is decision-level, the q73
+    * argument: every comparison (argmax assignment, probe rank, top-k
+    * rank) has gaps orders of magnitude wider than the ulp-level
+    * difference between `dot(normalized…)` and
+    * `list_cosine_similarity(raw…)`, and the output is id pairs — no
+    * floats are hashed. */
+  def annIvfOracleSql: Option[String] = ivfRecorded.map { case (cs, k, nQueries, nProbe) =>
+    val values = cs.map { case (id, v) =>
+      s"($id, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH cents(cent_id, cv) AS (
+       |  VALUES $values
+       |), assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+       |               c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+       |), qprobes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+       |               c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id < $nQueries) WHERE rn <= $nProbe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cos
+       |  FROM qprobes p
+       |  JOIN assigned a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ne ON ne.vec_id = a.vec_id
+       |)
+       |SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) WHERE rn <= $k
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** The hyperplane sign matrix behind [[lshSignature]], computed
+    * driver-side through the SAME catalyst `XxHash64` the column
+    * expression evaluates per row — sign_pj = +1 iff bit 0 of
+    * xxhash64(p, j) is set. SimilaritySpec pins matrix == column-expr
+    * signatures, so the oracle below can never drift from the engine. */
+  def lshSignMatrix(dim: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    Array.tabulate(LshPlanes, dim) { (p, j) =>
+      val h = XxHash64(Seq(Literal(p), Literal(j)), 42L)
+        .eval(null).asInstanceOf[Long]
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** q26's oracle — static, because the planes are a pure function of
+    * (plane, component) hashing, not of any training run: rebuild every
+    * signature from the ±1 plane literals, take candidates at Hamming
+    * distance ≤ 2 (`bit_count(xor(sig_q, sig_c)) <= 2` ≡ the engine's
+    * 22 multi-probe masks), exact cosine top-k. Sign decisions compare
+    * a raw-space projection (oracle) with a normalized-space one
+    * (engine) — identical sign mathematically (positive scaling), and
+    * the rounding margin on |proj| is the q24 threshold argument. */
+  def annLshOracleSql(k: Int, nQueries: Int, dim: Int): String = {
+    val values = lshSignMatrix(dim).zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH planes(p, hv) AS (
+       |  VALUES $values
+       |), sigs AS (
+       |  SELECT e.vec_id,
+       |         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.hv) > 0
+       |                       THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id
+       |), scored AS (
+       |  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ce.embedding AS DOUBLE[])) AS cos
+       |  FROM sigs qs
+       |  JOIN sigs cs ON bit_count(xor(qs.sig, cs.sig)) <= 2
+       |              AND cs.vec_id <> qs.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = qs.vec_id
+       |  JOIN embeddings ce ON ce.vec_id = cs.vec_id
+       |  WHERE qs.vec_id < $nQueries
+       |)
+       |SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) WHERE rn <= $k
+       |ORDER BY query_id, neighbor_id""".stripMargin
   }
 }

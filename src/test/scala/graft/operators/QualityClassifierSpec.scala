@@ -104,10 +104,24 @@ class QualityClassifierSpec extends SparkSpec {
     val out = QualityClassifier.q99QualityModel(spark, sfDirMid).collect()
     assert(out.length > 1)
     out.foreach { r =>
-      val (n, kept, p) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
-        r.getAs[Double]("mean_prob"))
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
       assert(kept >= 0 && kept <= n)
-      assert(p >= 0.0 && p <= 1.0)
     }
+  }
+
+  test("q99 decision margin: no document's |z| is within cross-engine rounding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{abs, min}
+    // The dynamic oracle replays features + the z >= 0 decision in
+    // DuckDB; feature values can differ by ~ulps (ln vs log1p, sum
+    // rounding), shifting z by ~1e-15. The decision is engine-portable
+    // iff no document sits closer to the boundary than that. Pin a
+    // margin six orders wider.
+    val docs = graft.sources.Tables.documents(spark, sfDirMid)
+    val model = QualityClassifier.distillFromRules(docs)
+    val minAbsZ = QualityClassifier.featuresOf(docs)
+      .select(abs(QualityClassifier.linearExpr(model)).as("az"))
+      .agg(min($"az")).head.getDouble(0)
+    assert(minAbsZ > 1e-9, s"min |z| = $minAbsZ: too close to the z=0 boundary")
   }
 }

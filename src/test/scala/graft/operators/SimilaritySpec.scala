@@ -48,6 +48,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall")
   }
 
+  test("LSH sign matrix reproduces the column-expression signatures") {
+    // q26's oracle rebuilds signatures from lshSignMatrix literals; the
+    // matrix and the in-plan lshSignature column must agree on every
+    // vector or the oracle drifts from the engine. Compare both on the
+    // full corpus (sign decisions, not float hashes).
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val signs = Similarity.lshSignMatrix(64)
+    val e = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val engineSigs = e.select($"vec_id", Similarity.lshSignature($"v", 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    raw.foreach { case (id, vec) =>
+      var sig = 0
+      for (p <- 0 until Similarity.LshPlanes) {
+        var proj = 0.0
+        for (j <- vec.indices) proj += vec(j).toDouble * signs(p)(j)
+        if (proj > 0) sig |= 1 << p
+      }
+      assert(sig == engineSigs(id), s"vec $id: matrix sig $sig != engine ${engineSigs(id)}")
+    }
+  }
+
   private lazy val hardNeg = resultSet(Similarity.hardNegatives(spark, sfDirMid, 5, 10))
 
   test("hard negatives: every returned pair crosses labels, k per anchor") {
