@@ -27,14 +27,42 @@ object VectorIndexStore {
   def codesPath(dir: String) = s"$dir/codes"
 
   /** Build and persist the IVF index of a normalized (vec_id, v)
-    * corpus. */
+    * corpus. The inverted lists land under an `ingest_batch=base`
+    * partition so later [[appendIvf]] batches sit beside them — the
+    * same replay-idempotent layout as [[DedupIndex]]. */
   def buildIvf(e: DataFrame, dir: String, nCentroids: Int = 16,
       kmeansIters: Int = 4): Unit = {
     graft.functions.CosineSimilarity.register(e.sparkSession)
     val (cents, assigned) = Similarity.ivfIndex(e, nCentroids, kmeansIters)
     cents.write.mode(SaveMode.Overwrite).parquet(centroidsPath(dir))
     assigned.write.mode(SaveMode.Overwrite)
-      .partitionBy("cent_id").parquet(assignedPath(dir))
+      .partitionBy("cent_id").parquet(s"${assignedPath(dir)}/ingest_batch=base")
+  }
+
+  /** Incrementally index a (vec_id, v) delta against the STORED
+    * quantizer: assign each new vector to its nearest centroid (the
+    * standard IVF maintenance move — lists grow, centroids only move
+    * on an explicit rebuild/compaction) and write the rows under one
+    * `ingest_batch=<label>` partition, Overwrite per partition, so
+    * re-committing the same batch after a failure replaces rather than
+    * duplicates. At 100 TB this is the difference between re-running
+    * Lloyd over the corpus per ingest and one broadcast-argmax map
+    * over the delta. */
+  def appendIvf(delta: DataFrame, dir: String, label: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    require(label.nonEmpty && label != "base",
+      s"append label must be a non-base batch id, got '$label'")
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(centroidsPath(dir))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+    delta.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cos($"v", $"cv"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where($"rn" === 1)
+      .select($"vec_id", $"v", $"cent_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("cent_id")
+      .parquet(s"${assignedPath(dir)}/ingest_batch=$label")
   }
 
   /** ANN top-k from the STORED IVF index: probe the query's nProbe

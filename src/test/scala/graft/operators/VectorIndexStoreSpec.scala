@@ -26,6 +26,40 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("incremental IVF append: stored-quantizer assignment, idempotent replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val e = norm(sfDirMid)
+    val base = e.where(col("vec_id") < 400)
+    val delta = e.where(col("vec_id") >= 400)
+    VectorIndexStore.buildIvf(base, dir)
+    VectorIndexStore.appendIvf(delta, dir, "b1")
+    val assigned = spark.read.parquet(VectorIndexStore.assignedPath(dir))
+    // every vector indexed exactly once, base and delta side by side
+    assert(assigned.count() == e.count())
+    assert(assigned.select("vec_id").distinct().count() == e.count())
+    // delta rows carry the argmax assignment against the STORED centroids
+    val cents = spark.read.parquet(VectorIndexStore.centroidsPath(dir))
+      .as[(Long, Array[Double])].collect()
+    val deltaAssigned = assigned.where(col("ingest_batch") === "b1")
+      .select($"vec_id", $"v", $"cent_id".cast("long"))
+      .as[(Long, Array[Double], Long)].collect()
+    assert(deltaAssigned.length == delta.count())
+    deltaAssigned.foreach { case (id, v, cid) =>
+      val best = cents.map { case (c, cv) =>
+        (c, v.zip(cv).map { case (a, b) => a * b }.sum)
+      }.maxBy { case (c, s) => (s, -c) }._1
+      assert(cid == best, s"vec $id assigned $cid, expected $best")
+    }
+    // replaying the same batch replaces, never duplicates
+    VectorIndexStore.appendIvf(delta, dir, "b1")
+    assert(spark.read.parquet(VectorIndexStore.assignedPath(dir)).count() == e.count())
+    // queries reach appended vectors through the probed lists
+    val res = VectorIndexStore.queryIvf(spark, dir, e.where(col("vec_id") < 10), k = 5)
+    assert(res.count() > 0)
+  }
+
   test("stored PQ codebooks round-trip exactly") {
     val dir = java.nio.file.Files.createTempDirectory("pq-store").toString
     val e = norm(sfDirMid)
