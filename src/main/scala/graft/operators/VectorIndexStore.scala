@@ -95,7 +95,8 @@ object VectorIndexStore {
       .orderBy($"query_id", $"neighbor_id")
   }
 
-  /** Build and persist the PQ index (codebooks + encoded corpus). */
+  /** Build and persist the PQ index (codebooks + encoded corpus). The
+    * code table lands under `ingest_batch=base`, like the IVF lists. */
   def buildPq(e: DataFrame, dir: String, m: Int = 8, ksub: Int = 16,
       iters: Int = 4): Unit = {
     val spark = e.sparkSession
@@ -106,7 +107,45 @@ object VectorIndexStore {
     } yield (mi, c, books(mi)(c))
     spark.createDataset(bookRows).toDF("mi", "code", "cw")
       .write.mode(SaveMode.Overwrite).parquet(codebooksPath(dir))
-    codes.write.mode(SaveMode.Overwrite).parquet(codesPath(dir))
+    codes.write.mode(SaveMode.Overwrite)
+      .parquet(s"${codesPath(dir)}/ingest_batch=base")
+  }
+
+  /** Incrementally encode a (vec_id, v) delta with the STORED
+    * codebooks — one broadcast-encode map, no retraining — written
+    * under an `ingest_batch=<label>` partition with per-partition
+    * Overwrite (replay-idempotent, like [[appendIvf]]). */
+  def appendPq(delta: DataFrame, dir: String, label: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    require(label.nonEmpty && label != "base",
+      s"append label must be a non-base batch id, got '$label'")
+    val books = loadCodebooks(spark, dir)
+    ProductQuantization.encode(delta.as[(Long, Array[Double])], books)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${codesPath(dir)}/ingest_batch=$label")
+  }
+
+  /** Index staleness audit — the consistency check a deployment runs
+    * before trusting a stored index: which corpus vectors are MISSING
+    * from the index (arrived after the last append → need indexing),
+    * and which index rows are ORPHANED (vector deleted from the corpus
+    * → need compaction)? Two anti-joins on vec_id; at 100 TB both
+    * sides are id-projections, so the shuffle carries ids, not
+    * vectors. Returns one row: (n_corpus, n_indexed, n_missing,
+    * n_orphaned, fresh). */
+  def ivfStaleness(corpus: DataFrame, dir: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusIds = corpus.select($"vec_id")
+    val indexIds = spark.read.parquet(assignedPath(dir)).select($"vec_id")
+    val missing = corpusIds.join(indexIds, Seq("vec_id"), "left_anti").count()
+    val orphaned = indexIds.join(corpusIds, Seq("vec_id"), "left_anti").count()
+    val nCorpus = corpusIds.count()
+    val nIndexed = indexIds.count()
+    Seq((nCorpus, nIndexed, missing, orphaned,
+      missing == 0 && orphaned == 0))
+      .toDF("n_corpus", "n_indexed", "n_missing", "n_orphaned", "fresh")
   }
 
   /** Load stored PQ codebooks back into the driver-side array form. */

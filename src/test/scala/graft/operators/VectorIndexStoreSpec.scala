@@ -71,9 +71,46 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(loaded.zip(books).forall { case (la, ba) =>
       la.zip(ba).forall { case (lc, bc) => lc.sameElements(bc) } })
     val storedCodes = spark.read.parquet(VectorIndexStore.codesPath(dir))
+      .select($"vec_id", $"codes")
       .as[(Long, Array[Byte])].collect().toMap
     val sessionCodes = codes.as[(Long, Array[Byte])].collect().toMap
     assert(storedCodes.keySet == sessionCodes.keySet)
     assert(storedCodes.forall { case (id, cs) => cs.sameElements(sessionCodes(id)) })
+  }
+
+  test("incremental PQ append encodes with stored codebooks; staleness audit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString
+    val e = norm(sfDirMid)
+    val base = e.where(col("vec_id") < 400)
+    val delta = e.where(col("vec_id") >= 400)
+    VectorIndexStore.buildPq(base, dir)
+    VectorIndexStore.appendPq(delta, dir, "b1")
+    // appended codes equal a direct encode against the stored books
+    val books = VectorIndexStore.loadCodebooks(spark, dir)
+    val expected = ProductQuantization.encode(delta.as[(Long, Array[Double])], books)
+      .as[(Long, Array[Byte])].collect().toMap
+    val got = spark.read.parquet(VectorIndexStore.codesPath(dir))
+      .where(col("ingest_batch") === "b1")
+      .select($"vec_id", $"codes").as[(Long, Array[Byte])].collect().toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.forall { case (id, cs) => cs.sameElements(expected(id)) })
+    // replay replaces
+    VectorIndexStore.appendPq(delta, dir, "b1")
+    assert(spark.read.parquet(VectorIndexStore.codesPath(dir)).count() == e.count())
+
+    // staleness: a fresh IVF index over base+delta, then perturb both ways
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf-stale").toString
+    VectorIndexStore.buildIvf(base, ivfDir)
+    VectorIndexStore.appendIvf(delta, ivfDir, "b1")
+    val fresh = VectorIndexStore.ivfStaleness(e, ivfDir).head
+    assert(fresh.getAs[Boolean]("fresh"))
+    assert(fresh.getAs[Long]("n_missing") == 0 && fresh.getAs[Long]("n_orphaned") == 0)
+    // corpus grew: vectors the index has never seen
+    val grown = VectorIndexStore.ivfStaleness(
+      norm(sfDirMid).withColumn("vec_id", col("vec_id") + 1), ivfDir).head
+    assert(!grown.getAs[Boolean]("fresh"))
+    assert(grown.getAs[Long]("n_missing") == 1 && grown.getAs[Long]("n_orphaned") == 1)
   }
 }
