@@ -290,4 +290,25 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!src.contains("collect().filter"),
       "driver-side filter after collect in Api.scala")
   }
+
+  test("q143 drift: one co-partitioned outer join, no all-pairs, label-sized agg") {
+    val plan = planOf(graft.operators.EmbeddingDrift.q143EmbeddingDrift(spark, sfDir))
+    // drift compares a vector only to its own successor: an equi-join on
+    // vec_id, never a similarity self-join
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"), plan)
+    // the rollup keeps its partial aggregate before the label exchange
+    assert(plan.contains("partial"), plan)
+  }
+
+  test("q144 min-cost supplier: broadcast dims, ONE window min — no agg join-back") {
+    val plan = planOf(queries.Relational5.q144MinCostSupplier(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // the correlated min is a single window over ONE offers scan — the
+    // groupBy+join-back alternative re-scans the offers lineage per side
+    assert("Window".r.findAllIn(plan).nonEmpty, plan)
+    assert("FileScan parquet.*lineitem".r.findAllIn(plan).size == 1, plan)
+  }
 }
