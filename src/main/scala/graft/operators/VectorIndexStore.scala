@@ -148,6 +148,25 @@ object VectorIndexStore {
       .toDF("n_corpus", "n_indexed", "n_missing", "n_orphaned", "fresh")
   }
 
+  /** Staleness-driven refresh: index exactly the corpus vectors the
+    * stored IVF index is missing, as one `ingest_batch=<label>` append.
+    * The delta is an anti-join of id-projections (ids cross the
+    * shuffle, vectors only for the missing rows), so a mostly-fresh
+    * 100 TB index refreshes at the cost of its delta, not a rebuild.
+    * Orphans (deleted vectors still indexed) are reported by
+    * [[ivfStaleness]] and removed by a rebuild/compaction — an append
+    * cannot unwrite other batches' rows. Returns the number of vectors
+    * indexed. */
+  def refreshIvf(corpus: DataFrame, dir: String, label: String): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val indexIds = spark.read.parquet(assignedPath(dir)).select($"vec_id")
+    val missing = corpus.join(indexIds, Seq("vec_id"), "left_anti")
+    val n = missing.count()
+    if (n > 0) appendIvf(missing, dir, label)
+    n
+  }
+
   /** Load stored PQ codebooks back into the driver-side array form. */
   def loadCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     import spark.implicits._

@@ -113,4 +113,18 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(!grown.getAs[Boolean]("fresh"))
     assert(grown.getAs[Long]("n_missing") == 1 && grown.getAs[Long]("n_orphaned") == 1)
   }
+
+  test("refreshIvf indexes exactly the missing delta, then reports fresh") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-refresh").toString
+    val e = norm(sfDirMid)
+    VectorIndexStore.buildIvf(e.where(col("vec_id") < 350), dir)
+    val n1 = VectorIndexStore.refreshIvf(e, dir, "r1")
+    assert(n1 == e.count() - 350)
+    assert(VectorIndexStore.ivfStaleness(e, dir).head.getAs[Boolean]("fresh"))
+    // nothing missing -> a second refresh is a no-op (and writes no batch)
+    val n2 = VectorIndexStore.refreshIvf(e, dir, "r2")
+    assert(n2 == 0)
+    assert(spark.read.parquet(VectorIndexStore.assignedPath(dir)).count() == e.count())
+  }
 }
