@@ -148,9 +148,17 @@ object ProductQuantization {
       (e.queryExecution.analyzed.canonicalized, m, ksub, iters)) {
       val spark = e.sparkSession
       import spark.implicits._
-      val ds = e.as[(Long, Array[Double])]
-      val books = trainCodebooks(ds, m, ksub, iters)
-      (books, encode(ds, books).cache())
+      // Cache the build input: every Lloyd round plus the final encode
+      // is a full pass — uncached, each one re-runs the read+normalize
+      // lineage (the ivfIndex argument; released after materialization).
+      val ec = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val ds = ec.as[(Long, Array[Double])]
+        val books = trainCodebooks(ds, m, ksub, iters)
+        val codes = encode(ds, books).cache()
+        codes.count() // materialize before releasing the build input
+        (books, codes)
+      } finally ec.unpersist()
     }
 
   /** PQ-ADC ANN: approximate top-(rerankFactor·k) per query from the

@@ -345,17 +345,27 @@ object Similarity {
       (e.queryExecution.analyzed.canonicalized, nCentroids, kmeansIters)) {
       val spark = e.sparkSession
       import spark.implicits._
-      val cents = spark.createDataset(
-          kmeansCentroids(e.as[(Long, Array[Double])], nCentroids, kmeansIters).toSeq)
-        .toDF("cent_id", "cv")
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cos", cos($"v", $"cv"))
-        .withColumn("rn", row_number().over(wAssign))
-        .where($"rn" === 1)
-        .select($"vec_id", $"v", $"cent_id")
-        .cache()
-      (cents, assigned)
+      // Cache the normalized corpus for the duration of the build: each
+      // Lloyd round is a full pass, and without this every round (and
+      // the final assignment) recomputes the read+normalize lineage —
+      // k+1 parquet scans for a k-round build. MEMORY_AND_DISK spills
+      // rather than evicts at 100 TB; the handle is released once the
+      // assignment is materialized.
+      val ec = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cents = spark.createDataset(
+            kmeansCentroids(ec.as[(Long, Array[Double])], nCentroids, kmeansIters).toSeq)
+          .toDF("cent_id", "cv")
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+        val assigned = ec.crossJoin(broadcast(cents))
+          .withColumn("cos", cos($"v", $"cv"))
+          .withColumn("rn", row_number().over(wAssign))
+          .where($"rn" === 1)
+          .select($"vec_id", $"v", $"cent_id")
+          .cache()
+        assigned.count() // materialize before releasing the build input
+        (cents, assigned)
+      } finally ec.unpersist()
     }
 
   /** IVF-style ANN: spherical-k-means coarse quantizer
