@@ -91,6 +91,40 @@ class EmptyInputSpec extends SparkSpec {
     assert(Anomaly.rateAnomalyOf(emptyEvents).count() == 0)
   }
 
+  private def emptyVecFrame: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+
+  test("embedding drift: empty releases on either or both sides") {
+    import spark.implicits._
+    val one = Seq((1L, Array(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(EmbeddingDrift.drift(emptyVecFrame, emptyVecFrame, 0.99).count() == 0)
+    val allAdded = EmbeddingDrift.drift(emptyVecFrame, one, 0.99).collect()
+    assert(allAdded.length == 1 && allAdded.head.getAs[Long]("n_added") == 1)
+    val allRemoved = EmbeddingDrift.drift(one, emptyVecFrame, 0.99).collect()
+    assert(allRemoved.length == 1 && allRemoved.head.getAs[Long]("n_removed") == 1)
+  }
+
+  test("join advisor: empty fact and empty dim degrade to a row, not a throw") {
+    import spark.implicits._
+    val emptyK = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType))))
+    val dim = (1 to 3).map(_.toLong).toDF("id")
+    val r = JoinAdvisor.adviseJoin(emptyK, org.apache.spark.sql.functions.col("k"),
+      "k", dim, "d", 5000, 5).head
+    // empty fact: null stats must not crash the gates; dim still counts
+    assert(r.getAs[Long]("dim_rows") == 3)
+    assert(r.getAs[String]("strategy") == "broadcast_dim")
+    val r2 = JoinAdvisor.adviseJoin(dim.withColumnRenamed("id", "k"),
+      org.apache.spark.sql.functions.col("k"), "k", emptyK, "d", 5000, 5).head
+    assert(r2.getAs[Long]("dim_rows") == 0)
+    assert(r2.getAs[String]("strategy") == "broadcast_dim")
+  }
+
   test("apportion/reshard/k-anon/HLL: empty and null-text inputs degrade cleanly") {
     assert(Sampling.apportion(Seq.empty, Map.empty, 100L).isEmpty)
     assert(Sampling.largestRemainder(Seq.empty, 100L).isEmpty)
