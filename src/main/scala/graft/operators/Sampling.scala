@@ -541,7 +541,10 @@ object Sampling {
       .agg(sum(size(graft.functions.TextFunctions.tokens($"text"))).as("available"))
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     val weights = avail.map { case (s, _) =>
-      s -> ("""\d+""".r.findFirstIn(s).get.toLong % 3 + 1)
+      // Default weight 1 when the source name carries no digits, so the
+      // operator degrades gracefully outside the synthetic corpus; the
+      // oracle mirrors this with coalesce(try_cast(...)).
+      s -> ("""\d+""".r.findFirstIn(s).map(_.toLong % 3 + 1).getOrElse(1L))
     }.toMap
     val budget = avail.map(_._2).sum * 3 / 5
     val rows = apportion(avail, weights, budget)
@@ -554,7 +557,8 @@ object Sampling {
     """WITH avail AS (
       |  SELECT source,
       |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS available,
-      |         CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 3 + 1 AS weight
+      |         coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS BIGINT)
+      |                  % 3 + 1, 1) AS weight
       |  FROM documents GROUP BY source
       |), tot AS (
       |  SELECT sum(available) * 3 // 5 AS b, sum(weight) AS wsum FROM avail
@@ -592,8 +596,11 @@ object Sampling {
       |               available) AS alloc2
       |  FROM headr
       |)
+      |-- CAST: b = sum(available)*3//5 promotes through HUGEINT in DuckDB, so
+      |-- target (derived from b) reaches the driver's pandas bridge as float64
+      |-- (418.0 vs Spark's 418) without it — same failure q114 hit on pad_waste.
       |SELECT c.source, c.available AS available_tokens, c.weight,
-      |       c.target AS target_tokens,
+      |       CAST(c.target AS BIGINT) AS target_tokens,
       |       CAST(coalesce(p.alloc2, c.alloc1) AS BIGINT) AS alloc_tokens,
       |       c.target > c.available AS capped
       |FROM capped1 c LEFT JOIN pass2 p USING (source)
