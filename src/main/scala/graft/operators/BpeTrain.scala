@@ -178,9 +178,11 @@ object BpeTrain {
   }
 
   /** q107: the learned merge table for the corpus — rank, pair, and the
-    * merged symbol. Iterative argmax is not expressible as one DuckDB
-    * query; parity with the reference loop (and distributed == local)
-    * is spec-asserted instead (rows-only correctness row). */
+    * merged symbol. Oracle: [[q107Sql]] re-runs the ENTIRE training loop
+    * in DuckDB (20 chained MATERIALIZED argmax CTEs over a
+    * separator-encoded vocab — see the oracle section below), taking no
+    * literals from the engine; distributed == local is additionally
+    * spec-asserted. */
   def q107BpeMerges(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     learnMerges(Tables.documents(spark, d), nMerges = 20)
@@ -193,12 +195,120 @@ object BpeTrain {
     * word and piece counts, the token-budget accounting every training
     * run needs. Train-then-apply in one query: [[learnMerges]] (one
     * corpus word-count shuffle + vocab-sized loop) feeds [[encodeStats]]
-    * (pure scan-side encode, merge table in the closure). Iterative
-    * merge learning isn't one SQL query → rows-only; BpeTrainSpec pins
-    * the encode against hand-computed pieces and the merge learner
-    * against the reference loop. */
+    * (pure scan-side encode, merge table in the closure). Oracle:
+    * [[q115Sql]] re-learns the merges with the q107 chain, then replays
+    * the rank-ordered encode as a 20-deep replace() chain per word;
+    * BpeTrainSpec additionally pins the encode against hand-computed
+    * pieces and the merge learner against the reference loop. */
   def q115BpeEncode(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
     encodeStats(docs, learnMerges(docs, nMerges = 20))
+  }
+
+  // --------------------------------------------------------------------
+  // STATIC DuckDB oracles. The key trick: a symbol sequence is encoded
+  // as one string — chr(31) flanking every symbol, chr(31)chr(31) in
+  // each gap ("␟a␟␟b␟␟c␟") — so greedy left-to-right application of one
+  // merge (a,b) is EXACTLY SQL replace(enc, '␟a␟␟b␟', '␟ab␟'):
+  // replace() consumes left-to-right without overlap, and the flank
+  // discipline makes partial-symbol matches impossible (a match's
+  // leading ␟ must be a left flank, and symbols contain no ␟, so both
+  // pattern symbols must align to whole vocab symbols). Training is
+  // then 20 chained argmax rounds (pair-count → best → replace), all
+  // MATERIALIZED: v{r-1} is referenced twice per round, and without
+  // MATERIALIZED DuckDB inlines the chain into 2^20 scans.
+  //
+  // Encoding with the learned table in rank order is exact because a
+  // merge's components are always outputs of LOWER-rank merges (they
+  // existed when the pair was counted), so applying ranks 1..N
+  // sequentially can never skip a newly-applicable lower rank — the
+  // classic Sennrich encoder argument; BpeTrainSpec pins the loop
+  // equivalence.
+  // --------------------------------------------------------------------
+
+  private val nOracleMerges = 20
+  private val S = "chr(31)"           // symbol flank
+  private val G = "chr(31)||chr(31)"  // inter-symbol gap
+
+  /** The shared training-replay CTE chain: wc, v0, then per round r
+    * p{r} (pair counts), b{r} (argmax), v{r} (vocab after merge r).
+    * `withVocabUpdates=false` drops the final v{N} (q115 only needs the
+    * b{r} rows). */
+  private def trainCtes(withFinalVocab: Boolean): Seq[String] = {
+    val head = Seq(
+      s"""wc AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) WHERE word <> '' GROUP BY word
+         |  ORDER BY freq DESC, word ASC LIMIT 50000
+         |)""".stripMargin,
+      s"""v0 AS MATERIALIZED (
+         |  SELECT freq, $S || array_to_string(string_split(word, ''), $G) || $S AS enc
+         |  FROM wc
+         |)""".stripMargin)
+    val rounds = (1 to nOracleMerges).flatMap { r =>
+      val pairs =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT left_, right_, sum(freq) AS n FROM (
+           |    SELECT freq, syms[i] AS left_, syms[i+1] AS right_
+           |    FROM (SELECT freq, string_split(trim(enc, $S), $G) AS syms FROM v${r - 1}),
+           |         unnest(range(1, len(syms))) AS t(i)
+           |  ) GROUP BY 1, 2
+           |)""".stripMargin
+      val best =
+        s"""b$r AS MATERIALIZED (
+           |  SELECT left_, right_ FROM p$r
+           |  ORDER BY n DESC, left_ ASC, right_ ASC LIMIT 1
+           |)""".stripMargin
+      val vocab =
+        s"""v$r AS MATERIALIZED (
+           |  SELECT v.freq,
+           |         replace(v.enc, $S || b.left_ || $G || b.right_ || $S,
+           |                        $S || b.left_ || b.right_ || $S) AS enc
+           |  FROM v${r - 1} v CROSS JOIN b$r b
+           |)""".stripMargin
+      if (r < nOracleMerges || withFinalVocab) Seq(pairs, best, vocab)
+      else Seq(pairs, best)
+    }
+    head ++ rounds
+  }
+
+  /** q107 oracle: DuckDB re-learns all 20 merges from the corpus (no
+    * literals from the engine at all) and emits its own argmax rows. */
+  val q107Sql: String = {
+    val finals = (1 to nOracleMerges).map { r =>
+      s"""SELECT $r AS rank, left_ AS "left", right_ AS "right", left_ || right_ AS merged FROM b$r"""
+    }
+    "WITH " + trainCtes(withFinalVocab = false).mkString(",\n") + "\n" +
+      finals.mkString("\nUNION ALL\n") + "\nORDER BY rank"
+  }
+
+  /** q115 oracle: re-learn the merges (same chain), collapse them into a
+    * one-row table m(l1,r1..l20,r20), then encode every word with a
+    * 20-deep rank-ordered replace chain and aggregate per doc. */
+  val q115Sql: String = {
+    val mCols = (1 to nOracleMerges)
+      .map(r => s"b$r.left_ AS l$r, b$r.right_ AS r$r").mkString(", ")
+    val mFrom = (1 to nOracleMerges).map(r => s"b$r").mkString(" CROSS JOIN ")
+    val encChain = (1 to nOracleMerges).foldLeft(
+      s"$S || array_to_string(string_split(word, ''), $G) || $S") { (e, r) =>
+      s"replace($e, $S || m.l$r || $G || m.r$r || $S, $S || m.l$r || m.r$r || $S)"
+    }
+    val tail = Seq(
+      s"m AS MATERIALIZED (SELECT $mCols FROM $mFrom)",
+      s"""words AS MATERIALIZED (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) WHERE word <> ''
+         |)""".stripMargin,
+      s"""pieces AS MATERIALIZED (
+         |  SELECT doc_id, len(string_split(trim($encChain, $S), $G)) AS np
+         |  FROM words CROSS JOIN m
+         |)""".stripMargin)
+    "WITH " + (trainCtes(withFinalVocab = false) ++ tail).mkString(",\n") +
+      "\nSELECT doc_id, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces" +
+      "\nFROM pieces GROUP BY doc_id ORDER BY doc_id"
   }
 }
