@@ -190,6 +190,47 @@ final class Engine(
     * one task under the concurrency gate and execute it in this JVM.
     * `tablePaths` maps (database, table) → data directory for the
     * compaction path. Returns the completed task id. */
+  /** Live-runtime forwarding for the worker (the [[graft.meta.IcebergRuntime]]
+    * seam, other half in [[operators.IcebergCalls]]): when an Iceberg
+    * Spark runtime jar is on the classpath, maintenance tasks run the
+    * REAL `CALL <catalog>.system.*` stored procedure the reference
+    * submits (maintenance.py:153-219) instead of the native operators.
+    * None — the only outcome in this jar-less sandbox — keeps the
+    * native, spec-tested path as the default. The CALL's result rows
+    * (e.g. rewritten_data_files_count) become the task result map. */
+  private def forwardCall(callSql: => String): Option[Either[String, Map[String, String]]] =
+    if (!graft.meta.IcebergRuntime.available) None
+    else Some(
+      operators.IcebergCalls.run(store.spark, callSql).map { df =>
+        df.collect().headOption.map { row =>
+          row.schema.fieldNames.map(n => n -> String.valueOf(row.getAs[Any](n))).toMap
+        }.getOrElse(Map.empty)
+      })
+
+  /** rewrite_data_files needs the hidden day-partition column the
+    * reference resolves from the table description
+    * (service_maintenance_executor_spark.go:236-244); a table without
+    * one fails the task with the reference's error, matching its
+    * "no suitable day-partition column" contract. */
+  private def forwardRewrite(task: Model.TaskRow, until: String,
+      targetBytes: Long): Option[Either[String, Map[String, String]]] =
+    if (!graft.meta.IcebergRuntime.available) None
+    else Some {
+      store.tables.collect()
+        .find(t => t.database == task.database && t.name == task.table)
+        .flatMap(_.partitions.collectFirst {
+          case f if f.isHidden && f.hidden.exists(_.`type` == "day") =>
+            f.hidden.get.column
+        }) match {
+        case None => Left("no suitable day-partition column found for optimization")
+        case Some(dayCol) =>
+          forwardCall(operators.IcebergCalls.rewriteDataFiles(
+            table = task.table, whereColumn = dayCol,
+            whereFrom = task.input("from"), whereUntil = until,
+            database = task.database, targetFileSizeBytes = targetBytes)).get
+      }
+    }
+
   def processNext(concurrency: Int, tablePaths: Map[(String, String), String]): Option[Long] = {
     queue.claim(concurrency).map { task =>
       val result: Either[String, Map[String, String]] =
@@ -203,6 +244,9 @@ final class Engine(
                     .flatMap(_.toLongOption)
                     .getOrElse(Model.Defaults.TargetFileSizeMb.toLong) * 1024L * 1024L
                   val until = LocalDate.parse(task.input("to")).plusDays(1).toString
+                  forwardRewrite(task, until, target) match {
+                    case Some(res) => res
+                    case None =>
                   val r = operators.Maintenance.compactAuto(store.spark, path,
                     task.input("from"), until, target)
                   // Manifest-tracked tables get a new `replace` snapshot
@@ -220,6 +264,7 @@ final class Engine(
                     "partitions_rewritten" -> r.partitionsRewritten.toString,
                     "files_before" -> r.filesBefore.toString,
                     "files_after" -> r.filesAfter.toString) ++ committed)
+                  }
               }
             case Model.TaskKind.ExpireSnapshots =>
               val days = task.input.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
@@ -227,24 +272,32 @@ final class Engine(
               val current = store.tables.collect()
                 .find(t => t.database == task.database && t.name == task.table)
                 .flatMap(_.currentSnapshotId)
-              current match {
-                case None => Left("table has no current snapshot")
-                case Some(cur) =>
-                  val r = operators.Maintenance.expireSnapshots(store, task.database,
-                    task.table, cur, cutoff)
-                  Right(Map("expired" -> r.expiredSnapshots.size.toString,
-                    "kept" -> r.keptSnapshots.size.toString))
-              }
+              forwardCall(operators.IcebergCalls.expireSnapshots(
+                  task.table, cutoff.toInstant.toString, database = task.database))
+                .getOrElse {
+                  current match {
+                    case None => Left("table has no current snapshot")
+                    case Some(cur) =>
+                      val r = operators.Maintenance.expireSnapshots(store, task.database,
+                        task.table, cur, cutoff)
+                      Right(Map("expired" -> r.expiredSnapshots.size.toString,
+                        "kept" -> r.keptSnapshots.size.toString))
+                  }
+                }
             case Model.TaskKind.RemoveOrphanFiles =>
               tablePaths.get((task.database, task.table)) match {
                 case None => Left(s"no data path for ${task.database}.${task.table}")
                 case Some(path) =>
                   val days = task.input.get("retention_days").flatMap(_.toIntOption).getOrElse(7)
                   val cutoff = java.sql.Timestamp.from(clock().minusSeconds(days.toLong * 86400))
-                  val r = operators.Maintenance.removeOrphanFiles(store.spark, store,
-                    path, task.database, task.table, cutoff)
-                  Right(Map("orphans" -> r.orphans.size.toString,
-                    "deleted" -> r.deleted.toString))
+                  forwardCall(operators.IcebergCalls.removeOrphanFiles(
+                      task.table, cutoff.toInstant.toString, database = task.database))
+                    .getOrElse {
+                      val r = operators.Maintenance.removeOrphanFiles(store.spark, store,
+                        path, task.database, task.table, cutoff)
+                      Right(Map("orphans" -> r.orphans.size.toString,
+                        "deleted" -> r.deleted.toString))
+                    }
               }
             case other => Left(s"unknown task kind $other")
           }

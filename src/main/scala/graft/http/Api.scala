@@ -108,37 +108,32 @@ final class Api(store: MetaStore, engine: Engine,
       // the table row like the reference (handler_iceberg.go:126-145).
       case ("POST", "iceberg" :: db :: table :: "snapshots" :: sid :: "rollback" :: Nil) =>
         val snapshotId = bind(sid.toLong)
-        graft.operators.Maintenance.rollbackToSnapshot(store, db, table,
-          snapshotId, graft.meta.SmallFiles.fromSettings(store),
-          java.time.Instant.now())
+        // Live-runtime seam (M4): with an Iceberg jar present, run the
+        // real rollback procedure; Left (always, in this sandbox) falls
+        // through to the native snapshot-pointer move.
+        graft.operators.IcebergCalls.run(store.spark,
+          graft.operators.IcebergCalls.rollbackToSnapshot(table, snapshotId,
+            database = db)) match {
+          case Right(_) => ()
+          case Left(_) =>
+            graft.operators.Maintenance.rollbackToSnapshot(store, db, table,
+              snapshotId, graft.meta.SmallFiles.fromSettings(store),
+              java.time.Instant.now())
+        }
         ok(obj("snapshot_id" -> num(snapshotId), "status" -> str("ok")))
       // snapshot file-integrity check (main.go:94,
       // service_file_integrity.go:44-92): expected = the snapshot's
-      // manifest rows; missing = expected minus a PREFIX LISTING of the
-      // backing store — one list call per parent directory, like the
-      // reference's single S3 ListObjectsV2 sweep, never a per-file
-      // existence round-trip.
+      // manifest rows; missing = a distributed left_anti join of that
+      // set against the executor-side parent-directory listing
+      // (Maintenance.missingFilesFrame — the q14/removeOrphanFiles
+      // shape). Only the missing set, the payload-bounded response,
+      // reaches the driver.
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: sid :: "missing-files" :: Nil) =>
         val snapshotId = bind(sid.toLong)
-        // Column (not typed-lambda) filter: pushes down to the parquet
-        // scan and prunes to the single filePath column.
-        val expected = store.files
-          .filter(col("database") === db && col("table") === table &&
-            col("snapshotId") === snapshotId && col("content") === 0)
-          .select(col("filePath")).as[String](org.apache.spark.sql.Encoders.STRING)
-          .collect().sorted
-        val conf = store.spark.sparkContext.hadoopConfiguration
-        val listed = expected.map(p => new org.apache.hadoop.fs.Path(p).getParent)
-          .distinct.flatMap { dir =>
-            val fs = dir.getFileSystem(conf)
-            if (fs.exists(dir))
-              fs.listStatus(dir).toSeq.map(_.getPath.toUri.getPath)
-            else Seq.empty
-          }.toSet
-        val missing = expected.filterNot(p =>
-          listed(new org.apache.hadoop.fs.Path(p).toUri.getPath))
+        val missing = graft.operators.Maintenance.missingFiles(
+          store.spark, store, db, table, snapshotId)
         ok(obj("snapshot_id" -> num(snapshotId),
-          "missing_files" -> arr(missing.toSeq.map(str))))
+          "missing_files" -> arr(missing.map(str))))
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: Nil) =>
         snapshotsJson(db, table)
       case ("GET", "iceberg" :: db :: table :: "partitions" :: Nil) =>

@@ -382,6 +382,51 @@ object Maintenance {
       .unionByName(looseRows.toDF("path", "size", "mtime"))
   }
 
+  /** Missing-files integrity audit (service_file_integrity.go:44-92) —
+    * expected = the snapshot's manifest rows, missing = expected minus
+    * what the backing store actually holds. Fully distributed, unlike a
+    * naive driver sweep: the expected set stays a Dataset end to end,
+    * its distinct parent directories (bounded by partition-directory
+    * count) fan out to executors for the listing — one list call per
+    * directory, the reference's single ListObjectsV2 sweep shape — and
+    * the comparison is a left_anti join. At 100 TB a snapshot manifests
+    * millions of files; only the MISSING set (the payload-bounded API
+    * response, `reportMax`-capped) ever reaches the driver. Join keys
+    * are URI-normalized on both sides; the report keeps the manifest's
+    * raw form. */
+  def missingFilesFrame(spark: SparkSession, store: MetaStore,
+      database: String, table: String, snapshotId: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val expected = store.files
+      .filter(col("database") === database && col("table") === table &&
+        col("snapshotId") === snapshotId && col("content") === 0)
+      .select(col("filePath")).as[String]
+      .map(p => (p, new Path(p).toUri.getPath))
+      .toDF("raw", "key")
+    val dirs = expected.select($"key").as[String]
+      .map(k => String.valueOf(new Path(k).getParent))
+      .distinct().collect() // control-plane: one row per partition dir
+    val confProps = hadoopConfProps(spark)
+    val listed = spark.sparkContext
+      .parallelize(dirs.toSeq, math.max(1, dirs.length))
+      .flatMap { dir =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(hadoopConfFrom(confProps))
+        if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.toUri.getPath)
+        else Seq.empty[String]
+      }
+    expected.join(spark.createDataset(listed).toDF("key"), Seq("key"), "left_anti")
+  }
+
+  def missingFiles(spark: SparkSession, store: MetaStore, database: String,
+      table: String, snapshotId: Long, reportMax: Int = 100000): Seq[String] = {
+    import spark.implicits._
+    missingFilesFrame(spark, store, database, table, snapshotId)
+      .orderBy("raw").limit(reportMax)
+      .select("raw").as[String].collect().toSeq
+  }
+
   final case class ExpireResult(expiredSnapshots: Seq[Long], keptSnapshots: Seq[Long])
 
   /** M2: expire snapshots older than `olderThan`, preserving the whole

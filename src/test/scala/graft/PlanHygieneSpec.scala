@@ -302,6 +302,26 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("partial"), plan)
   }
 
+  test("missing-files endpoint plans as a distributed anti-join, not a driver sweep") {
+    // The Api missing-files route goes through Maintenance.missingFilesFrame;
+    // at 100 TB a snapshot manifests millions of files, so the expected-set
+    // comparison must be a LeftAnti join against the executor-side listing —
+    // never an expected.collect() membership test on the driver.
+    val store = new graft.meta.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("plan-missing").toString)
+    import graft.meta.MetaStore._
+    store.write("files", spark.createDataset(Seq(
+      graft.meta.Model.FileMeta("db", "t", 1, 0, "/tmp/x.parquet", "PARQUET", 0,
+        Map.empty[String, String], 1L, 1L))))
+    val plan = planOf(graft.operators.Maintenance
+      .missingFilesFrame(spark, store, "db", "t", 1L))
+    assert(plan.contains("LeftAnti"), plan)
+    // source-level pin: the endpoint must route through the frame
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/http/Api.scala"))
+    assert(src.contains("Maintenance.missingFiles"), "Api must use the anti-join path")
+  }
+
   test("q144 min-cost supplier: broadcast dims, ONE window min — no agg join-back") {
     val plan = planOf(queries.Relational5.q144MinCostSupplier(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -147,6 +147,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(new java.io.File(sub, "orphan-fresh.parquet").exists())
   }
 
+  test("missing-files audit: distributed anti-join finds exactly the absent manifest rows") {
+    import MetaStore._
+    val store = new MetaStore(spark, tmpDir("missing-meta"))
+    val dataDir = tmpDir("missing-data")
+    val sub = new java.io.File(dataDir, "part=a"); sub.mkdirs()
+    val present = new java.io.File(sub, "here.parquet")
+    Files.write(present.toPath, Array[Byte](1))
+    store.write("files", spark.createDataset(Seq(
+      Model.FileMeta("db", "t", 5, 0, present.getAbsolutePath, "PARQUET", 0, Map.empty, 1, 3),
+      Model.FileMeta("db", "t", 5, 0, s"$dataDir/part=a/gone.parquet", "PARQUET", 0, Map.empty, 1, 3),
+      // delete files (content=1), other snapshots, other tables: excluded
+      Model.FileMeta("db", "t", 5, 1, s"$dataDir/part=a/del.parquet", "PARQUET", 0, Map.empty, 1, 3),
+      Model.FileMeta("db", "t", 4, 0, s"$dataDir/part=a/old-snap.parquet", "PARQUET", 0, Map.empty, 1, 3),
+      Model.FileMeta("db", "u", 5, 0, s"$dataDir/part=a/other-table.parquet", "PARQUET", 0, Map.empty, 1, 3))))
+    val missing = Maintenance.missingFiles(spark, store, "db", "t", 5L)
+    assert(missing == Seq(s"$dataDir/part=a/gone.parquet"))
+  }
+
   test("M4 rollback: pointer moves and partition stats rebuild from the snapshot manifest") {
     import MetaStore._
     val store = new MetaStore(spark, tmpDir("rollback"))
