@@ -17,13 +17,26 @@ object Bench {
     // change. (A literal-only change — a tweaked constant — won't move
     // it; that's a semantics diff, visible in CORRECTNESS, not a
     // plan-shape diff.)
+    // Per-node output names are SORTED before hashing: rules like
+    // RewriteDistinctAggregates order their Expand/Aggregate columns by
+    // hash iteration over expression IDs, which depend on how many
+    // expressions the session allocated before — two identical queries
+    // in different sessions digested differently (observed on q63's two
+    // countDistincts). The sorted column SET plus the node tree is
+    // still exactly the regression surface the fingerprint is for.
     def digest(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
-      p.nodeName + p.output.map(_.name).mkString("[", ",", "]") +
+      p.nodeName + p.output.map(_.name).sorted.mkString("[", ",", "]") +
         p.children.map(digest).mkString("(", ",", ")")
     val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // derived-index caches cleared so every fingerprint is the cold
-      // plan a fresh job would compile, independent of bench ordering
+      // plan a fresh job would compile, independent of bench ordering.
+      // The session CacheManager is cleared too: any .cache() that is
+      // NOT PlanCache-tracked (eager builds inside earlier queries'
+      // construction) would otherwise splice an InMemoryRelation into a
+      // later query's optimized plan and flip its digest — observed on
+      // q63, whose fingerprint depended on which queries ran before it.
       graft.util.PlanCache.clearAll()
+      spark.sharedState.cacheManager.clearCache()
       val h = try {
         val plan = digest(fn(spark, sfDir).queryExecution.optimizedPlan)
         java.security.MessageDigest.getInstance("MD5").digest(plan.getBytes("UTF-8"))
@@ -62,17 +75,74 @@ object Bench {
     // total line prints after spark.stop(), as the process's last
     // stdout act, sized (slowest 15) to fit the tail with margin even
     // if a trailer follows.
+    // Plan-shape regression gate: diff this run's fingerprints against
+    // the checked-in PLANS_BASELINE.json. A changed digest means the
+    // optimized plan's operator tree moved — a new Exchange, a lost
+    // pushdown, a join strategy flip — which is exactly what should be
+    // reviewed, not silently shipped. Intentional plan changes refresh
+    // the baseline with SPARK_GRAFT_UPDATE_PLANS=1 (or by deleting the
+    // file); the diff is REPORTED (stdout + BENCH.json), not a hard
+    // abort, so a bench run always still produces numbers. Baselines
+    // are PER-SF: the schema-adaptive sources (Tables.events' dual
+    // timestamp handling) can legitimately give different plan shapes
+    // per dataset generation, so a cross-sf diff could cry wolf.
+    val baselinePath = java.nio.file.Paths.get(
+      s"PLANS_BASELINE.${new java.io.File(sfDir).getName}.json")
+    val planHashes: Map[String, String] = plans.map { case (n, kv) =>
+      n -> kv.split("\":\"").last.stripSuffix("\"")
+    }
+    val planDiff: Seq[String] =
+      if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
+          !java.nio.file.Files.exists(baselinePath)) {
+        java.nio.file.Files.writeString(baselinePath,
+          planHashes.toSeq.sortBy(_._1)
+            .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+            .mkString("{", ",", "}"))
+        Seq.empty
+      } else {
+        val base = java.nio.file.Files.readString(baselinePath)
+        val entry = "\"([^\"]+)\":\"([0-9a-f]+|error)\"".r
+        val baseMap = entry.findAllMatchIn(base).map(m => m.group(1) -> m.group(2)).toMap
+        (baseMap.keySet ++ planHashes.keySet).toSeq.sorted.flatMap { n =>
+          (baseMap.get(n), planHashes.get(n)) match {
+            case (Some(a), Some(b)) if a != b => Some(s"$n: $a -> $b")
+            case (None, Some(_)) => Some(s"$n: NEW")
+            case (Some(_), None) => Some(s"$n: REMOVED")
+            case _ => None
+          }
+        }
+      }
+    val planDiffJson = planDiff.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+
     val artifact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},
          |"queries":${fmt(results.toSeq.sortBy(_._1))},
          |"plans":$plansJson,
+         |"plan_diff":$planDiffJson,
          |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), artifact)
     println(s"""{"metric":"plans","plans":$plansJson,"sf":"$sfDir"}""")
+    if (planDiff.nonEmpty)
+      println(s"""{"metric":"plan_diff","changed":${planDiff.size},"entries":$planDiffJson}""")
     println(s"""{"metric":"detail","queries":${fmt(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
-    spark.stop()
     val slowest = results.toSeq.sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}""")
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${fmt(slowest)},"sf":"$sfDir"}"""
+    // The driver parses the LAST ~2000 chars of output, and Spark's own
+    // shutdown (BlockManager/ShutdownHookManager chatter) plus sbt's
+    // [success] trailer have landed after the summary in past rounds.
+    // Re-print the total line from a MIN_VALUE-priority Hadoop shutdown
+    // hook: Hadoop runs hooks in descending priority, and Spark's
+    // cleanup hooks all sit at higher priorities, so this line is the
+    // process's final stdout act, after every Spark shutdown log.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable { def run(): Unit = { println(totalLine); System.out.flush() } },
+      Integer.MIN_VALUE)
+    spark.stop()
+    println(totalLine)
     System.out.flush()
+    // exit(0) triggers the shutdown chain immediately — nothing else in
+    // this JVM can write after the hook's re-print.
+    System.exit(0)
   }
 }

@@ -817,22 +817,18 @@ object Dedup {
   def embeddingNearDupIvf(spark: SparkSession, d: String, threshold: Double = 0.4,
       nCentroids: Int = 16, nAssign: Int = 3, kmeansIters: Int = 4): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
-    val (cents, _) = Similarity.ivfIndex(e, nCentroids, kmeansIters)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
     // The bucket self-join is candidate GENERATION — keep it narrow
     // (ids + bucket only, no vector payload) and dedup the pair set
     // BEFORE scoring: a pair sharing k probe buckets would otherwise
     // ship two embedding arrays through the shuffle k times and pay the
     // cosine kernel k times. Vectors join back once per distinct pair.
-    val multi = e.crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.cos($"v", $"cv"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where($"rn" <= nAssign)
-      .select($"vec_id", $"cent_id")
+    // The probe table itself is a cached index artifact (ivfProbes) —
+    // steady state pays the pair join + verify only, not the
+    // corpus × centroids assignment window per call (and per join side).
+    val multi = Similarity.ivfProbes(e, nCentroids, kmeansIters, nAssign)
     // (Measured alternative: dedup-by-minimal-shared-bucket via probe
     // lists on each row was ~3× slower — the arrays outweigh the saved
     // distinct. The narrow distinct wins.)

@@ -329,10 +329,43 @@ object Similarity {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
     DataFrame](maxEntries = 4, onEvict = _.unpersist())
 
+  // Multi-probe assignments (vec_id → its nAssign nearest centroid
+  // lists) are index structure too — the multi-probe inverted lists a
+  // deployment stores next to the quantizer (VectorIndexStore's
+  // cent_id-partitioned layout) — so steady-state blocked dedup starts
+  // from the materialized probe table instead of re-running the
+  // corpus × centroids scoring window per query.
+  private val ivfProbeCache = new graft.util.PlanCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
+    DataFrame](maxEntries = 4, onEvict = _.unpersist())
+
   def clearCaches(): Unit = {
     ivfIndexCache.clear()
     lshSigCache.clear()
+    ivfProbeCache.clear()
   }
+
+  /** The `nAssign`-probe assignment table over a normalized (vec_id, v)
+    * corpus — (vec_id, cent_id), one row per probe — built from the
+    * cached [[ivfIndex]] quantizer and materialized once per
+    * (corpus, quantizer, nAssign). */
+  def ivfProbes(e: DataFrame, nCentroids: Int, kmeansIters: Int,
+      nAssign: Int): DataFrame =
+    ivfProbeCache.getOrElseUpdate(
+      (e.queryExecution.analyzed.canonicalized, nCentroids, kmeansIters, nAssign)) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val (cents, _) = ivfIndex(e, nCentroids, kmeansIters)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+      val probes = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cos($"v", $"cv"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where($"rn" <= nAssign)
+        .select($"vec_id", $"cent_id")
+        .cache()
+      probes.count() // materialize: both sides of the pair join read it
+      probes
+    }
 
   /** Build (or fetch the cached) IVF index over a normalized
     * (vec_id, v) corpus: k-means centroids + the inverted lists (every
