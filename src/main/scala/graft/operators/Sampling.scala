@@ -508,12 +508,20 @@ object Sampling {
     base.map { case (n, b, _) => n -> (b + (if (bump(n)) 1L else 0L)) }.toMap
   }
 
-  /** Two-pass capped apportionment: pass 1 splits `budget` by weight and
-    * caps at availability; pass 2 re-apportions the capped shortfall
-    * over the sources that still have headroom (capped again — any
-    * residual stays unallocated, reported by the capped flags). Fixed
-    * two passes: the waterfall converges geometrically and a planning
-    * query wants a deterministic plan, not a fixpoint loop. */
+  /** Two-pass capped apportionment: pass 1 splits `budget` by weight
+    * and caps at availability; pass 2 re-apportions the capped
+    * shortfall over the sources that still have headroom,
+    * proportionally to HEADROOM. Headroom-proportional (not
+    * weight-proportional) is what makes exactly two passes sufficient:
+    * a share floor(s·hᵢ/H) is < hᵢ whenever s < H, and the +1
+    * largest-remainder bump can only lift it to hᵢ — no pass-2 share
+    * ever re-caps, so Σalloc == budget whenever the positive-weight
+    * availability can hold it (the ApportionPropSpec law; a
+    * weight-proportional pass 2 silently strands budget when a high-
+    * weight source re-caps). Zero-weight sources never receive — a zero
+    * mixture weight means "do not sample from this source", so budget
+    * is unfillable (and the capped flags say why) only when the
+    * WEIGHTED availability is short. */
   private[operators] def apportion(avail: Seq[(String, Long)],
       weights: Map[String, Long], budget: Long): Seq[(String, Long, Long, Long, Long, Boolean)] = {
     val items = avail.map { case (n, _) => (n, weights.getOrElse(n, 0L)) }
@@ -521,8 +529,10 @@ object Sampling {
     val target = largestRemainder(items, budget)
     val alloc1 = target.map { case (n, t) => n -> math.min(t, availMap(n)) }
     val shortfall = target.values.sum - alloc1.values.sum
-    val headroom = items.filter { case (n, wi) => wi > 0 && alloc1(n) < availMap(n) }
-    val add = largestRemainder(headroom, shortfall)
+    val headroom = items.collect { case (n, wi) if wi > 0 && alloc1(n) < availMap(n) =>
+      (n, availMap(n) - alloc1(n))
+    }
+    val add = largestRemainder(headroom, math.min(shortfall, headroom.map(_._2).sum))
     avail.map { case (n, av) =>
       val a2 = math.min(alloc1(n) + add.getOrElse(n, 0L), av)
       (n, av, items.find(_._1 == n).get._2, target(n), a2, target(n) > av)
@@ -580,15 +590,23 @@ object Sampling {
       |), short AS (
       |  SELECT sum(target) - sum(alloc1) AS s FROM capped1
       |), head AS (
-      |  SELECT c.*, s.s,
-      |         sum(weight) OVER () AS wsum2,
-      |         s.s * weight // sum(weight) OVER () AS base2,
-      |         s.s * weight % sum(weight) OVER () AS rem2
+      |  -- pass 2 is HEADROOM-proportional (see apportion's scaladoc):
+      |  -- s2 = min(shortfall, total headroom), shares s2*h//H, so no
+      |  -- share can re-cap and the budget fills whenever it fits
+      |  SELECT c.*,
+      |         least(s.s, sum(c.available - c.alloc1) OVER ()) AS s2,
+      |         sum(c.available - c.alloc1) OVER () AS hsum,
+      |         least(s.s, sum(c.available - c.alloc1) OVER ())
+      |           * (c.available - c.alloc1)
+      |           // sum(c.available - c.alloc1) OVER () AS base2,
+      |         least(s.s, sum(c.available - c.alloc1) OVER ())
+      |           * (c.available - c.alloc1)
+      |           % sum(c.available - c.alloc1) OVER () AS rem2
       |  FROM capped1 c CROSS JOIN short s
       |  WHERE c.weight > 0 AND c.alloc1 < c.available
       |), headr AS (
       |  SELECT *, row_number() OVER (ORDER BY rem2 DESC, source ASC) AS rk2,
-      |         s - (SELECT sum(base2) FROM head) AS leftover2
+      |         s2 - (SELECT sum(base2) FROM head) AS leftover2
       |  FROM head
       |), pass2 AS (
       |  SELECT source,
@@ -618,7 +636,16 @@ object Sampling {
     * the pointer-doubling components of q40; the assignment itself is
     * one broadcast-sized left join + a row-local hash. Exact oracle:
     * DuckDB replays the clustering with the q47 recursive-CTE closure
-    * and the same md5 split thresholds. */
+    * and the same md5 split thresholds.
+    *
+    * Oracle-recall assumption (the q124 discipline, stated here too):
+    * the Spark side clusters the BANDED LSH candidate pairs while the
+    * oracle computes the exact Jaccard closure, so the hash match
+    * relies on the bands having full recall at this threshold on this
+    * corpus — empirically exhaustive (the q22 pin). If a future corpus
+    * change makes a true >=threshold pair miss every band, group keys
+    * shift and q140 reds out: that's a RECALL regression to fix in the
+    * band parameters, not an engine/oracle bug. */
   def q140ClusterSplits(spark: SparkSession, d: String,
       threshold: Double = 0.6): DataFrame = {
     import spark.implicits._

@@ -57,6 +57,34 @@ class ApportionPropSpec extends AnyFunSuite {
     }, "apportion")
   }
 
+  test("waterfall law: alloc<=avail, sum<=budget, and the budget FILLS whenever weighted availability holds it") {
+    // The round-9 ask. The strong clause (Σalloc == budget whenever
+    // Σavail over positive-weight sources >= budget) is what forced
+    // pass 2 to be headroom-proportional: under the old
+    // weight-proportional pass 2, avail (5,15,0) / weights (1,1,8) /
+    // budget 20 gave the high-weight source a re-capping share and
+    // stranded 5 tokens. That exact case is pinned below, then the law
+    // is checked on random shapes.
+    val out0 = Sampling.apportion(
+      Seq(("a", 5L), ("b", 15L), ("c", 0L)),
+      Map("a" -> 1L, "b" -> 1L, "c" -> 8L), 20L)
+    assert(out0.map(_._5).sum == 20L, out0.toString)
+    val genAvail = for {
+      items <- genItems
+      avs <- Gen.listOfN(items.size, Gen.choose(0L, 500L))
+    } yield items.zip(avs).map { case ((n, w), av) => ((n, av), (n, w)) }
+    check(Prop.forAll(genAvail, Gen.choose(0L, 3000L)) { (pairs, budget) =>
+      val avail = pairs.map(_._1)
+      val weights = pairs.map(_._2).toMap
+      val out = Sampling.apportion(avail, weights, budget)
+      val allocSum = out.map(_._5).sum
+      val weightedAvail = avail.collect { case (n, av) if weights(n) > 0 => av }.sum
+      out.forall { case (_, av, _, _, alloc, _) => alloc >= 0 && alloc <= av } &&
+      allocSum <= budget &&
+      (weightedAvail < budget || allocSum == budget)
+    }, "waterfall")
+  }
+
   test("hrw: removing the highest-scoring shard reassigns only that shard's keys (local model)") {
     // Pure-model mirror of the Spark-side minimal-movement spec: argmax
     // over k hashes vs k+1 hashes differs only where the new candidate wins.
