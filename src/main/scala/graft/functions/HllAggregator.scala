@@ -24,23 +24,38 @@ import org.apache.spark.sql.expressions.Aggregator
   * partial-agg friendly, shuffle volume 256 ints per partition
   * regardless of input size.
   */
-final case class HllBuf(regs: Seq[Int])
+final case class HllBuf(regs: Array[Int])
+
+object HllBuf {
+  /** Seq-friendly constructor for store/spec callers that hold the
+    * registers as the immutable Seq the aggregator emits. */
+  def apply(regs: Seq[Int]): HllBuf = new HllBuf(regs.toArray)
+}
 
 class HllAggregator extends Aggregator[Long, HllBuf, Seq[Int]] {
   import HllAggregator._
 
-  override def zero: HllBuf = HllBuf(Seq.fill(M)(0))
+  override def zero: HllBuf = HllBuf(new Array[Int](M))
 
+  // reduce/merge MUTATE the buffer array in place: the buffer is owned
+  // by this aggregation path (Spark hands each partial its own
+  // deserialized instance), and an immutable rebuild here costs a
+  // 256-element copy PER INPUT ROW on the hot path. Only finish()
+  // materializes an immutable view.
   override def reduce(b: HllBuf, h: Long): HllBuf = {
     val bucket = (h % M).toInt
     val r = rho(h / M)
-    if (r > b.regs(bucket)) HllBuf(b.regs.updated(bucket, r)) else b
+    if (r > b.regs(bucket)) b.regs(bucket) = r
+    b
   }
 
-  override def merge(a: HllBuf, b: HllBuf): HllBuf =
-    HllBuf(a.regs.lazyZip(b.regs).map((x: Int, y: Int) => math.max(x, y)))
+  override def merge(a: HllBuf, b: HllBuf): HllBuf = {
+    var i = 0
+    while (i < M) { if (b.regs(i) > a.regs(i)) a.regs(i) = b.regs(i); i += 1 }
+    a
+  }
 
-  override def finish(b: HllBuf): Seq[Int] = b.regs
+  override def finish(b: HllBuf): Seq[Int] = b.regs.toSeq
 
   override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
   override def outputEncoder: Encoder[Seq[Int]] =

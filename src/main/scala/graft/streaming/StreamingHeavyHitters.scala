@@ -21,7 +21,12 @@ import graft.operators.HeavyHitters
   * vocabulary or stream length — the whole point versus a streaming
   * groupBy(token).count(), whose state is the vocabulary. Each emitted
   * row carries the shard's cumulative item count (`seen`) so a sink
-  * holding multiple batches' updates can keep last-wins per token.
+  * can identify each shard's LATEST emission. Consumers must take a
+  * shard's rows from its highest `seen` as a whole SNAPSHOT, replacing
+  * the shard's previous set (exactly what the spec does) — NOT
+  * last-wins per token: MG decrements can evict a counter between
+  * batches, and an evicted token is never re-emitted or tombstoned, so
+  * a per-token sink would retain its stale counter forever.
   */
 object StreamingHeavyHitters {
 

@@ -117,7 +117,7 @@ class AuditOps2Spec extends SparkSpec {
     val whole = DistinctSketch.vocabSketch(docs)
     val merged = new HllAggregator().merge(
       graft.functions.HllBuf(a), graft.functions.HllBuf(b)).regs
-    assert(merged == whole)
+    assert(merged.toSeq == whole)
   }
 
   test("HLL estimate within 20% of the exact distinct token count") {

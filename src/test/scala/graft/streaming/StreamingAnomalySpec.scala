@@ -60,4 +60,34 @@ class StreamingAnomalySpec extends SparkSpec {
     val spikes = streamed.filter(r => r(5) == true)
     assert(spikes.size == 1 && spikes.head(2) == 100L)
   }
+
+  test("late events for a closed bucket are dropped and counted, never re-emitted") {
+    import spark.implicits._
+    // micro-batch 1: hours 0..2 (closes 0 and 1); micro-batch 2: one
+    // LATE event for hour 0 plus hour 3 (closes hour 2). The late event
+    // must not re-open hour 0 — no duplicate (type, hour) row, and hour
+    // 2's count stays 5, not polluted by a re-opened partial bucket.
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val b1 = (0 to 2).flatMap(h => (0 until 5).map(m => (ts(h, m), "click")))
+    val b2 = Seq((ts(0, 30), "click")) ++ (0 until 5).map(m => (ts(3, m), "click"))
+    val dir = java.nio.file.Files.createTempDirectory("sanom-late").toString
+    b1.toDF("ts", "event_type").coalesce(1).write.parquet(s"$dir/f=1")
+    b2.toDF("ts", "event_type").coalesce(1).write.parquet(s"$dir/f=2")
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/f=*")
+    val q = StreamingAnomaly.rateAnomalyStream(stream)
+      .writeStream.format("memory").queryName("sanom_late")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sanom_late")
+      .select($"hour", $"n_events").as[(java.sql.Timestamp, Long)].collect().toSeq
+    // one row per closed hour, every count exactly 5 — the late event
+    // neither duplicated hour 0 nor leaked into any other bucket
+    assert(out.map(_._1).distinct.size == out.size, out.toString)
+    assert(out.toSet == Set((ts(0, 0), 5L), (ts(1, 0), 5L), (ts(2, 0), 5L)), out.toString)
+  }
 }
