@@ -135,4 +135,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(DistinctSketch.vocabSketch(nullTextDocs).forall(_ == 0))
     assert(graft.functions.HllAggregator.estimate(regs) == 0.0)
   }
+
+  test("missing-files audit: empty manifest (unknown snapshot) yields an empty frame") {
+    val store = new graft.meta.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("empty-missing").toString)
+    store.write("files",
+      spark.emptyDataset[graft.meta.Model.FileMeta](graft.meta.MetaStore.fileMetaEnc))
+    assert(Maintenance.missingFiles(spark, store, "db", "t", 1L).isEmpty)
+  }
+
+  test("IVF training on an empty corpus fails LOUDLY with the documented contract error") {
+    // k-means on nothing is undefined — index TRAINING is the one place
+    // the battery accepts a throw, but it must be the explicit contract
+    // message, never an NPE out of the Lloyd loop.
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val e = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val err = intercept[IllegalArgumentException](Similarity.ivfProbes(e, 4, 2, 2))
+    assert(err.getMessage.contains("empty corpus"), err.getMessage)
+  }
 }
