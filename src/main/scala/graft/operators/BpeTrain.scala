@@ -205,6 +205,30 @@ object BpeTrain {
     encodeStats(docs, learnMerges(docs, nMerges = 20))
   }
 
+  /** q147: tokenizer FERTILITY by language — pieces per word under the
+    * corpus's own learned tokenizer, grouped by document language. The
+    * standard tokenizer-fairness diagnostic for multilingual
+    * pretraining (a language whose fertility is far above the corpus
+    * mean pays more of the sequence budget per word and trains on
+    * effectively less text — the compression-parity concern raised for
+    * multilingual BPE vocabularies). Rides the q115 machinery: one
+    * corpus word-count shuffle for training, one scan-side encode, one
+    * bounded groupBy(lang); fertility is an IEEE division of the two
+    * exact integer sums, identical in both engines. */
+  def q147BpeFertility(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val stats = encodeStats(docs, learnMerges(docs, nMerges = 20))
+    stats.join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_pieces").as("n_pieces"))
+      .withColumn("fertility",
+        $"n_pieces".cast("double") / $"n_words".cast("double"))
+      .orderBy($"lang")
+  }
+
   // --------------------------------------------------------------------
   // STATIC DuckDB oracles. The key trick: a symbol sequence is encoded
   // as one string — chr(31) flanking every symbol, chr(31)chr(31) in
@@ -284,10 +308,11 @@ object BpeTrain {
       finals.mkString("\nUNION ALL\n") + "\nORDER BY rank"
   }
 
-  /** q115 oracle: re-learn the merges (same chain), collapse them into a
-    * one-row table m(l1,r1..l20,r20), then encode every word with a
-    * 20-deep rank-ordered replace chain and aggregate per doc. */
-  val q115Sql: String = {
+  /** Shared encode chain: the training CTEs, the learned pairs
+    * collapsed into a one-row table m(l1,r1..l20,r20), every corpus
+    * word encoded with a rank-ordered 20-deep replace chain, and the
+    * per-doc rollup `perdoc`. */
+  private def encodeCtes: Seq[String] = {
     val mCols = (1 to nOracleMerges)
       .map(r => s"b$r.left_ AS l$r, b$r.right_ AS r$r").mkString(", ")
     val mFrom = (1 to nOracleMerges).map(r => s"b$r").mkString(" CROSS JOIN ")
@@ -295,7 +320,7 @@ object BpeTrain {
       s"$S || array_to_string(string_split(word, ''), $G) || $S") { (e, r) =>
       s"replace($e, $S || m.l$r || $G || m.r$r || $S, $S || m.l$r || m.r$r || $S)"
     }
-    val tail = Seq(
+    trainCtes(withFinalVocab = false) ++ Seq(
       s"m AS MATERIALIZED (SELECT $mCols FROM $mFrom)",
       s"""words AS MATERIALIZED (
          |  SELECT doc_id, word FROM (
@@ -306,9 +331,29 @@ object BpeTrain {
       s"""pieces AS MATERIALIZED (
          |  SELECT doc_id, len(string_split(trim($encChain, $S), $G)) AS np
          |  FROM words CROSS JOIN m
+         |)""".stripMargin,
+      s"""perdoc AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces
+         |  FROM pieces GROUP BY doc_id
          |)""".stripMargin)
-    "WITH " + (trainCtes(withFinalVocab = false) ++ tail).mkString(",\n") +
-      "\nSELECT doc_id, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces" +
-      "\nFROM pieces GROUP BY doc_id ORDER BY doc_id"
   }
+
+  /** q115 oracle: re-learn the merges (same chain), encode every word,
+    * aggregate per doc. */
+  val q115Sql: String =
+    "WITH " + encodeCtes.mkString(",\n") +
+      "\nSELECT doc_id, n_words, n_pieces FROM perdoc ORDER BY doc_id"
+
+  /** q147 oracle: the q115 chain grouped by document language; the
+    * fertility division is IEEE double over the same exact integer
+    * sums both engines compute. */
+  val q147Sql: String =
+    "WITH " + encodeCtes.mkString(",\n") + """
+      |SELECT d.lang, count(*) AS n_docs,
+      |       CAST(sum(p.n_words) AS BIGINT) AS n_words,
+      |       CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+      |       CAST(sum(p.n_pieces) AS DOUBLE)
+      |         / CAST(sum(p.n_words) AS DOUBLE) AS fertility
+      |FROM perdoc p JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }
