@@ -440,8 +440,12 @@ object TextAnalysis {
     new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
       maxEntries = 4, onEvict = _.unpersist())
 
-  /** Drop the cached bigram count tables (session teardown / data change). */
-  def clearCaches(): Unit = bigramCache.clear()
+  /** Drop the cached bigram count tables and fingerprint indexes
+    * (session teardown / data change). */
+  def clearCaches(): Unit = {
+    bigramCache.clear()
+    fpSetCache.clear()
+  }
 
   /** The materialized corpus bigram count table (bigram, tok_a, tok_b,
     * n_ab), shared by [[bigramLiftOf]] and [[bigramFamiliarityOf]]. */
@@ -654,28 +658,43 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, d: String, k: Int = 4, w: Int = 5): DataFrame =
     fingerprintOf(Tables.documents(spark, d), k, w)
 
+  // The fingerprint set is the SAMPLED INDEX — q135 alone reads it four
+  // ways (doc sizes, df prune, both pair-join sides), and without
+  // materialization each read re-runs the shingle flatMap + winnowing
+  // window from the parquet scan (measured: 6 FileScans / 14 exchanges
+  // in q135's plan). Same bounded-LRU discipline as the bigram count
+  // table above; the index is (2/(w+1))·shingles — far below the corpus.
+  private val fpSetCache =
+    new graft.util.PlanCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+      DataFrame](maxEntries = 4, onEvict = _.unpersist())
+
   /** The distinct winnowed fingerprint SET per document — the sampled
     * index itself ((2/(w+1))·shingles expected density), shared by the
-    * q30 summary and the q135 pair search. */
+    * q30 summary and the q135 pair search, materialized once per
+    * (corpus, k, w). */
   def fingerprintSetOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val kgrams = docs.where($"text".isNotNull)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, text) =>
-        text.toLowerCase.split(' ').sliding(k)
-          .withFilter(_.length == k).zipWithIndex
-          .map { case (g, i) => (id, i, polyHash(g.mkString(" "))) }
-      }
-      .toDF("doc_id", "i", "h")
-    // winnowing: fingerprint = min hash over each sliding window of w
-    // consecutive k-gram hashes → one O(n)-per-doc window pass (not a
-    // range self-join), distinct mins per doc.
-    val winSpec = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
-    kgrams
-      .withColumn("fp", min($"h").over(winSpec))
-      .select($"doc_id", $"fp").distinct()
+    fpSetCache.getOrElseUpdate(
+      (docs.queryExecution.analyzed.canonicalized, k, w)) {
+      val kgrams = docs.where($"text".isNotNull)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.toLowerCase.split(' ').sliding(k)
+            .withFilter(_.length == k).zipWithIndex
+            .map { case (g, i) => (id, i, polyHash(g.mkString(" "))) }
+        }
+        .toDF("doc_id", "i", "h")
+      // winnowing: fingerprint = min hash over each sliding window of w
+      // consecutive k-gram hashes → one O(n)-per-doc window pass (not a
+      // range self-join), distinct mins per doc.
+      val winSpec = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
+      kgrams
+        .withColumn("fp", min($"h").over(winSpec))
+        .select($"doc_id", $"fp").distinct()
+        .cache()
+    }
   }
 
   def fingerprintOf(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
