@@ -42,7 +42,7 @@ object Bench {
         java.security.MessageDigest.getInstance("MD5").digest(plan.getBytes("UTF-8"))
           .take(6).map(b => f"$b%02x").mkString
       } catch { case _: Throwable => "error" }
-      name -> ("\"" + name + "\":\"" + h + "\"")
+      name -> h
     }.toMap
 
     // Warm up code paths + JIT on the smallest SF so the first timed
@@ -65,7 +65,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val total = math.rint(results.values.sum * 1000) / 1000
-    val plansJson = plans.toSeq.sortBy(_._1).map(_._2).mkString("{", ",", "}")
+    val plansJson = plans.toSeq.sortBy(_._1)
+      .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+      .mkString("{", ",", "}")
     // The driver captures only the LAST ~2000 chars of output, and both
     // rounds 7 and 8 lost per-query timings to trailing noise (Spark
     // shutdown logs / sbt [success] trailers landing AFTER the summary).
@@ -88,14 +90,11 @@ object Bench {
     // per dataset generation, so a cross-sf diff could cry wolf.
     val baselinePath = java.nio.file.Paths.get(
       s"PLANS_BASELINE.${new java.io.File(sfDir).getName}.json")
-    val planHashes: Map[String, String] = plans.map { case (n, kv) =>
-      n -> kv.split("\":\"").last.stripSuffix("\"")
-    }
     val planDiff: Seq[String] =
       if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
           !java.nio.file.Files.exists(baselinePath)) {
         java.nio.file.Files.writeString(baselinePath,
-          planHashes.toSeq.sortBy(_._1)
+          plans.toSeq.sortBy(_._1)
             .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
             .mkString("{", ",", "}"))
         Seq.empty
@@ -103,8 +102,8 @@ object Bench {
         val base = java.nio.file.Files.readString(baselinePath)
         val entry = "\"([^\"]+)\":\"([0-9a-f]+|error)\"".r
         val baseMap = entry.findAllMatchIn(base).map(m => m.group(1) -> m.group(2)).toMap
-        (baseMap.keySet ++ planHashes.keySet).toSeq.sorted.flatMap { n =>
-          (baseMap.get(n), planHashes.get(n)) match {
+        (baseMap.keySet ++ plans.keySet).toSeq.sorted.flatMap { n =>
+          (baseMap.get(n), plans.get(n)) match {
             case (Some(a), Some(b)) if a != b => Some(s"$n: $a -> $b")
             case (None, Some(_)) => Some(s"$n: NEW")
             case (Some(_), None) => Some(s"$n: REMOVED")

@@ -108,19 +108,26 @@ final class Api(store: MetaStore, engine: Engine,
       // the table row like the reference (handler_iceberg.go:126-145).
       case ("POST", "iceberg" :: db :: table :: "snapshots" :: sid :: "rollback" :: Nil) =>
         val snapshotId = bind(sid.toLong)
-        // Live-runtime seam (M4): with an Iceberg jar present, run the
-        // real rollback procedure; Left (always, in this sandbox) falls
-        // through to the native snapshot-pointer move.
-        graft.operators.IcebergCalls.run(store.spark,
-          graft.operators.IcebergCalls.rollbackToSnapshot(table, snapshotId,
-            database = db)) match {
-          case Right(_) => ()
-          case Left(_) =>
-            graft.operators.Maintenance.rollbackToSnapshot(store, db, table,
-              snapshotId, graft.meta.SmallFiles.fromSettings(store),
-              java.time.Instant.now())
+        // Live-runtime seam (M4): availability decides the PATH, and
+        // within the live path a failed CALL is a failure — falling
+        // back to the native pointer move there would mask a rejected
+        // rollback (nonexistent/expired snapshot) as success while the
+        // real table stayed unchanged. The native path runs only when
+        // no runtime is on the classpath (always, in this sandbox).
+        if (graft.meta.IcebergRuntime.available)
+          graft.operators.IcebergCalls.run(store.spark,
+            graft.operators.IcebergCalls.rollbackToSnapshot(table, snapshotId,
+              database = db)) match {
+            case Right(_) =>
+              ok(obj("snapshot_id" -> num(snapshotId), "status" -> str("ok")))
+            case Left(err) => (500, obj("error" -> str(err)))
+          }
+        else {
+          graft.operators.Maintenance.rollbackToSnapshot(store, db, table,
+            snapshotId, graft.meta.SmallFiles.fromSettings(store),
+            java.time.Instant.now())
+          ok(obj("snapshot_id" -> num(snapshotId), "status" -> str("ok")))
         }
-        ok(obj("snapshot_id" -> num(snapshotId), "status" -> str("ok")))
       // snapshot file-integrity check (main.go:94,
       // service_file_integrity.go:44-92): expected = the snapshot's
       // manifest rows; missing = a distributed left_anti join of that

@@ -224,8 +224,11 @@ object BpeTrain {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_words").as("n_words"),
         sum($"n_pieces").as("n_pieces"))
+      // NULL (not 0/0 = NaN) when a language holds only empty docs —
+      // NaN semantics differ subtly across engines, NULL doesn't
       .withColumn("fertility",
-        $"n_pieces".cast("double") / $"n_words".cast("double"))
+        when($"n_words" > 0,
+          $"n_pieces".cast("double") / $"n_words".cast("double")))
       .orderBy($"lang")
   }
 
@@ -313,15 +316,23 @@ object BpeTrain {
     * word encoded with a rank-ordered 20-deep replace chain, and the
     * per-doc rollup `perdoc`. */
   private def encodeCtes: Seq[String] = {
+    // `m` collapses the learned pairs into one row via scalar
+    // subqueries, NOT a cross join of b1..bN: a corpus with fewer than
+    // N learnable merges leaves the later b{r} EMPTY, and a cross join
+    // would empty `m` (and with it every per-doc row) while the engine
+    // correctly encodes with the merges it did learn. A missing round
+    // coalesces to the flank char, whose pattern can never match an
+    // encoded word (symbols contain no flanks, and gaps are exactly two
+    // flanks wide) — a structural no-op merge.
     val mCols = (1 to nOracleMerges)
-      .map(r => s"b$r.left_ AS l$r, b$r.right_ AS r$r").mkString(", ")
-    val mFrom = (1 to nOracleMerges).map(r => s"b$r").mkString(" CROSS JOIN ")
+      .map(r => s"coalesce((SELECT left_ FROM b$r), $S) AS l$r, " +
+        s"coalesce((SELECT right_ FROM b$r), $S) AS r$r").mkString(",\n       ")
     val encChain = (1 to nOracleMerges).foldLeft(
       s"$S || array_to_string(string_split(word, ''), $G) || $S") { (e, r) =>
       s"replace($e, $S || m.l$r || $G || m.r$r || $S, $S || m.l$r || m.r$r || $S)"
     }
     trainCtes(withFinalVocab = false) ++ Seq(
-      s"m AS MATERIALIZED (SELECT $mCols FROM $mFrom)",
+      s"m AS MATERIALIZED (SELECT $mCols)",
       s"""words AS MATERIALIZED (
          |  SELECT doc_id, word FROM (
          |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
@@ -332,9 +343,18 @@ object BpeTrain {
          |  SELECT doc_id, len(string_split(trim($encChain, $S), $G)) AS np
          |  FROM words CROSS JOIN m
          |)""".stripMargin,
+      // LEFT JOIN from the document set: the engine's encodeStats emits
+      // (id, 0, 0) for a non-null but whitespace-only text, which has
+      // no word rows — an inner GROUP BY over pieces would drop it.
       s"""perdoc AS MATERIALIZED (
-         |  SELECT doc_id, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces
-         |  FROM pieces GROUP BY doc_id
+         |  SELECT d.doc_id,
+         |         coalesce(w.n_words, 0) AS n_words,
+         |         coalesce(w.n_pieces, 0) AS n_pieces
+         |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |  LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces
+         |    FROM pieces GROUP BY doc_id
+         |  ) w USING (doc_id)
          |)""".stripMargin)
   }
 
@@ -352,8 +372,9 @@ object BpeTrain {
       |SELECT d.lang, count(*) AS n_docs,
       |       CAST(sum(p.n_words) AS BIGINT) AS n_words,
       |       CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
-      |       CAST(sum(p.n_pieces) AS DOUBLE)
-      |         / CAST(sum(p.n_words) AS DOUBLE) AS fertility
+      |       CASE WHEN sum(p.n_words) > 0
+      |            THEN CAST(sum(p.n_pieces) AS DOUBLE)
+      |                   / CAST(sum(p.n_words) AS DOUBLE) END AS fertility
       |FROM perdoc p JOIN documents d USING (doc_id)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

@@ -398,14 +398,26 @@ object Maintenance {
       database: String, table: String, snapshotId: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    // localCheckpoint: the frame is read twice (dirs collect + anti-join
+    // probe side); without it each read re-runs the files scan + filter
+    // + per-row Path/URI normalization. Blocks are reference-tracked and
+    // freed when the caller drops the result.
     val expected = store.files
       .filter(col("database") === database && col("table") === table &&
         col("snapshotId") === snapshotId && col("content") === 0)
       .select(col("filePath")).as[String]
       .map(p => (p, new Path(p).toUri.getPath))
       .toDF("raw", "key")
-    val dirs = expected.select($"key").as[String]
-      .map(k => String.valueOf(new Path(k).getParent))
+      .localCheckpoint(true)
+    // Parent directories come from the RAW manifest path, scheme and
+    // authority intact, so each listing resolves against that path's
+    // OWN filesystem (an s3a:// manifest must list s3a, not whatever
+    // fs.defaultFS happens to be). Only the JOIN keys are normalized to
+    // the scheme-less URI path — the listing side is qualified by its
+    // filesystem, the manifest side may or may not be, and the bare
+    // path is the common form (the original endpoint's semantics).
+    val dirs = expected.select($"raw").as[String]
+      .map(r => String.valueOf(new Path(r).getParent))
       .distinct().collect() // control-plane: one row per partition dir
     val confProps = hadoopConfProps(spark)
     val listed = spark.sparkContext

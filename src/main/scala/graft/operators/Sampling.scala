@@ -497,15 +497,20 @@ object Sampling {
     * weight is positive. */
   private[operators] def largestRemainder(items: Seq[(String, Long)],
       budget: Long): Map[String, Long] = {
-    val w = items.map(_._2).sum
+    val w = items.map(i => BigInt(i._2)).sum
     if (w <= 0 || budget <= 0) return items.map(_._1 -> 0L).toMap
+    // BigInt products: since pass 2 weights by HEADROOM, budget·wᵢ is
+    // (token count)², which overflows Long at a few GB of text per
+    // source — the DuckDB oracle promotes through HUGEINT, so a Long
+    // here would silently diverge exactly where the data gets big.
+    val b = BigInt(budget)
     val base = items.map { case (n, wi) =>
-      (n, budget * wi / w, budget * wi % w)
+      (n, b * wi / w, b * wi % w)
     }
-    val leftover = budget - base.map(_._2).sum
+    val leftover = (b - base.map(_._2).sum).toLong
     val bump = base.sortBy { case (n, _, rem) => (-rem, n) }
       .take(leftover.toInt).map(_._1).toSet
-    base.map { case (n, b, _) => n -> (b + (if (bump(n)) 1L else 0L)) }.toMap
+    base.map { case (n, bs, _) => n -> (bs.toLong + (if (bump(n)) 1L else 0L)) }.toMap
   }
 
   /** Two-pass capped apportionment: pass 1 splits `budget` by weight
@@ -551,10 +556,13 @@ object Sampling {
       .agg(sum(size(graft.functions.TextFunctions.tokens($"text"))).as("available"))
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     val weights = avail.map { case (s, _) =>
-      // Default weight 1 when the source name carries no digits, so the
-      // operator degrades gracefully outside the synthetic corpus; the
-      // oracle mirrors this with coalesce(try_cast(...)).
-      s -> ("""\d+""".r.findFirstIn(s).map(_.toLong % 3 + 1).getOrElse(1L))
+      // Default weight 1 when the source name carries no digits OR the
+      // digit run overflows Long (a 20+-digit timestamp id), exactly
+      // mirroring the oracle's coalesce(try_cast(...)): try_cast of an
+      // out-of-range literal is NULL, so both engines land on 1.
+      s -> ("""\d+""".r.findFirstIn(s)
+        .flatMap(d => scala.util.Try(d.toLong).toOption)
+        .map(_ % 3 + 1).getOrElse(1L))
     }.toMap
     val budget = avail.map(_._2).sum * 3 / 5
     val rows = apportion(avail, weights, budget)

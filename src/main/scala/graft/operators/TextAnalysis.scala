@@ -824,7 +824,13 @@ object TextAnalysis {
     // sf0.01); refuse to build a multi-megabyte VALUES list.
     val rows = df.select("doc_id", "c_bytes").limit(100001).collect()
     require(rows.length <= 100000, "q84 oracle literal replay capped at 100k docs")
-    val values = rows.map(r => s"(${r.getLong(0)}, ${r.getLong(1)})").mkString(",\n       ")
+    // `VALUES` with zero tuples is a syntax error — an all-null-text
+    // corpus (zero recorded rows) gets a typed one-row sentinel that
+    // the join can never match, so the oracle returns empty like the
+    // engine instead of failing to parse.
+    val values =
+      if (rows.isEmpty) "(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+      else rows.map(r => s"(${r.getLong(0)}, ${r.getLong(1)})").mkString(",\n       ")
     s"""WITH cb(doc_id, c_bytes) AS (
        |  VALUES $values
        |)
