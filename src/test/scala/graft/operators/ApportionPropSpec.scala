@@ -85,6 +85,34 @@ class ApportionPropSpec extends AnyFunSuite {
     }, "waterfall")
   }
 
+  test("waterfall law survives token-count magnitudes (no Long overflow in the products)") {
+    // Pass 2 weights by HEADROOM, so largestRemainder's budget·wᵢ
+    // products are (token count)² — ~2.5e19 at two 5e9-token sources,
+    // past Long.MaxValue. The BigInt arithmetic must keep the law
+    // where a Long would wrap negative and corrupt the shares.
+    val big = 5_000_000_000L
+    val out = Sampling.apportion(
+      Seq(("a", big), ("b", big), ("c", 0L)),
+      Map("a" -> 1L, "b" -> 1L, "c" -> 8L), big)
+    assert(out.map(_._5).sum == big, out.toString)
+    assert(out.forall { case (_, av, _, _, alloc, _) => alloc >= 0 && alloc <= av })
+    val genBig = for {
+      n <- Gen.choose(1, 6)
+      avs <- Gen.listOfN(n, Gen.choose(0L, 8_000_000_000L))
+      ws <- Gen.listOfN(n, Gen.choose(0L, 9L))
+    } yield avs.zip(ws).zipWithIndex.map { case ((av, w), i) => (f"s$i%02d", av, w) }
+    check(Prop.forAll(genBig, Gen.choose(0L, 20_000_000_000L)) { (items, budget) =>
+      val avail = items.map { case (n, av, _) => (n, av) }
+      val weights = items.map { case (n, _, w) => (n, w) }.toMap
+      val out = Sampling.apportion(avail, weights, budget)
+      val allocSum = out.map(_._5).sum
+      val weightedAvail = avail.collect { case (n, av) if weights(n) > 0 => av }.sum
+      out.forall { case (_, av, _, _, alloc, _) => alloc >= 0 && alloc <= av } &&
+      allocSum <= budget &&
+      (weightedAvail < budget || allocSum == budget)
+    }, "waterfall-big")
+  }
+
   test("hrw: removing the highest-scoring shard reassigns only that shard's keys (local model)") {
     // Pure-model mirror of the Spark-side minimal-movement spec: argmax
     // over k hashes vs k+1 hashes differs only where the new candidate wins.
