@@ -241,10 +241,17 @@ object Relational4 {
     val spark = items0.sparkSession
     import spark.implicits._
     val items = items0.toDF("l_orderkey", "l_partkey").distinct()
-    val frequent = items.groupBy($"l_partkey")
-      .agg(count(lit(1)).as("support"))
+    // Support via a COUNT WINDOW on the item key, not a groupBy +
+    // join-back: the join-back form computed the distinct-items lineage
+    // TWICE (once per join side — ReusedExchange does not fire here)
+    // and paid the join exchange on top; the window is the same one
+    // partkey shuffle the aggregation needed, applied in place. The
+    // a-priori prune stays identical: rows whose item appears in fewer
+    // than minCount baskets drop before the ranking window.
+    val ranked = items
+      .withColumn("support",
+        count(lit(1)).over(Window.partitionBy($"l_partkey")))
       .where($"support" >= minCount)
-    val ranked = items.join(frequent, Seq("l_partkey"))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"l_orderkey")
           .orderBy($"support".desc, $"l_partkey".asc)))
