@@ -93,10 +93,7 @@ object Bench {
     val planDiff: Seq[String] =
       if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
           !java.nio.file.Files.exists(baselinePath)) {
-        java.nio.file.Files.writeString(baselinePath,
-          plans.toSeq.sortBy(_._1)
-            .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
-            .mkString("{", ",", "}"))
+        java.nio.file.Files.writeString(baselinePath, plansJson)
         Seq.empty
       } else {
         val base = java.nio.file.Files.readString(baselinePath)

@@ -553,7 +553,11 @@ object Sampling {
     val docs = Tables.documents(spark, d)
     val avail = docs
       .groupBy($"source")
-      .agg(sum(size(graft.functions.TextFunctions.tokens($"text"))).as("available"))
+      // coalesce: a source whose EVERY document has NULL text sums to
+      // NULL, which the (String, Long) encoder rejects — report it as
+      // available=0 instead (the oracle mirrors with coalesce).
+      .agg(coalesce(sum(size(graft.functions.TextFunctions.tokens($"text"))), lit(0L))
+        .as("available"))
       .as[(String, Long)].collect().sortBy(_._1).toSeq
     val weights = avail.map { case (s, _) =>
       // Default weight 1 when the source name carries no digits OR the
@@ -574,7 +578,7 @@ object Sampling {
   val q127Sql: String =
     """WITH avail AS (
       |  SELECT source,
-      |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS available,
+      |         coalesce(CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT), 0) AS available,
       |         coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS BIGINT)
       |                  % 3 + 1, 1) AS weight
       |  FROM documents GROUP BY source

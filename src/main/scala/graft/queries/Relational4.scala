@@ -240,7 +240,13 @@ object Relational4 {
       logDropped: Option[(Long, Long) => Unit] = None): DataFrame = {
     val spark = items0.sparkSession
     import spark.implicits._
-    val items = items0.toDF("l_orderkey", "l_partkey").distinct()
+    // NULL item keys dropped explicitly: the previous inner join-back
+    // on l_partkey (and the oracle's JOIN USING) discarded them, but a
+    // window PARTITION BY counts the NULL group — a NULL item would
+    // earn support, pass the prune, and evict a real item at the
+    // basket cap.
+    val items = items0.toDF("l_orderkey", "l_partkey")
+      .where($"l_partkey".isNotNull).distinct()
     // Support via a COUNT WINDOW on the item key, not a groupBy +
     // join-back: the join-back form computed the distinct-items lineage
     // TWICE (once per join side — ReusedExchange does not fire here)

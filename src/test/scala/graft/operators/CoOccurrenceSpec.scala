@@ -37,6 +37,27 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(logged == ((0L, 0L))) // nothing dropped, and the log said so
   }
 
+  test("NULL item keys neither earn support nor consume basket-cap slots") {
+    // The count-window support prune must match the old inner-join
+    // semantics: a window PARTITION BY would otherwise count the NULL
+    // group, let NULL items pass the prune, and evict real items at
+    // the basket cap.
+    import spark.implicits._
+    // every basket holds items 1, 2 and a NULL: all three "keys" span 3
+    // baskets, so an unfiltered NULL would clear minCount=3 with equal
+    // support and rank FIRST (nulls-first asc tie-break) — at cap=2 it
+    // would evict item 2 from every basket and no pair would survive.
+    val rows = Seq[(Long, java.lang.Long)](
+      (1L, 1L), (1L, 2L), (1L, null),
+      (2L, 1L), (2L, 2L), (2L, null),
+      (3L, 1L), (3L, 2L), (3L, null))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational4.coOccurrenceCapped(rows, minCount = 3, topK = 10,
+        maxBasketItems = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 3L)), out.toString) // pair (1,2) in all 3 baskets
+  }
+
   test("mega-basket is truncated to the cap, drop volume logged, healthy pairs kept") {
     import spark.implicits._
     // 3 mega-baskets (orders 1-3) each holding items 1..50; items reach
