@@ -829,10 +829,24 @@ object Dedup {
     // steady state pays the pair join + verify only, not the
     // corpus × centroids assignment window per call (and per join side).
     val multi = Similarity.ivfProbes(e, nCentroids, kmeansIters, nAssign)
-    // (Measured alternative: dedup-by-minimal-shared-bucket via probe
-    // lists on each row was ~3× slower — the arrays outweigh the saved
-    // distinct. The narrow distinct wins.)
-    val cand = multi.as("a").join(multi.as("b"),
+    blockedPairsOf(e, multi, threshold)
+  }
+
+  /** The shared IVF-blocked pair kernel: candidate pairs share a probe
+    * bucket (`probes` = (vec_id, cent_id), one row per probe), dedup
+    * BEFORE scoring, then exact-cosine verify against `e` = (vec_id,
+    * v). Used by the in-session path ([[embeddingNearDupIvf]]) and the
+    * persistent-index path ([[VectorIndexStore.nearDupPairs]]) — same
+    * plan, different index source.
+    *
+    * (Measured alternative: dedup-by-minimal-shared-bucket via probe
+    * lists on each row was ~3× slower — the arrays outweigh the saved
+    * distinct. The narrow distinct wins.) */
+  private[operators] def blockedPairsOf(e: DataFrame, probes: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cand = probes.as("a").join(probes.as("b"),
         $"a.cent_id" === $"b.cent_id" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"))
       .distinct()

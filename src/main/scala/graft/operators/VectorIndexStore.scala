@@ -95,6 +95,30 @@ object VectorIndexStore {
       .orderBy($"query_id", $"neighbor_id")
   }
 
+  /** IVF-blocked near-dup PAIRS entirely from the STORED index — the
+    * cross-session form of [[Dedup.embeddingNearDupIvf]]: the persisted
+    * inverted lists ARE the corpus (vec_id, v, cent_id), so dedup after
+    * a restart re-reads neither the raw embeddings nor retrains the
+    * quantizer. Multi-probe assignments come from one scan of the lists
+    * against the stored-centroid broadcast; the pair kernel and exact
+    * verify are the SAME code path as the in-session operator
+    * ([[Dedup.blockedPairsOf]]), so the two forms cannot drift —
+    * VectorIndexStoreSpec pins stored == session output. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double,
+      nAssign: Int = 8): DataFrame = {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(centroidsPath(dir))
+    val e = spark.read.parquet(assignedPath(dir)).select($"vec_id", $"v")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cent_id".asc)
+    val probes = e.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cos($"v", $"cv"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where($"rn" <= nAssign)
+      .select($"vec_id", $"cent_id")
+    Dedup.blockedPairsOf(e, probes, threshold)
+  }
+
   /** Build and persist the PQ index (codebooks + encoded corpus). The
     * code table lands under `ingest_batch=base`, like the IVF lists. */
   def buildPq(e: DataFrame, dir: String, m: Int = 8, ksub: Int = 16,

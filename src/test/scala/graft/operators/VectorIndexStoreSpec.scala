@@ -26,6 +26,21 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("stored-index near-dup pairs equal the in-session IVF-blocked dedup") {
+    // The cross-session posture: after a restart, dedup runs entirely
+    // off the persisted inverted lists (corpus + quantizer), through
+    // the SAME pair kernel as the session operator — identical pairs.
+    val dir = java.nio.file.Files.createTempDirectory("ivf-neardup").toString
+    VectorIndexStore.buildIvf(norm(sfDirMid), dir)
+    val stored = VectorIndexStore.nearDupPairs(spark, dir, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val session = Dedup.embeddingNearDupIvf(spark, sfDirMid, threshold = 0.4,
+        nCentroids = 16, nAssign = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored == session)
+    assert(stored.nonEmpty)
+  }
+
   test("incremental IVF append: stored-quantizer assignment, idempotent replay") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
