@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON; sbt's
+// "[success] Total time: ..." trailer otherwise lands after the forked
+// JVM's final JSON line and breaks that parse. StdoutOutput additionally
+// drops the "[info] " prefix from the forked JVM's lines so the JSON is
+// byte-clean.
+showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
