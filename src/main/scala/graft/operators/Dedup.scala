@@ -813,13 +813,28 @@ object Dedup {
     * codegen'd cosine — so precision is exact and only recall is
     * approximate (bounded in DedupSpec; the quantizer is deterministic,
     * so recall is reproducible). Candidate count ∝ bucket sizes, never
-    * n². */
+    * n².
+    *
+    * Blocking parameters default to AUTO ([[Similarity.ivfAutoSizing]]:
+    * nLists = max(16, ⌈√n⌉), probes from a recall target) so the
+    * sublinear-candidate posture is enforced by code at any corpus
+    * size; the one extra `count()` is index-build-time, amortized by
+    * the probe-table cache. Pass explicit values to override — the
+    * registered q24 pins 16 lists × 8 probes, the empirically
+    * exhaustive config its all-pairs oracle requires at test SF
+    * (TrainingData.scala). */
   def embeddingNearDupIvf(spark: SparkSession, d: String, threshold: Double = 0.4,
-      nCentroids: Int = 16, nAssign: Int = 3, kmeansIters: Int = 4): DataFrame = {
+      nCentroids: Int = -1, nAssign: Int = -1, kmeansIters: Int = 4): DataFrame = {
     import spark.implicits._
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val (autoLists, autoAssign) =
+      if (nCentroids > 0 && nAssign > 0) (nCentroids, nAssign)
+      else {
+        val (l, a) = Similarity.ivfAutoSizing(e.count())
+        (if (nCentroids > 0) nCentroids else l, if (nAssign > 0) nAssign else a)
+      }
     // The bucket self-join is candidate GENERATION — keep it narrow
     // (ids + bucket only, no vector payload) and dedup the pair set
     // BEFORE scoring: a pair sharing k probe buckets would otherwise
@@ -828,7 +843,7 @@ object Dedup {
     // The probe table itself is a cached index artifact (ivfProbes) —
     // steady state pays the pair join + verify only, not the
     // corpus × centroids assignment window per call (and per join side).
-    val multi = Similarity.ivfProbes(e, nCentroids, kmeansIters, nAssign)
+    val multi = Similarity.ivfProbes(e, autoLists, kmeansIters, autoAssign)
     blockedPairsOf(e, multi, threshold)
   }
 

@@ -345,6 +345,34 @@ object Similarity {
     ivfProbeCache.clear()
   }
 
+  /** Scale-safe IVF blocking parameters from the corpus size and a
+    * recall target — the sizing rule the 100 TB posture demands, in
+    * code rather than comments.
+    *
+    * `nLists = max(16, ceil(sqrt(n)))`: with √n lists and roughly
+    * balanced buckets, candidate volume is Θ(a²·n²/L) = Θ(a²·n^1.5) —
+    * sublinear in n² (pinned by IvfAutoSizeSpec), and per-bucket size
+    * √n keeps each inverted list a single comfortable partition at any
+    * corpus scale.
+    *
+    * `nAssign` from the recall target via a geometric miss model: a
+    * near pair lands in disjoint bucket sets only when every one of the
+    * `a` multi-assignments of one member misses the other's set; each
+    * extra assignment independently catches a boundary-straddling pair
+    * with roughly constant probability (~1−1/e under a random-split
+    * boundary model), so `a = ceil(−ln(1−target))`, clamped to [2, 8].
+    * 0.9 → 3, 0.95 → 3, 0.99 → 5. The model is a heuristic — recall on
+    * a given corpus is deterministic and measured (DedupSpec,
+    * IvfAutoSizeSpec), the formula just maps a target to a probe count
+    * with the right shape. */
+  def ivfAutoSizing(n: Long, recallTarget: Double = 0.95): (Int, Int) = {
+    require(recallTarget > 0.0 && recallTarget < 1.0,
+      s"recallTarget must be in (0,1): $recallTarget")
+    val nLists = math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
+    val nAssign = math.min(8, math.max(2, math.ceil(-math.log(1.0 - recallTarget)).toInt))
+    (nLists, nAssign)
+  }
+
   /** The `nAssign`-probe assignment table over a normalized (vec_id, v)
     * corpus — (vec_id, cent_id), one row per probe — built from the
     * cached [[ivfIndex]] quantizer and materialized once per
