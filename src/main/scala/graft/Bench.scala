@@ -90,16 +90,43 @@ object Bench {
     // per dataset generation, so a cross-sf diff could cry wolf.
     val baselinePath = java.nio.file.Paths.get(
       s"PLANS_BASELINE.${new java.io.File(sfDir).getName}.json")
-    val planDiff: Seq[String] =
+    // A query that fails to even COMPILE a plan digests to "error".
+    // That is a defect, never a baseline: writing it would make a
+    // permanently-broken query read as a stable plan forever after.
+    // Error digests are excluded from baseline writes and reported in
+    // plan_diff unconditionally, baseline or not.
+    val errored = plans.filter(_._2 == "error").keys.toSeq.sorted
+    val errorDiff = errored.map(n => s"$n: PLAN ERROR")
+    val goodPlansJson = plans.toSeq.filter(_._2 != "error").sortBy(_._1)
+      .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+      .mkString("{", ",", "}")
+    // The baseline filename keys on the sfDir BASENAME; two distinct
+    // dirs with equal basenames would silently diff against each
+    // other's plans. Stamp the full path inside the file and treat a
+    // mismatch as no-baseline (refresh, don't cross-compare).
+    def stamped(json: String): String =
+      json.patch(1, "\"__sfdir__\":\"" + sfDir + "\",", 0)
+    val baseRaw =
+      if (java.nio.file.Files.exists(baselinePath))
+        Some(java.nio.file.Files.readString(baselinePath))
+      else None
+    val baseMatchesDir = baseRaw.exists { b =>
+      val m = "\"__sfdir__\":\"([^\"]+)\"".r.findFirstMatchIn(b)
+      m.forall(_.group(1) == sfDir) // legacy unstamped baselines pass
+    }
+    val planDiff: Seq[String] = errorDiff ++ (
       if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
-          !java.nio.file.Files.exists(baselinePath)) {
-        java.nio.file.Files.writeString(baselinePath, plansJson)
+          baseRaw.isEmpty || !baseMatchesDir) {
+        java.nio.file.Files.writeString(baselinePath, stamped(goodPlansJson))
         Seq.empty
       } else {
-        val base = java.nio.file.Files.readString(baselinePath)
+        val base = baseRaw.get
         val entry = "\"([^\"]+)\":\"([0-9a-f]+|error)\"".r
         val baseMap = entry.findAllMatchIn(base).map(m => m.group(1) -> m.group(2)).toMap
-        (baseMap.keySet ++ plans.keySet).toSeq.sorted.flatMap { n =>
+        // "error" rows are already reported above; exclude them here so
+        // a broken query shows once as PLAN ERROR, not also as a hash
+        // mismatch against whatever baseline it had when healthy.
+        (baseMap.keySet ++ plans.keySet -- errored).toSeq.sorted.flatMap { n =>
           (baseMap.get(n), plans.get(n)) match {
             case (Some(a), Some(b)) if a != b => Some(s"$n: $a -> $b")
             case (None, Some(_)) => Some(s"$n: NEW")
@@ -107,7 +134,7 @@ object Bench {
             case _ => None
           }
         }
-      }
+      })
     val planDiffJson = planDiff.map(s => "\"" + s + "\"").mkString("[", ",", "]")
 
     val artifact =

@@ -137,10 +137,12 @@ final class Api(store: MetaStore, engine: Engine,
       // reaches the driver.
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: sid :: "missing-files" :: Nil) =>
         val snapshotId = bind(sid.toLong)
-        val missing = graft.operators.Maintenance.missingFiles(
+        val report = graft.operators.Maintenance.missingFiles(
           store.spark, store, db, table, snapshotId)
         ok(obj("snapshot_id" -> num(snapshotId),
-          "missing_files" -> arr(missing.map(str))))
+          "missing_files" -> arr(report.missing.map(str)),
+          "missing_total" -> num(report.total),
+          "truncated" -> bool(report.truncated)))
       case ("GET", "iceberg" :: db :: table :: "snapshots" :: Nil) =>
         snapshotsJson(db, table)
       case ("GET", "iceberg" :: db :: table :: "partitions" :: Nil) =>
@@ -540,6 +542,7 @@ object Json {
     case c => c.toString
   } + "\""
   def num(n: Long): String = n.toString
+  def bool(b: Boolean): String = b.toString
   def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
   def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")

@@ -159,6 +159,31 @@ object BpeTrain {
     syms
   }
 
+  /** Oracle-parity guard: the q115/q147 DuckDB oracles encode by
+    * applying each merge once in rank order via `replace()`, while
+    * [[encodeWord]] re-checks lower ranks after every merge. The two
+    * are equivalent UNLESS a later merge's output string equals a
+    * component of an earlier merge — two different merges concatenating
+    * to the same symbol (e.g. ('a','bc') and ('ab','c') both yielding
+    * "abc") — because applying the later merge then creates pair
+    * instances the already-passed earlier rank would have consumed.
+    * The Sennrich argument in the oracle notes covers components being
+    * outputs of lower ranks, not this aliasing; it is corpus-dependent,
+    * so the oracle-backed queries ASSERT it instead of assuming it. */
+  private[operators] def assertRankChainEncodable(merges: Array[Merge]): Unit = {
+    val lowerComponents = scala.collection.mutable.HashSet[String]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val merged = l + r
+      require(!lowerComponents.contains(merged),
+        s"BPE oracle assumption violated: merge #${i + 1} ('$l','$r') produces " +
+          s"'$merged', which is also a component of a lower-rank merge — the " +
+          "rank-order replace() chain in q115Sql/q147Sql would diverge from " +
+          "encodeWord on this corpus (see the oracle notes in BpeTrain.scala).")
+      lowerComponents += l
+      lowerComponents += r
+    }
+  }
+
   /** Per-document piece counts under the learned tokenizer:
     * (doc_id, n_words, n_pieces). Scan-side; the merge table rides the
     * closure (broadcast by Spark's task serialization). */
@@ -202,7 +227,9 @@ object BpeTrain {
     * pieces and the merge learner against the reference loop. */
   def q115BpeEncode(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    encodeStats(docs, learnMerges(docs, nMerges = 20))
+    val merges = learnMerges(docs, nMerges = 20)
+    assertRankChainEncodable(merges) // q115Sql replays rank-order replace()
+    encodeStats(docs, merges)
   }
 
   /** q147: tokenizer FERTILITY by language — pieces per word under the
@@ -218,7 +245,9 @@ object BpeTrain {
   def q147BpeFertility(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
-    val stats = encodeStats(docs, learnMerges(docs, nMerges = 20))
+    val merges = learnMerges(docs, nMerges = 20)
+    assertRankChainEncodable(merges) // q147Sql replays rank-order replace()
+    val stats = encodeStats(docs, merges)
     stats.join(docs.select($"doc_id", $"lang"), "doc_id")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -392,12 +392,15 @@ object Maintenance {
     * the comparison is a left_anti join. At 100 TB a snapshot manifests
     * millions of files; only the MISSING set (the payload-bounded API
     * response, `reportMax`-capped) ever reaches the driver. Join keys
-    * are URI-normalized on both sides; the report keeps the manifest's
-    * raw form. */
+    * are the fully-QUALIFIED URIs on both sides (scheme + authority
+    * resolved through each path's own filesystem), so equal paths in
+    * different buckets/filesystems can never mask each other; the
+    * report keeps the manifest's raw form. */
   def missingFilesFrame(spark: SparkSession, store: MetaStore,
       database: String, table: String, snapshotId: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    val confProps = hadoopConfProps(spark)
     // localCheckpoint: the frame is read twice (dirs collect + anti-join
     // probe side); without it each read re-runs the files scan + filter
     // + per-row Path/URI normalization. Blocks are reference-tracked and
@@ -406,37 +409,55 @@ object Maintenance {
       .filter(col("database") === database && col("table") === table &&
         col("snapshotId") === snapshotId && col("content") === 0)
       .select(col("filePath")).as[String]
-      .map(p => (p, new Path(p).toUri.getPath))
+      .mapPartitions { it =>
+        val conf = hadoopConfFrom(confProps)
+        it.map { p =>
+          val path = new Path(p)
+          (p, path.getFileSystem(conf).makeQualified(path).toUri.toString)
+        }
+      }
       .toDF("raw", "key")
       .localCheckpoint(true)
     // Parent directories come from the RAW manifest path, scheme and
     // authority intact, so each listing resolves against that path's
     // OWN filesystem (an s3a:// manifest must list s3a, not whatever
-    // fs.defaultFS happens to be). Only the JOIN keys are normalized to
-    // the scheme-less URI path — the listing side is qualified by its
-    // filesystem, the manifest side may or may not be, and the bare
-    // path is the common form (the original endpoint's semantics).
+    // fs.defaultFS happens to be). A root-level manifest path has a
+    // null parent — skip it rather than listing the literal "null".
     val dirs = expected.select($"raw").as[String]
-      .map(r => String.valueOf(new Path(r).getParent))
+      .flatMap(r => Option(new Path(r).getParent).map(_.toString))
       .distinct().collect() // control-plane: one row per partition dir
-    val confProps = hadoopConfProps(spark)
     val listed = spark.sparkContext
       .parallelize(dirs.toSeq, math.max(1, dirs.length))
       .flatMap { dir =>
         val p = new Path(dir)
         val fs = p.getFileSystem(hadoopConfFrom(confProps))
-        if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.toUri.getPath)
+        if (fs.exists(p))
+          fs.listStatus(p).toSeq.map(st => fs.makeQualified(st.getPath).toUri.toString)
         else Seq.empty[String]
       }
     expected.join(spark.createDataset(listed).toDF("key"), Seq("key"), "left_anti")
   }
 
+  /** The missing-files report: the sorted missing list (capped at
+    * `reportMax` so a catastrophic loss can't flood the driver) plus
+    * the UNCAPPED total, so truncation is visible instead of silently
+    * under-reporting (the reference's ListMissingFiles returns the
+    * complete list; at engine scale the count + capped list carries
+    * the same information). */
+  final case class MissingFilesReport(missing: Seq[String], total: Long) {
+    def truncated: Boolean = total > missing.size
+  }
+
   def missingFiles(spark: SparkSession, store: MetaStore, database: String,
-      table: String, snapshotId: Long, reportMax: Int = 100000): Seq[String] = {
+      table: String, snapshotId: Long, reportMax: Int = 100000): MissingFilesReport = {
     import spark.implicits._
-    missingFilesFrame(spark, store, database, table, snapshotId)
-      .orderBy("raw").limit(reportMax)
-      .select("raw").as[String].collect().toSeq
+    // localCheckpoint: count + capped collect both read the anti-join;
+    // without it the executor-side listing would run twice.
+    val frame = missingFilesFrame(spark, store, database, table, snapshotId)
+      .localCheckpoint(true)
+    MissingFilesReport(
+      frame.orderBy("raw").limit(reportMax).select("raw").as[String].collect().toSeq,
+      frame.count())
   }
 
   final case class ExpireResult(expiredSnapshots: Seq[Long], keptSnapshots: Seq[Long])

@@ -237,7 +237,8 @@ object Relational4 {
     * by the mega-basket this guard exists for. */
   def coOccurrenceCapped(items0: DataFrame, minCount: Int, topK: Int,
       maxBasketItems: Int,
-      logDropped: Option[(Long, Long) => Unit] = None): DataFrame = {
+      logDropped: Option[(Long, Long) => Unit] = None,
+      supportByWindow: Boolean = true): DataFrame = {
     val spark = items0.sparkSession
     import spark.implicits._
     // NULL item keys dropped explicitly: the previous inner join-back
@@ -254,10 +255,28 @@ object Relational4 {
     // partkey shuffle the aggregation needed, applied in place. The
     // a-priori prune stays identical: rows whose item appears in fewer
     // than minCount baskets drop before the ranking window.
-    val ranked = items
-      .withColumn("support",
-        count(lit(1)).over(Window.partitionBy($"l_partkey")))
-      .where($"support" >= minCount)
+    //
+    // SKEW BOUND (supportByWindow): the unbounded window buffers ALL
+    // rows of one item key in a single task — fine while the hottest
+    // item's basket count fits a task (millions of rows; it spills, not
+    // breaks), but a planet-scale hot key serializes there where the
+    // groupBy+join form pre-aggregates map-side. supportByWindow=false
+    // selects that form: same rows out (CoOccurrenceSpec pins it), one
+    // extra exchange, per-key state bounded at one counter. Callers on
+    // corpora whose item-frequency skew is unknown should gate on a
+    // cheap key profile (JoinAdvisor.adviseJoin's max_key_rows) and
+    // flip this off past ~10M rows per hottest key.
+    val pruned =
+      if (supportByWindow)
+        items.withColumn("support",
+            count(lit(1)).over(Window.partitionBy($"l_partkey")))
+          .where($"support" >= minCount)
+      else
+        items.join(
+          items.groupBy($"l_partkey").agg(count(lit(1)).as("support"))
+            .where($"support" >= minCount),
+          Seq("l_partkey"))
+    val ranked = pruned
       .withColumn("rk", row_number().over(
         Window.partitionBy($"l_orderkey")
           .orderBy($"support".desc, $"l_partkey".asc)))

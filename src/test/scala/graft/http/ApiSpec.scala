@@ -176,6 +176,9 @@ class ApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // the tempfile exists; the /nope paths do not (content=1 excluded)
     assert(body.contains("/nope/gone.parquet") && !body.contains("ev-file"), body)
     assert(!body.contains("delete.parquet"))
+    // the uncapped total + truncation indicator ride along with the list
+    assert(body.contains(""""missing_total": 2""") &&
+      body.contains(""""truncated": false"""), body)
     // iceberg-group snapshot/partition aliases (main.go:95-96)
     assert(get("/iceberg/db/ev/snapshots")._2.contains(""""snapshotId": 9"""))
     assert(get("/iceberg/db/li/partitions")._2.contains("{month=01, year=2026}"))

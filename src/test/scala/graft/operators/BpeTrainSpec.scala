@@ -96,4 +96,22 @@ class BpeTrainSpec extends SparkSpec {
       assert(BpeTrain.encodeWord(w, weird).mkString == w)
     }
   }
+
+  test("rank-chain oracle guard: passes on the real corpus, trips on merge aliasing") {
+    // The corpora the oracles actually run against must satisfy the
+    // rank-order-replace assumption the q115/q147 SQL encodes.
+    for (d <- Seq(sfDir, sfDirMid)) {
+      BpeTrain.assertRankChainEncodable(
+        BpeTrain.learnMerges(graft.sources.Tables.documents(spark, d), nMerges = 20))
+    }
+    // Benign: a merge OUTPUT used as a HIGHER-rank component (normal BPE).
+    BpeTrain.assertRankChainEncodable(Array(("a", "b"), ("ab", "c")))
+    // Violation: a later merge's OUTPUT equals an earlier merge's
+    // COMPONENT — ('a','bc') uses component "bc"; the later ('b','c')
+    // produces "bc", creating instances the already-passed rank 1
+    // would have consumed.
+    val err = intercept[IllegalArgumentException](
+      BpeTrain.assertRankChainEncodable(Array(("a", "bc"), ("b", "c"))))
+    assert(err.getMessage.contains("oracle assumption violated"), err.getMessage)
+  }
 }

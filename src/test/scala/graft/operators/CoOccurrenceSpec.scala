@@ -37,6 +37,20 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(logged == ((0L, 0L))) // nothing dropped, and the log said so
   }
 
+  test("hot-key fallback (supportByWindow=false) equals the window form") {
+    // The groupBy+join support form exists for corpora where one item
+    // key is too hot to buffer in a single window task; it must be a
+    // pure plan swap — identical rows out.
+    import spark.implicits._
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey")
+    def run(byWindow: Boolean) =
+      Relational4.coOccurrenceCapped(items, minCount = 3, topK = 20,
+          maxBasketItems = 64, supportByWindow = byWindow)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(byWindow = false) == run(byWindow = true))
+  }
+
   test("NULL item keys neither earn support nor consume basket-cap slots") {
     // The count-window support prune must match the old inner-join
     // semantics: a window PARTITION BY would otherwise count the NULL

@@ -141,7 +141,8 @@ class EmptyInputSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("empty-missing").toString)
     store.write("files",
       spark.emptyDataset[graft.meta.Model.FileMeta](graft.meta.MetaStore.fileMetaEnc))
-    assert(Maintenance.missingFiles(spark, store, "db", "t", 1L).isEmpty)
+    val report = Maintenance.missingFiles(spark, store, "db", "t", 1L)
+    assert(report.missing.isEmpty && report.total == 0L && !report.truncated)
   }
 
   test("IVF training on an empty corpus fails LOUDLY with the documented contract error") {

@@ -161,8 +161,12 @@ class MaintenanceSpec extends SparkSpec {
       Model.FileMeta("db", "t", 5, 1, s"$dataDir/part=a/del.parquet", "PARQUET", 0, Map.empty, 1, 3),
       Model.FileMeta("db", "t", 4, 0, s"$dataDir/part=a/old-snap.parquet", "PARQUET", 0, Map.empty, 1, 3),
       Model.FileMeta("db", "u", 5, 0, s"$dataDir/part=a/other-table.parquet", "PARQUET", 0, Map.empty, 1, 3))))
-    val missing = Maintenance.missingFiles(spark, store, "db", "t", 5L)
-    assert(missing == Seq(s"$dataDir/part=a/gone.parquet"))
+    val report = Maintenance.missingFiles(spark, store, "db", "t", 5L)
+    assert(report.missing == Seq(s"$dataDir/part=a/gone.parquet"))
+    assert(report.total == 1L && !report.truncated)
+    // the reportMax cap truncates the list but never the total
+    val capped = Maintenance.missingFiles(spark, store, "db", "t", 5L, reportMax = 0)
+    assert(capped.missing.isEmpty && capped.total == 1L && capped.truncated)
   }
 
   test("M4 rollback: pointer moves and partition stats rebuild from the snapshot manifest") {
