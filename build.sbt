@@ -16,7 +16,10 @@ run / fork := true
 // JVM's final JSON line and breaks that parse. StdoutOutput additionally
 // drops the "[info] " prefix from the forked JVM's lines so the JSON is
 // byte-clean.
-showSuccess := false
+// Must be Global-scoped: the command loop reads Global / showSuccess;
+// a project-scoped value is lint-flagged unused and the trailer still
+// prints (observed: BENCH_r10 tail ended with "[success] Total time").
+Global / showSuccess := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

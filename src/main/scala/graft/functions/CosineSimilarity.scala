@@ -139,5 +139,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
             s"${NormalizeNfc.name} expects 1 argument, got ${children.length}")
           NormalizeNfc(children.head)
         }))
+    ext.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "l2_normalize"),
+      (children: Seq[Expression]) => {
+          require(children.length == 1,
+            s"l2_normalize expects 1 argument, got ${children.length}")
+          L2Normalize(children.head)
+        }))
   }
 }

@@ -141,4 +141,49 @@ class SimilaritySpec extends SparkSpec {
     val lens = codes.select($"codes").as[Array[Byte]].collect().map(_.length).toSet
     assert(lens == Set(8))
   }
+
+  test("codegen L2Normalize is bit-identical to the higher-order-function form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The old interpreted form the expression replaced, verbatim.
+    def hofNormalized(v: org.apache.spark.sql.Column) = {
+      val d = transform(v, x => x.cast("double"))
+      val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+      transform(d, x => when(norm === 0.0, 0.0).otherwise(x / norm))
+    }
+    // Real corpus: every vector, both forms, element-for-element bits.
+    val e = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select($"vec_id",
+        Similarity.normalized($"embedding").as("a"),
+        hofNormalized($"embedding").as("b"))
+      .collect()
+    assert(e.nonEmpty)
+    e.foreach { r =>
+      val (a, b) = (r.getSeq[Double](1), r.getSeq[Double](2))
+      assert(a.size == b.size && a.zip(b).forall { case (x, y) =>
+        java.lang.Double.doubleToRawLongBits(x) == java.lang.Double.doubleToRawLongBits(y)
+      }, s"vec ${r.getLong(0)} diverged")
+    }
+    // Specials: zero vector stays zeros (not NaN), squared underflow
+    // collapses to zeros, NaN propagates, empty stays empty, a null
+    // element nulls the result, and float inputs cast exactly.
+    val special = Seq(
+      Array(0.0f, 0.0f), Array(1e-30f, 0.0f), Array(Float.NaN, 1.0f),
+      Array.empty[Float], Array(3.0f, 4.0f))
+      .toDF("v").select(Similarity.normalized($"v").as("n")).collect()
+    assert(special(0).getSeq[Double](0) == Seq(0.0, 0.0))
+    assert(special(1).getSeq[Double](0) == Seq(1.0, 0.0)) // 1e-60 is fine in double
+    assert(special(2).getSeq[Double](0).forall(_.isNaN))
+    assert(special(3).getSeq[Double](0).isEmpty)
+    assert(special(4).getSeq[Double](0) == Seq(0.6, 0.8))
+    // squared-underflow needs a DOUBLE input (float² can't reach 1e-308):
+    // sum-of-squares rounds to 0.0, and the zero-norm rule yields zeros
+    // (the old when(norm===0) form did the same), never an Inf vector.
+    val under = Seq(Tuple1(Array(1e-200, 0.0)))
+      .toDF("v").select(Similarity.normalized($"v").as("n")).collect()
+    assert(under(0).getSeq[Double](0) == Seq(0.0, 0.0))
+    val withNull = Seq(Tuple1(Seq[Option[Double]](Some(1.0), None)))
+      .toDF("v").select(Similarity.normalized($"v").as("n")).collect()
+    assert(withNull(0).isNullAt(0), "null element must null the result")
+  }
 }
