@@ -216,6 +216,96 @@ object Clustering {
       .orderBy($"label")
   }
 
+  /** q148: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means the
+    * embedding space, find τ-cosine duplicate groups WITHIN each
+    * cluster (connected components over the intra-cluster τ-edge
+    * graph), and keep ONE representative per group — the member LEAST
+    * similar to its centroid, the paper's rule: the typical copy is
+    * what the rest of the cluster already covers, the atypical one
+    * carries the marginal information. Ties break on vec_id ascending;
+    * singletons keep themselves.
+    *
+    * This is the semantic complement of q24's raw near-dup pairs: q24
+    * asks "which vectors are near-identical", SemDeDup asks "which
+    * vectors are redundant GIVEN the cluster structure" and emits a
+    * per-vector fate (group + kept flag) a curation pass applies
+    * directly.
+    *
+    * Scale: the pairwise step is confined to k-means cells — the
+    * SemDeDup trick, and exactly the IVF-blocking bound q24's
+    * production path uses (cell population ~n/k; no all-pairs over the
+    * corpus). The τ-edge graph is near-dup-sized; components ride
+    * [[Dedup.connectedComponents]] (union-find fast path below 500k
+    * edges, pointer-doubling label propagation with localCheckpoint
+    * lineage cuts above). Reuses the cached IVF assignment — zero
+    * retrain after q73/q123/q128 in the same session. Float decisions
+    * (τ threshold, min-cos keeper pick) are decision-level robust — the
+    * q24/q73 ulp-vs-gap argument.
+    */
+  def q148SemanticDedup(spark: SparkSession, d: String, k: Int = 8,
+      iters: Int = 5, tau: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    trainAndRecord(spark, d, k, iters)
+    val a = assign(spark, d, k, iters) // vec_id, cluster_id, cos-to-centroid
+    val e = Tables.embeddings(spark, d)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+    val av = a.select($"vec_id", $"cluster_id").join(e, "vec_id")
+    val pairs = av.as("x").join(av.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .where(Similarity.cos(col("x.v"), col("y.v")) >= tau)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("label", "group_id")
+    val fates = a.join(comp, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster_id",
+        coalesce($"group_id", $"vec_id").as("group_id"), $"cos")
+    val w = Window.partitionBy($"group_id").orderBy($"cos".asc, $"vec_id".asc)
+    fates.withColumn("rn", row_number().over(w))
+      .select($"vec_id", $"cluster_id", $"group_id",
+        when($"rn" === 1, 1).otherwise(0).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** q148's dynamic oracle: centroid-literal assignment, all-pairs
+    * intra-cluster τ-edges (brute force — the engine's blocking is by
+    * the same cluster key, so the sets coincide exactly), recursive
+    * closure for components (min-id label, matching
+    * [[Dedup.connectedComponents]]'s union-by-min-root), then the
+    * min-cos-to-centroid keeper pick. Integer outputs only. */
+  def q148OracleSql: Option[String] = trainedCentroids.map { cs =>
+    s"""${assignmentCtes(cs).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM assigned x
+       |  JOIN assigned y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+       |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                               CAST(eb.embedding AS DOUBLE[])) >= 0.4
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS group_id
+       |  FROM reach GROUP BY src
+       |), fates AS (
+       |  SELECT a.vec_id, a.cluster_id,
+       |         coalesce(c.group_id, a.vec_id) AS group_id, a.cos
+       |  FROM assigned a LEFT JOIN comp c USING (vec_id)
+       |)
+       |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, group_id,
+       |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY group_id ORDER BY cos ASC, vec_id ASC) AS rn
+       |      FROM fates)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** q128's dynamic oracle: centroid-literal assignment, label×cluster
     * counts, home pick by (n desc, cluster asc). */
   def q128OracleSql: Option[String] = trainedCentroids.map { cs =>

@@ -37,4 +37,47 @@ class ClusteringSpec extends SparkSpec {
     val again = Clustering.q73KmeansClusters(spark, sfDir).collect()
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("q148 semantic dedup: exactly one keeper per group, groups honor clusters and tau") {
+    import spark.implicits._
+    val tau = 0.4
+    val out = Clustering.q148SemanticDedup(spark, sfDirMid, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val n = graft.sources.Tables.embeddings(spark, sfDirMid).count()
+    assert(out.length == n, "every vector gets a fate")
+    // Exactly one kept per group; the group label is the min member id.
+    out.groupBy(_._3).foreach { case (g, ms) =>
+      assert(ms.count(_._4 == 1) == 1, s"group $g keeper count")
+      assert(ms.map(_._1).min == g, s"group $g label is min member id")
+    }
+    // Group members share a cluster (edges are intra-cluster only).
+    out.groupBy(_._3).foreach { case (g, ms) =>
+      assert(ms.map(_._2).distinct.length == 1, s"group $g spans clusters")
+    }
+    // Ground truth: recompute tau-edges within clusters and check the
+    // components match (transitive closure over the same edge set).
+    val vecs = graft.sources.Tables.embeddings(spark, sfDirMid)
+      .select($"vec_id", Similarity.normalized($"embedding").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val byCluster = out.groupBy(_._2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    byCluster.values.foreach { ms =>
+      val ids = ms.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        if (dot(vecs(ids(i)), vecs(ids(j))) >= tau) {
+          val (a, b) = (find(ids(i)), find(ids(j)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+    }
+    out.foreach { case (id, _, g, _) =>
+      assert(find(id) == g, s"vec $id component mismatch")
+    }
+    // A removed member's group has >= 2 members (singletons are kept).
+    out.filter(_._4 == 0).foreach { case (id, _, g, _) =>
+      assert(out.count(_._3 == g) >= 2, s"vec $id removed from singleton group")
+    }
+  }
 }
