@@ -11,25 +11,38 @@ import org.apache.spark.sql.SparkSession
   *    also matter on a real 1000-executor cluster)
   */
 object Sessions {
+  /** The engine's session configuration, in ONE place (AqeSpec pins the
+    * adaptive entries). The three `spark.sql.adaptive.*` rows are the
+    * runtime-re-plan posture the 100 TB claims assume: post-shuffle
+    * coalescing sizes reducers to real data volume, and skew-join
+    * splitting is the backstop for hot keys the static salting
+    * heuristics miss. Thresholds (advisory size, skew factor) stay at
+    * Spark defaults — they are cluster-tuning knobs, not semantics.
+    */
+  val configs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.int96RebaseModeInWrite" -> "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInWrite" -> "CORRECTED",
+    "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
+    // events.parquet carries TIMESTAMP(NANOS); read as long and let
+    // Tables.events convert (set here too so plans never depend on
+    // call order).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.ui.enabled" -> "false",
+    "spark.driver.host" -> "localhost",
+  )
+
   def local(appName: String = "graft", cores: String = defaultCores): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-      // events.parquet carries TIMESTAMP(NANOS); read as long and let
-      // Tables.events convert (set here too so plans never depend on
-      // call order).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
-      .getOrCreate()
+    configs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
