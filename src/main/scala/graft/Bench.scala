@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = Sessions.defaultCores
+    // Optional comma-separated query filter (scale probes, local
+    // iteration). A filtered run never writes or diffs the plan
+    // baseline — a partial plan set must not masquerade as the suite's.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchQueries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = Sessions.local("graft-bench", cpus)
 
     // Optimized-plan fingerprint per query, taken on the fresh session:
@@ -27,7 +34,7 @@ object Bench {
     def digest(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
       p.nodeName + p.output.map(_.name).sorted.mkString("[", ",", "]") +
         p.children.map(digest).mkString("(", ",", ")")
-    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val plans = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // derived-index caches cleared so every fingerprint is the cold
       // plan a fresh job would compile, independent of bench ordering.
       // The session CacheManager is cleared too: any .cache() that is
@@ -47,14 +54,14 @@ object Bench {
 
     // Warm up code paths + JIT on the smallest SF so the first timed
     // query doesn't pay session/codegen/JIT startup.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count(); () }
       catch { case _: Throwable => () }
     }
 
     // Two timed rounds, report the per-query minimum: measures
     // steady-state plan execution, not residual JIT/page-cache noise.
-    def round(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def round(): Map[String, Double] = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -115,7 +122,8 @@ object Bench {
       m.forall(_.group(1) == sfDir) // legacy unstamped baselines pass
     }
     val planDiff: Seq[String] = errorDiff ++ (
-      if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
+      if (only.isDefined) Seq.empty // filtered probe: no baseline I/O
+      else if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
           baseRaw.isEmpty || !baseMatchesDir) {
         java.nio.file.Files.writeString(baselinePath, stamped(goodPlansJson))
         Seq.empty

@@ -446,7 +446,12 @@ object Multimodal {
     * brute-force parity in the spec. */
   def frameNearDup(spark: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
     import org.apache.spark.sql.functions.col
-    graft.operators.Dedup.hammingBlockedPairs(
+    // Identical-signature collapse (hammingNearDupPairs): repeated
+    // visuals are the COMMON case in a frame corpus (consecutive video
+    // frames, reposted images), and the block join must never see the
+    // duplication — the scale probe measured 7x fewer generated
+    // candidates at 10x. Output is unchanged (dist-0 pairs re-expand).
+    graft.operators.Dedup.hammingNearDupPairs(
         frameHashes(syntheticAssets(spark, d)), "frame_key", "ahash", maxHamming)
       .select(
         (col("id_a") / 100L).cast("long").as("asset_a"),

@@ -615,12 +615,57 @@ object Dedup {
         (0 until 8).map(c => struct(lit(c).as("c"),
           shiftright($"__sig", c * 8).bitwiseAND(0xFFL).as("ck"))): _*)).as("b"))
       .select($"__id", $"__sig", $"b.c".as("c"), $"b.ck".as("ck"))
+    // A qualifying pair shares up to 8 chunks and would surface once per
+    // shared chunk. Instead of a distinct() over the full candidate
+    // stream (at 10x the test SF that is a 100M+-row exchange — the
+    // scale probe caught it), emit each pair ONLY at its first equal
+    // chunk: a pure codegen'd bit-filter on the joined row, so dedup
+    // costs zero shuffle. firstEq(diff) = lowest c with byte c of
+    // a XOR b all-zero; the join's c must equal it.
+    val diff = $"a.__sig".bitwiseXOR($"b.__sig")
+    val firstEq = (1 until 8).foldLeft(
+      when(shiftright(diff, 0).bitwiseAND(0xFFL) === 0L, lit(0))) {
+      case (acc, c) =>
+        acc.when(shiftright(diff, c * 8).bitwiseAND(0xFFL) === 0L, lit(c))
+    }
     chunks.as("a").join(chunks.as("b"),
         $"a.c" === $"b.c" && $"a.ck" === $"b.ck" && $"a.__id" < $"b.__id")
+      .where(hamming($"a.__sig", $"b.__sig") <= maxHamming &&
+        $"a.c" === firstEq)
       .select($"a.__id".as("id_a"), $"b.__id".as("id_b"),
         hamming($"a.__sig", $"b.__sig").as("dist"))
-      .distinct()
-      .where($"dist" <= maxHamming)
+  }
+
+  /** Hamming near-dup pairs with IDENTICAL-signature collapse: the
+    * block join runs over DISTINCT signatures only, then sig-level
+    * pairs expand back to id pairs (plus the dist-0 pairs inside each
+    * identical-signature group). Output is exactly
+    * [[hammingBlockedPairs]]'s — (id_a, id_b, dist), id_a < id_b — but
+    * the quadratic join never sees a duplicated signature. The scale
+    * probe's 10x corpus has ~2.8 frames per distinct aHash; collapsing
+    * cut generated candidates 7x (869M -> 120M) on top of the
+    * first-equal-chunk dedup. This is the production entry point for
+    * skew-heavy perceptual-hash corpora; callers that already pass
+    * distinct signatures (q109) use the kernel directly. */
+  def hammingNearDupPairs(sig: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val ids = sig.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val groups = ids.groupBy($"__sig").agg(count(lit(1)).as("__n"))
+    // dist-0 pairs inside an identical-signature group
+    val identical = ids.as("a").join(ids.as("b"),
+        $"a.__sig" === $"b.__sig" && $"a.__id" < $"b.__id")
+      .select($"a.__id".as("id_a"), $"b.__id".as("id_b"), lit(0).as("dist"))
+    val sigPairs = hammingBlockedPairs(
+      groups.select($"__sig".as("id"), $"__sig".as("sig")), "id", "sig",
+      maxHamming)
+    val cross = sigPairs
+      .join(ids.select($"__sig".as("id_a"), $"__id".as("fa")), "id_a")
+      .join(ids.select($"__sig".as("id_b"), $"__id".as("fb")), "id_b")
+      .select(least($"fa", $"fb").as("id_a"),
+        greatest($"fa", $"fb").as("id_b"), $"dist")
+    identical.unionByName(cross)
   }
 
   /** SimHash near-dup pairs: signatures within `maxHamming` bits via
@@ -945,11 +990,15 @@ object Dedup {
     if (labels.isEmpty) return labels // no edges → no clustered vertices
     // Convergence check via the label sum: labels only ever decrease,
     // so an unchanged sum means a fixpoint — one cheap aggregate per
-    // round instead of a join against the previous labels. (Option-read:
-    // sum over an empty frame is a null cell, not 0.)
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum($"label")).head
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    // round instead of a join against the previous labels. Summed in
+    // DECIMAL(38,0): ids can be raw 64-bit hash values (q109 clusters
+    // BY aHash), and a Long sum of 30k+ near-2^63 labels overflows —
+    // ANSI mode aborts the job (the 10x scale probe hit exactly this;
+    // non-ANSI would silently wrap, risking a false fixpoint).
+    // (Option-read: sum over an empty frame is a null cell, not 0.)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum($"label".cast("decimal(38,0)"))).head
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
     var prevSum = labelSum(labels)
     var iter = 0
@@ -975,7 +1024,7 @@ object Dedup {
           least($"l.label", coalesce($"p.llabel", $"l.label")).as("label"))
         .localCheckpoint(false)
       val s = labelSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1

