@@ -52,27 +52,67 @@ object LmScore {
   def q149LmFluency(spark: SparkSession, d: String): DataFrame =
     fluencyOf(Tables.documents(spark, d))
 
+  // The per-doc n-gram count tables are the LM-scoring family's derived
+  // index: q149 (fluency) and q150 (target affinity) both consume the
+  // SAME bigram counts, and each query's corpus tables are aggregates
+  // OF them — without materialization every consumer re-runs the
+  // tokenize flatMap over the corpus (a plan audit found q149 scanning
+  // documents 5x, q150 6x; tokenization is the dominant 100 TB cost).
+  // Bounded LRU with unpersist-on-evict, same discipline as the
+  // shingle/bigram-lift indexes; PlanCache.clearAll covers teardown.
+  private val docBgCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+  private val docTokCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
+  /** Materialized (doc_id, bigram, w2, c_doc) — one tokenize pass per
+    * corpus per session. (bigram determines w2, so q150's
+    * (doc_id, bigram) grouping reads this same table.) */
+  def docBigrams(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docBgCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized) {
+      // Typed flatMap over primitive string ops — the
+      // topBigrams/docShingles trade: ~5x over the interpreted
+      // higher-order expression path.
+      val df = docs.select($"doc_id", $"text").where($"text".isNotNull)
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          t.toLowerCase.split(' ').sliding(2).withFilter(_.length == 2)
+            .map(g => (id, g.mkString(" "), g(1)))
+        }
+        .toDF("doc_id", "bigram", "w2")
+        .groupBy($"doc_id", $"bigram", $"w2").agg(count(lit(1)).as("c_doc"))
+        .cache()
+      df.count()
+      df
+    }
+  }
+
+  /** Materialized per-doc unigram counts (q149's backoff guard). */
+  def docTokens(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docTokCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized) {
+      val df = docs.select($"doc_id", $"text").where($"text".isNotNull)
+        .as[(Long, String)]
+        .flatMap { case (id, t) => t.toLowerCase.split(' ').iterator.map((id, _)) }
+        .toDF("doc_id", "tok")
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("u_doc"))
+        .cache()
+      df.count()
+      df
+    }
+  }
+
   def fluencyOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")
-    // Per-doc bigram occurrence counts (typed flatMap over primitive
-    // string ops — the topBigrams/docShingles trade: ~5x over the
-    // interpreted higher-order expression path).
-    val docBg = base.where($"text".isNotNull)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, t) =>
-        t.toLowerCase.split(' ').sliding(2).withFilter(_.length == 2)
-          .map(g => (id, g.mkString(" "), g(1)))
-      }
-      .toDF("doc_id", "bigram", "w2")
-      .groupBy($"doc_id", $"bigram", $"w2").agg(count(lit(1)).as("c_doc"))
-    // Per-doc unigram counts (for the backoff's leave-one-out guard).
-    val docTok = base.where($"text".isNotNull)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, t) => t.toLowerCase.split(' ').iterator.map((id, _)) }
-      .toDF("doc_id", "tok")
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("u_doc"))
+    val docBg = docBigrams(docs)
+    val docTok = docTokens(docs)
     // Corpus tables: aggregates OF the per-doc counts — vocabulary-
     // bounded, so the joins below broadcast under AQE at scale.
     val corpBg = docBg.groupBy($"bigram").agg(sum($"c_doc").as("c_corp"))
@@ -182,14 +222,10 @@ object LmScore {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select($"doc_id", $"source", isTarget.as("is_target"))
-    val docBg = docs.where($"text".isNotNull)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .flatMap { case (id, t) =>
-        t.toLowerCase.split(' ').sliding(2).withFilter(_.length == 2)
-          .map(g => (id, g.mkString(" ")))
-      }
-      .toDF("doc_id", "bigram")
-      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c_f"))
+    // Shared materialized bigram counts (bigram determines w2, so the
+    // (doc_id, bigram, w2) grain IS the (doc_id, bigram) grain).
+    val docBg = docBigrams(docs)
+      .select($"doc_id", $"bigram", $"c_doc".as("c_f"))
     // Slice count tables: aggregates of the per-doc counts, keyed by
     // the bigram vocabulary.
     val sliced = docBg.join(base.select($"doc_id", $"is_target"), "doc_id")

@@ -182,6 +182,33 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q149/q150 LM scoring tokenizes ONCE: consumers read the materialized count tables") {
+    graft.util.PlanCache.clearAll()
+    // Node-level counts on sparkPlan: the explain STRING renders each
+    // InMemoryRelation's cached subtree inline, so string-counting
+    // FileScans would see the tokenize scan once per cached read.
+    def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.sparkPlan
+      (p.collect { case n if n.nodeName.contains("InMemoryTableScan") => 1 }.sum,
+        p.collect { case n if n.nodeName.contains("Scan parquet") ||
+          n.nodeName.contains("FileSourceScan") => 1 }.sum)
+    }
+    // q149: per-doc bigram + unigram tables each feed a corpus aggregate
+    // AND a join side — four cached reads; the only parquet read left is
+    // the thin doc_id spine of the final LEFT JOIN.
+    val (imts149, scans149) = counts(
+      graft.operators.LmScore.q149LmFluency(spark, sfDir))
+    assert(imts149 >= 4, s"q149 cached reads: $imts149")
+    assert(scans149 <= 1, s"q149 parquet scans: $scans149")
+    // q150 rides the SAME materialized bigram table (built by q149 above
+    // — cross-query reuse is the point), plus thin (doc_id, source)
+    // spine scans.
+    val (imts150, scans150) = counts(
+      graft.operators.LmScore.q150TargetAffinity(spark, sfDir))
+    assert(imts150 >= 3, s"q150 cached reads: $imts150")
+    assert(scans150 <= 3, s"q150 parquet scans: $scans150")
+  }
+
   test("capped co-occurrence pair join is an equi-join on the basket key") {
     import org.apache.spark.sql.functions.col
     val items = graft.sources.Tables.lineitem(spark, sfDir)
