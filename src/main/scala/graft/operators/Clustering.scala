@@ -242,11 +242,26 @@ object Clustering {
     * (τ threshold, min-cos keeper pick) are decision-level robust — the
     * q24/q73 ulp-vs-gap argument.
     */
-  def q148SemanticDedup(spark: SparkSession, d: String, k: Int = 8,
+  def q148SemanticDedup(spark: SparkSession, d: String, k: Int = -1,
       iters: Int = 5, tau: Double = 0.4): DataFrame = {
     import spark.implicits._
-    trainAndRecord(spark, d, k, iters)
-    val a = assign(spark, d, k, iters) // vec_id, cluster_id, cos-to-centroid
+    // k = -1 → auto: SemDeDup's intra-cell pair join is quadratic in
+    // cell population, so k MUST grow with the corpus (the paper's own
+    // posture; the 30x probe measured fixed k=8 at 7.0x cost for 3x
+    // data — cells of n/8). Below the cutoff k stays 8 so the whole
+    // clustering family (q73/q123/q128/q148) shares ONE trained
+    // quantizer and ONE recorded centroid-literal set at oracle-checked
+    // SFs; above it, cells are held near 1024 vectors (executor-sized,
+    // pairs ~512n — linear).
+    val kEff =
+      if (k > 0) k
+      else {
+        val n = Tables.embeddings(spark, d).count()
+        if (n <= 4096) 8
+        else math.min(4096L, math.ceil(n / 1024.0).toLong).toInt
+      }
+    trainAndRecord(spark, d, kEff, iters)
+    val a = assign(spark, d, kEff, iters) // vec_id, cluster_id, cos-to-centroid
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
     val av = a.select($"vec_id", $"cluster_id").join(e, "vec_id")
