@@ -127,10 +127,17 @@ object LmScore {
           .otherwise(lit(0L)) * $"c_doc").as("pts"))
       .groupBy($"doc_id")
       .agg(sum($"c_doc").as("n_bigrams"), sum($"pts").as("score_sum"))
-    // LEFT JOIN from the document set: zero/one-token docs must appear
-    // (n_bigrams=0, fluency NULL), not silently vanish — the oracle
-    // gotcha the word-unnest SQL path shares.
-    base.select($"doc_id").join(scored, Seq("doc_id"), "left")
+    withFluencyTail(base.select($"doc_id"), scored)
+  }
+
+  /** Shared finish: LEFT JOIN from the document set (zero/one-token
+    * docs must appear with n_bigrams=0 and NULL fluency, not silently
+    * vanish — the oracle gotcha the word-unnest SQL path shares), then
+    * the one IEEE division. */
+  private def withFluencyTail(spine: DataFrame, scored: DataFrame): DataFrame = {
+    val spark = spine.sparkSession
+    import spark.implicits._
+    spine.join(scored, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
         coalesce($"score_sum", lit(0L)).as("score_sum"))
@@ -138,6 +145,45 @@ object LmScore {
         when($"n_bigrams" === 0, lit(null).cast("double"))
           .otherwise($"score_sum".cast("double") / ($"n_bigrams" * 5L).cast("double")))
       .orderBy($"doc_id")
+  }
+
+  /** Fluency of (possibly brand-new) documents against the STANDING
+    * corpus statistics in a [[CorpusStatsStore]] — the production shape
+    * of q149: a micro-batch scores against a 100 TB corpus's LM by
+    * reading one vocabulary-sized count table; the corpus itself is
+    * never re-scanned. Differences from the in-session [[fluencyOf]],
+    * both deliberate:
+    *
+    *   - No leave-one-out subtraction: the scored docs are NOT part of
+    *     the standing corpus, so there is nothing to leave out (and a
+    *     doc already ingested simply sees its own counts as corpus
+    *     evidence, the standing-state contract).
+    *   - The unigram backoff uses the CONTINUATION count derived from
+    *     the same bigram table (Σ counts of bigrams ending in w2 — the
+    *     Kneser-Ney continuation idea): the store keeps ONE table, and
+    *     "seen as a continuation" is the right backoff evidence for
+    *     fluency anyway.
+    *
+    * Incremental contract: scoring against `build(A)` then `update(B)`
+    * equals scoring against `build(A ∪ B)` — pinned in LmScoreSpec,
+    * same discipline as CorpusStatsStoreSpec's incremental==rebuild. */
+  def fluencyAgainst(docs: DataFrame, storeDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val corp = CorpusStatsStore.counts(spark, storeDir) // (bigram, n)
+    val cont = corp
+      .select(substring_index($"bigram", " ", -1).as("w2"), $"n")
+      .groupBy($"w2").agg(sum($"n").as("n_cont"))
+    val scored = docBigrams(docs)
+      .join(corp.withColumnRenamed("n", "c_corp"), Seq("bigram"), "left")
+      .join(cont, Seq("w2"), "left")
+      .select($"doc_id", $"c_doc",
+        (when($"c_corp" > 0, lit(5L))        // null > 0 is null → falls through
+          .when($"n_cont" > 0, lit(2L))
+          .otherwise(lit(0L)) * $"c_doc").as("pts"))
+      .groupBy($"doc_id")
+      .agg(sum($"c_doc").as("n_bigrams"), sum($"pts").as("score_sum"))
+    withFluencyTail(docs.select($"doc_id"), scored)
   }
 
   /** q149's oracle: the identical leave-one-out scoring as chained

@@ -69,4 +69,41 @@ class LmScoreSpec extends SparkSpec {
       assert(r.getDouble(5) > 0.0)
     }
   }
+
+  test("fluencyAgainst scores new docs off the standing store; incremental == rebuild") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("lm-store-a").toString
+    val dirAB = java.nio.file.Files.createTempDirectory("lm-store-ab").toString
+    val corpusA = Seq((100L, "a b a b"), (101L, "a b c")).toDF("doc_id", "text")
+    val corpusB = Seq((102L, "c d")).toDF("doc_id", "text")
+    CorpusStatsStore.build(corpusA, dirA)
+    CorpusStatsStore.build(corpusA.unionByName(corpusB), dirAB)
+    val newDocs = Seq(
+      (0L, "a b x"),          // "a b" known (5), "b x": x never a continuation (0)
+      (1L, "x a"),            // "x a": bigram unknown, a seen as continuation? "b a" exists -> 2
+      (2L, ""),               // no bigrams -> NULL
+      (3L, "q z"),            // nothing known -> 0
+    ).toDF("doc_id", "text")
+    graft.util.PlanCache.clearAll()
+    val got = LmScore.fluencyAgainst(newDocs, dirA).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 5L, Some(0.5))))
+    assert(got(1L) == ((1L, 2L, Some(0.4))))
+    assert(got(2L) == ((0L, 0L, None)))
+    assert(got(3L) == ((1L, 0L, Some(0.0))))
+    // Incremental: update(A-store, B) must equal build(A union B).
+    CorpusStatsStore.update(corpusB, dirA)
+    graft.util.PlanCache.clearAll()
+    val inc = LmScore.fluencyAgainst(newDocs, dirA).collect().map(_.toString)
+    graft.util.PlanCache.clearAll()
+    val full = LmScore.fluencyAgainst(newDocs, dirAB).collect().map(_.toString)
+    assert(inc.sameElements(full), "incremental store != one-shot rebuild")
+    // The new "c d" evidence is visible: doc "q z" stays 0, but a doc
+    // ending in d now backs off to the continuation.
+    graft.util.PlanCache.clearAll()
+    val got2 = LmScore.fluencyAgainst(Seq((9L, "z d")).toDF("doc_id", "text"), dirA)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got2.head == ((1L, 2L, 0.4)))
+  }
 }
