@@ -299,6 +299,49 @@ object LmScore {
       .orderBy($"doc_id")
   }
 
+  /** Target affinity of (possibly brand-new) documents against STANDING
+    * slice statistics — two [[CorpusStatsStore]]s, one built over the
+    * target slice (wiki+books-like) and one over the raw slice. The
+    * production DSIR shape: the reference distributions are side
+    * artifacts maintained by `build`/`update`, and scoring a batch
+    * reads two vocabulary-sized tables — never the corpora. Math is
+    * identical to [[targetAffinityOf]] (union vocabulary via a
+    * full-outer join of the two count tables, add-one smoothing, one
+    * IEEE division); scoring the original corpus against stores built
+    * from its own slices is spec-pinned EQUAL to the in-session q150.
+    */
+  def affinityAgainst(docs: DataFrame, targetStoreDir: String,
+      rawStoreDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = CorpusStatsStore.counts(spark, targetStoreDir)
+      .withColumnRenamed("n", "t_raw")
+      .join(CorpusStatsStore.counts(spark, rawStoreDir)
+        .withColumnRenamed("n", "r_raw"), Seq("bigram"), "full_outer")
+      .select($"bigram", coalesce($"t_raw", lit(0L)).as("t_f"),
+        coalesce($"r_raw", lit(0L)).as("r_f"))
+    val totals = feat.agg(
+      sum($"t_f").as("t_total"), sum($"r_f").as("r_total"),
+      count(lit(1)).as("n_vocab"))
+    val perDoc = docBigrams(docs)
+      .select($"doc_id", $"bigram", $"c_doc".as("c_f"))
+      .join(feat, "bigram") // out-of-vocabulary bigrams drop, as in-session
+      .groupBy($"doc_id")
+      .agg(sum($"c_f").as("n_bigrams"),
+        sum($"c_f" * ($"t_f" + 1L)).as("num"),
+        sum($"c_f" * ($"r_f" + 1L)).as("den"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"num", lit(0L)).as("num"),
+        coalesce($"den", lit(0L)).as("den"),
+        when(coalesce($"den", lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(($"num" * ($"r_total" + $"n_vocab")).cast("double") /
+            (($"den" * ($"t_total" + $"n_vocab")).cast("double"))).as("affinity"))
+      .orderBy($"doc_id")
+  }
+
   /** q150's oracle: identical slice counting and the same single
     * division; every integer CAST BIGINT before it leaves a CTE. */
   val q150Sql: String =

@@ -106,4 +106,33 @@ class LmScoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got2.head == ((1L, 2L, 0.4)))
   }
+
+  test("affinityAgainst on two slice stores equals the in-session q150 on the same corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tDir = java.nio.file.Files.createTempDirectory("dsir-target").toString
+    val rDir = java.nio.file.Files.createTempDirectory("dsir-raw").toString
+    val docs = handCorpus
+    CorpusStatsStore.build(docs.where(col("source") === "src0"), tDir)
+    CorpusStatsStore.build(docs.where(col("source") =!= "src0"), rDir)
+    graft.util.PlanCache.clearAll()
+    val stored = LmScore.affinityAgainst(docs, tDir, rDir)
+      .collect().map(_.toString).sorted
+    graft.util.PlanCache.clearAll()
+    val inSession = LmScore.targetAffinityOf(docs, col("source") === "src0")
+      .drop("source").collect().map(_.toString).sorted
+    assert(stored.sameElements(inSession),
+      s"stored=${stored.mkString(",")} vs ${inSession.mkString(",")}")
+    // Incremental raw-slice growth == rebuild.
+    val extra = Seq((6L, "c c c", "src3")).toDF("doc_id", "text", "source")
+    CorpusStatsStore.update(extra, rDir)
+    val rDir2 = java.nio.file.Files.createTempDirectory("dsir-raw2").toString
+    CorpusStatsStore.build(
+      docs.where(col("source") =!= "src0").unionByName(extra), rDir2)
+    graft.util.PlanCache.clearAll()
+    val inc = LmScore.affinityAgainst(docs, tDir, rDir).collect().map(_.toString)
+    graft.util.PlanCache.clearAll()
+    val full = LmScore.affinityAgainst(docs, tDir, rDir2).collect().map(_.toString)
+    assert(inc.sameElements(full))
+  }
 }
