@@ -111,8 +111,13 @@ object Bench {
     // dirs with equal basenames would silently diff against each
     // other's plans. Stamp the full path inside the file and treat a
     // mismatch as no-baseline (refresh, don't cross-compare).
-    def stamped(json: String): String =
-      json.patch(1, "\"__sfdir__\":\"" + sfDir + "\",", 0)
+    def stamped(json: String): String = {
+      // No trailing comma when the object is otherwise empty (every
+      // query errored) — the in-repo regex reader tolerates one, but
+      // the baseline should stay valid JSON for external parsers.
+      val sep = if (json == "{}") "" else ","
+      json.patch(1, "\"__sfdir__\":\"" + sfDir + "\"" + sep, 0)
+    }
     val baseRaw =
       if (java.nio.file.Files.exists(baselinePath))
         Some(java.nio.file.Files.readString(baselinePath))

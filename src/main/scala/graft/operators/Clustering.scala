@@ -95,6 +95,12 @@ object Clustering {
     * so the literals below line up with the dumped parquet. */
   @volatile private var trainedCentroids: Option[Array[(Long, Array[Double])]] = None
 
+  /** τ used by the last [[q148SemanticDedup]] run — interpolated into
+    * its dynamic oracle (Double.toString round-trips through DuckDB's
+    * literal parser), so dumping the oracle after a non-default-τ run
+    * verifies against the threshold that actually produced the parquet. */
+  @volatile private var recordedTau: Double = 0.4
+
   /** q73's oracle, available once the query has trained: DuckDB replays
     * the argmax assignment against the centroid literals and rebuilds
     * the summary. Decision-level float parity: centroids are
@@ -261,6 +267,7 @@ object Clustering {
         else math.min(4096L, math.ceil(n / 1024.0).toLong).toInt
       }
     trainAndRecord(spark, d, kEff, iters)
+    recordedTau = tau // the dynamic oracle replays the SAME threshold
     val a = assign(spark, d, kEff, iters) // vec_id, cluster_id, cos-to-centroid
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
@@ -297,7 +304,7 @@ object Clustering {
        |  JOIN embeddings ea ON ea.vec_id = x.vec_id
        |  JOIN embeddings eb ON eb.vec_id = y.vec_id
        |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-       |                               CAST(eb.embedding AS DOUBLE[])) >= 0.4
+       |                               CAST(eb.embedding AS DOUBLE[])) >= $recordedTau
        |), edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs

@@ -105,8 +105,15 @@ object CorpusStatsStore {
   def counts(spark: SparkSession, dir: String): DataFrame = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no corpus stats at $dir — build first"))
-    spark.read.parquet(s"${countsRoot(dir)}/v=$v")
+    counts(spark, dir, v)
   }
+
+  /** The count table PINNED to an explicit version — versions are
+    * immutable, so a reader that resolved `latestVersion` once can keep
+    * reading the same statistics even while a concurrent [[update]]
+    * writes v+1 (the streaming scoring path's consistency contract). */
+  def counts(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read.parquet(s"${countsRoot(dir)}/v=$version")
 
   /** Familiarity scoring of (possibly brand-new) documents against the
     * STANDING statistics — identical math to

@@ -34,19 +34,24 @@ object StreamingLmScore {
       .start()
   }
 
-  /** One batch: score against the CURRENT store version, Overwrite the
-    * batch partition. */
+  /** One batch: resolve the store version ONCE, score pinned to it
+    * (a concurrent `CorpusStatsStore.update` landing mid-batch cannot
+    * make the report's `version` mislabel the statistics that actually
+    * scored the batch — versions are immutable), Overwrite the batch
+    * partition, and count from the scored frame itself (persisted
+    * across the write) rather than re-reading the parquet. */
   def scoreBatch(batch: DataFrame, batchId: Long, runId: String,
       storeDir: String, scoresDir: String): ScoreReport = {
-    val spark = batch.sparkSession
-    val v = graft.operators.CorpusStatsStore.latestVersion(spark, storeDir)
+    val v = graft.operators.CorpusStatsStore.latestVersion(batch.sparkSession, storeDir)
       .getOrElse(throw new IllegalStateException(
         s"no corpus stats at $storeDir — build first"))
-    val scored = graft.operators.LmScore.fluencyAgainst(batch, storeDir)
-    scored.write.mode(SaveMode.Overwrite)
-      .parquet(s"$scoresDir/score_batch=${runId}_$batchId")
-    val n = spark.read
-      .parquet(s"$scoresDir/score_batch=${runId}_$batchId").count()
-    ScoreReport(batchId, n, v)
+    val scored =
+      graft.operators.LmScore.fluencyAgainstPinned(batch, storeDir, v).persist()
+    try {
+      val n = scored.count()
+      scored.write.mode(SaveMode.Overwrite)
+        .parquet(s"$scoresDir/score_batch=${runId}_$batchId")
+      ScoreReport(batchId, n, v)
+    } finally scored.unpersist()
   }
 }

@@ -80,4 +80,15 @@ class ClusteringSpec extends SparkSpec {
       assert(out.count(_._3 == g) >= 2, s"vec $id removed from singleton group")
     }
   }
+
+  test("q148 oracle replays the tau the engine actually ran with") {
+    // Regression: the oracle used to hardcode `>= 0.4`, so dumping it
+    // after a non-default-tau run silently verified the wrong threshold.
+    Clustering.q148SemanticDedup(spark, sfDirMid, tau = 0.55)
+    val afterCustom = Clustering.q148OracleSql.get
+    assert(afterCustom.contains(">= 0.55"), afterCustom.linesIterator
+      .filter(_.contains(">=")).mkString("; "))
+    Clustering.q148SemanticDedup(spark, sfDirMid) // default restores 0.4
+    assert(Clustering.q148OracleSql.get.contains(">= 0.4"))
+  }
 }

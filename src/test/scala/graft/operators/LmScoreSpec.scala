@@ -55,6 +55,32 @@ class LmScoreSpec extends SparkSpec {
     assert(got(0L)._4.get > got(1L)._4.get)
   }
 
+  test("q150 counts NULL-source docs in the raw slice (the oracle's ELSE semantics)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Three-valued-logic trap: source IS NULL makes `source = 'src0'`
+    // NULL, and a naive when/otherwise slicing drops the doc's bigrams
+    // from BOTH slices — while q150Sql's CASE ... ELSE c_f counts them
+    // as raw. Parity oracle: NULL source must score exactly like an
+    // unambiguous non-target source.
+    val withNull = Seq(
+      (0L, "a b a b", "src0"),
+      (1L, "a b c", null.asInstanceOf[String]),
+      (2L, "c c", "src1")).toDF("doc_id", "text", "source")
+    val asRaw = Seq(
+      (0L, "a b a b", "src0"),
+      (1L, "a b c", "srcX"),
+      (2L, "c c", "src1")).toDF("doc_id", "text", "source")
+    graft.util.PlanCache.clearAll()
+    val got = LmScore.targetAffinityOf(withNull, col("source") === "src0")
+      .drop("source").collect().map(_.toString)
+    graft.util.PlanCache.clearAll()
+    val want = LmScore.targetAffinityOf(asRaw, col("source") === "src0")
+      .drop("source").collect().map(_.toString)
+    assert(got.sameElements(want),
+      s"NULL-source slicing diverged: ${got.mkString(",")} vs ${want.mkString(",")}")
+  }
+
   test("q149/q150 cover every document at corpus scale with bounded scores") {
     val n = graft.sources.Tables.documents(spark, sfDir).count()
     val fl = LmScore.q149LmFluency(spark, sfDir).collect()
