@@ -238,7 +238,8 @@ object Relational4 {
   def coOccurrenceCapped(items0: DataFrame, minCount: Int, topK: Int,
       maxBasketItems: Int,
       logDropped: Option[(Long, Long) => Unit] = None,
-      supportByWindow: Boolean = true): DataFrame = {
+      supportByWindow: Option[Boolean] = None,
+      hotKeyRowLimit: Long = 10000000L): DataFrame = {
     val spark = items0.sparkSession
     import spark.implicits._
     // NULL item keys dropped explicitly: the previous inner join-back
@@ -260,14 +261,20 @@ object Relational4 {
     // rows of one item key in a single task — fine while the hottest
     // item's basket count fits a task (millions of rows; it spills, not
     // breaks), but a planet-scale hot key serializes there where the
-    // groupBy+join form pre-aggregates map-side. supportByWindow=false
-    // selects that form: same rows out (CoOccurrenceSpec pins it), one
-    // extra exchange, per-key state bounded at one counter. Callers on
-    // corpora whose item-frequency skew is unknown should gate on a
-    // cheap key profile (JoinAdvisor.adviseJoin's max_key_rows) and
-    // flip this off past ~10M rows per hottest key.
+    // groupBy+join form pre-aggregates map-side. supportByWindow =
+    // Some(false) selects that form: same rows out (CoOccurrenceSpec
+    // pins it), one extra exchange, per-key state bounded at one
+    // counter. The DEFAULT (None) enforces the posture itself: a cheap
+    // key profile (JoinAdvisor's max_key_rows shape — one groupBy+max
+    // over the two-column distinct frame, LRU-cached per input plan so
+    // bench reruns pay it once) picks the window form only while the
+    // hottest item stays under `hotKeyRowLimit` baskets (~10M: the
+    // point where one window task's buffered state stops being a
+    // spill inconvenience and starts serializing the stage).
+    val byWindow = supportByWindow.getOrElse(
+      maxItemKeyRows(items) <= hotKeyRowLimit)
     val pruned =
-      if (supportByWindow)
+      if (byWindow)
         items.withColumn("support",
             count(lit(1)).over(Window.partitionBy($"l_partkey")))
           .where($"support" >= minCount)
@@ -308,6 +315,23 @@ object Relational4 {
       .agg(count(lit(1)).as("n_together"))
       .orderBy($"n_together".desc, $"part_a".asc, $"part_b".asc)
       .limit(topK)
+  }
+
+  /** Hottest-item basket count of a cleaned items frame — the skew
+    * gate's key profile. LRU-cached by canonicalized input plan: the
+    * bench and Verify run q89 repeatedly over the same source. An empty
+    * frame profiles to 0 (max over nothing is NULL). */
+  private val keyProfileCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Long](maxEntries = 8, onEvict = _ => ())
+  private def maxItemKeyRows(items: DataFrame): Long = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    keyProfileCache.getOrElseUpdate(items.queryExecution.analyzed.canonicalized) {
+      val r = items.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).collect().head
+      java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
+    }.longValue()
   }
 
   def q89Sql(minCount: Int, topK: Int): String =

@@ -46,9 +46,40 @@ class CoOccurrenceSpec extends SparkSpec {
       .select($"l_orderkey", $"l_partkey")
     def run(byWindow: Boolean) =
       Relational4.coOccurrenceCapped(items, minCount = 3, topK = 20,
-          maxBasketItems = 64, supportByWindow = byWindow)
+          maxBasketItems = 64, supportByWindow = Some(byWindow))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(run(byWindow = false) == run(byWindow = true))
+  }
+
+  test("skew gate auto-selects the groupBy support form past the hot-key bound") {
+    // The default supportByWindow=None consults the key profile: plant
+    // an item hot enough to clear a (test-sized) hotKeyRowLimit and the
+    // plan must swap its support computation from the count-window to
+    // the groupBy+join form — one Window node (the basket ranking)
+    // instead of two — with identical rows out. Cold data stays on the
+    // window form.
+    import spark.implicits._
+    // item 1 spans 20 baskets (the hot key); items 2..4 span 4 baskets
+    // each alongside item 1, so pairs survive minCount=3.
+    val rows = (for (o <- 1L to 20L) yield (o, 1L)) ++
+      (for (o <- 1L to 4L; p <- 2L to 4L) yield (o, p))
+    val items = rows.toDF("l_orderkey", "l_partkey")
+    def windowCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    val gated = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 10,
+      maxBasketItems = 64, hotKeyRowLimit = 10L)
+    val windowed = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 10,
+      maxBasketItems = 64, supportByWindow = Some(true))
+    assert(windowCount(gated) == 1, "hot key must take the groupBy support path")
+    assert(windowCount(windowed) == 2)
+    assert(gated.collect().map(_.toString).toSeq ==
+      windowed.collect().map(_.toString).toSeq)
+    // Under the limit the gate keeps the window form (no extra exchange).
+    val cold = Relational4.coOccurrenceCapped(items, minCount = 3, topK = 10,
+      maxBasketItems = 64, hotKeyRowLimit = 1000L)
+    assert(windowCount(cold) == 2, "cold data must stay on the window path")
   }
 
   test("NULL item keys neither earn support nor consume basket-cap slots") {
