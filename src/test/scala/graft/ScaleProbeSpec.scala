@@ -61,4 +61,105 @@ class ScaleProbeSpec extends SparkSpec {
           qe.explainString(SimpleMode).take(2000))
     }
   }
+
+  /** The round-11 scale fixes touched kernels SHARED by q40/q47 (CC
+    * over exact pair kernels), q108/q109 (hamming block join), and
+    * q148 (auto-k SemDeDup). The sf0.01 oracle re-verifies values; this
+    * test verifies the kernels' REPLICATION invariants at the probe SF —
+    * the regime the fixes exist for:
+    *
+    *  - replica 0 of the probe is bit-identical to sf0.1, and every
+    *    pair kernel here is exact (brute cosine; LSH candidates with
+    *    exact-Jaccard verify; pigeonhole-complete hamming blocking), so
+    *    the 10× pair set restricted to replica-0 ids must EQUAL the
+    *    sf0.1 pair set — a miss means blocking lost a pair it may only
+    *    lose at the larger SF (the bug class the probes exist to catch);
+    *  - the generator's perturbations are structure-preserving within a
+    *    replica (vector roll = orthogonal permutation; per-replica word
+    *    suffix = shingle-set translate), so EVERY replica's intra-
+    *    replica pair set is the sf0.1 set translated by its key stride —
+    *    pair sets are supersets under replication, exactly 10× or more.
+    */
+  test("10x probe: shared pair kernels keep their replication invariants") {
+    assume(new java.io.File(s"$probeDir/documents.parquet").exists(),
+      s"probe dir $probeDir absent — run tools/gen_scale_probe.py")
+    import graft.operators.Dedup
+    val srcDir = "/root/testdata/sf0.1"
+    val nVecs0 = spark.read.parquet(s"$srcDir/embeddings.parquet").count()
+    val nDocs0 = spark.read.parquet(s"$srcDir/documents.parquet").count()
+
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def replicaEquals(p10: Set[(Long, Long)], p0: Set[(Long, Long)],
+        stride: Long, k: Int, what: String): Unit = {
+      val lo = k * stride; val hi = lo + stride
+      val restricted = p10.filter { case (a, b) =>
+        a >= lo && a < hi && b >= lo && b < hi }
+      val translated = p0.map { case (a, b) => (a + lo, b + lo) }
+      assert(restricted == translated,
+        s"$what replica $k: ${restricted.size} pairs vs expected " +
+          s"${translated.size} (missing ${(translated -- restricted).take(5)}, " +
+          s"extra ${(restricted -- translated).take(5)})")
+    }
+
+    // q40 kernel — exact all-pairs embedding cosine. The roll
+    // perturbation is a coordinate permutation, so every replica's
+    // intra-replica pair set is a translate of sf0.1's.
+    val emb0 = pairs(Dedup.embeddingNearDup(spark, srcDir), "id_a", "id_b")
+    val emb10 = pairs(Dedup.embeddingNearDup(spark, probeDir), "id_a", "id_b")
+    (0 until 10).foreach(k => replicaEquals(emb10, emb0, nVecs0, k, "embedding"))
+    assert(emb10.size >= 10 * emb0.size)
+
+    // q47 kernel — MinHash-LSH candidates + exact-Jaccard verify. Word
+    // suffixing translates shingle sets per replica; cross-replica docs
+    // share no shingles, so no verified pair may span replicas.
+    val docs0 = graft.sources.Tables.documents(spark, srcDir)
+    val docs10 = graft.sources.Tables.documents(spark, probeDir)
+    val lsh0 = pairs(Dedup.minhashLshOf(docs0, 0.6), "id_a", "id_b")
+    val lsh10 = pairs(Dedup.minhashLshOf(docs10, 0.6), "id_a", "id_b")
+    assert(lsh10.forall { case (a, b) => a / nDocs0 == b / nDocs0 },
+      "verified Jaccard pair spans replicas — impossible with disjoint shingles")
+    (0 until 10).foreach(k => replicaEquals(lsh10, lsh0, nDocs0, k, "lsh"))
+
+    // q108 kernel — pigeonhole-complete hamming blocking over frame
+    // keys (asset·100+frame). Replica-0 assets are bit-identical, so
+    // the restricted pair set must equal sf0.1's exactly. (Replicas
+    // k>0 have perturbed text → different pixels: no translate there.)
+    def framePairs(d: String): Set[(Long, Long)] =
+      graft.multimodal.Multimodal.frameNearDup(spark, d)
+        .select(org.apache.spark.sql.functions.expr("asset_a * 100 + frame_a"),
+          org.apache.spark.sql.functions.expr("asset_b * 100 + frame_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fr0 = framePairs(srcDir)
+    val fr10 = framePairs(probeDir)
+    val keyBound = nDocs0 * 100
+    assert(fr10.filter { case (a, b) => a < keyBound && b < keyBound } == fr0,
+      "hamming kernel lost or invented a replica-0 pair at 10x")
+    val crossFrame = fr10.exists { case (a, b) => a / keyBound != b / keyBound }
+
+    // q109 — clusters over the same hamming edges. If no edge spans
+    // replicas (the common case; aHash collisions across perturbed
+    // corpora are possible in principle), replica-0's cluster rows
+    // survive verbatim: same edges → same components → same keepers.
+    if (!crossFrame) {
+      def clusterRows(d: String, bound: Long) =
+        graft.multimodal.Multimodal.visualDupClusters(spark, d)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .filter(_._1 < bound).toSet
+      assert(clusterRows(probeDir, keyBound) == clusterRows(srcDir, Long.MaxValue),
+        "replica-0 visual clusters changed at 10x despite identical edges")
+    } else println("SCALEPROBE: cross-replica hamming edges present; " +
+      "q109 replica-0 cluster equality skipped (superset semantics only)")
+
+    // q148 — data-dependent centroids (auto-k at this SF), so no pair
+    // translate holds; assert the operator's structural contract at 10×:
+    // total coverage, exactly one keeper per group, groups intra-cluster.
+    val fates = graft.operators.Clustering.q148SemanticDedup(spark, probeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(fates.length == spark.read.parquet(s"$probeDir/embeddings.parquet").count())
+    fates.groupBy(_._3).foreach { case (g, ms) =>
+      assert(ms.count(_._4 == 1) == 1, s"group $g keeper count at 10x")
+      assert(ms.map(_._2).distinct.length == 1, s"group $g spans clusters at 10x")
+    }
+  }
 }

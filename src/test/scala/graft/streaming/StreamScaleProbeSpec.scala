@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Streaming twins at the 10× probe scale (tools/gen_scale_probe.py —
+  * same gating as ScaleProbeSpec). The batch suite's probe measures
+  * plan-shape and runtime ratios; the stateful streaming operators need
+  * DIFFERENT evidence: that a full drain of the 10× stream completes,
+  * what its throughput is, and that the state store stays bounded by
+  * the operator's declared invariant (shards / event types / open
+  * sessions) rather than growing with stream length.
+  *
+  * Each drain runs the 10× feed as an availableNow file stream split
+  * into time-ordered chunk files (one file per micro-batch via
+  * maxFilesPerTrigger=1 — multi-batch state folding is the whole
+  * point). Peak state rows come from the engine's own
+  * StreamingQueryProgress state-operator metrics. Results print as
+  * `STREAMPROBE |` rows — the source of SCALE.md's streaming table.
+  */
+class StreamScaleProbeSpec extends SparkSpec {
+
+  private val probeDir =
+    sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+
+  private def gate(): Unit =
+    assume(new java.io.File(s"$probeDir/events.parquet").exists(),
+      s"probe dir $probeDir absent — run tools/gen_scale_probe.py")
+
+  private val nChunks = 8
+
+  /** Stage a table into `nChunks` sequential single-file chunks so an
+    * availableNow drain runs nChunks micro-batches in order. `chunkOf`
+    * must be monotone in whatever arrival order the operator under test
+    * assumes (event time for the sessionizer/anomaly contract). */
+  private def stageChunks(df: DataFrame, chunkCol: org.apache.spark.sql.Column,
+      tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"sprobe-$tag").toString
+    val chunked = df.withColumn("__c", chunkCol)
+    // sequential writes: ascending file mod-times give the file stream
+    // the intended batch order (FileStreamSource sorts by timestamp)
+    (0 until nChunks).foreach { i =>
+      chunked.where(col("__c") === i).drop("__c")
+        .coalesce(1).write.parquet(s"$dir/c$i")
+    }
+    dir
+  }
+
+  private lazy val probeEvents: DataFrame =
+    Tables.normalizeEventTs(spark.read.parquet(s"$probeDir/events.parquet"))
+
+  /** Events split into equal event-time slices — chunk i's rows all
+    * precede chunk i+1's, the time-ordered-arrival contract. */
+  private lazy val eventChunkDir: String = {
+    val b = probeEvents.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = (hi - lo) / nChunks + 1
+    stageChunks(probeEvents, ((unix_micros(col("ts")) - lo) / width).cast("int"),
+      "events")
+  }
+
+  private lazy val docChunkDir: String = {
+    val docs = spark.read.parquet(s"$probeDir/documents.parquet")
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    stageChunks(docs, (col("doc_id") * nChunks / n).cast("int"), "docs")
+  }
+
+  private case class Drain(rows: Long, secs: Double, peakState: Long,
+      batches: Long)
+
+  private def drain(name: String, srcDir: String,
+      transform: DataFrame => DataFrame,
+      outputMode: OutputMode = OutputMode.Append): Drain = {
+    val schema = spark.read.parquet(s"$srcDir/c0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/c*")
+    val t0 = System.nanoTime()
+    val q = transform(stream).writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progs = q.recentProgress
+    Drain(
+      rows = progs.map(_.numInputRows).sum,
+      secs = secs,
+      peakState = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max),
+      batches = progs.count(_.numInputRows > 0).toLong)
+  }
+
+  private def report(op: String, d: Drain, stateBound: String): Unit =
+    println(f"STREAMPROBE | $op | ${d.rows}%,d rows | ${d.batches} batches | " +
+      f"${d.secs}%.1f s | ${d.rows / d.secs}%,.0f rows/s | " +
+      f"peak state ${d.peakState}%,d | bound: $stateBound")
+
+  test("10x sessionAssignments drains; state bounded by users with open sessions") {
+    gate()
+    import spark.implicits._
+    val users = probeEvents.select(countDistinct(col("user_id"))).head().getLong(0)
+    val total = probeEvents.count()
+    val d = drain("sprobe_sessions", eventChunkDir,
+      df => EventStreams.sessionAssignments(
+        Tables.normalizeEventTs(df).as[EventStreams.Event]).toDF())
+    report("sessionAssignments", d, s"open-session users <= $users distinct users")
+    assert(d.rows == total, s"drain incomplete: ${d.rows} of $total")
+    assert(d.peakState > 0 && d.peakState <= users,
+      s"session state ${d.peakState} exceeds distinct users $users")
+    // Emitted labels are CLOSED sessions only — never more than events.
+    val emitted = spark.table("sprobe_sessions").count()
+    assert(emitted <= total)
+  }
+
+  test("10x heavy hitters: state is nShards sketch rows regardless of volume") {
+    gate()
+    import spark.implicits._
+    val d = drain("sprobe_hh", docChunkDir,
+      df => StreamingHeavyHitters.sketchStream(
+        df.select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token")).where(col("token") =!= "").as[String],
+        nShards = 8, capacity = 64).toDF(),
+      OutputMode.Update)
+    report("heavyHitters(tokens of docs)", d, "8 shard rows, any volume")
+    // THE Misra–Gries point: state rows == shard count, not vocabulary.
+    assert(d.peakState <= 8, s"MG state ${d.peakState} rows > nShards")
+    assert(d.batches == nChunks)
+  }
+
+  test("10x rate anomaly: state is one row per event type") {
+    gate()
+    val types = probeEvents.select(countDistinct(col("event_type")))
+      .head().getLong(0)
+    val total = probeEvents.count()
+    val d = drain("sprobe_anomaly", eventChunkDir,
+      df => StreamingAnomaly.rateAnomalyStream(
+        Tables.normalizeEventTs(df)).toDF())
+    report("rateAnomaly", d, s"$types event-type rows")
+    assert(d.rows == total)
+    assert(d.peakState <= types,
+      s"anomaly state ${d.peakState} rows > $types event types")
+  }
+
+  test("10x streaming LM scoring drains against a 10x standing store") {
+    gate()
+    val storeDir = java.nio.file.Files.createTempDirectory("sprobe-lmstore").toString
+    val scoresDir = java.nio.file.Files.createTempDirectory("sprobe-scores").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sprobe-ckpt").toString
+    val docs = spark.read.parquet(s"$probeDir/documents.parquet")
+    val tBuild0 = System.nanoTime()
+    graft.operators.CorpusStatsStore.build(docs, storeDir)
+    val buildSecs = (System.nanoTime() - tBuild0) / 1e9
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingLmScore.ScoreReport]
+    val schema = spark.read.parquet(s"$docChunkDir/c0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$docChunkDir/c*")
+    val t0 = System.nanoTime()
+    val q = StreamingLmScore.start(stream, storeDir, scoresDir, ckpt,
+      r => reports.synchronized { reports += r })
+    // foreachBatch sinks don't self-terminate under the default trigger;
+    // availableNow semantics come from draining then stopping.
+    q.processAllAvailable()
+    q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val scored = reports.map(_.docs).sum
+    val total = docs.count()
+    println(f"STREAMPROBE | lmScore(fluencyAgainst store) | $scored%,d docs | " +
+      f"${reports.size} batches | $secs%.1f s | ${scored / secs}%,.0f docs/s | " +
+      f"store build $buildSecs%.1f s | state: none (store-backed)")
+    assert(scored == total, s"scored $scored of $total docs")
+    assert(reports.map(_.version).distinct == Seq(1),
+      "every batch must report the pinned store version")
+  }
+}
