@@ -10,7 +10,7 @@ package graft.util
   * evicts everything, for session teardown or when underlying data is
   * known to have changed.
   */
-final class PlanCache[K, V <: AnyRef](maxEntries: Int, onEvict: V => Unit) {
+final class PlanCache[K, V <: AnyRef](val maxEntries: Int, onEvict: V => Unit) {
   require(maxEntries > 0, "maxEntries must be positive")
   PlanCache.register(this)
 
@@ -60,4 +60,16 @@ object PlanCache {
   /** Clear every PlanCache in the process. */
   def clearAll(): Unit =
     instances.synchronized { instances.foreach(_.clear()) }
+
+  /** Live entries across every registered cache — the engine's total
+    * derived-index footprint in cached-plan COUNT. */
+  def totalEntries: Int =
+    instances.synchronized { instances.map(_.size).sum }
+
+  /** Sum of per-cache LRU capacities: the registry-level ceiling
+    * totalEntries can never exceed, however many queries run. Exists so
+    * a test can assert the per-cache bounds COMPOSE (CacheBudgetSpec)
+    * and a deployment can reason about worst-case pinned plans. */
+  def totalBudget: Int =
+    instances.synchronized { instances.map(_.maxEntries).sum }
 }
