@@ -33,6 +33,11 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.ui.enabled" -> "false",
     "spark.driver.host" -> "localhost",
+    // Catalyst extension entry point: the banded range-join rewrite
+    // (graft.plans.RangeJoinRewrite). Registered the way any deployment
+    // would — through spark.sql.extensions — so the naive BETWEEN-join
+    // gets the scale-safe plan without calling the IntervalJoin library.
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
   )
 
   def local(appName: String = "graft", cores: String = defaultCores): SparkSession = {

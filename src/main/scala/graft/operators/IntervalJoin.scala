@@ -153,6 +153,90 @@ object IntervalJoin {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** q151: the SAME point-in-interval shape as q63 written the way a
+    * user would — a plain `ON p.user_id = v.user_id AND p.ts BETWEEN
+    * v.w_start AND v.w_end` join, NO library call — aggregated per view
+    * instead of per user. The banding comes from the planner:
+    * [[graft.plans.RangeJoinRewrite]] (registered via
+    * spark.sql.extensions) rewrites the naive join into the banded
+    * equi-join, so the scale-safe plan no longer depends on the caller
+    * knowing [[pointInInterval]] exists. RangeJoinRewriteSpec pins both
+    * the plan (band key present, no nested loop) and result equality
+    * with the rule disabled. */
+  def q151RangeJoinAuto(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    purchases.join(views, purchases("user_id") === views("user_id") &&
+        purchases("ts") >= views("w_start") && purchases("ts") <= views("w_end"))
+      .groupBy($"view_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("purch_value"))
+      .orderBy($"view_id")
+  }
+
+  val q151Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS w_start,
+      |         ts + INTERVAL 3 DAY AS w_end FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.view_id, count(*) AS n_purchases,
+      |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |   AND p.ts >= v.w_start AND p.ts <= v.w_end
+      |GROUP BY v.view_id
+      |ORDER BY v.view_id""".stripMargin
+
+  /** q152: the overlap sibling of q151 — a NAIVE window self-overlap
+    * join (`a.start <= b.end AND b.start <= a.end`, plain DataFrame
+    * code, no library call), banded by the planner. The rewrite's
+    * properness proof fires because the windows are constant-width
+    * (`w_end = ts + 6h`); per user it reports the overlapping ordered
+    * pair count and the LONGEST pairwise overlap (vs q68's 12-hour
+    * windows and overlap SUM, which go through the library form). */
+  def q152OverlapAuto(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, d).where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 6 HOUR")).as("w_end"))
+    val a = v.select($"user_id", $"event_id".as("id_a"), $"w_start", $"w_end")
+    val b = v.select($"user_id".as("u_b"), $"event_id".as("id_b"),
+      $"w_start".as("b_w_start"), $"w_end".as("b_w_end"))
+    a.join(b, a("user_id") === b("u_b") &&
+        a("w_start") <= b("b_w_end") && b("b_w_start") <= a("w_end") &&
+        a("id_a") < b("id_b"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(unix_micros(least($"w_end", $"b_w_end")) -
+          unix_micros(greatest($"w_start", $"b_w_start"))).as("max_overlap_us"))
+      .orderBy($"user_id")
+  }
+
+  val q152Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id, ts AS w_start,
+      |         ts + INTERVAL 6 HOUR AS w_end FROM e WHERE event_type = 'view'
+      |)
+      |SELECT a.user_id, count(*) AS n_pairs,
+      |       CAST(max(epoch_us(least(a.w_end, b.w_end)) -
+      |           epoch_us(greatest(a.w_start, b.w_start))) AS BIGINT) AS max_overlap_us
+      |FROM v a JOIN v b ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |   AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   val q63Sql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value

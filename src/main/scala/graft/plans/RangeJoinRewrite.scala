@@ -1,0 +1,291 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Optimizer rule: rewrite a naive point-in-interval join into the
+  * banded equi-join that [[graft.operators.IntervalJoin]] exposes as a
+  * library call — so the scale-safe plan no longer depends on the user
+  * knowing to call the library.
+  *
+  * Shape matched (after Catalyst has pushed filters into the join
+  * condition):
+  *
+  * {{{ l JOIN r ON <anything> AND lo <= p AND p <= hi }}}
+  *
+  * where `p` is a deterministic timestamp expression over ONE side and
+  * `lo`/`hi` are deterministic timestamp expressions over the OTHER side
+  * (strict `<` bounds also match; either bound may be a constant as long
+  * as one references the interval side). Spark plans the pure-range form
+  * of this join as BroadcastNestedLoopJoin — O(|l|·|r|) work with the
+  * whole interval side on every executor — and even the keyed form
+  * (equi-key plus range) degenerates to a per-key cross product when a
+  * key's event history is long. Both are the textbook 100 TB cliff:
+  * correct at sf0.01, dead at scale.
+  *
+  * The rewrite quantizes time into fixed-width bands
+  * (`spark.graft.rangeJoin.bandSeconds`, default 86400): each interval
+  * row is exploded onto every band it covers, the point row computes its
+  * one band, and the join becomes an ordinary shuffled equi-join on the
+  * band (plus any original equi-keys), with ALL original conjuncts kept
+  * as exact predicates. A (point, interval) pair can only meet in the
+  * point's own band, so no dedup is needed. Cost: one shuffle on
+  * (keys, band); interval replication `len/band + 1` (~2 rows at a sane
+  * band width); a hot key is further split across its bands. This is
+  * Databricks' range-join binning re-expressed on open Spark, as a
+  * planner rule rather than a session-scoped hint.
+  *
+  * Correctness notes:
+  *  - banding only needs a MONOTONE time→band map applied identically to
+  *    `p`, `lo`, `hi`; `unix_micros(x) div W` (truncating div) is
+  *    monotone, so `lo <= p <= hi` implies `band(p) ∈ [band(lo),
+  *    band(hi)]` — the exploded coverage — and the kept original
+  *    conjuncts make the match exact (strictness, nulls, everything).
+  *  - intervals are pre-filtered to `lo <= hi` (degenerate and NULL-bound
+  *    rows match nothing anyway) so `sequence(b0, b1)` never sees a
+  *    reversed range.
+  *  - the rewrite only ADDs band columns and projects them away at the
+  *    top, preserving the join's exact output attributes.
+  *
+  * Guards: inner joins only; skipped when the condition already touches
+  * a `__band`/`__graft_band` column (the library's banded joins, and this
+  * rule's own output — keeps the fixed-point optimizer batch convergent);
+  * disabled with `spark.graft.rangeJoin.enabled=false`.
+  *
+  * Band width is a config, not an inference: at 100 TB you set it near
+  * the typical interval length (attribution windows, validity ranges),
+  * exactly like the reference's operators take their window sizes as
+  * parameters. A band far below the interval length over-replicates the
+  * interval side; the default of one day is conservative for event-time
+  * analytics.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.rangeJoin.enabled"
+  val BandSecondsKey = "spark.graft.rangeJoin.bandSeconds"
+
+  private val bandP = "__graft_band_p"
+  private val bandI = "__graft_band_i"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // tree-pattern pruning: this rule runs in the fixed-point operator
+    // batch on EVERY query — join-free plans and subtrees must cost ~0
+    if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN))
+      return plan
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val bandSeconds = conf.getConfString(BandSecondsKey, "86400").toLong
+    if (bandSeconds <= 0) return plan
+    val bandMicros = math.multiplyExact(bandSeconds, 1000000L)
+    plan.transformUpWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
+      // Streaming joins are exempt: StreamingSymmetricHashJoin derives
+      // its state-eviction watermarks FROM the raw time-range condition
+      // (that's how join state stays bounded); banding one would trade
+      // the built-in eviction analysis for nothing — the symmetric hash
+      // join already is an equi-ish stateful join, not a nested loop.
+      case j @ Join(l, r, Inner, Some(cond), _)
+          if !l.isStreaming && !r.isStreaming && eligible(cond) =>
+        rewrite(j, cond, bandMicros).getOrElse(j)
+    }
+  }
+
+  /** Cheap pre-screen; the real shape check happens in [[rewrite]]. */
+  private def eligible(cond: Expression): Boolean =
+    !cond.references.exists(a =>
+      a.name.startsWith("__band") || a.name.startsWith("__graft_band"))
+
+  /** `lo <= p` / `p <= hi` in any spelling, normalized to (small, big). */
+  private def asBound(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(a, b) => Some((a, b))
+    case LessThan(a, b)        => Some((a, b))
+    case GreaterThanOrEqual(a, b) => Some((b, a))
+    case GreaterThan(a, b)        => Some((b, a))
+    case _ => None
+  }
+
+  private def isTime(e: Expression): Boolean =
+    e.dataType == TimestampType || e.dataType == TimestampNTZType
+
+  /** Microsecond epoch of a timestamp expression. Any monotone map works
+    * as long as p/lo/hi go through the SAME one, so the NTZ branch's
+    * session-zone interpretation is irrelevant to correctness. */
+  private def micros(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMicros(e)
+    case TimestampNTZType =>
+      UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
+    case other => throw new IllegalStateException(s"not a timestamp: $other")
+  }
+
+  private def rewrite(j: Join, cond: Expression, bandMicros: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def sideOk(e: Expression, side: LogicalPlan): Boolean =
+      e.deterministic && e.references.subsetOf(side.outputSet)
+
+    // Find a pair of conjuncts bounding one timestamp expression `p`
+    // (entirely from one side) between `lo` and `hi` (entirely from the
+    // other side, at least one of them actually referencing it).
+    val bounds = conjuncts.flatMap(asBound)
+    val pointCandidates = for {
+      (lo, p1) <- bounds
+      (p2, hi) <- bounds
+      if p1.semanticEquals(p2) && isTime(p1) && isTime(lo) && isTime(hi)
+      pointOnLeft <- Seq(true, false)
+      (pSide, iSide) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+      if p1.references.nonEmpty && sideOk(p1, pSide) &&
+        sideOk(lo, iSide) && sideOk(hi, iSide) &&
+        (lo.references.nonEmpty || hi.references.nonEmpty)
+    } yield (p1, lo, hi, pointOnLeft)
+
+    val point = pointCandidates.headOption.map { case (p, lo, hi, pointOnLeft) =>
+      val bandW = Literal(bandMicros, LongType)
+      val pBand = Alias(IntegralDivide(micros(p), bandW), bandP)()
+      val (pointPlan, intervalPlan) =
+        if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+      val newPoint = Project(pointPlan.output :+ pBand, pointPlan)
+
+      // Degenerate (lo > hi) and NULL-bound intervals can never match;
+      // filtering them keeps sequence() off reversed/NULL ranges.
+      val validIntervals = Filter(LessThanOrEqual(lo, hi), intervalPlan)
+      val gen = Explode(Sequence(
+        IntegralDivide(micros(lo), bandW),
+        IntegralDivide(micros(hi), bandW),
+        None, Some(conf.sessionLocalTimeZone)))
+      val elem = gen.elementSchema.head
+      val iBandAttr = AttributeReference(bandI, elem.dataType, elem.nullable)()
+      val newInterval =
+        Generate(gen, Nil, outer = false, None, Seq(iBandAttr), validIntervals)
+
+      val bandEq = EqualTo(pBand.toAttribute, iBandAttr)
+      val (newLeft, newRight) =
+        if (pointOnLeft) (newPoint, newInterval) else (newInterval, newPoint)
+      val newJoin = Join(newLeft, newRight, Inner,
+        Some((conjuncts :+ (bandEq: Expression)).reduce(And)), j.hint)
+      Project(j.output, newJoin)
+    }
+    point.orElse(rewriteOverlap(j, conjuncts, bandMicros))
+  }
+
+  // ----- interval-overlap shape -------------------------------------
+
+  /** Overlap joins — `l.start <= r.end AND r.start <= l.end` — are the
+    * two-sided sibling: session overlap, validity-range intersection,
+    * window self-joins. The banded form explodes BOTH sides onto their
+    * covering bands and emits a pair only in its OWNER band (the band of
+    * the later start — covered by both intervals whenever they overlap,
+    * so exactly-once with no dedup shuffle).
+    *
+    * Unlike the point shape, the matched conjuncts alone do NOT imply
+    * the intervals are proper (`start <= end`): a reversed left interval
+    * can still satisfy `l.start <= r.end AND r.start <= l.end` against a
+    * wide right interval, and the banded form would silently drop that
+    * pair. Filtering reversed rows — the library's documented semantics
+    * ([[graft.operators.IntervalJoin.intervalOverlap]]) — is therefore
+    * NOT sound for a planner rule, which must preserve Spark's exact
+    * semantics on arbitrary data. The rule only fires when properness is
+    * syntactically PROVEN: each side's end equals its start plus a
+    * non-negative constant interval (after looking through the side's
+    * own Project aliases) — the constant-width window case, which is
+    * what overlap self-joins in event analytics actually are. Anything
+    * else keeps Spark's plan.
+    */
+  private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
+      bandMicros: Long): Option[LogicalPlan] = {
+    def sideOk(e: Expression, side: LogicalPlan): Boolean =
+      e.deterministic && e.references.nonEmpty &&
+        e.references.subsetOf(side.outputSet)
+
+    val bounds = conjuncts.flatMap(asBound)
+    val candidates = for {
+      (ls, re) <- bounds // l.start <= r.end
+      (rs, le) <- bounds // r.start <= l.end
+      if Seq(ls, re, rs, le).forall(isTime)
+      if sideOk(ls, j.left) && sideOk(le, j.left) &&
+        sideOk(rs, j.right) && sideOk(re, j.right)
+      if provenWidth(ls, le, j.left) && provenWidth(rs, re, j.right)
+    } yield (ls, le, rs, re)
+
+    candidates.headOption.map { case (ls, le, rs, re) =>
+      val bandW = Literal(bandMicros, LongType)
+      def band(e: Expression) = IntegralDivide(micros(e), bandW)
+      def explodeOnto(side: LogicalPlan, s: Expression, e: Expression,
+          attrName: String): (LogicalPlan, AttributeReference) = {
+        val gen = Explode(Sequence(band(s), band(e), None,
+          Some(conf.sessionLocalTimeZone)))
+        val elem = gen.elementSchema.head
+        val attr = AttributeReference(attrName, elem.dataType, elem.nullable)()
+        (Generate(gen, Nil, outer = false, None, Seq(attr), side), attr)
+      }
+      val (newLeft, lBand) = explodeOnto(j.left, ls, le, bandP)
+      val (newRight, rBand) = explodeOnto(j.right, rs, re, bandI)
+      // owner band: the band of the later start, covered by both
+      // explosions whenever the original conjuncts hold
+      val owner = EqualTo(lBand, Greatest(Seq(band(ls), band(rs))))
+      val newCond = (conjuncts ++ Seq[Expression](
+        EqualTo(lBand, rBand), owner)).reduce(And)
+      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    }
+  }
+
+  /** Proof that `end` = `start` + a non-negative constant width, looking
+    * through the side's own Project aliases (the join condition sees
+    * `w_end` as an attribute; its defining `ts + INTERVAL '12' HOUR`
+    * lives in the projection below). */
+  /** Analysis wraps `ts + INTERVAL` in an identity cast
+    * (`cast(... as timestamp)`); the optimizer usually removes it, but
+    * the proof must not depend on rule ordering. */
+  private def stripNoopCast(e: Expression): Expression = e match {
+    case c: Cast if c.child.dataType == c.dataType => stripNoopCast(c.child)
+    case _ => e
+  }
+
+  private def provenWidth(start: Expression, end: Expression,
+      side: LogicalPlan): Boolean = {
+    val s = stripNoopCast(dealias(start, side))
+    stripNoopCast(dealias(end, side)) match {
+      case e if e.semanticEquals(s) => true // zero-width
+      case TimestampAddInterval(base, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _) =>
+        base.semanticEquals(s) &&
+          iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0
+      case TimestampAddInterval(base, Literal(us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
+        base.semanticEquals(s) && us >= 0L
+      case _ => false
+    }
+  }
+
+  /** Substitute attributes by their defining expressions from the
+    * plan's own Project/Filter/SubqueryAlias spine, to fixpoint. */
+  private def dealias(e: Expression, plan: LogicalPlan): Expression = {
+    val defs = scala.collection.mutable.Map.empty[ExprId, Expression]
+    def collect(p: LogicalPlan): Unit = p match {
+      case Project(list, child) =>
+        list.foreach { case a: Alias => defs(a.exprId) = a.child; case _ => }
+        collect(child)
+      case f: Filter => collect(f.child)
+      case s: SubqueryAlias => collect(s.child)
+      case _ => ()
+    }
+    collect(plan)
+    var cur = e
+    var n = 0
+    while (n < 8) { // alias chains are shallow; bound the walk
+      val next = cur.transformUp {
+        case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+      }
+      if (next.fastEquals(cur)) return cur
+      cur = next; n += 1
+    }
+    cur
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — the engine's
+  * Catalyst extension entry point (wired by [[graft.Sessions]]; usable
+  * standalone by any session that sets the conf). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
+}

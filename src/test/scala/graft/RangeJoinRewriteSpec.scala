@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.RangeJoinRewrite
+import graft.sources.Tables
+
+/** The banded range-join rewrite as a PLANNER rule: a user writing the
+  * naive `p JOIN i ON p.key = i.key AND p.ts BETWEEN i.lo AND i.hi` (or
+  * the keyless pure-range form Spark plans as BroadcastNestedLoopJoin)
+  * must get the banded equi-join IntervalJoin exposes as a library call
+  * — bit-identical results, scale-safe plan, no library knowledge
+  * required. Registered via spark.sql.extensions (GraftExtensions), the
+  * same entry point a cluster deployment would use.
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+
+  private def views: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+  }
+  private def purchases: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+  }
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  /** Run `build` with the rewrite disabled: the naive plan Spark picks
+    * unaided, as the semantic baseline. */
+  private def withoutRule[T](build: => T): T = {
+    spark.conf.set(RangeJoinRewrite.EnabledKey, "false")
+    try build finally spark.conf.unset(RangeJoinRewrite.EnabledKey)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("keyed BETWEEN join is banded: results identical, band key in the join") {
+    val p = purchases
+    val v = views
+    def naive = p.join(v, p("user_id") === v("user_id") &&
+      p("ts") >= v("w_start") && p("ts") <= v("w_end"))
+    val rewritten = naive
+    assert(optimized(rewritten).contains("__graft_band"),
+      s"rule did not fire:\n${optimized(rewritten)}")
+    // exactly-once semantics: a pair meets only in the point's own band
+    val expected = withoutRule(sortedRows(naive))
+    val got = sortedRows(rewritten)
+    assert(got.size == expected.size && got == expected)
+    assert(expected.nonEmpty, "vacuous: no matching pairs at this SF")
+  }
+
+  test("pure range join (no equi key) flips BroadcastNestedLoopJoin to an equi join") {
+    import spark.implicits._
+    // keyless intervals: every view window joined to every purchase in
+    // it regardless of user — the BNLJ-at-scale shape
+    val w = views.limit(200).select($"w_start", $"w_end", $"view_id")
+    val p = purchases.select($"ts", $"value")
+    def naive = p.join(w, p("ts") >= w("w_start") && p("ts") <= w("w_end"))
+    val (naivePlan, expected) = withoutRule((physical(naive), sortedRows(naive)))
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"baseline assumption broke — naive keyless range join planned as:\n$naivePlan")
+    val rewrittenPlan = physical(naive)
+    assert(!rewrittenPlan.contains("BroadcastNestedLoopJoin") &&
+      !rewrittenPlan.contains("CartesianProduct"),
+      s"rewritten plan still nested-loop:\n$rewrittenPlan")
+    assert(rewrittenPlan.contains("Generate"), rewrittenPlan)
+    assert(sortedRows(naive) == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("strict bounds and NULLs keep exact semantics") {
+    import spark.implicits._
+    val p = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-03 00:00:00"),
+      (2L, "2024-01-02 00:00:00"), (3L, null))
+      .toDF("k", "ts_s").select($"k", $"ts_s".cast("timestamp").as("ts"))
+    val i = Seq((1L, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (2L, "2024-01-02 00:00:00", "2024-01-01 00:00:00"), // degenerate lo>hi
+      (3L, null, "2024-01-05 00:00:00"),                  // NULL lo
+      (1L, "2023-12-31 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("k", "lo_s", "hi_s")
+      .select($"k", $"lo_s".cast("timestamp").as("lo"), $"hi_s".cast("timestamp").as("hi"))
+    // strict on the upper bound: boundary row 2024-01-03 must NOT match
+    // the [2024-01-01, 2024-01-03) interval
+    def q = p.join(i, p("k") === i("k") && p("ts") >= i("lo") && p("ts") < i("hi"))
+    assert(optimized(q).contains("__graft_band"))
+    val expected = withoutRule(sortedRows(q))
+    assert(sortedRows(q) == expected)
+    // independent truth: (1,Jan1)∈[Jan1,Jan3) + (1,Jan1)∈[Dec31,Jan2) = 2 rows
+    assert(expected.size == 2, expected.mkString("; "))
+  }
+
+  test("already-banded library joins are left alone (no double banding)") {
+    val df = graft.operators.IntervalJoin.q63IntervalAttribution(spark, sfDir)
+    val gens = "(?m)^.*Generate.*$".r.findAllIn(optimized(df)).size
+    assert(gens == 1, s"expected the library's single explode, got $gens:\n${optimized(df)}")
+    assert(!optimized(df).contains("__graft_band"))
+  }
+
+  test("q151: the registered naive-join query compiles to the banded plan") {
+    val df = graft.operators.IntervalJoin.q151RangeJoinAuto(spark, sfDir)
+    assert(optimized(df).contains("__graft_band"), optimized(df))
+    val phys = physical(df)
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+
+  test("overlap self-join of constant-width windows is banded with owner-band exactly-once") {
+    import spark.implicits._
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 6 HOUR")).as("w_end"))
+    val a = v.select($"user_id", $"event_id".as("id_a"), $"w_start", $"w_end")
+    val b = v.select($"user_id".as("u_b"), $"event_id".as("id_b"),
+      $"w_start".as("b_w_start"), $"w_end".as("b_w_end"))
+    def naive = a.join(b, a("user_id") === b("u_b") &&
+      a("w_start") <= b("b_w_end") && b("b_w_start") <= a("w_end") &&
+      a("id_a") < b("id_b"))
+    assert(optimized(naive).contains("__graft_band"),
+      s"overlap rewrite did not fire:\n${optimized(naive)}")
+    val expected = withoutRule(sortedRows(naive))
+    assert(sortedRows(naive) == expected) // owner band: exactly once, no dups
+    assert(expected.nonEmpty)
+  }
+
+  test("overlap rewrite does NOT fire without a properness proof (soundness)") {
+    import spark.implicits._
+    // ends are arbitrary columns, not start + constant: a REVERSED left
+    // interval can still match a wide right one, so banding (which
+    // drops reversed rows) would be wrong — the rule must stay out.
+    val l = Seq((1L, 10L, "2024-01-05 00:00:00", "2024-01-01 00:00:00"), // reversed!
+      (1L, 11L, "2024-01-02 00:00:00", "2024-01-03 00:00:00"))
+      .toDF("k", "id_l", "s_s", "e_s")
+      .select($"k", $"id_l", $"s_s".cast("timestamp").as("l_start"),
+        $"e_s".cast("timestamp").as("l_end"))
+    val r = Seq((1L, 20L, "2023-12-01 00:00:00", "2024-02-01 00:00:00"))
+      .toDF("k", "id_r", "s_s", "e_s")
+      .select($"k", $"id_r", $"s_s".cast("timestamp").as("r_start"),
+        $"e_s".cast("timestamp").as("r_end"))
+    def q = l.join(r, l("k") === r("k") &&
+      l("l_start") <= r("r_end") && r("r_start") <= l("l_end"))
+    assert(!optimized(q).contains("__graft_band"),
+      s"unsound overlap rewrite fired on unproven intervals:\n${optimized(q)}")
+    // the reversed interval matches the wide one — 2 rows total
+    assert(q.count() == 2)
+  }
+
+  test("band width config is honored and a disabled rule is a clean no-op") {
+    val p = purchases
+    val v = views
+    def naive = p.join(v, p("user_id") === v("user_id") &&
+      p("ts") >= v("w_start") && p("ts") <= v("w_end"))
+    spark.conf.set(RangeJoinRewrite.BandSecondsKey, (7L * 86400L).toString)
+    try assert(optimized(naive).contains("__graft_band"))
+    finally spark.conf.unset(RangeJoinRewrite.BandSecondsKey)
+    withoutRule(assert(!optimized(naive).contains("__graft_band")))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** The stream-stream interval join must (1) plan as a
+  * StreamingSymmetricHashJoin with state-eviction watermarks derived
+  * from the range condition — NOT get banded by RangeJoinRewrite, whose
+  * streaming exemption exists precisely for this — and (2) drain to the
+  * exact batch pair set. */
+class StreamingAttributionSpec extends SparkSpec {
+
+  private lazy val src: String = {
+    val dir = java.nio.file.Files.createTempDirectory("attr-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming attribution pairs equal the batch interval join exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamingAttribution
+      .attributionPairs(graft.sources.Tables.normalizeEventTs(stream))
+      .writeStream.format("memory").queryName("attr_pairs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the streaming plan is the symmetric hash join with both state
+    // watermarks, not a banded/exploded rewrite
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.nonEmpty)
+    val stateOps = progress.last.stateOperators
+    assert(stateOps.nonEmpty && stateOps.exists(_.operatorName
+      .toLowerCase.contains("symmetrichashjoin")),
+      stateOps.map(_.operatorName).mkString(","))
+
+    val streamed = spark.table("attr_pairs")
+      .select($"view_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val batch = graft.operators.IntervalJoin.pointInInterval(
+      purchases, views, key = "user_id", ts = "ts",
+      start = "w_start", end = "w_end", bandSeconds = 3L * 86400L)
+      .select($"i_view_id", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
