@@ -145,6 +145,44 @@ class StreamScaleProbeSpec extends SparkSpec {
       s"anomaly state ${d.peakState} rows > $types event types")
   }
 
+  test("10x streaming attribution: join state evicts behind the watermark") {
+    gate()
+    // The stream-stream interval join's scale claim is that buffered
+    // state is bounded by the window horizon (3 days) + watermark delay
+    // behind the advancing event-time frontier — NOT by stream length.
+    // Draining in 8 time-ordered chunks advances the watermark between
+    // batches, so rows older than (frontier - horizon) must be GONE from
+    // the state store by the final batch.
+    val d = drain("sprobe_attr", eventChunkDir,
+      df => StreamingAttribution.attributionPairs(
+        Tables.normalizeEventTs(df), windowDays = 3, watermark = "1 hour"))
+    val views = probeEvents.where(col("event_type") === "view").count()
+    val purchases = probeEvents.where(col("event_type") === "purchase").count()
+    val joinInput = views + purchases
+    report("attributionPairs(3d window)", d,
+      s"events within 3d+1h of the watermark frontier (<= $joinInput join-side rows)")
+    assert(d.batches == nChunks)
+    // Eviction evidence: the events span ~months, so one 3-day horizon
+    // holds well under half the join input; without eviction peak state
+    // would approach joinInput as the last batch lands.
+    assert(d.peakState > 0, "no join state recorded — not a stateful join?")
+    assert(d.peakState < joinInput / 2,
+      s"join state ${d.peakState} ~ stream size $joinInput: eviction not firing")
+    // Pair output equals the batch banded join on the same 10x data.
+    val batchPairs = {
+      import spark.implicits._
+      val v = probeEvents.where($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+          ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+      val p = probeEvents.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      graft.operators.IntervalJoin.pointInInterval(p, v, key = "user_id",
+        ts = "ts", start = "w_start", end = "w_end",
+        bandSeconds = 3L * 86400L).count()
+    }
+    assert(spark.table("sprobe_attr").count() == batchPairs)
+  }
+
   test("10x streaming LM scoring drains against a 10x standing store") {
     gate()
     val storeDir = java.nio.file.Files.createTempDirectory("sprobe-lmstore").toString
