@@ -95,11 +95,13 @@ object Clustering {
     * so the literals below line up with the dumped parquet. */
   @volatile private var trainedCentroids: Option[Array[(Long, Array[Double])]] = None
 
-  /** τ used by the last [[q148SemanticDedup]] run — interpolated into
-    * its dynamic oracle (Double.toString round-trips through DuckDB's
-    * literal parser), so dumping the oracle after a non-default-τ run
-    * verifies against the threshold that actually produced the parquet. */
-  @volatile private var recordedTau: Double = 0.4
+  /** q148's own oracle snapshot: the centroid literals AND the τ they
+    * were run with, written in ONE volatile store — reading two globals
+    * written at different times (trainedCentroids by any clustering
+    * query, τ by q148) could pair a q73 retrain's centroids with a stale
+    * τ. Contract is still last-q148-call-wins (the Verify flow runs each
+    * query then dumps), but the pair itself can never be mixed. */
+  @volatile private var recorded148: Option[(Array[(Long, Array[Double])], Double)] = None
 
   /** q73's oracle, available once the query has trained: DuckDB replays
     * the argmax assignment against the centroid literals and rebuilds
@@ -267,7 +269,8 @@ object Clustering {
         else math.min(4096L, math.ceil(n / 1024.0).toLong).toInt
       }
     trainAndRecord(spark, d, kEff, iters)
-    recordedTau = tau // the dynamic oracle replays the SAME threshold
+    // one atomic snapshot: the oracle replays THESE centroids at THIS τ
+    recorded148 = trainedCentroids.map(cs => (cs, tau))
     val a = assign(spark, d, kEff, iters) // vec_id, cluster_id, cos-to-centroid
     val e = Tables.embeddings(spark, d)
       .select($"vec_id", Similarity.normalized($"embedding").as("v"))
@@ -295,7 +298,7 @@ object Clustering {
     * closure for components (min-id label, matching
     * [[Dedup.connectedComponents]]'s union-by-min-root), then the
     * min-cos-to-centroid keeper pick. Integer outputs only. */
-  def q148OracleSql: Option[String] = trainedCentroids.map { cs =>
+  def q148OracleSql: Option[String] = recorded148.map { case (cs, recordedTau) =>
     s"""${assignmentCtes(cs).replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (
        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b

@@ -55,6 +55,19 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * rule's own output — keeps the fixed-point optimizer batch convergent);
   * disabled with `spark.graft.rangeJoin.enabled=false`.
   *
+  * WIDTH SAFETY: an interval is exploded onto `width/band + 1` rows, a
+  * number the PLANNER cannot see — and open-ended validity intervals
+  * (`valid_to = 9999-12-31`, the classic SCD sentinel) would band onto
+  * millions of rows each, turning a slow-but-finishing nested-loop plan
+  * into an executor OOM. An auto-applied rule must never do that, so by
+  * default BOTH shapes fire only when the interval width is provably a
+  * non-negative CONSTANT (`hi = lo + const`, resolved through the side's
+  * own projections — attribution windows, session windows, validity
+  * ranges built as ts+window all qualify). Data-dependent widths are
+  * opt-in via `spark.graft.rangeJoin.allowUnboundedWidth=true` — the
+  * moral equivalent of Databricks' explicit range-join hint, for callers
+  * who know their intervals are short.
+  *
   * Band width is a config, not an inference: at 100 TB you set it near
   * the typical interval length (attribution windows, validity ranges),
   * exactly like the reference's operators take their window sizes as
@@ -66,17 +79,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.rangeJoin.enabled"
   val BandSecondsKey = "spark.graft.rangeJoin.bandSeconds"
+  val AllowUnboundedWidthKey = "spark.graft.rangeJoin.allowUnboundedWidth"
 
   private val bandP = "__graft_band_p"
   private val bandI = "__graft_band_i"
+
+  /** A malformed conf value must read as "rule off" plus a warning, not
+    * as an exception thrown from inside the optimizer at every
+    * join-bearing query in the session. */
+  private def confOrElse[T](key: String, default: T)(parse: String => T): T =
+    conf.getConfString(key, default.toString) match {
+      case raw =>
+        try parse(raw) catch {
+          case _: IllegalArgumentException =>
+            logWarning(s"ignoring malformed $key='$raw'; using $default")
+            default
+        }
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // tree-pattern pruning: this rule runs in the fixed-point operator
     // batch on EVERY query — join-free plans and subtrees must cost ~0
     if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN))
       return plan
-    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
-    val bandSeconds = conf.getConfString(BandSecondsKey, "86400").toLong
+    if (!confOrElse(EnabledKey, true)(_.toBoolean)) return plan
+    val bandSeconds = confOrElse(BandSecondsKey, 86400L)(_.toLong)
     if (bandSeconds <= 0) return plan
     val bandMicros = math.multiplyExact(bandSeconds, 1000000L)
     plan.transformUpWithPruning(
@@ -127,6 +154,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // Find a pair of conjuncts bounding one timestamp expression `p`
     // (entirely from one side) between `lo` and `hi` (entirely from the
     // other side, at least one of them actually referencing it).
+    // WIDTH SAFETY (scaladoc): without a proven constant width, an
+    // interval row's band count is unbounded at plan time — opt-in only.
+    val allowUnbounded = confOrElse(AllowUnboundedWidthKey, false)(_.toBoolean)
     val bounds = conjuncts.flatMap(asBound)
     val pointCandidates = for {
       (lo, p1) <- bounds
@@ -137,6 +167,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if p1.references.nonEmpty && sideOk(p1, pSide) &&
         sideOk(lo, iSide) && sideOk(hi, iSide) &&
         (lo.references.nonEmpty || hi.references.nonEmpty)
+      if allowUnbounded || provenWidth(lo, hi, iSide)
     } yield (p1, lo, hi, pointOnLeft)
 
     val point = pointCandidates.headOption.map { case (p, lo, hi, pointOnLeft) =>
@@ -256,15 +287,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Substitute attributes by their defining expressions from the
-    * plan's own Project/Filter/SubqueryAlias spine, to fixpoint. */
+    * plan's own projection spine, to fixpoint. The walk descends through
+    * Projects (collecting their aliases) and through any unary node that
+    * passes its child's attributes through untouched — Filter, Sort,
+    * Limit, Repartition and the like, recognized by output-set equality
+    * rather than an enumerated whitelist. Nodes that mint new attributes
+    * (Aggregate, Window, Generate) stop the walk: conservative, never
+    * wrong. */
   private def dealias(e: Expression, plan: LogicalPlan): Expression = {
     val defs = scala.collection.mutable.Map.empty[ExprId, Expression]
     def collect(p: LogicalPlan): Unit = p match {
       case Project(list, child) =>
         list.foreach { case a: Alias => defs(a.exprId) = a.child; case _ => }
         collect(child)
-      case f: Filter => collect(f.child)
       case s: SubqueryAlias => collect(s.child)
+      case u: UnaryNode if u.outputSet == u.child.outputSet => collect(u.child)
       case _ => ()
     }
     collect(plan)

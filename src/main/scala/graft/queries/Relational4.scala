@@ -265,24 +265,29 @@ object Relational4 {
     // Some(false) selects that form: same rows out (CoOccurrenceSpec
     // pins it), one extra exchange, per-key state bounded at one
     // counter. The DEFAULT (None) enforces the posture itself: a cheap
-    // key profile (JoinAdvisor's max_key_rows shape — one groupBy+max
-    // over the two-column distinct frame, LRU-cached per input plan so
-    // bench reruns pay it once) picks the window form only while the
-    // hottest item stays under `hotKeyRowLimit` baskets (~10M: the
-    // point where one window task's buffered state stops being a
-    // spill inconvenience and starts serializing the stage).
+    // key profile (JoinAdvisor's max_key_rows shape — the max over the
+    // SAME support aggregate the groupBy branch joins with, LRU-cached
+    // per input plan so bench reruns pay it once) picks the window form
+    // only while the hottest item stays under `hotKeyRowLimit` baskets
+    // (~10M: the point where one window task's buffered state stops
+    // being a spill inconvenience and starts serializing the stage).
+    // Two contract notes: (1) the profile is an EAGER one-row job at
+    // DataFrame-construction time — the price of a data-dependent plan
+    // decision; (2) like every PlanCache in the engine, the cached
+    // verdict keys on the canonicalized input plan, NOT the data under
+    // it — after regenerating data in place, PlanCache.clearAll() is
+    // the documented reset (util/PlanCache.scala).
+    val supportAgg =
+      items.groupBy($"l_partkey").agg(count(lit(1)).as("support"))
     val byWindow = supportByWindow.getOrElse(
-      maxItemKeyRows(items) <= hotKeyRowLimit)
+      maxItemKeyRows(items, supportAgg) <= hotKeyRowLimit)
     val pruned =
       if (byWindow)
         items.withColumn("support",
             count(lit(1)).over(Window.partitionBy($"l_partkey")))
           .where($"support" >= minCount)
       else
-        items.join(
-          items.groupBy($"l_partkey").agg(count(lit(1)).as("support"))
-            .where($"support" >= minCount),
-          Seq("l_partkey"))
+        items.join(supportAgg.where($"support" >= minCount), Seq("l_partkey"))
     val ranked = pruned
       .withColumn("rk", row_number().over(
         Window.partitionBy($"l_orderkey")
@@ -324,12 +329,11 @@ object Relational4 {
   private val keyProfileCache =
     new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.lang.Long](maxEntries = 8, onEvict = _ => ())
-  private def maxItemKeyRows(items: DataFrame): Long = {
+  private def maxItemKeyRows(items: DataFrame, supportAgg: DataFrame): Long = {
     val spark = items.sparkSession
     import spark.implicits._
     keyProfileCache.getOrElseUpdate(items.queryExecution.analyzed.canonicalized) {
-      val r = items.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
-        .agg(max($"n")).collect().head
+      val r = supportAgg.agg(max($"support")).collect().head
       java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
     }.longValue()
   }

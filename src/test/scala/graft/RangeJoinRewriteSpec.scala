@@ -78,7 +78,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
-  test("strict bounds and NULLs keep exact semantics") {
+  test("strict bounds and NULLs keep exact semantics (opt-in unbounded widths)") {
     import spark.implicits._
     val p = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-03 00:00:00"),
       (2L, "2024-01-02 00:00:00"), (3L, null))
@@ -89,14 +89,37 @@ class RangeJoinRewriteSpec extends SparkSpec {
       (1L, "2023-12-31 00:00:00", "2024-01-02 00:00:00"))
       .toDF("k", "lo_s", "hi_s")
       .select($"k", $"lo_s".cast("timestamp").as("lo"), $"hi_s".cast("timestamp").as("hi"))
-    // strict on the upper bound: boundary row 2024-01-03 must NOT match
-    // the [2024-01-01, 2024-01-03) interval
+    // lo/hi are arbitrary columns (no provable width) — the data-driven
+    // interval case a user opts into knowing their widths are short
     def q = p.join(i, p("k") === i("k") && p("ts") >= i("lo") && p("ts") < i("hi"))
-    assert(optimized(q).contains("__graft_band"))
-    val expected = withoutRule(sortedRows(q))
-    assert(sortedRows(q) == expected)
-    // independent truth: (1,Jan1)∈[Jan1,Jan3) + (1,Jan1)∈[Dec31,Jan2) = 2 rows
-    assert(expected.size == 2, expected.mkString("; "))
+    spark.conf.set(RangeJoinRewrite.AllowUnboundedWidthKey, "true")
+    try {
+      // strict on the upper bound: boundary row 2024-01-03 must NOT
+      // match the [2024-01-01, 2024-01-03) interval
+      assert(optimized(q).contains("__graft_band"))
+      val expected = withoutRule(sortedRows(q))
+      assert(sortedRows(q) == expected)
+      // independent truth: (1,Jan1)∈[Jan1,Jan3) + (1,Jan1)∈[Dec31,Jan2) = 2 rows
+      assert(expected.size == 2, expected.mkString("; "))
+    } finally spark.conf.unset(RangeJoinRewrite.AllowUnboundedWidthKey)
+  }
+
+  test("data-dependent interval widths are NOT auto-banded (width safety)") {
+    import spark.implicits._
+    // the SCD sentinel: an open-ended validity interval would explode
+    // onto ~2.9M bands per row at the default one-day band — the rule
+    // must leave unproven widths to Spark's plan unless opted in
+    val f = Seq((1L, "2024-01-02 00:00:00")).toDF("k", "ts_s")
+      .select($"k", $"ts_s".cast("timestamp").as("ts"))
+    val d = Seq((1L, "2024-01-01 00:00:00", "9999-12-31 00:00:00"))
+      .toDF("k", "from_s", "to_s")
+      .select($"k", $"from_s".cast("timestamp").as("valid_from"),
+        $"to_s".cast("timestamp").as("valid_to"))
+    def q = f.join(d, f("k") === d("k") &&
+      f("ts") >= d("valid_from") && f("ts") <= d("valid_to"))
+    assert(!optimized(q).contains("__graft_band"),
+      s"unbounded-width join was auto-banded:\n${optimized(q)}")
+    assert(q.count() == 1) // semantics untouched either way
   }
 
   test("already-banded library joins are left alone (no double banding)") {
