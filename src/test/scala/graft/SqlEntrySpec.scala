@@ -5,6 +5,26 @@ import graft.SparkSpec
 /** The SQL surface must agree with the DataFrame surface. */
 class SqlEntrySpec extends SparkSpec {
 
+  test("a naive BETWEEN range join written as SQL TEXT gets the banded plan") {
+    // the planner extension must serve spark.sql(...) callers exactly
+    // like DataFrame callers — same optimizer, same rewrite
+    SqlEntry.registerViews(spark, sfDir)
+    val df = spark.sql(
+      """SELECT v.event_id AS view_id, count(*) AS n_purchases
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, ts AS w_start,
+        |             ts + INTERVAL 3 DAY AS w_end FROM events
+        |      WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts BETWEEN v.w_start AND v.w_end
+        |GROUP BY v.event_id""".stripMargin)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_band"), s"SQL-text join not banded:\n$plan")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+
   test("SQL table summary equals the DataFrame q12 result") {
     val sql = SqlEntry.tableSummarySql(spark, sfDirMid).collect()
     val df = graft.queries.Metadata.q12TableSummary(spark, sfDirMid).collect()

@@ -57,4 +57,54 @@ class StreamingAttributionSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("restart from checkpoint resumes the join without duplicate or lost pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // time-ordered halves: the stream stops after half the data, then
+    // restarts on the same checkpoint with the rest — buffered join
+    // state must come back from the state store, and the file sink's
+    // commit log must keep the output exactly-once.
+    val events = graft.sources.Tables.events(spark, sfDir).orderBy($"ts")
+    val n = events.count()
+    val srcDir = java.nio.file.Files.createTempDirectory("attr-restart-src").toString
+    val half = events.limit((n / 2).toInt).cache()
+    half.coalesce(1).write.parquet(s"$srcDir/c0")
+    val outDir = java.nio.file.Files.createTempDirectory("attr-restart-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("attr-restart-ckpt").toString
+    val schema = spark.read.parquet(s"$srcDir/c0").schema
+
+    def drainOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/c*")
+      val q = StreamingAttribution
+        .attributionPairs(graft.sources.Tables.normalizeEventTs(stream))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce() // first half only
+    events.exceptAll(half).coalesce(1).write.parquet(s"$srcDir/c1")
+    half.unpersist()
+    drainOnce() // restart: second half against restored join state
+
+    val got = spark.read.parquet(outDir)
+      .select($"view_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val batch = graft.operators.IntervalJoin.pointInInterval(
+      purchases, views, key = "user_id", ts = "ts",
+      start = "w_start", end = "w_end", bandSeconds = 3L * 86400L)
+      .select($"i_view_id", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == batch,
+      s"${got.size} pairs after restart vs ${batch.size} in batch")
+  }
 }
