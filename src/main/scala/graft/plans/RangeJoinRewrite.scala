@@ -68,12 +68,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * moral equivalent of Databricks' explicit range-join hint, for callers
   * who know their intervals are short.
   *
-  * Band width is a config, not an inference: at 100 TB you set it near
-  * the typical interval length (attribution windows, validity ranges),
-  * exactly like the reference's operators take their window sizes as
-  * parameters. A band far below the interval length over-replicates the
-  * interval side; the default of one day is conservative for event-time
-  * analytics.
+  * Band width: when the width proof succeeds the proven width IS the
+  * band (replication maxes at 2 rows per interval, and points never
+  * hash into needlessly coarse bands); an explicitly-set
+  * `spark.graft.rangeJoin.bandSeconds` always overrides, and is the
+  * only band source for opt-in unbounded-width joins — there you set it
+  * near the typical interval length, exactly like the reference's
+  * operators take their window sizes as parameters.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -103,6 +104,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN))
       return plan
     if (!confOrElse(EnabledKey, true)(_.toBoolean)) return plan
+    // Was bandSeconds set by the user? An explicit value always wins;
+    // otherwise a proven interval width picks the band (chooseBand).
+    val explicitBand = conf.getConfString(BandSecondsKey, "").nonEmpty
     val bandSeconds = confOrElse(BandSecondsKey, 86400L)(_.toLong)
     if (bandSeconds <= 0) return plan
     val bandMicros = math.multiplyExact(bandSeconds, 1000000L)
@@ -115,7 +119,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // join already is an equi-ish stateful join, not a nested loop.
       case j @ Join(l, r, Inner, Some(cond), _)
           if !l.isStreaming && !r.isStreaming && eligible(cond) =>
-        rewrite(j, cond, bandMicros).getOrElse(j)
+        rewrite(j, cond, bandMicros, explicitBand).getOrElse(j)
     }
   }
 
@@ -146,7 +150,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case other => throw new IllegalStateException(s"not a timestamp: $other")
   }
 
-  private def rewrite(j: Join, cond: Expression, bandMicros: Long): Option[LogicalPlan] = {
+  /** Effective band width: an EXPLICIT `bandSeconds` conf always wins;
+    * otherwise, when the width proof succeeded, the proven width IS the
+    * best band — interval replication maxes at 2 rows and points don't
+    * hash into needlessly coarse bands (a 5-minute window under the
+    * 1-day default would put every same-day point and window into one
+    * band — the keyed-join degeneracy the rewrite exists to avoid).
+    * Floor of 1 s covers zero-width (as-of-shaped) intervals. Month
+    * components estimate at 31 days — an over-estimate only ever makes
+    * bands coarser, never drops coverage (correctness is band-agnostic). */
+  private def chooseBand(confBand: Long, explicitConf: Boolean,
+      provenWidths: Seq[Long]): Long =
+    if (explicitConf || provenWidths.isEmpty) confBand
+    else math.max(1000000L, provenWidths.max)
+
+  private def rewrite(j: Join, cond: Expression, confBandMicros: Long,
+      explicitBand: Boolean): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     def sideOk(e: Expression, side: LogicalPlan): Boolean =
       e.deterministic && e.references.subsetOf(side.outputSet)
@@ -167,10 +186,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if p1.references.nonEmpty && sideOk(p1, pSide) &&
         sideOk(lo, iSide) && sideOk(hi, iSide) &&
         (lo.references.nonEmpty || hi.references.nonEmpty)
-      if allowUnbounded || provenWidth(lo, hi, iSide)
-    } yield (p1, lo, hi, pointOnLeft)
+      width = widthEstimate(lo, hi, iSide)
+      if allowUnbounded || width.isDefined
+    } yield (p1, lo, hi, pointOnLeft, width)
 
-    val point = pointCandidates.headOption.map { case (p, lo, hi, pointOnLeft) =>
+    val point = pointCandidates.headOption.map { case (p, lo, hi, pointOnLeft, width) =>
+      val bandMicros = chooseBand(confBandMicros, explicitBand, width.toSeq)
       val bandW = Literal(bandMicros, LongType)
       val pBand = Alias(IntegralDivide(micros(p), bandW), bandP)()
       val (pointPlan, intervalPlan) =
@@ -196,7 +217,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Some((conjuncts :+ (bandEq: Expression)).reduce(And)), j.hint)
       Project(j.output, newJoin)
     }
-    point.orElse(rewriteOverlap(j, conjuncts, bandMicros))
+    point.orElse(rewriteOverlap(j, conjuncts, confBandMicros, explicitBand))
   }
 
   // ----- interval-overlap shape -------------------------------------
@@ -223,7 +244,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * else keeps Spark's plan.
     */
   private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
-      bandMicros: Long): Option[LogicalPlan] = {
+      confBandMicros: Long, explicitBand: Boolean): Option[LogicalPlan] = {
     def sideOk(e: Expression, side: LogicalPlan): Boolean =
       e.deterministic && e.references.nonEmpty &&
         e.references.subsetOf(side.outputSet)
@@ -235,10 +256,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       if Seq(ls, re, rs, le).forall(isTime)
       if sideOk(ls, j.left) && sideOk(le, j.left) &&
         sideOk(rs, j.right) && sideOk(re, j.right)
-      if provenWidth(ls, le, j.left) && provenWidth(rs, re, j.right)
-    } yield (ls, le, rs, re)
+      wl <- widthEstimate(ls, le, j.left)
+      wr <- widthEstimate(rs, re, j.right)
+    } yield (ls, le, rs, re, wl, wr)
 
-    candidates.headOption.map { case (ls, le, rs, re) =>
+    candidates.headOption.map { case (ls, le, rs, re, wl, wr) =>
+      val bandMicros = chooseBand(confBandMicros, explicitBand, Seq(wl, wr))
       val bandW = Literal(bandMicros, LongType)
       def band(e: Expression) = IntegralDivide(micros(e), bandW)
       def explodeOnto(side: LogicalPlan, s: Expression, e: Expression,
@@ -260,10 +283,6 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Proof that `end` = `start` + a non-negative constant width, looking
-    * through the side's own Project aliases (the join condition sees
-    * `w_end` as an attribute; its defining `ts + INTERVAL '12' HOUR`
-    * lives in the projection below). */
   /** Analysis wraps `ts + INTERVAL` in an identity cast
     * (`cast(... as timestamp)`); the optimizer usually removes it, but
     * the proof must not depend on rule ordering. */
@@ -272,17 +291,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => e
   }
 
-  private def provenWidth(start: Expression, end: Expression,
-      side: LogicalPlan): Boolean = {
+  private val DayMicros = 86400000000L
+
+  /** Proof that `end` = `start` + a non-negative constant width, looking
+    * through the side's own Project aliases (the join condition sees
+    * `w_end` as an attribute; its defining `ts + INTERVAL '12' HOUR`
+    * lives in the projection below). Returns the width estimate in
+    * microseconds — months counted as 31 days, an over-estimate that is
+    * only ever used to pick a band size ([[chooseBand]]), never for
+    * coverage. None = not provable. */
+  private def widthEstimate(start: Expression, end: Expression,
+      side: LogicalPlan): Option[Long] = {
     val s = stripNoopCast(dealias(start, side))
     stripNoopCast(dealias(end, side)) match {
-      case e if e.semanticEquals(s) => true // zero-width
-      case TimestampAddInterval(base, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _) =>
-        base.semanticEquals(s) &&
-          iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0
-      case TimestampAddInterval(base, Literal(us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _) =>
-        base.semanticEquals(s) && us >= 0L
-      case _ => false
+      case e if e.semanticEquals(s) => Some(0L) // zero-width
+      case TimestampAddInterval(base, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _)
+          if base.semanticEquals(s) &&
+            iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 =>
+        Some(iv.months * 31L * DayMicros + iv.days * DayMicros + iv.microseconds)
+      case TimestampAddInterval(base, Literal(us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _)
+          if base.semanticEquals(s) && us >= 0L =>
+        Some(us)
+      case _ => None
     }
   }
 

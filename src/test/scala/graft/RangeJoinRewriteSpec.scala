@@ -132,6 +132,10 @@ class RangeJoinRewriteSpec extends SparkSpec {
   test("q151: the registered naive-join query compiles to the banded plan") {
     val df = graft.operators.IntervalJoin.q151RangeJoinAuto(spark, sfDir)
     assert(optimized(df).contains("__graft_band"), optimized(df))
+    // band auto-derived from the PROVEN width (3-day window → 3-day
+    // bands, 259200000000 µs): max 2 exploded rows per interval, no
+    // needlessly coarse point hashing
+    assert(optimized(df).contains("259200000000"), optimized(df))
     val phys = physical(df)
     assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
     assert(df.count() > 0)
@@ -150,6 +154,8 @@ class RangeJoinRewriteSpec extends SparkSpec {
       a("id_a") < b("id_b"))
     assert(optimized(naive).contains("__graft_band"),
       s"overlap rewrite did not fire:\n${optimized(naive)}")
+    // band auto-derived from the proven 6-hour width (21600000000 µs)
+    assert(optimized(naive).contains("21600000000"), optimized(naive))
     val expected = withoutRule(sortedRows(naive))
     assert(sortedRows(naive) == expected) // owner band: exactly once, no dups
     assert(expected.nonEmpty)
