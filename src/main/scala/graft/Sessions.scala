@@ -47,6 +47,15 @@ object Sessions {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
     configs.foreach { case (k, v) => builder.config(k, v) }
+    // Operator knobs without a code change (A/B-ing the planner rule,
+    // band widths, skew-gate limits): semicolon-separated k=v pairs.
+    // Applied AFTER `configs`, so an override wins.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
