@@ -14,7 +14,7 @@ import graft.sources.Tables
   * DECIMAL-summed arithmetic everywhere, doubles only from identical
   * expression trees over exact inputs.
   */
-object Relational4 {
+object Relational4 extends org.apache.spark.internal.Logging {
 
   /** q79: activity streaks (gaps-and-islands) — per user, runs of
     * consecutive active days. The classic island key is
@@ -279,8 +279,19 @@ object Relational4 {
     // the documented reset (util/PlanCache.scala).
     val supportAgg =
       items.groupBy($"l_partkey").agg(count(lit(1)).as("support"))
-    val byWindow = supportByWindow.getOrElse(
-      maxItemKeyRows(items, supportAgg) <= hotKeyRowLimit)
+    // Logged (ADVICE r12): the construction-time profile job and the
+    // chosen form must be OBSERVABLE, not only documented — a stale
+    // cached verdict after in-place data regeneration otherwise looks
+    // identical to a fresh decision.
+    val byWindow = supportByWindow.getOrElse {
+      val hottest = maxItemKeyRows(items, supportAgg)
+      val chosen = hottest <= hotKeyRowLimit
+      logInfo(s"co-occurrence skew gate: hottest item key has $hottest " +
+        s"baskets (limit $hotKeyRowLimit) -> " +
+        (if (chosen) "window" else "groupBy+join") + " support form " +
+        "(verdict LRU-cached per input plan; PlanCache.clearAll() resets)")
+      chosen
+    }
     val pruned =
       if (byWindow)
         items.withColumn("support",
@@ -333,6 +344,8 @@ object Relational4 {
     val spark = items.sparkSession
     import spark.implicits._
     keyProfileCache.getOrElseUpdate(items.queryExecution.analyzed.canonicalized) {
+      logInfo("co-occurrence skew gate: running the eager one-row key-profile " +
+        "job now (cache miss for this input plan)")
       val r = supportAgg.agg(max($"support")).collect().head
       java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
     }.longValue()
