@@ -237,6 +237,97 @@ object IntervalJoin {
       |GROUP BY a.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** q153: the LEFT OUTER half of attribution — EVERY view, with the
+    * purchases that followed it within 3 days, zero-purchase views kept
+    * (n_purchases = 0, NULL value). Written naively in the LOOKBACK
+    * spelling (`v.ts BETWEEN p.ts − 3d AND p.ts` — the view is the
+    * point, the purchase carries the window), which makes the PRESERVED
+    * side the point side: exactly the orientation
+    * [[graft.plans.RangeJoinRewrite]] can band for an outer join (the
+    * view row gains one band column, no replication, so unmatched views
+    * null-extend exactly once). The width proof fires on the
+    * `p.ts − INTERVAL 3 DAY` lookback form (constant negative shift of
+    * the other bound). */
+  def q153LeftOuterAuto(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        $"ts".as("p_ts"), $"value")
+    views.join(purchases,
+        views("user_id") === purchases("p_user_id") &&
+          views("v_ts") >= purchases("p_ts") - expr("INTERVAL 3 DAY") &&
+          views("v_ts") <= purchases("p_ts"),
+        "left_outer")
+      .groupBy($"view_id")
+      .agg(count($"purchase_id").as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("purch_value"))
+      .orderBy($"view_id")
+  }
+
+  val q153Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS v_ts
+      |  FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.view_id, count(p.purchase_id) AS n_purchases,
+      |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+      |FROM v LEFT JOIN p ON p.user_id = v.user_id
+      |   AND v.v_ts >= p.p_ts - INTERVAL 3 DAY AND v.v_ts <= p.p_ts
+      |GROUP BY v.view_id
+      |ORDER BY v.view_id""".stripMargin
+
+  /** q154: day-granularity attribution over DATE-typed bounds — the
+    * validity-table shape (`p_date BETWEEN v_date AND v_date + 7`) that
+    * silently kept Spark's nested-loop plan while the rewrite was
+    * timestamp-only. `date_add(v_date, 7)` proves the 7-day constant
+    * width; days→micros is the monotone band map. */
+  def q154DateRangeAuto(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"),
+        to_date($"ts").as("v_date"),
+        date_add(to_date($"ts"), 7).as("w_end_date"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id".as("p_user_id"),
+        to_date($"ts").as("p_date"), $"value")
+    purchases.join(views,
+        purchases("p_user_id") === views("user_id") &&
+          purchases("p_date") >= views("v_date") &&
+          purchases("p_date") <= views("w_end_date"))
+      .groupBy($"view_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("purch_value"))
+      .orderBy($"view_id")
+  }
+
+  val q154Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, CAST(ts AS DATE) AS v_date,
+      |         CAST(ts AS DATE) + 7 AS w_end_date FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT event_id, user_id, CAST(ts AS DATE) AS p_date, value
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.view_id, count(*) AS n_purchases,
+      |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |   AND p.p_date >= v.v_date AND p.p_date <= v.w_end_date
+      |GROUP BY v.view_id
+      |ORDER BY v.view_id""".stripMargin
+
   val q63Sql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value

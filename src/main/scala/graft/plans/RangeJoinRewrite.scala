@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: rewrite a naive point-in-interval join into the
   * banded equi-join that [[graft.operators.IntervalJoin]] exposes as a
@@ -50,10 +50,17 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *  - the rewrite only ADDs band columns and projects them away at the
   *    top, preserving the join's exact output attributes.
   *
-  * Guards: inner joins only; skipped when the condition already touches
-  * a `__band`/`__graft_band` column (the library's banded joins, and this
-  * rule's own output — keeps the fixed-point optimizer batch convergent);
-  * disabled with `spark.graft.rangeJoin.enabled=false`.
+  * Guards: Inner joins, plus Left/RightOuter when the PRESERVED side is
+  * the point side (the preserved side then gains exactly one band column
+  * — no replication — so null-extension multiplicity is preserved; the
+  * interval-preserved orientation and FullOuter keep Spark's plan).
+  * TIMESTAMP, TIMESTAMP_NTZ and DATE bounds all band (days→micros is a
+  * monotone map; all three bound expressions must share one type, which
+  * analysis guarantees for comparisons). Skipped when the condition
+  * already touches a `__band`/`__graft_band` column (the library's
+  * banded joins, and this rule's own output — keeps the fixed-point
+  * optimizer batch convergent); disabled with
+  * `spark.graft.rangeJoin.enabled=false`.
   *
   * WIDTH SAFETY: an interval is exploded onto `width/band + 1` rows, a
   * number the PLANNER cannot see — and open-ended validity intervals
@@ -104,12 +111,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN))
       return plan
     if (!confOrElse(EnabledKey, true)(_.toBoolean)) return plan
-    // Was bandSeconds set by the user? An explicit value always wins;
-    // otherwise a proven interval width picks the band (chooseBand).
-    val explicitBand = conf.getConfString(BandSecondsKey, "").nonEmpty
+    // Was bandSeconds set by the user? A VALID explicit value always
+    // wins; otherwise a proven interval width picks the band
+    // (chooseBand). A malformed explicit value must not count as
+    // explicit — it would silently pin every opt-in unbounded-width
+    // join to the 86400 s default while claiming the user chose it.
     val bandSeconds = confOrElse(BandSecondsKey, 86400L)(_.toLong)
+    val explicitBand = conf.getConfString(BandSecondsKey, "") match {
+      case "" => false
+      case raw => scala.util.Try(raw.trim.toLong).toOption.contains(bandSeconds)
+    }
     if (bandSeconds <= 0) return plan
-    val bandMicros = math.multiplyExact(bandSeconds, 1000000L)
+    // Same degrade-to-off contract as confOrElse: an absurd explicit
+    // value (band width overflowing a Long of microseconds) must read
+    // as "rule off" with a warning, never as an ArithmeticException
+    // thrown from inside the optimizer at every join-bearing query.
+    val bandMicros =
+      try math.multiplyExact(bandSeconds, 1000000L)
+      catch {
+        case _: ArithmeticException =>
+          logWarning(s"ignoring $BandSecondsKey=$bandSeconds (microsecond band " +
+            "width overflows Long); range-join rewrite disabled for this plan")
+          return plan
+      }
     plan.transformUpWithPruning(
       _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
       // Streaming joins are exempt: StreamingSymmetricHashJoin derives
@@ -117,10 +141,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // (that's how join state stays bounded); banding one would trade
       // the built-in eviction analysis for nothing — the symmetric hash
       // join already is an equi-ish stateful join, not a nested loop.
-      case j @ Join(l, r, Inner, Some(cond), _)
-          if !l.isStreaming && !r.isStreaming && eligible(cond) =>
+      case j @ Join(l, r, jt, Some(cond), _)
+          if supportedJoinType(jt) && !l.isStreaming && !r.isStreaming &&
+            eligible(cond) =>
         rewrite(j, cond, bandMicros, explicitBand).getOrElse(j)
     }
+  }
+
+  /** Outer joins are band-safe ONLY when the PRESERVED side is the
+    * point side (enforced in [[rewrite]]): the point side gains exactly
+    * one band column — no replication — so unmatched preserved rows
+    * null-extend exactly once, same as the naive plan, while the
+    * exploded interval side is the non-preserved side, where replication
+    * only feeds the match search and the degenerate-interval pre-filter
+    * only removes rows that could never satisfy the kept conjuncts.
+    * Preserving the EXPLODED side would emit one null-extended row per
+    * band for every unmatched interval (and the pre-filter would drop
+    * preserved rows outright) — FullOuter therefore can never band, and
+    * Left/RightOuter with the interval side preserved keeps Spark's
+    * plan. Semi/anti shapes don't reach here (no Join condition
+    * conjuncts survive into them in this form). */
+  private def supportedJoinType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter => true
+    case _ => false
   }
 
   /** Cheap pre-screen; the real shape check happens in [[rewrite]]. */
@@ -138,16 +181,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def isTime(e: Expression): Boolean =
-    e.dataType == TimestampType || e.dataType == TimestampNTZType
+    e.dataType == TimestampType || e.dataType == TimestampNTZType ||
+      e.dataType == DateType
 
-  /** Microsecond epoch of a timestamp expression. Any monotone map works
-    * as long as p/lo/hi go through the SAME one, so the NTZ branch's
-    * session-zone interpretation is irrelevant to correctness. */
+  /** Microsecond epoch of a timestamp/date expression. Any monotone map
+    * works as long as p/lo/hi go through the SAME one (guaranteed: the
+    * candidate guard requires all three to share one dataType — binary
+    * comparisons force that at analysis anyway), so the NTZ branch's
+    * session-zone interpretation is irrelevant to correctness, and the
+    * DATE branch's days→micros scaling (no timezone at all) is just a
+    * monotone injection into the same Long domain. */
   private def micros(e: Expression): Expression = e.dataType match {
     case TimestampType => UnixMicros(e)
     case TimestampNTZType =>
       UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
-    case other => throw new IllegalStateException(s"not a timestamp: $other")
+    case DateType =>
+      Multiply(Cast(UnixDate(e), LongType), Literal(DayMicros, LongType))
+    case other => throw new IllegalStateException(s"not a timestamp/date: $other")
   }
 
   /** Effective band width: an EXPLICIT `bandSeconds` conf always wins;
@@ -181,7 +231,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       (lo, p1) <- bounds
       (p2, hi) <- bounds
       if p1.semanticEquals(p2) && isTime(p1) && isTime(lo) && isTime(hi)
+      // one SHARED monotone micros() map: comparisons force equal types
+      // at analysis, but the banding proof rests on it, so enforce it
+      if p1.dataType == lo.dataType && p1.dataType == hi.dataType
       pointOnLeft <- Seq(true, false)
+      // Outer joins: only the point-side-preserved orientation is band-
+      // safe (see supportedJoinType) — the other orientation keeps
+      // Spark's plan rather than replicate preserved rows across bands.
+      if (j.joinType match {
+        case Inner => true
+        case LeftOuter => pointOnLeft
+        case RightOuter => !pointOnLeft
+        case _ => false
+      })
       (pSide, iSide) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
       if p1.references.nonEmpty && sideOk(p1, pSide) &&
         sideOk(lo, iSide) && sideOk(hi, iSide) &&
@@ -191,6 +253,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     } yield (p1, lo, hi, pointOnLeft, width)
 
     val point = pointCandidates.headOption.map { case (p, lo, hi, pointOnLeft, width) =>
+      // Opt-in unbounded width with no (valid) explicit band: the rule
+      // will still fire — that's what the opt-in means — but the caller
+      // must be TOLD which band width their unproven intervals are
+      // being exploded with, because a data-dependent interval far
+      // wider than the default still explodes onto many bands.
+      if (width.isEmpty && !explicitBand)
+        logWarning(s"$AllowUnboundedWidthKey=true with no explicit " +
+          s"$BandSecondsKey: interval width is not provably constant; " +
+          s"banding with the ${confBandMicros / 1000000L}s default — set " +
+          s"$BandSecondsKey near the typical interval length")
       val bandMicros = chooseBand(confBandMicros, explicitBand, width.toSeq)
       val bandW = Literal(bandMicros, LongType)
       val pBand = Alias(IntegralDivide(micros(p), bandW), bandP)()
@@ -213,7 +285,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val bandEq = EqualTo(pBand.toAttribute, iBandAttr)
       val (newLeft, newRight) =
         if (pointOnLeft) (newPoint, newInterval) else (newInterval, newPoint)
-      val newJoin = Join(newLeft, newRight, Inner,
+      val newJoin = Join(newLeft, newRight, j.joinType,
         Some((conjuncts :+ (bandEq: Expression)).reduce(And)), j.hint)
       Project(j.output, newJoin)
     }
@@ -245,6 +317,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def rewriteOverlap(j: Join, conjuncts: Seq[Expression],
       confBandMicros: Long, explicitBand: Boolean): Option[LogicalPlan] = {
+    // BOTH sides explode in the overlap shape, so any outer-preserved
+    // side would replicate its unmatched rows once per band: Inner only.
+    if (j.joinType != Inner) return None
     def sideOk(e: Expression, side: LogicalPlan): Boolean =
       e.deterministic && e.references.nonEmpty &&
         e.references.subsetOf(side.outputSet)
@@ -293,27 +368,59 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val DayMicros = 86400000000L
 
-  /** Proof that `end` = `start` + a non-negative constant width, looking
-    * through the side's own Project aliases (the join condition sees
-    * `w_end` as an attribute; its defining `ts + INTERVAL '12' HOUR`
-    * lives in the projection below). Returns the width estimate in
-    * microseconds — months counted as 31 days, an over-estimate that is
-    * only ever used to pick a band size ([[chooseBand]]), never for
-    * coverage. None = not provable. */
+  /** Proof that the interval `[start, end]` has a constant width,
+    * looking through the side's own Project aliases (the join condition
+    * sees `w_end` as an attribute; its defining `ts + INTERVAL '12'
+    * HOUR` lives in the projection below). TWO provable spellings:
+    *
+    *  - forward window:  `end = start + const` (const ≥ 0) — attribution
+    *    windows built as `ts + window`;
+    *  - lookback window: `start = end − const` — the equally common
+    *    `p BETWEEN anchor − W AND anchor` form ("views within 3 days
+    *    BEFORE the purchase"), which reaches the optimizer as
+    *    `start = end + negative-literal` after subtraction folding.
+    *
+    * Timestamp (`TimestampAddInterval` over calendar or day-time
+    * intervals) and DATE (`date_add`/`date_sub`/`+ INTERVAL`) arithmetic
+    * both qualify. Returns the width estimate in microseconds — months
+    * counted as 31 days, an over-estimate that is only ever used to pick
+    * a band size ([[chooseBand]]), never for coverage. None = not
+    * provable. */
   private def widthEstimate(start: Expression, end: Expression,
       side: LogicalPlan): Option[Long] = {
     val s = stripNoopCast(dealias(start, side))
-    stripNoopCast(dealias(end, side)) match {
-      case e if e.semanticEquals(s) => Some(0L) // zero-width
-      case TimestampAddInterval(base, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _)
-          if base.semanticEquals(s) &&
-            iv.months >= 0 && iv.days >= 0 && iv.microseconds >= 0 =>
-        Some(iv.months * 31L * DayMicros + iv.days * DayMicros + iv.microseconds)
-      case TimestampAddInterval(base, Literal(us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _)
-          if base.semanticEquals(s) && us >= 0L =>
-        Some(us)
-      case _ => None
-    }
+    val e = stripNoopCast(dealias(end, side))
+    if (e.semanticEquals(s)) Some(0L) // zero-width (as-of shape)
+    else constShift(e, s).filter(_ >= 0L)
+      .orElse(constShift(s, e).filter(_ <= 0L).map(w => -w))
+  }
+
+  /** Mixed-sign calendar intervals (`1 month − 2 days`) have no
+    * direction a width proof can lean on; uniform-sign ones estimate at
+    * 31-day months. */
+  private def ivMicros(months: Long, days: Long, us: Long): Option[Long] =
+    if ((months >= 0 && days >= 0 && us >= 0) ||
+        (months <= 0 && days <= 0 && us <= 0))
+      Some(months * 31L * DayMicros + days * DayMicros + us)
+    else None
+
+  /** If `e` is `base` shifted by a constant literal (timestamp-interval
+    * or date-day arithmetic), the SIGNED shift estimate in microseconds. */
+  private def constShift(e: Expression, base: Expression): Option[Long] = e match {
+    case TimestampAddInterval(b, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _)
+        if b.semanticEquals(base) =>
+      ivMicros(iv.months, iv.days, iv.microseconds)
+    case TimestampAddInterval(b, Literal(us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType), _)
+        if b.semanticEquals(base) =>
+      Some(us)
+    case DateAdd(b, Literal(days: java.lang.Integer, _)) if b.semanticEquals(base) =>
+      Some(days.longValue * DayMicros)
+    case DateSub(b, Literal(days: java.lang.Integer, _)) if b.semanticEquals(base) =>
+      Some(-days.longValue * DayMicros)
+    case DateAddInterval(b, Literal(iv: org.apache.spark.unsafe.types.CalendarInterval, _), _, _)
+        if b.semanticEquals(base) =>
+      ivMicros(iv.months, iv.days, iv.microseconds)
+    case _ => None
   }
 
   /** Substitute attributes by their defining expressions from the

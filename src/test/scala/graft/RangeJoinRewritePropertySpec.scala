@@ -84,6 +84,72 @@ class RangeJoinRewritePropertySpec extends SparkSpec {
     assert(checked == 16)
   }
 
+  test("DATE-typed bounds: rewritten join == naive join over seeded random data") {
+    import spark.implicits._
+    // dates on a ~60-day lattice so p == lo, p == hi, lo == hi boundary
+    // collisions are common; widths 0..13 days (0 = the as-of shape)
+    def latticeDate(rnd: scala.util.Random): java.sql.Date =
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(60)))
+    for (seed <- 21 to 23) {
+      val rnd = new scala.util.Random(seed)
+      val widthDays = rnd.nextInt(14)
+      val points = viaParquet(Seq.fill(120)((
+        rnd.nextInt(6).toLong,
+        if (rnd.nextInt(20) == 0) null else latticeDate(rnd)))
+        .toDF("k", "d"), s"dpts$seed")
+      val intervals = viaParquet(Seq.fill(40)((
+        rnd.nextInt(6).toLong,
+        if (rnd.nextInt(20) == 0) null else latticeDate(rnd)))
+        .toDF("k", "lo"), s"divl$seed")
+        .select($"k", $"lo", date_add($"lo", widthDays).as("hi"))
+      def q = points.join(intervals, points("k") === intervals("k") &&
+        points("d") >= intervals("lo") && points("d") <= intervals("hi"))
+      val expected = withoutRule(sortedRows(q))
+      for (band <- Seq(43200L, 86400L, 5L * 86400L)) { // incl. sub-day bands
+        spark.conf.set(RangeJoinRewrite.BandSecondsKey, band.toString)
+        try {
+          val plan = q.queryExecution.optimizedPlan.toString
+          assert(plan.contains("__graft_band"),
+            s"seed=$seed band=$band: DATE rule did not fire\n$plan")
+          assert(sortedRows(q) == expected,
+            s"seed=$seed band=$band width=${widthDays}d")
+        } finally spark.conf.unset(RangeJoinRewrite.BandSecondsKey)
+      }
+      if (seed == 21) assert(expected.nonEmpty)
+    }
+  }
+
+  test("LEFT OUTER point-preserved: rewritten join == naive join, null extension exact") {
+    import spark.implicits._
+    // lookback spelling (`p BETWEEN anchor - W AND anchor`) so the
+    // PRESERVED side is the point side; random data makes both matched
+    // multiplicities and unmatched null-extensions common
+    for (seed <- 31 to 33) {
+      val rnd = new scala.util.Random(seed)
+      val widthHours = 1 + rnd.nextInt(72)
+      val points = viaParquet(Seq.fill(100)((
+        rnd.nextInt(8).toLong,
+        if (rnd.nextInt(20) == 0) null else latticeTs(rnd)))
+        .toDF("k", "ts"), s"lopts$seed")
+      val anchors = viaParquet(Seq.fill(30)((
+        rnd.nextInt(8).toLong, rnd.nextLong(),
+        if (rnd.nextInt(20) == 0) null else latticeTs(rnd)))
+        .toDF("k2", "id", "anchor"), s"loanc$seed")
+      def q = points.join(anchors, points("k") === anchors("k2") &&
+        points("ts") >= anchors("anchor") - expr(s"INTERVAL $widthHours HOUR") &&
+        points("ts") <= anchors("anchor"), "left_outer")
+      val expected = withoutRule(sortedRows(q))
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+        s"seed=$seed: left-outer rule did not fire")
+      assert(sortedRows(q) == expected, s"seed=$seed width=${widthHours}h")
+      if (seed == 31) {
+        assert(expected.nonEmpty)
+        assert(withoutRule(q.where($"id".isNull).count()) > 0,
+          "no unmatched points — outer property vacuous")
+      }
+    }
+  }
+
   test("overlap rewrite == naive overlap over seeded random window sets") {
     import spark.implicits._
     for (seed <- 10 to 12) {

@@ -183,6 +183,97 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(q.count() == 2)
   }
 
+  test("LEFT OUTER with the point side preserved is banded; null extension exact") {
+    import spark.implicits._
+    // q153's shape: every view kept, matched to purchases whose lookback
+    // window [p_ts - 3d, p_ts] contains the view — point side (views) is
+    // the preserved side, so banding adds one column and no replication
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val p = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        $"ts".as("p_ts"))
+    def naive = v.join(p, v("user_id") === p("p_user_id") &&
+      v("v_ts") >= p("p_ts") - expr("INTERVAL 3 DAY") &&
+      v("v_ts") <= p("p_ts"), "left_outer")
+    // fires WITHOUT the unbounded-width opt-in: the lookback spelling
+    // (`start = anchor - const`) is a proven constant width
+    assert(optimized(naive).contains("__graft_band"),
+      s"left-outer point-preserved join was not banded:\n${optimized(naive)}")
+    val expected = withoutRule(sortedRows(naive))
+    val got = sortedRows(naive)
+    assert(got == expected)
+    // non-vacuous outer semantics: some views must be UNMATCHED (null-
+    // extended exactly once) and some matched
+    val unmatched = naive.where($"purchase_id".isNull).count()
+    assert(unmatched > 0, "no unmatched views — outer case vacuous")
+    assert(expected.size > unmatched)
+  }
+
+  test("outer joins preserving the INTERVAL side keep Spark's plan (soundness)") {
+    import spark.implicits._
+    val v = views // carries the provable-width window [w_start, w_end]
+    val p = purchases
+    // left outer, views preserved, views = interval side: an unmatched
+    // view would null-extend once per exploded band — must NOT band
+    def intervalPreserved = v.join(p, p("user_id") === v("user_id") &&
+      p("ts") >= v("w_start") && p("ts") <= v("w_end"), "left_outer")
+    assert(!optimized(intervalPreserved).contains("__graft_band"),
+      s"interval-preserved outer join was banded:\n${optimized(intervalPreserved)}")
+    // full outer: both orientations replicate one side — never banded
+    def full = p.join(v, p("user_id") === v("user_id") &&
+      p("ts") >= v("w_start") && p("ts") <= v("w_end"), "full_outer")
+    assert(!optimized(full).contains("__graft_band"))
+  }
+
+  test("RIGHT OUTER with the point side on the right is banded; results exact") {
+    import spark.implicits._
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val p = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        $"ts".as("p_ts"))
+    def naive = p.join(v, v("user_id") === p("p_user_id") &&
+      v("v_ts") >= p("p_ts") - expr("INTERVAL 3 DAY") &&
+      v("v_ts") <= p("p_ts"), "right_outer")
+    assert(optimized(naive).contains("__graft_band"),
+      s"right-outer point-preserved join was not banded:\n${optimized(naive)}")
+    assert(sortedRows(naive) == withoutRule(sortedRows(naive)))
+  }
+
+  test("q154: DATE-typed bounds band through days→micros; proven 7-day band") {
+    val df = graft.operators.IntervalJoin.q154DateRangeAuto(spark, sfDir)
+    assert(optimized(df).contains("__graft_band"), optimized(df))
+    // band auto-derived from the proven date_add width: 7 days in µs
+    assert(optimized(df).contains("604800000000"), optimized(df))
+    val phys = physical(df)
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+
+  test("DATE bounds with unproven widths are NOT auto-banded") {
+    import spark.implicits._
+    // hi is last_day(lo) — data-dependent (28..31 days minus day-of-
+    // month), so no constant-width proof exists; stays on Spark's plan
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", to_date($"ts").as("lo"),
+        last_day($"ts").as("hi"))
+    val p = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"user_id".as("pu"), to_date($"ts").as("p_date"))
+    def q = p.join(v, p("pu") === v("user_id") &&
+      p("p_date") >= v("lo") && p("p_date") <= v("hi"))
+    assert(!optimized(q).contains("__graft_band"),
+      s"unproven DATE width was auto-banded:\n${optimized(q)}")
+  }
+
+  test("q153: the registered left-outer query compiles to the banded plan") {
+    val df = graft.operators.IntervalJoin.q153LeftOuterAuto(spark, sfDir)
+    assert(optimized(df).contains("__graft_band"), optimized(df))
+    val phys = physical(df)
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+
   test("band width config is honored and a disabled rule is a clean no-op") {
     val p = purchases
     val v = views
@@ -192,5 +283,21 @@ class RangeJoinRewriteSpec extends SparkSpec {
     try assert(optimized(naive).contains("__graft_band"))
     finally spark.conf.unset(RangeJoinRewrite.BandSecondsKey)
     withoutRule(assert(!optimized(naive).contains("__graft_band")))
+  }
+
+  test("absurd bandSeconds degrades to rule-off, never an optimizer exception") {
+    val p = purchases
+    val v = views
+    def naive = p.join(v, p("user_id") === v("user_id") &&
+      p("ts") >= v("w_start") && p("ts") <= v("w_end"))
+    // parses as a Long but overflows when scaled to microseconds: the
+    // conf contract is warn + degrade, not ArithmeticException from
+    // inside the optimizer on every join-bearing query
+    spark.conf.set(RangeJoinRewrite.BandSecondsKey, "10000000000000")
+    try {
+      val plan = optimized(naive) // must not throw
+      assert(!plan.contains("__graft_band"), plan)
+      assert(naive.count() > 0)
+    } finally spark.conf.unset(RangeJoinRewrite.BandSecondsKey)
   }
 }
