@@ -537,11 +537,51 @@ object TextAnalysis {
   /** The familiarity scoring kernel: `docs` against an arbitrary bigram
     * count table (recomputed here, or the standing
     * [[CorpusStatsStore]] state — the online path). */
-  def familiarityScore(docs: DataFrame, counts: DataFrame): DataFrame = {
+  def familiarityScore(docs: DataFrame, counts: DataFrame): DataFrame =
+    familiarityScoreKeyed(docs, counts, identity)
+
+  /** The 100 TB production dial for [[bigramFamiliarityOf]]: FEATURE-
+    * HASHED familiarity. The exact form's count table grows with the
+    * corpus vocabulary (Heaps' law — the one super-linear component the
+    * 10× probe surfaced on q104); hashing every bigram into a fixed
+    * `buckets`-slot space (default 2^20) caps the count table, the
+    * familiar-set broadcast, and the per-corpus state at a CONSTANT
+    * independent of corpus size, at the price of hash collisions
+    * slightly inflating some counts. Expected collision fraction is
+    * ~vocab/(2·buckets) (birthday bound), so at 2^20 buckets a
+    * million-bigram vocabulary mis-merges ≲ a few percent of keys —
+    * FamiliarityHashedSpec pins the observed collision rate under
+    * vocab/buckets and rank-agreement with the exact scores at test SF.
+    * The exact form stays the oracle surface (q104); this is the knob a
+    * deployment turns when the vocabulary no longer fits.
+    *
+    * Shares [[bigramCountsOf]]'s materialized count table (one corpus
+    * tokenize+shuffle serves lift, exact familiarity, and this), then
+    * re-keys it by bucket — a groupBy over the already-aggregated
+    * (bigram, n) table, far cheaper than re-scanning text. xxhash64 is
+    * codegen'd, seed-stable, and collision-quality enough for counting. */
+  def familiarityHashed(docs: DataFrame, buckets: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bucketed = bigramCountsOf(docs)
+      .groupBy(pmod(xxhash64($"bigram"), lit(buckets.toLong)).as("bigram"))
+      .agg(sum($"n_ab").as("n"))
+    familiarityScoreKeyed(docs, bucketed,
+      c => pmod(xxhash64(c), lit(buckets.toLong)))
+  }
+
+  /** Shared scoring kernel: doc-side bigrams and the count table meet on
+    * `key(bigram)` — identity for the exact form, a feature-hash bucket
+    * for [[familiarityHashed]]. The count table must already be keyed
+    * by the same map. */
+  private def familiarityScoreKeyed(docs: DataFrame, counts: DataFrame,
+      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bg = docs.where($"text".isNotNull)
-      .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram"))
+      .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram0"))
+      .select($"doc_id", key($"bigram0").as("bigram"))
     val stats = counts.agg(sum($"n").as("n_total"), count(lit(1)).as("n_distinct"))
     val familiar = counts.crossJoin(broadcast(stats))
       .where($"n" * $"n_distinct" >= $"n_total")
