@@ -328,6 +328,47 @@ object IntervalJoin {
       |GROUP BY v.view_id
       |ORDER BY v.view_id""".stripMargin
 
+  /** q155: UNCONVERTED views — views with NO purchase by the same user
+    * within the 3 days after them, as a plain `left_anti` range join.
+    * Same lookback spelling as q153 (views are the point side, on the
+    * left — the only orientation where semi/anti can band: the banded
+    * match SET equals the naive one, so "no match exists" is preserved
+    * verbatim). This is the J1/J2 anti-join family
+    * (service_refresh.go:82-88) with a time window instead of an
+    * equality — the decontamination-window shape. */
+  def q155AntiJoinAuto(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, d)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"))
+    views.join(purchases,
+        views("user_id") === purchases("p_user_id") &&
+          views("v_ts") >= purchases("p_ts") - expr("INTERVAL 3 DAY") &&
+          views("v_ts") <= purchases("p_ts"),
+        "left_anti")
+      .select($"view_id", $"user_id", $"v_ts")
+      .orderBy($"view_id")
+  }
+
+  val q155Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, ts AS v_ts
+      |  FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT user_id, ts AS p_ts FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT v.view_id, v.user_id, v.v_ts
+      |FROM v
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |    AND v.v_ts >= p.p_ts - INTERVAL 3 DAY AND v.v_ts <= p.p_ts)
+      |ORDER BY v.view_id""".stripMargin
+
   val q63Sql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value

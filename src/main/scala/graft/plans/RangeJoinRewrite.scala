@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
@@ -159,10 +159,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * band for every unmatched interval (and the pre-filter would drop
     * preserved rows outright) — FullOuter therefore can never band, and
     * Left/RightOuter with the interval side preserved keeps Spark's
-    * plan. Semi/anti shapes don't reach here (no Join condition
-    * conjuncts survive into them in this form). */
+    * plan.
+    *
+    * LeftSemi/LeftAnti band under the same point-on-left condition:
+    * only the left side is output, and the banded match SET equals the
+    * naive match set (a pair meets exactly in the point's band), so
+    * "any match exists" / "no match exists" are preserved verbatim —
+    * the decontamination-window and stale-refresh anti-join shapes.
+    * Point-on-RIGHT semi/anti cannot band (the output side would be
+    * the exploded one). */
   private def supportedJoinType(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | RightOuter => true
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
     case _ => false
   }
 
@@ -240,7 +247,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // Spark's plan rather than replicate preserved rows across bands.
       if (j.joinType match {
         case Inner => true
-        case LeftOuter => pointOnLeft
+        case LeftOuter | LeftSemi | LeftAnti => pointOnLeft
         case RightOuter => !pointOnLeft
         case _ => false
       })

@@ -274,6 +274,48 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("LEFT SEMI / LEFT ANTI with the point on the left are banded; sets exact") {
+    import spark.implicits._
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val p = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"))
+    def shaped(kind: String) = v.join(p, v("user_id") === p("p_user_id") &&
+      v("v_ts") >= p("p_ts") - expr("INTERVAL 3 DAY") &&
+      v("v_ts") <= p("p_ts"), kind)
+    for (kind <- Seq("left_semi", "left_anti")) {
+      val q = shaped(kind)
+      assert(optimized(q).contains("__graft_band"),
+        s"$kind point-on-left was not banded:\n${optimized(q)}")
+      assert(sortedRows(q) == withoutRule(sortedRows(shaped(kind))), kind)
+    }
+    // the two banded sets partition the views exactly
+    assert(shaped("left_semi").count() + shaped("left_anti").count() == v.count())
+    assert(shaped("left_anti").count() > 0, "anti set vacuous")
+  }
+
+  test("semi/anti with the point on the RIGHT keep Spark's plan (output side would explode)") {
+    import spark.implicits._
+    // left = purchases carrying the window, right = views as the point:
+    // only the left (interval) side is output — banding would have to
+    // explode the output side, so the rule must stay out
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id".as("v_user_id"), $"ts".as("v_ts"))
+    val p = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    def q = p.join(v, p("user_id") === v("v_user_id") &&
+      v("v_ts") >= p("p_ts") - expr("INTERVAL 3 DAY") &&
+      v("v_ts") <= p("p_ts"), "left_semi")
+    assert(!optimized(q).contains("__graft_band"),
+      s"point-on-right semi join was banded:\n${optimized(q)}")
+  }
+
+  test("q155: the registered anti-join query compiles to the banded plan") {
+    val df = graft.operators.IntervalJoin.q155AntiJoinAuto(spark, sfDir)
+    assert(optimized(df).contains("__graft_band"), optimized(df))
+    assert(df.count() > 0)
+  }
+
   test("band width config is honored and a disabled rule is a clean no-op") {
     val p = purchases
     val v = views
