@@ -107,4 +107,68 @@ class StreamingAttributionSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch,
       s"${got.size} pairs after restart vs ${batch.size} in batch")
   }
+
+  test("attributionSink: crash AFTER a batch's write but BEFORE its commit stays exactly-once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Two source chunks + maxFilesPerTrigger=1 → at least two epochs.
+    // The injected failure fires in epoch ≥1 in the exact window the
+    // sink's idempotence exists for: files on disk, offset NOT
+    // committed. The restart re-executes that epoch with the same
+    // offsets and restored join state; its directory is OVERWRITTEN,
+    // so the final table carries no duplicate and no loss.
+    val events = graft.sources.Tables.events(spark, sfDir).orderBy($"ts")
+    val n = events.count()
+    val srcDir = java.nio.file.Files.createTempDirectory("attr-sink-src").toString
+    val half = events.limit((n / 2).toInt).cache()
+    half.coalesce(1).write.parquet(s"$srcDir/c0")
+    events.exceptAll(half).coalesce(1).write.parquet(s"$srcDir/c1")
+    half.unpersist()
+    val outDir = java.nio.file.Files.createTempDirectory("attr-sink-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("attr-sink-ckpt").toString
+    val schema = spark.read.parquet(s"$srcDir/c0").schema
+
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/c*")
+      StreamingAttribution.attributionSink(
+        StreamingAttribution.attributionPairs(
+          graft.sources.Tables.normalizeEventTs(stream)),
+        outDir, ckpt,
+        afterWrite = id =>
+          if (id >= 1 && crashArmed.getAndSet(false))
+            throw new RuntimeException(s"injected crash after write of batch $id"))
+    }
+
+    val q1 = run()
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+    // non-vacuous: the crashed epoch's files ARE on disk (torn state)
+    val tornDirs = new java.io.File(outDir).listFiles().count(_.getName.startsWith("batch="))
+    assert(tornDirs >= 2, s"crash fired before the torn epoch wrote ($tornDirs dirs)")
+
+    val q2 = run() // same checkpoint: replays the uncommitted epoch
+    q2.awaitTermination()
+
+    val got = StreamingAttribution.attributed(spark, outDir)
+      .select($"view_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.distinct.size == got.size, "duplicate pairs after replay")
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val batch = graft.operators.IntervalJoin.pointInInterval(
+      purchases, views, key = "user_id", ts = "ts",
+      start = "w_start", end = "w_end", bandSeconds = 3L * 86400L)
+      .select($"i_view_id", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.sorted == batch.sorted,
+      s"${got.size} pairs after crash+replay vs ${batch.size} in batch")
+  }
 }
