@@ -50,10 +50,14 @@ import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, Timesta
   *  - the rewrite only ADDs band columns and projects them away at the
   *    top, preserving the join's exact output attributes.
   *
-  * Guards: Inner joins, plus Left/RightOuter when the PRESERVED side is
-  * the point side (the preserved side then gains exactly one band column
-  * — no replication — so null-extension multiplicity is preserved; the
-  * interval-preserved orientation and FullOuter keep Spark's plan).
+  * Guards: Inner joins, plus Left/RightOuter and LeftSemi/LeftAnti when
+  * the PRESERVED/output side is the point side (it then gains exactly
+  * one band column — no replication — so null-extension multiplicity
+  * and any/no-match verdicts are preserved; the interval-preserved
+  * orientation and FullOuter keep Spark's plan). SQL `[NOT] EXISTS`
+  * spellings of the semi/anti shapes are served by the sibling
+  * [[RangeJoinStrategy]] planner strategy — they only become Join nodes
+  * after this rule's batch has finished.
   * TIMESTAMP, TIMESTAMP_NTZ and DATE bounds all band (days→micros is a
   * monotone map; all three bound expressions must share one type, which
   * analysis guarantees for comparisons). Skipped when the condition
@@ -105,46 +109,61 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         }
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    // tree-pattern pruning: this rule runs in the fixed-point operator
-    // batch on EVERY query — join-free plans and subtrees must cost ~0
-    if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN))
-      return plan
-    if (!confOrElse(EnabledKey, true)(_.toBoolean)) return plan
-    // Was bandSeconds set by the user? A VALID explicit value always
-    // wins; otherwise a proven interval width picks the band
-    // (chooseBand). A malformed explicit value must not count as
-    // explicit — it would silently pin every opt-in unbounded-width
-    // join to the 86400 s default while claiming the user chose it.
+  /** Conf gate shared by the optimizer-rule and planner-strategy entry
+    * points: Some((bandMicros, explicitBand)) when the rewrite may run.
+    * A VALID explicit `bandSeconds` always wins; otherwise a proven
+    * interval width picks the band (chooseBand). A malformed explicit
+    * value must not count as explicit — it would silently pin every
+    * opt-in unbounded-width join to the 86400 s default while claiming
+    * the user chose it. An absurd value (band width overflowing a Long
+    * of microseconds) degrades to "rule off" with a warning, never an
+    * ArithmeticException thrown from inside the optimizer. */
+  private[plans] def bandConf(): Option[(Long, Boolean)] = {
+    if (!confOrElse(EnabledKey, true)(_.toBoolean)) return None
     val bandSeconds = confOrElse(BandSecondsKey, 86400L)(_.toLong)
     val explicitBand = conf.getConfString(BandSecondsKey, "") match {
       case "" => false
       case raw => scala.util.Try(raw.trim.toLong).toOption.contains(bandSeconds)
     }
-    if (bandSeconds <= 0) return plan
-    // Same degrade-to-off contract as confOrElse: an absurd explicit
-    // value (band width overflowing a Long of microseconds) must read
-    // as "rule off" with a warning, never as an ArithmeticException
-    // thrown from inside the optimizer at every join-bearing query.
-    val bandMicros =
-      try math.multiplyExact(bandSeconds, 1000000L)
-      catch {
-        case _: ArithmeticException =>
-          logWarning(s"ignoring $BandSecondsKey=$bandSeconds (microsecond band " +
-            "width overflows Long); range-join rewrite disabled for this plan")
-          return plan
-      }
-    plan.transformUpWithPruning(
-      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
-      // Streaming joins are exempt: StreamingSymmetricHashJoin derives
-      // its state-eviction watermarks FROM the raw time-range condition
-      // (that's how join state stays bounded); banding one would trade
-      // the built-in eviction analysis for nothing — the symmetric hash
-      // join already is an equi-ish stateful join, not a nested loop.
-      case j @ Join(l, r, jt, Some(cond), _)
-          if supportedJoinType(jt) && !l.isStreaming && !r.isStreaming &&
-            eligible(cond) =>
-        rewrite(j, cond, bandMicros, explicitBand).getOrElse(j)
+    if (bandSeconds <= 0) return None
+    try Some((math.multiplyExact(bandSeconds, 1000000L), explicitBand))
+    catch {
+      case _: ArithmeticException =>
+        logWarning(s"ignoring $BandSecondsKey=$bandSeconds (microsecond band " +
+          "width overflows Long); range-join rewrite disabled for this plan")
+        None
+    }
+  }
+
+  /** The full guard + rewrite for ONE join node, shared with
+    * [[RangeJoinStrategy]] (which sees the subquery-derived semi/anti
+    * joins this rule cannot — they only materialize in the optimizer's
+    * RewriteSubquery batch, AFTER the operator batch this rule runs
+    * in). Streaming joins are exempt: StreamingSymmetricHashJoin
+    * derives its state-eviction watermarks FROM the raw time-range
+    * condition (that's how join state stays bounded); banding one would
+    * trade the built-in eviction analysis for nothing. */
+  private[plans] def tryRewrite(j: Join, bandMicros: Long,
+      explicitBand: Boolean): Option[LogicalPlan] = j match {
+    case Join(l, r, jt, Some(cond), _)
+        if supportedJoinType(jt) && !l.isStreaming && !r.isStreaming &&
+          eligible(cond) =>
+      rewrite(j, cond, bandMicros, explicitBand)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // tree-pattern pruning: this rule runs in the fixed-point operator
+    // batch on EVERY query — join-free plans and subtrees must cost ~0
+    if (!plan.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN))
+      return plan
+    bandConf() match {
+      case None => plan
+      case Some((bandMicros, explicitBand)) =>
+        plan.transformUpWithPruning(
+          _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
+          case j: Join => tryRewrite(j, bandMicros, explicitBand).getOrElse(j)
+        }
     }
   }
 
@@ -462,11 +481,43 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** The PLANNER-side entry point for the same banded rewrite: a
+  * `SparkStrategy` consulted during physical planning.
+  *
+  * Why a second entry point: Spark lowers `[NOT] EXISTS` / `IN`
+  * predicates to LeftSemi/LeftAnti joins in the optimizer's
+  * RewriteSubquery batch, which runs AFTER the operator batch that
+  * extension optimizer rules (like [[RangeJoinRewrite]]) belong to — a
+  * SQL decontamination-window `NOT EXISTS` therefore never existed as a
+  * Join while the rule was looking. Strategies see the FINAL optimized
+  * plan, so this catches those late-born joins, applies the identical
+  * guarded rewrite ([[RangeJoinRewrite.tryRewrite]] — same width
+  * proofs, same preserved-side rules, same confs), and hands the
+  * rewritten LOGICAL subtree back to the planner via `planLater`, where
+  * ExtractEquiJoinKeys picks the band equality up as an ordinary join
+  * key. Joins the optimizer rule already banded carry `__graft_band`
+  * columns in their condition and are skipped (`eligible`), so the two
+  * entry points never double-band; joins neither can prove stay on
+  * Spark's plan, as always. Returns Nil for everything else — the
+  * planner falls through to the built-in strategies. */
+object RangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan match {
+      case j: Join =>
+        RangeJoinRewrite.bandConf()
+          .flatMap { case (band, explicit) => RangeJoinRewrite.tryRewrite(j, band, explicit) }
+          .map(rewritten => Seq(planLater(rewritten)))
+          .getOrElse(Nil)
+      case _ => Nil
+    }
+}
+
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the engine's
   * Catalyst extension entry point (wired by [[graft.Sessions]]; usable
   * standalone by any session that sets the conf). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }

@@ -25,6 +25,44 @@ class SqlEntrySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("a SQL-text NOT EXISTS window predicate gets the banded anti-join plan") {
+    // Spark lowers NOT EXISTS to a LeftAnti join only in the
+    // RewriteSubquery optimizer batch — AFTER the operator batch the
+    // injected rule runs in — so this shape is served by the PLANNER
+    // strategy (RangeJoinStrategy): the optimized LOGICAL plan stays
+    // the naive anti join, and the banding shows in the PHYSICAL plan
+    SqlEntry.registerViews(spark, sfDir)
+    val df = spark.sql(
+      """SELECT v.event_id AS view_id, v.user_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND v.ts >= p.ts - INTERVAL 3 DAY AND v.ts <= p.ts)""".stripMargin)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("__graft_band"), s"SQL NOT EXISTS not banded:\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys)
+    // same rows as the DataFrame-route anti join (modulo projection)
+    val viaDf = graft.operators.IntervalJoin.q155AntiJoinAuto(spark, sfDir)
+    assert(df.count() == viaDf.count() && df.count() > 0)
+  }
+
+  test("SQL NOT EXISTS with unproven interval widths keeps Spark's plan (strategy width safety)") {
+    SqlEntry.registerViews(spark, sfDir)
+    // date_add(l_shipdate, l_linenumber) is a DATA-DEPENDENT width: the
+    // planner strategy must apply the same width-safety default as the rule
+    val df = spark.sql(
+      """SELECT o.o_orderkey FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |    AND o.o_orderdate >= l.l_shipdate
+        |    AND o.o_orderdate <= date_add(l.l_shipdate, l.l_linenumber))""".stripMargin)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("__graft_band"), s"unproven width banded via strategy:\n$phys")
+    assert(df.count() > 0)
+  }
+
   test("SQL table summary equals the DataFrame q12 result") {
     val sql = SqlEntry.tableSummarySql(spark, sfDirMid).collect()
     val df = graft.queries.Metadata.q12TableSummary(spark, sfDirMid).collect()
