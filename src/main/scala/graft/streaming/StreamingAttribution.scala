@@ -64,6 +64,48 @@ object StreamingAttribution {
         col("p_ts"), col("value"))
   }
 
+  /** LEFT OUTER streaming attribution — the real-time twin of batch
+    * q153: EVERY view is emitted, matched views as they pair with
+    * purchases, UNMATCHED views once their window has conclusively
+    * closed. Spark's stream-stream left-outer join holds the preserved
+    * (view) row in state until the purchase-side watermark passes
+    * `view.ts + window` — only then can "no purchase arrived in the
+    * window" be final — and emits the null-extended row at that
+    * boundary. The batch planner rewrite bands this same shape; the
+    * streaming plan instead derives its state eviction AND its
+    * null-emission point from the raw range condition, which is why
+    * [[graft.plans.RangeJoinRewrite]] exempts streaming joins.
+    *
+    * Columns: view_id, user_id, v_ts, purchase_id/p_ts/value
+    * (NULL for unconverted views). An availableNow drain emits the
+    * batch left-outer result for every window the FINAL watermark
+    * closed; views whose window is still open at end-of-input stay
+    * matched-only (their null-extension is not yet decidable — a live
+    * stream closes them as later data arrives). The spec pins both
+    * halves: matched pairs exactly, and null-extensions exactly for the
+    * watermark-closed window set. */
+  def attributionOuter(events: DataFrame, windowDays: Int = 3,
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    views
+      .join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowDays DAY"),
+        "left_outer")
+      .select(col("view_id"), col("user_id"), col("v_ts"),
+        col("purchase_id"), col("p_ts"), col("value"))
+  }
+
   /** The exactly-once sink surface the [[attributionPairs]] scaladoc
     * used to delegate to the caller, shipped as code: each micro-batch
     * OVERWRITES its own `batch=<epoch id>` directory under `path`.

@@ -98,6 +98,28 @@ class RangeJoinOverheadSpec extends SparkSpec {
     assert(med <= 5000000L, f"rule apply median ${med / 1e6}%.3f ms on a 10-join plan")
   }
 
+  test("physical planning with the strategy active stays within budget on a 10-join plan") {
+    // RangeJoinStrategy is consulted for every Join during planning;
+    // its guarded probe (bandConf + tryRewrite) must be invisible on
+    // plans it never rewrites
+    def planPhysical(df: DataFrame): Unit = { df.queryExecution.executedPlan; () }
+    def medianPlanNanos(n: Int)(build: => DataFrame): Long = {
+      (1 to 3).foreach(_ => planPhysical(build))
+      val samples = (1 to n).map { _ =>
+        val df = build
+        val t0 = System.nanoTime()
+        planPhysical(df)
+        System.nanoTime() - t0
+      }.sorted
+      samples((samples.size - 1) / 2)
+    }
+    val off = withRule(on = false)(medianPlanNanos(9)(tenJoins))
+    val on = withRule(on = true)(medianPlanNanos(9)(tenJoins))
+    info(f"10-join physical planning median: strategy-on ${on / 1e6}%.2f ms, off ${off / 1e6}%.2f ms")
+    assert(on <= off * 2 + 50000000L,
+      f"10-join planning: strategy-on ${on / 1e6}%.2f ms vs off ${off / 1e6}%.2f ms")
+  }
+
   test("a firing rewrite (q151 shape) optimizes within an absolute budget") {
     val n = 9
     val med = medianOptimizeNanos(n)(

@@ -108,6 +108,62 @@ class StreamingAttributionSpec extends SparkSpec {
       s"${got.size} pairs after restart vs ${batch.size} in batch")
   }
 
+  test("left-outer streaming attribution drains to the exact batch outer join (unconverted views included)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = StreamingAttribution
+      .attributionOuter(graft.sources.Tables.normalizeEventTs(stream))
+      .writeStream.format("memory").queryName("attr_outer")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_outer")
+      .select($"view_id", $"purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val views = e.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("v_ts"))
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        $"ts".as("p_ts"))
+    val batch = views.join(purchases,
+        views("user_id") === purchases("p_user_id") &&
+          purchases("p_ts") >= views("v_ts") &&
+          purchases("p_ts") <= views("v_ts") + expr("INTERVAL 3 DAY"),
+        "left_outer")
+      .select($"view_id", $"purchase_id", $"v_ts").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getTimestamp(2).getTime))
+      .toSeq
+
+    // Matched pairs emit eagerly: exact equality with the batch join.
+    val streamedMatched = streamed.filter(_._2 != -1L)
+    assert(streamedMatched.nonEmpty &&
+      streamedMatched == batch.filter(_._2 != -1L).map(t => (t._1, t._2)).sorted)
+
+    // Null-extensions only exist once the window is CONCLUSIVELY closed:
+    // the final global watermark is min(max v_ts, max p_ts) − 1 h, and a
+    // view's no-purchase verdict is final once watermark > v_ts + 3 d.
+    // Views still open at end-of-input must NOT be null-extended (a live
+    // stream would close them later); everything the watermark closed
+    // must be. Boundary rows (window end == watermark exactly) would be
+    // implementation-detail sensitive, but the event lattice makes exact
+    // collisions measure-zero here; the ±0 margin below has held.
+    val maxV = batch.map(_._3).max
+    val maxPts = purchases.agg(max($"p_ts")).collect().head.getTimestamp(0).getTime
+    val watermarkMs = math.min(maxV, maxPts) - 3600L * 1000L
+    val closed = batch.filter(t => t._2 == -1L &&
+      t._3 + 3L * 86400L * 1000L < watermarkMs).map(_._1).sorted
+    val streamedUnmatched = streamed.filter(_._2 == -1L).map(_._1)
+    assert(streamedUnmatched == closed,
+      s"${streamedUnmatched.size} null-extended views vs ${closed.size} watermark-closed")
+    assert(streamedUnmatched.nonEmpty, "no unconverted views in the drain")
+  }
+
   test("attributionSink: crash AFTER a batch's write but BEFORE its commit stays exactly-once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
