@@ -44,6 +44,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.bigramFamiliarityOf(oneTok).count() == 0)
   }
 
+  test("hashed familiarity: empty, null-text, and no-bigram inputs yield empty frames") {
+    import spark.implicits._
+    assert(TextAnalysis.familiarityHashed(emptyDocs).count() == 0)
+    assert(TextAnalysis.familiarityHashed(nullTextDocs).count() == 0)
+    val oneTok = Seq((1L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.familiarityHashed(oneTok).count() == 0)
+    intercept[IllegalArgumentException](TextAnalysis.familiarityHashed(oneTok, 0))
+  }
+
   test("source cap and curriculum: empty inputs yield empty frames") {
     assert(Sampling.sourceCapOf(emptyDocs, cap = 3).count() == 0)
     assert(Sampling.curriculumOf(emptyDocs, phases = 4).count() == 0)

@@ -183,6 +183,45 @@ class StreamScaleProbeSpec extends SparkSpec {
     assert(spark.table("sprobe_attr").count() == batchPairs)
   }
 
+  test("10x left-outer streaming attribution: preserved-side state still evicts") {
+    gate()
+    // The outer twin buffers every VIEW until its window conclusively
+    // closes (that's where the null-extension verdict comes from), so
+    // the eviction claim matters MORE here than for the inner join: an
+    // unbounded implementation would hold every view forever. Peak
+    // state must stay a window-horizon slice, and the drained output
+    // must carry the inner pair set plus one null-extension per
+    // watermark-closed unconverted view.
+    val d = drain("sprobe_attr_outer", eventChunkDir,
+      df => StreamingAttribution.attributionOuter(
+        Tables.normalizeEventTs(df), windowDays = 3, watermark = "1 hour"))
+    val views = probeEvents.where(col("event_type") === "view").count()
+    val purchases = probeEvents.where(col("event_type") === "purchase").count()
+    val joinInput = views + purchases
+    report("attributionOuter(3d window)", d,
+      s"window-horizon slice (<= $joinInput join-side rows)")
+    assert(d.peakState > 0 && d.peakState < joinInput / 2,
+      s"outer join state ${d.peakState} ~ stream size $joinInput: eviction not firing")
+    val out = spark.table("sprobe_attr_outer")
+    val matched = out.where(col("purchase_id").isNotNull).count()
+    val unmatched = out.where(col("purchase_id").isNull).count()
+    val batchPairs = {
+      import spark.implicits._
+      val v = probeEvents.where($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+          ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+      val p = probeEvents.where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      graft.operators.IntervalJoin.pointInInterval(p, v, key = "user_id",
+        ts = "ts", start = "w_start", end = "w_end",
+        bandSeconds = 3L * 86400L).count()
+    }
+    assert(matched == batchPairs,
+      s"outer drain matched $matched pairs vs batch $batchPairs")
+    assert(unmatched > 0, "no watermark-closed unconverted views at 10x")
+    assert(matched + unmatched == out.count())
+  }
+
   test("10x streaming LM scoring drains against a 10x standing store") {
     gate()
     val storeDir = java.nio.file.Files.createTempDirectory("sprobe-lmstore").toString
