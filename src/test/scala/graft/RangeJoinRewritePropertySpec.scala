@@ -150,6 +150,44 @@ class RangeJoinRewritePropertySpec extends SparkSpec {
     }
   }
 
+  test("SQL [NOT] EXISTS through the planner strategy == rule-off over seeded random data") {
+    import spark.implicits._
+    // The strategy path (subquery-born semi/anti joins) shares
+    // tryRewrite with the rule, but its banding happens at PHYSICAL
+    // planning — this pins the end-to-end result under random data,
+    // including the NULL semantics NOT EXISTS inherits (a NULL ts never
+    // matches, so its row always survives the anti join).
+    for (seed <- 41 to 42) {
+      val rnd = new scala.util.Random(seed)
+      val widthHours = 1 + rnd.nextInt(72)
+      viaParquet(Seq.fill(120)((
+        rnd.nextInt(6).toLong, rnd.nextLong(),
+        if (rnd.nextInt(20) == 0) null else latticeTs(rnd)))
+        .toDF("k", "id", "ts"), s"sqlpts$seed")
+        .createOrReplaceTempView("prop_points")
+      viaParquet(Seq.fill(40)((
+        rnd.nextInt(6).toLong,
+        if (rnd.nextInt(20) == 0) null else latticeTs(rnd)))
+        .toDF("k", "anchor"), s"sqlanc$seed")
+        .createOrReplaceTempView("prop_anchors")
+      for (neg <- Seq("NOT ", "")) {
+        def q = spark.sql(
+          s"""SELECT p.id FROM prop_points p
+             |WHERE ${neg}EXISTS (
+             |  SELECT 1 FROM prop_anchors a WHERE a.k = p.k
+             |    AND p.ts >= a.anchor - INTERVAL $widthHours HOUR
+             |    AND p.ts <= a.anchor)""".stripMargin)
+        val expected = withoutRule(sortedRows(q))
+        val phys = q.queryExecution.executedPlan.toString
+        assert(phys.contains("__graft_band"),
+          s"seed=$seed ${neg}EXISTS: strategy did not band\n$phys")
+        assert(sortedRows(q) == expected,
+          s"seed=$seed ${neg}EXISTS width=${widthHours}h")
+        if (seed == 41) assert(expected.nonEmpty)
+      }
+    }
+  }
+
   test("overlap rewrite == naive overlap over seeded random window sets") {
     import spark.implicits._
     for (seed <- 10 to 12) {

@@ -251,6 +251,26 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("DATE-typed constant-width overlap self-join bands with exact results") {
+    import spark.implicits._
+    // validity-style date windows [d, d+6]: the properness proof rides
+    // the same DateAdd width branch the point shape uses
+    val v = Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id", to_date($"ts").as("d_start"),
+        date_add(to_date($"ts"), 6).as("d_end"))
+    val a = v.select($"user_id", $"event_id".as("id_a"),
+      $"d_start", $"d_end")
+    val b = v.select($"user_id".as("u_b"), $"event_id".as("id_b"),
+      $"d_start".as("b_start"), $"d_end".as("b_end"))
+    def naive = a.join(b, a("user_id") === b("u_b") &&
+      a("d_start") <= b("b_end") && b("b_start") <= a("d_end") &&
+      a("id_a") < b("id_b"))
+    assert(optimized(naive).contains("__graft_band"),
+      s"DATE overlap did not band:\n${optimized(naive)}")
+    val expected = withoutRule(sortedRows(naive))
+    assert(sortedRows(naive) == expected && expected.nonEmpty)
+  }
+
   test("DATE bounds with unproven widths are NOT auto-banded") {
     import spark.implicits._
     // hi is last_day(lo) — data-dependent (28..31 days minus day-of-

@@ -29,6 +29,11 @@ class ScaleProbeSpec extends SparkSpec {
     "q109_visual_clusters", "q108_frame_neardup", "q24_embedding_neardup",
     "q133_dedup_yield", "q78_fuzzy_names", "q83_similar_topk",
     "q21_ngram_jaccard", "q135_fingerprint_pairs", "q148_semantic_dedup",
+    // the auto-rewrite family: these are naive BETWEEN / outer / anti
+    // range joins whose ONLY defense against a nested-loop plan at 10x
+    // is the planner rewrite — exactly what this guard exists to pin
+    "q151_range_join_auto", "q152_overlap_auto", "q153_leftouter_auto",
+    "q154_date_range_auto", "q155_anti_join_auto",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {
