@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** A STANDING banded-interval index: the serving-side complement of the
   * range-join family.
@@ -25,11 +26,28 @@ import org.apache.spark.sql.functions._
   *    a year of intervals reads ~`window/band + 1` partitions, not the
   *    year (IntervalIndexStoreSpec pins the `dynamicpruning` filter in
   *    the scan);
-  *  - appends are REPLAY-IDEMPOTENT: each batch overwrites its own
-  *    `ingest_batch=<label>` directory (the same crash-between-write-
-  *    and-commit contract as [[graft.streaming.StreamingAttribution
-  *    .attributionSink]]), so an at-least-once ingest pipeline
-  *    converges.
+  *  - appends are REPLAY-IDEMPOTENT and MANIFEST-COMMITTED: each batch
+  *    overwrites its own `ingest_batch=<label>` directory, and the
+  *    label only becomes visible when it lands in `_live.json` — a
+  *    single-file swap, the same metadata-pointer-is-the-commit design
+  *    Iceberg uses (reference maintenance.py drives exactly that
+  *    machinery). A crash between the parquet write and the manifest
+  *    commit leaves an orphan directory lookups never see; replaying
+  *    the append overwrites it and commits. At-least-once ingest
+  *    therefore converges with no read-side dedup.
+  *
+  * Maintenance mirrors the engine's M1–M3 family, applied to the store:
+  *  - [[compact]] (M1 rewrite_data_files): merge all live labels into
+  *    one — continuous ingest otherwise accretes one directory tree per
+  *    batch, and every lookup lists them all; the swap to the merged
+  *    label is one manifest write.
+  *  - [[expire]] (M2 retention): a LOGICAL band cutoff recorded in the
+  *    manifest; lookups prune `band >= minBand` for free (partition
+  *    column), so old time slices stop matching instantly without
+  *    touching data.
+  *  - [[vacuum]] (M3 remove_orphan_files): physically deletes
+  *    non-live label directories (crashed appends, compacted-away
+  *    batches) and expired band partitions inside live labels.
   *
   * Band width is fixed at build time and recorded in `_meta.json`;
   * lookups read it from the store, so a caller can never probe with a
@@ -40,12 +58,16 @@ import org.apache.spark.sql.functions._
   * 100 TB: the store scales as Σ interval-length/band (≈2 rows per
   * interval at a sane band), partition count as timespan/band; lookups
   * shuffle only the point batch. A hot key splits across its bands
-  * exactly like the in-flight join.
+  * exactly like the in-flight join. Single writer assumed (the
+  * reference's task queue serializes maintenance the same way); the
+  * manifest swap is `ATOMIC_MOVE` locally and a single PUT on an
+  * object store.
   */
 object IntervalIndexStore {
 
   private def intervalsPath(dir: String) = s"$dir/intervals"
   private def metaPath(dir: String) = s"$dir/_meta.json"
+  private def manifestPath(dir: String) = s"$dir/_live.json"
 
   /** Build (or rebuild) the store from an interval frame. Columns
     * `key`, `start`, `end` plus payload; everything is kept. */
@@ -57,15 +79,21 @@ object IntervalIndexStore {
       s""""bandSeconds":$bandSeconds}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(dir)), meta)
+    writeManifest(dir, Manifest(1L, Seq("base"), None))
   }
 
   /** Append an interval batch under its own `ingest_batch=<label>`
     * directory — replaying the same label OVERWRITES it (idempotent
-    * under at-least-once delivery). */
+    * under at-least-once delivery). The label is invisible to lookups
+    * until the manifest commit below lands; a crash in between leaves
+    * an orphan [[vacuum]] sweeps. */
   def append(delta: DataFrame, dir: String, label: String): Unit = {
     val m = meta(dir)
     require(label != "base" && label.nonEmpty, "label 'base' is reserved")
     writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, label)
+    val man = manifest(dir)
+    writeManifest(dir, man.copy(version = man.version + 1,
+      live = if (man.live.contains(label)) man.live else man.live :+ label))
   }
 
   private def writeBatch(intervals: DataFrame, dir: String, key: String,
@@ -92,6 +120,46 @@ object IntervalIndexStore {
     Meta(s("key"), s("start"), s("end"), b)
   }
 
+  /** The commit pointer: which `ingest_batch` labels are live, plus the
+    * logical retention floor. Everything not in here is an orphan. */
+  private[operators] case class Manifest(version: Long, live: Seq[String],
+      minBand: Option[Long])
+
+  private[operators] def manifest(dir: String): Manifest = {
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(manifestPath(dir)))
+    val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
+    val live = """"live":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    val mb = """"minBand":(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+    Manifest(v, live, mb)
+  }
+
+  /** Single-file swap = the commit point (temp write + ATOMIC_MOVE). */
+  private[operators] def writeManifest(dir: String, m: Manifest): Unit = {
+    val body = s"""{"version":${m.version},""" +
+      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]""" +
+      m.minBand.map(b => s""","minBand":$b""").getOrElse("") + "}"
+    val tmp = java.nio.file.Paths.get(s"${manifestPath(dir)}.tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(manifestPath(dir)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The store as lookups see it: live labels only (explicit paths under
+    * `basePath`, so `band`/`ingest_batch` stay partition columns) with
+    * the expiry floor pruned — `band` is a partition column, so the
+    * filter never reads a dropped slice. */
+  private def liveStore(spark: SparkSession, dir: String): DataFrame = {
+    val man = manifest(dir)
+    val base = intervalsPath(dir)
+    val df = spark.read.option("basePath", base)
+      .parquet(man.live.map(l => s"$base/ingest_batch=$l"): _*)
+    man.minBand.fold(df)(b => df.where(col("band") >= b))
+  }
+
   /** Point lookup against the standing store: one equi-join on
     * (key, band) with the exact BETWEEN as post-filter — identical
     * semantics to [[IntervalJoin.pointInInterval]] on the CURRENT store
@@ -103,7 +171,7 @@ object IntervalIndexStore {
       intervalPrefix: String = "i_"): DataFrame = {
     val m = meta(dir)
     val band = m.bandSeconds * 1000000L
-    val store = spark.read.parquet(intervalsPath(dir))
+    val store = liveStore(spark, dir)
     val iPayload = store.columns
       .filterNot(c => c == m.key || c == "band" || c == "ingest_batch").toSeq
     val p = points
@@ -118,13 +186,101 @@ object IntervalIndexStore {
   }
 
   /** Store audit: banded row count, interval count, batches, partitions
-    * — the cheap staleness/shape check an operator dashboard reads. */
+    * — the cheap staleness/shape check an operator dashboard reads.
+    * Reads the LIVE view (uncommitted/expired data is invisible here
+    * too, so the audit agrees with what lookups will join). */
   def audit(spark: SparkSession, dir: String): DataFrame = {
-    val store = spark.read.parquet(intervalsPath(dir))
-    store.agg(
+    liveStore(spark, dir).agg(
       count(lit(1)).as("banded_rows"),
       countDistinct(col("ingest_batch")).as("ingest_batches"),
       countDistinct(col("band")).as("bands"))
+  }
+
+  /** Continuous ingest: append each micro-batch of intervals under the
+    * deterministic label `<labelPrefix>-<batchId>`. Exactly-once falls
+    * out of the append contract — a replayed epoch (crash after the
+    * append but before the offset commit: the `afterAppend` seam in the
+    * spec) carries the same batchId, so it overwrites its own directory
+    * and re-commits an already-live label; a crash INSIDE the append
+    * leaves an orphan the manifest never saw (batch spec). Empty epochs
+    * are skipped — committing a label whose directory has no files
+    * would poison the live read. The store must be [[build]]t first
+    * (band width and columns come from `_meta.json`). */
+  def ingestStream(intervals: DataFrame, dir: String,
+      checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      labelPrefix: String = "epoch",
+      afterAppend: Long => Unit = _ => ()): StreamingQuery =
+    intervals.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (delta: DataFrame, batchId: Long) =>
+        if (!delta.isEmpty) append(delta, dir, s"$labelPrefix-$batchId")
+        afterAppend(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
+  // ---- maintenance (the M1–M3 family, applied to the store) ----------
+
+  /** M1 for the store: merge every live label (expiry floor applied, so
+    * expired slices drop physically here) into ONE new label, then swap
+    * the manifest to it. The old labels become orphans for [[vacuum]];
+    * a crash before the swap leaves them live and the merged label an
+    * orphan — either way the store stays consistent. Refuses to compact
+    * a fully-expired (empty) store: rebuild instead. */
+  def compact(spark: SparkSession, dir: String, intoLabel: String): Unit = {
+    val man = manifest(dir)
+    require(intoLabel.nonEmpty && !man.live.contains(intoLabel),
+      s"compact label '$intoLabel' must be new (live: ${man.live.mkString(",")})")
+    val merged = liveStore(spark, dir).drop("ingest_batch")
+    require(!merged.isEmpty,
+      "store is empty after the expiry floor; rebuild instead of compacting")
+    merged.write.mode(SaveMode.Overwrite).partitionBy("band")
+      .parquet(s"${intervalsPath(dir)}/ingest_batch=$intoLabel")
+    writeManifest(dir, man.copy(version = man.version + 1, live = Seq(intoLabel)))
+  }
+
+  /** M2 for the store: LOGICAL retention — time slices strictly older
+    * than `cutoff` stop matching immediately (lookups prune
+    * `band >= floor(cutoff/band)`; partition column, so no data is
+    * read, let alone rewritten). An interval straddling the cutoff
+    * keeps its newer slices: points after the cutoff still match it.
+    * Physical reclaim is [[vacuum]] (or the next [[compact]]). */
+  def expire(dir: String, cutoff: java.sql.Timestamp): Unit = {
+    val m = meta(dir)
+    val cutBand = Math.floorDiv(cutoff.getTime * 1000L, m.bandSeconds * 1000000L)
+    val man = manifest(dir)
+    writeManifest(dir, man.copy(version = man.version + 1,
+      minBand = Some(man.minBand.fold(cutBand)(math.max(_, cutBand)))))
+  }
+
+  /** M3 for the store: delete (1) label directories not in the manifest
+    * — crashed appends and compacted-away batches — and (2) band
+    * partitions under the expiry floor inside live labels. Hadoop
+    * FileSystem, not java.io: the same client works on an object store
+    * (the [[Maintenance]] orphan sweep's discipline). Returns
+    * (orphan label dirs deleted, expired band dirs deleted). */
+  def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val man = manifest(dir)
+    val root = new Path(intervalsPath(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0)
+    val labelDirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("ingest_batch="))
+    val (live, orphan) = labelDirs.partition(p =>
+      man.live.contains(p.getName.stripPrefix("ingest_batch=")))
+    orphan.foreach(fs.delete(_, true))
+    val expired = man.minBand.fold(Array.empty[Path]) { floor =>
+      live.flatMap(l => fs.listStatus(l).filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("band=") && n.stripPrefix("band=").toLong < floor
+        })
+    }
+    expired.foreach(fs.delete(_, true))
+    (orphan.length, expired.length)
   }
 
   // ---- q156: standing-store attribution ------------------------------

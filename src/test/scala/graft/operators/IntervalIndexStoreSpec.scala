@@ -78,6 +78,130 @@ class IntervalIndexStoreSpec extends SparkSpec {
     assert(a.getLong(0) >= views.count(), "banded rows below interval count")
   }
 
+  test("compact merges live labels behind one manifest swap; vacuum sweeps the old dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-cmp").toString
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 3L * 86400L)
+    IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "delta1")
+    val before = pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+    IntervalIndexStore.compact(spark, dir, "compacted1")
+    val after = pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+    assert(after == before, "compact changed lookup results")
+    val a = IntervalIndexStore.audit(spark, dir).collect().head
+    assert(a.getLong(1) == 1, s"expected 1 live batch after compact, got ${a.getLong(1)}")
+    // compacting into a live label is refused; the old dirs are orphans
+    // on disk until vacuum
+    intercept[IllegalArgumentException](
+      IntervalIndexStore.compact(spark, dir, "compacted1"))
+    def labelDirs = new java.io.File(s"$dir/intervals").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(labelDirs == Set("ingest_batch=base", "ingest_batch=delta1",
+      "ingest_batch=compacted1"))
+    val (orphans, expired) = IntervalIndexStore.vacuum(spark, dir)
+    assert(orphans == 2 && expired == 0, s"vacuum removed ($orphans, $expired)")
+    assert(labelDirs == Set("ingest_batch=compacted1"))
+    assert(pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts")) == before)
+  }
+
+  test("an uncommitted append is invisible until its manifest commit; vacuum sweeps it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-crash").toString
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 3L * 86400L)
+    val baseOnly = pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+    // crash between the parquet write and the manifest commit: run the
+    // append, then restore the pre-append manifest — on-disk state is
+    // exactly what a crash in between leaves behind
+    val preCrash = IntervalIndexStore.manifest(dir)
+    IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "delta1")
+    IntervalIndexStore.writeManifest(dir, preCrash)
+    assert(new java.io.File(s"$dir/intervals/ingest_batch=delta1").exists())
+    assert(pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts")) == baseOnly,
+      "uncommitted append leaked into lookups")
+    assert(IntervalIndexStore.vacuum(spark, dir) == (1, 0))
+    assert(!new java.io.File(s"$dir/intervals/ingest_batch=delta1").exists())
+    // the at-least-once replay lands and commits
+    IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "delta1")
+    assert(pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts")).size
+      > baseOnly.size)
+  }
+
+  test("expire drops old slices logically; vacuum and compact make it physical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-exp").toString
+    val iv = Seq((1L, 10L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+      (1L, 20L, "2024-03-01 00:00:00", "2024-03-02 00:00:00"))
+      .toDF("user_id", "view_id", "s", "e")
+      .select($"user_id", $"view_id", $"s".cast("timestamp").as("w_start"),
+        $"e".cast("timestamp").as("w_end"))
+    IntervalIndexStore.build(iv, dir, "user_id", "w_start", "w_end",
+      bandSeconds = 86400L)
+    val pts = Seq((100L, 1L, "2024-01-01 12:00:00"), (200L, 1L, "2024-03-01 12:00:00"))
+      .toDF("event_id", "user_id", "t").select($"event_id", $"user_id",
+        $"t".cast("timestamp").as("ts"))
+    def matched() = IntervalIndexStore.lookup(spark, dir, pts, "ts")
+      .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(matched() == Seq(100L, 200L))
+    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(matched() == Seq(200L), "expired slice still matched")
+    // physical reclaim: the January interval's two 1-day band dirs go
+    val (orphans, expired) = IntervalIndexStore.vacuum(spark, dir)
+    assert((orphans, expired) == (0, 2), s"vacuum removed ($orphans, $expired)")
+    assert(matched() == Seq(200L))
+    // compact after expiry keeps only the surviving slices
+    IntervalIndexStore.compact(spark, dir, "c1")
+    assert(matched() == Seq(200L))
+    val a = IntervalIndexStore.audit(spark, dir).collect().head
+    assert(a.getLong(0) == 2, s"March interval on 1-day bands → 2 rows, got ${a.getLong(0)}")
+  }
+
+  test("streaming ingest: crash after an epoch's append but before its offset commit stays exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-stream").toString
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 3L * 86400L)
+    // the odd views arrive as a stream, two source chunks +
+    // maxFilesPerTrigger=1 → at least two epochs; the crash fires in
+    // the window the label-per-epoch design exists for: append done
+    // (parquet + manifest), offset NOT committed → the restart REPLAYS
+    // that epoch under the same label
+    val delta = views.where($"view_id" % 2 =!= 0).cache()
+    val n = delta.count()
+    val srcDir = java.nio.file.Files.createTempDirectory("ivx-stream-src").toString
+    val half = delta.limit((n / 2).toInt).cache()
+    half.coalesce(1).write.parquet(s"$srcDir/c0")
+    delta.exceptAll(half).coalesce(1).write.parquet(s"$srcDir/c1")
+    half.unpersist(); delta.unpersist()
+    val ckpt = java.nio.file.Files.createTempDirectory("ivx-stream-ckpt").toString
+    val schema = spark.read.parquet(s"$srcDir/c0").schema
+
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/c*")
+      IntervalIndexStore.ingestStream(stream, dir, ckpt,
+        afterAppend = id =>
+          if (id >= 1 && crashArmed.getAndSet(false))
+            throw new RuntimeException(s"injected crash after append of epoch $id"))
+    }
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run().awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+    // non-vacuous: the crashed epoch's append IS committed in the store
+    val livePreRestart = IntervalIndexStore.manifest(dir).live
+    assert(livePreRestart.exists(_.startsWith("epoch-")),
+      s"crash fired before any epoch appended (live: $livePreRestart)")
+
+    run().awaitTermination() // same checkpoint: replays the torn epoch
+    val got = pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+    val expect = pairs(IntervalJoin.pointInInterval(purchases, views,
+      key = "user_id", ts = "ts", start = "w_start", end = "w_end",
+      bandSeconds = 3L * 86400L))
+    assert(got == expect, "replayed epoch duplicated or lost interval rows")
+  }
+
   test("reserved label and degenerate intervals are rejected/dropped") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivx-guard").toString
