@@ -75,12 +75,37 @@ object IntervalIndexStore {
       end: String, bandSeconds: Long): Unit = {
     require(bandSeconds > 0, "bandSeconds must be positive")
     writeBatch(intervals, dir, key, start, end, bandSeconds, "base")
+    // an all-empty base would make every later live read fail on schema
+    // inference with a message that points nowhere near the cause —
+    // reject it here, by listing (no data read), with one that does
+    require(hasDataFiles(intervals.sparkSession,
+        s"${intervalsPath(dir)}/ingest_batch=base"),
+      "no valid intervals to index: every row was NULL-bounded or start > end")
     val meta = s"""{"key":"$key","start":"$start","end":"$end",""" +
       s""""bandSeconds":$bandSeconds}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(dir)), meta)
     writeManifest(dir, Manifest(1L, Seq("base"), None))
   }
+
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  // Labels become directory names AND `_live.json` string values; the
+  // same allowlist discipline as Identifiers (F8) keeps both unbreakable.
+  private val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  private def requireLabel(label: String): Unit =
+    require(LabelRx.matches(label),
+      s"label '$label' must match ${LabelRx.regex} (it names a directory and a JSON value)")
 
   /** Append an interval batch under its own `ingest_batch=<label>`
     * directory — replaying the same label OVERWRITES it (idempotent
@@ -89,7 +114,8 @@ object IntervalIndexStore {
     * an orphan [[vacuum]] sweeps. */
   def append(delta: DataFrame, dir: String, label: String): Unit = {
     val m = meta(dir)
-    require(label != "base" && label.nonEmpty, "label 'base' is reserved")
+    requireLabel(label)
+    require(label != "base", "label 'base' is reserved")
     writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, label)
     val man = manifest(dir)
     writeManifest(dir, man.copy(version = man.version + 1,
@@ -210,7 +236,8 @@ object IntervalIndexStore {
       checkpointLocation: String,
       trigger: Trigger = Trigger.AvailableNow(),
       labelPrefix: String = "epoch",
-      afterAppend: Long => Unit = _ => ()): StreamingQuery =
+      afterAppend: Long => Unit = _ => ()): StreamingQuery = {
+    requireLabel(labelPrefix)
     intervals.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
@@ -220,6 +247,7 @@ object IntervalIndexStore {
       }
       .trigger(trigger)
       .start()
+  }
 
   // ---- maintenance (the M1–M3 family, applied to the store) ----------
 
@@ -231,7 +259,8 @@ object IntervalIndexStore {
     * a fully-expired (empty) store: rebuild instead. */
   def compact(spark: SparkSession, dir: String, intoLabel: String): Unit = {
     val man = manifest(dir)
-    require(intoLabel.nonEmpty && !man.live.contains(intoLabel),
+    requireLabel(intoLabel)
+    require(!man.live.contains(intoLabel),
       s"compact label '$intoLabel' must be new (live: ${man.live.mkString(",")})")
     val merged = liveStore(spark, dir).drop("ingest_batch")
     require(!merged.isEmpty,

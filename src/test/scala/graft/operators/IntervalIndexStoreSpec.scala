@@ -47,13 +47,40 @@ class IntervalIndexStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivx-dpp").toString
     IntervalIndexStore.build(views, dir, "user_id", "w_start", "w_end",
       bandSeconds = 3L * 86400L)
-    // a narrow point batch: one day of purchases → ≤2 bands
+    // a narrow point batch: the busiest purchase day → ≤2 bands
     import spark.implicits._
-    val day = purchases.where(to_date($"ts") === lit("2025-02-01"))
+    val busiest = purchases.groupBy(to_date($"ts").as("d")).count()
+      .orderBy(desc("count"), $"d").limit(1).collect().head.getDate(0)
+    val day = purchases.where(to_date($"ts") === lit(busiest))
+    assert(day.count() > 0, "vacuous: no purchases on the probe day")
     val q = IntervalIndexStore.lookup(spark, dir, broadcast(day), "ts")
     val phys = q.queryExecution.executedPlan.toString
     assert(phys.contains("dynamicpruning"),
       s"no dynamic partition pruning on the band column:\n$phys")
+    // and the pruning is MEASURED, not just planned: after execution the
+    // store scan's partitions-read metric must be within the point
+    // batch's own band count — the whole point of the layout
+    q.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val storeScan = scans(q.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.toString.contains("dynamicpruning")))
+    assert(storeScan.size == 1, s"expected exactly one pruned store scan, got ${storeScan.size}")
+    val read = storeScan.head.metrics("numPartitions").value
+    val pointBands = day
+      .select(expr(s"unix_micros(ts) div ${3L * 86400L * 1000000L}L")).distinct().count()
+    val totalBands = IntervalIndexStore.audit(spark, dir)
+      .collect().head.getLong(2)
+    assert(totalBands > pointBands,
+      s"vacuous: store spans only $totalBands bands for a $pointBands-band probe")
+    assert(read > 0 && read <= pointBands,
+      s"store scan read $read partitions; the probe touches only $pointBands of $totalBands bands")
   }
 
   test("appends land; replaying the same label is idempotent") {
@@ -219,5 +246,18 @@ class IntervalIndexStoreSpec extends SparkSpec {
     assert(a.getLong(0) == 2, s"1-day interval on 1-day bands → 2 banded rows, got ${a.getLong(0)}")
     intercept[IllegalArgumentException](
       IntervalIndexStore.append(bad, dir, "base"))
+    // labels name directories and _live.json values — F8 allowlist
+    intercept[IllegalArgumentException](
+      IntervalIndexStore.append(bad, dir, """x","y"""))
+    intercept[IllegalArgumentException](
+      IntervalIndexStore.compact(spark, dir, "a/b"))
+    // building from zero valid intervals is rejected with a pointed
+    // message, not a latent schema-inference failure at first lookup
+    val allBad = bad.where($"view_id" =!= 12L)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivx-empty").toString
+    val e = intercept[IllegalArgumentException](
+      IntervalIndexStore.build(allBad, dir2, "user_id", "w_start", "w_end",
+        bandSeconds = 86400L))
+    assert(e.getMessage.contains("no valid intervals"), e.getMessage)
   }
 }
