@@ -74,23 +74,57 @@ object IntervalIndexStore {
   def build(intervals: DataFrame, dir: String, key: String, start: String,
       end: String, bandSeconds: Long): Unit = {
     require(bandSeconds > 0, "bandSeconds must be positive")
+    Seq(key, start, end).foreach(requireColName)
     writeBatch(intervals, dir, key, start, end, bandSeconds, "base")
     // an all-empty base would make every later live read fail on schema
     // inference with a message that points nowhere near the cause —
     // reject it here, by listing (no data read), with one that does
-    require(hasDataFiles(intervals.sparkSession,
-        s"${intervalsPath(dir)}/ingest_batch=base"),
+    require(hasDataFiles(s"${intervalsPath(dir)}/ingest_batch=base"),
       "no valid intervals to index: every row was NULL-bounded or start > end")
     val meta = s"""{"key":"$key","start":"$start","end":"$end",""" +
       s""""bandSeconds":$bandSeconds}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath(dir)), meta)
+    writeString(metaPath(dir), meta, atomic = false)
     writeManifest(dir, Manifest(1L, Seq("base"), None))
   }
 
-  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+  // ---- metadata I/O: Hadoop FileSystem, so the store dir may live on
+  // any filesystem Spark can write the parquet to (the scaladoc's
+  // object-store claim has to hold for the COMMIT POINTER too, not just
+  // the data). Locally the manifest swap is a java.nio ATOMIC_MOVE; on
+  // an object store a create-overwrite is a single PUT — atomic there.
+
+  private def hadoopFs(path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readString(path: String): String = {
+    val (fs, p) = hadoopFs(path)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(path: String, body: String, atomic: Boolean): Unit = {
+    val (fs, p) = hadoopFs(path)
+    if (atomic && fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def hasDataFiles(path: String): Boolean = {
+    val (fs, p) = hadoopFs(path)
     fs.exists(p) && {
       val it = fs.listFiles(p, true)
       var found = false
@@ -107,19 +141,39 @@ object IntervalIndexStore {
     require(LabelRx.matches(label),
       s"label '$label' must match ${LabelRx.regex} (it names a directory and a JSON value)")
 
+  // Column names are interpolated into `_meta.json` and into the
+  // banding `expr(...)` — same allowlist, same reason.
+  private val ColRx = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireColName(c: String): Unit =
+    require(ColRx.matches(c),
+      s"column name '$c' must match ${ColRx.regex} (it is stored in _meta.json and spliced into SQL)")
+
   /** Append an interval batch under its own `ingest_batch=<label>`
-    * directory — replaying the same label OVERWRITES it (idempotent
-    * under at-least-once delivery). The label is invisible to lookups
-    * until the manifest commit below lands; a crash in between leaves
-    * an orphan [[vacuum]] sweeps. */
+    * directory. A label's data is IMMUTABLE once committed: replaying a
+    * live label is a no-op (never an in-place rewrite — deleting and
+    * rewriting a live directory would expose torn state to concurrent
+    * lookups, exactly what the manifest exists to prevent), so
+    * at-least-once delivery converges. An UNcommitted label (crash
+    * between the parquet write and the manifest commit) is invisible to
+    * lookups, swept by [[vacuum]], and safely overwritten by the
+    * replay. A batch with no valid interval rows commits nothing. */
   def append(delta: DataFrame, dir: String, label: String): Unit = {
     val m = meta(dir)
     requireLabel(label)
     require(label != "base", "label 'base' is reserved")
-    writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, label)
     val man = manifest(dir)
+    if (man.live.contains(label)) return // committed = immutable; replay no-op
+    writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, label)
+    val labelDir = s"${intervalsPath(dir)}/ingest_batch=$label"
+    if (!hasDataFiles(labelDir)) {
+      // every row was NULL-bounded/degenerate: committing a fileless
+      // label would poison the live read once it is the last one left
+      val (fs, p) = hadoopFs(labelDir)
+      fs.delete(p, true)
+      return
+    }
     writeManifest(dir, man.copy(version = man.version + 1,
-      live = if (man.live.contains(label)) man.live else man.live :+ label))
+      live = man.live :+ label))
   }
 
   private def writeBatch(intervals: DataFrame, dir: String, key: String,
@@ -139,7 +193,7 @@ object IntervalIndexStore {
       bandSeconds: Long)
 
   private[operators] def meta(dir: String): Meta = {
-    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(metaPath(dir)))
+    val raw = readString(metaPath(dir))
     def s(field: String) =
       s""""$field":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
     val b = """"bandSeconds":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
@@ -152,8 +206,7 @@ object IntervalIndexStore {
       minBand: Option[Long])
 
   private[operators] def manifest(dir: String): Manifest = {
-    val raw = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(manifestPath(dir)))
+    val raw = readString(manifestPath(dir))
     val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
     val live = """"live":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -162,16 +215,13 @@ object IntervalIndexStore {
     Manifest(v, live, mb)
   }
 
-  /** Single-file swap = the commit point (temp write + ATOMIC_MOVE). */
+  /** Single-file swap = the commit point (local: temp + ATOMIC_MOVE;
+    * object store: one PUT). */
   private[operators] def writeManifest(dir: String, m: Manifest): Unit = {
     val body = s"""{"version":${m.version},""" +
       s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]""" +
       m.minBand.map(b => s""","minBand":$b""").getOrElse("") + "}"
-    val tmp = java.nio.file.Paths.get(s"${manifestPath(dir)}.tmp")
-    java.nio.file.Files.writeString(tmp, body)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(manifestPath(dir)),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    writeString(manifestPath(dir), body, atomic = true)
   }
 
   /** The store as lookups see it: live labels only (explicit paths under
@@ -226,12 +276,12 @@ object IntervalIndexStore {
     * deterministic label `<labelPrefix>-<batchId>`. Exactly-once falls
     * out of the append contract — a replayed epoch (crash after the
     * append but before the offset commit: the `afterAppend` seam in the
-    * spec) carries the same batchId, so it overwrites its own directory
-    * and re-commits an already-live label; a crash INSIDE the append
-    * leaves an orphan the manifest never saw (batch spec). Empty epochs
-    * are skipped — committing a label whose directory has no files
-    * would poison the live read. The store must be [[build]]t first
-    * (band width and columns come from `_meta.json`). */
+    * spec) carries the same batchId, so its already-committed label
+    * makes the replay a no-op; a crash INSIDE the append leaves an
+    * uncommitted orphan the replay overwrites (batch spec). The
+    * `isEmpty` check is only a fast path — append itself refuses to
+    * commit a label with no surviving rows. The store must be
+    * [[build]]t first (band width and columns come from `_meta.json`). */
   def ingestStream(intervals: DataFrame, dir: String,
       checkpointLocation: String,
       trigger: Trigger = Trigger.AvailableNow(),
@@ -278,7 +328,11 @@ object IntervalIndexStore {
     * Physical reclaim is [[vacuum]] (or the next [[compact]]). */
   def expire(dir: String, cutoff: java.sql.Timestamp): Unit = {
     val m = meta(dir)
-    val cutBand = Math.floorDiv(cutoff.getTime * 1000L, m.bandSeconds * 1000000L)
+    // plain / (truncating), NOT floorDiv: band assignment uses Spark's
+    // `div`, which truncates toward zero — for pre-1970 cutoffs a
+    // floored floor is one band too low and keeps slices that end
+    // strictly before the cutoff (spec-pinned with 1969 data)
+    val cutBand = (cutoff.getTime * 1000L) / (m.bandSeconds * 1000000L)
     val man = manifest(dir)
     writeManifest(dir, man.copy(version = man.version + 1,
       minBand = Some(man.minBand.fold(cutBand)(math.max(_, cutBand)))))
@@ -301,13 +355,17 @@ object IntervalIndexStore {
     val (live, orphan) = labelDirs.partition(p =>
       man.live.contains(p.getName.stripPrefix("ingest_batch=")))
     orphan.foreach(fs.delete(_, true))
-    val expired = man.minBand.fold(Array.empty[Path]) { floor =>
+    val (expired, kept) = man.minBand.fold(
+        (Array.empty[Path], Array.empty[Path])) { floor =>
       live.flatMap(l => fs.listStatus(l).filter(_.isDirectory).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.startsWith("band=") && n.stripPrefix("band=").toLong < floor
-        })
+        .filter(_.getName.startsWith("band=")))
+        .partition(_.getName.stripPrefix("band=").toLong < floor)
     }
+    // the same guard as compact: deleting EVERY band dir of every live
+    // label would leave a store whose next read dies on schema
+    // inference — a fully-expired store must be rebuilt, not vacuumed
+    require(man.minBand.isEmpty || kept.nonEmpty,
+      "expiry floor covers the entire store; rebuild instead of vacuuming")
     expired.foreach(fs.delete(_, true))
     (orphan.length, expired.length)
   }
@@ -349,6 +407,18 @@ object IntervalIndexStore {
   }
 
   /** Session-teardown/data-regeneration reset (mirrors the other
-    * derived-store caches' contract). */
-  def clearSessionState(): Unit = builtFor.clear()
+    * derived-store caches' contract) — and unlike the in-memory caches
+    * this one owns on-disk temp stores, so it deletes them too. */
+  def clearSessionState(): Unit = {
+    builtFor.values.forEach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    builtFor.clear()
+  }
 }

@@ -103,6 +103,11 @@ class IntervalIndexStoreSpec extends SparkSpec {
     val a = IntervalIndexStore.audit(spark, dir).collect().head
     assert(a.getLong(1) == 2, s"expected 2 ingest batches, got ${a.getLong(1)}")
     assert(a.getLong(0) >= views.count(), "banded rows below interval count")
+    // a committed label is IMMUTABLE: replaying it with different data
+    // is a no-op, never an in-place rewrite of a live directory
+    IntervalIndexStore.append(oldV, dir, "delta1")
+    assert(pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts")) == full,
+      "replay of a live label rewrote its data")
   }
 
   test("compact merges live labels behind one manifest swap; vacuum sweeps the old dirs") {
@@ -251,6 +256,12 @@ class IntervalIndexStoreSpec extends SparkSpec {
       IntervalIndexStore.append(bad, dir, """x","y"""))
     intercept[IllegalArgumentException](
       IntervalIndexStore.compact(spark, dir, "a/b"))
+    // column names are spliced into _meta.json and the banding SQL —
+    // same allowlist as labels
+    intercept[IllegalArgumentException](
+      IntervalIndexStore.build(bad.withColumnRenamed("w_start", "w\"start"),
+        java.nio.file.Files.createTempDirectory("ivx-col").toString,
+        "user_id", "w\"start", "w_end", bandSeconds = 86400L))
     // building from zero valid intervals is rejected with a pointed
     // message, not a latent schema-inference failure at first lookup
     val allBad = bad.where($"view_id" =!= 12L)
@@ -259,5 +270,57 @@ class IntervalIndexStoreSpec extends SparkSpec {
       IntervalIndexStore.build(allBad, dir2, "user_id", "w_start", "w_end",
         bandSeconds = 86400L))
     assert(e.getMessage.contains("no valid intervals"), e.getMessage)
+    // an APPEND whose rows are all invalid commits nothing and leaves
+    // no directory — a live fileless label would poison the read once
+    // it is the last one standing
+    IntervalIndexStore.append(allBad, dir, "nothing")
+    assert(IntervalIndexStore.manifest(dir).live == Seq("base"))
+    assert(!new java.io.File(s"$dir/intervals/ingest_batch=nothing").exists())
+  }
+
+  test("expire bands like Spark's div does: pre-1970 slices strictly before the cutoff stop matching") {
+    import spark.implicits._
+    // band assignment truncates toward zero (Spark `div`); an expire
+    // floor computed with floorDiv would be one band too low for
+    // negative times and KEEP this interval, which ends strictly
+    // before the cutoff
+    val dir = java.nio.file.Files.createTempDirectory("ivx-1969").toString
+    val iv = Seq((1L, 10L, "1969-12-30 06:00:00", "1969-12-30 18:00:00"))
+      .toDF("user_id", "view_id", "s", "e")
+      .select($"user_id", $"view_id", $"s".cast("timestamp").as("w_start"),
+        $"e".cast("timestamp").as("w_end"))
+    // a post-cutoff interval keeps the store non-empty (vacuum/compact
+    // guards) and pins that expiry touches only the old slice
+    val keep = Seq((1L, 20L, "1970-01-02 06:00:00", "1970-01-02 18:00:00"))
+      .toDF("user_id", "view_id", "s", "e")
+      .select($"user_id", $"view_id", $"s".cast("timestamp").as("w_start"),
+        $"e".cast("timestamp").as("w_end"))
+    IntervalIndexStore.build(iv.union(keep), dir, "user_id", "w_start", "w_end",
+      bandSeconds = 86400L)
+    val pts = Seq((100L, 1L, "1969-12-30 12:00:00"), (200L, 1L, "1970-01-02 12:00:00"))
+      .toDF("event_id", "user_id", "t").select($"event_id", $"user_id",
+        $"t".cast("timestamp").as("ts"))
+    def matched() = IntervalIndexStore.lookup(spark, dir, pts, "ts")
+      .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(matched() == Seq(100L, 200L))
+    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("1969-12-31 12:00:00"))
+    assert(matched() == Seq(200L),
+      "slice ending strictly before the cutoff still matched (floorDiv-shaped floor)")
+  }
+
+  test("vacuum refuses an expiry floor that covers the entire store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-allgone").toString
+    val iv = Seq((1L, 10L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("user_id", "view_id", "s", "e")
+      .select($"user_id", $"view_id", $"s".cast("timestamp").as("w_start"),
+        $"e".cast("timestamp").as("w_end"))
+    IntervalIndexStore.build(iv, dir, "user_id", "w_start", "w_end",
+      bandSeconds = 86400L)
+    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    val e = intercept[IllegalArgumentException](IntervalIndexStore.vacuum(spark, dir))
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // nothing was deleted: the store still reads (zero matches is fine)
+    assert(IntervalIndexStore.audit(spark, dir).collect().head.getLong(0) == 0)
   }
 }
