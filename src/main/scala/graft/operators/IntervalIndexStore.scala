@@ -69,20 +69,41 @@ object IntervalIndexStore {
   private def metaPath(dir: String) = s"$dir/_meta.json"
   private def manifestPath(dir: String) = s"$dir/_live.json"
 
+  /** NULL-end rows in an `openEnded` store land here instead of
+    * exploding: an open interval (SCD2 current row, `valid_to` NULL)
+    * has no finite band cover — banding it is the 100 TB OOM the
+    * rewrite's width proof exists to prevent. In SCD2 data there is
+    * ~one open row per key, so the open partition joins by plain key
+    * equality. Long.MinValue is unreachable by any real `div`. */
+  private[operators] val OpenBand = Long.MinValue
+
   /** Build (or rebuild) the store from an interval frame. Columns
-    * `key`, `start`, `end` plus payload; everything is kept. */
+    * `key`, `start`, `end` plus payload; everything is kept.
+    *
+    * `openEnded`: treat NULL `end` as "still in effect" (the SCD2
+    * current-row convention) — such rows go to the [[OpenBand]]
+    * partition and match every point at or after their start; with the
+    * default `false` they are dropped (they could never match, the
+    * in-flight join's contract). `maxBandsPerInterval` caps the explode
+    * per CLOSED interval — a `9999-12-31` sentinel written as a closed
+    * bound would otherwise band onto ~a million rows; the write fails
+    * fast with a pointed message (use openEnded, or clamp). */
   def build(intervals: DataFrame, dir: String, key: String, start: String,
-      end: String, bandSeconds: Long): Unit = {
+      end: String, bandSeconds: Long, openEnded: Boolean = false,
+      maxBandsPerInterval: Long = 4096L): Unit = {
     require(bandSeconds > 0, "bandSeconds must be positive")
+    require(maxBandsPerInterval > 0, "maxBandsPerInterval must be positive")
     Seq(key, start, end).foreach(requireColName)
-    writeBatch(intervals, dir, key, start, end, bandSeconds, "base")
+    writeBatch(intervals, dir, key, start, end, bandSeconds, openEnded,
+      maxBandsPerInterval, "base")
     // an all-empty base would make every later live read fail on schema
     // inference with a message that points nowhere near the cause —
     // reject it here, by listing (no data read), with one that does
     require(hasDataFiles(s"${intervalsPath(dir)}/ingest_batch=base"),
       "no valid intervals to index: every row was NULL-bounded or start > end")
     val meta = s"""{"key":"$key","start":"$start","end":"$end",""" +
-      s""""bandSeconds":$bandSeconds}"""
+      s""""bandSeconds":$bandSeconds,"openEnded":$openEnded,""" +
+      s""""maxBands":$maxBandsPerInterval}"""
     writeString(metaPath(dir), meta, atomic = false)
     writeManifest(dir, Manifest(1L, Seq("base"), None))
   }
@@ -163,7 +184,8 @@ object IntervalIndexStore {
     require(label != "base", "label 'base' is reserved")
     val man = manifest(dir)
     if (man.live.contains(label)) return // committed = immutable; replay no-op
-    writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, label)
+    writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, m.openEnded,
+      m.maxBands, label)
     val labelDir = s"${intervalsPath(dir)}/ingest_batch=$label"
     if (!hasDataFiles(labelDir)) {
       // every row was NULL-bounded/degenerate: committing a fileless
@@ -177,27 +199,47 @@ object IntervalIndexStore {
   }
 
   private def writeBatch(intervals: DataFrame, dir: String, key: String,
-      start: String, end: String, bandSeconds: Long, label: String): Unit = {
+      start: String, end: String, bandSeconds: Long, openEnded: Boolean,
+      maxBands: Long, label: String): Unit = {
     val band = bandSeconds * 1000000L
-    intervals
+    val sDiv = s"(unix_micros($start) div ${band}L)"
+    val eDiv = s"(unix_micros($end) div ${band}L)"
+    // the cap rides INSIDE the band computation (a dropped check column
+    // would be pruned away); raise_error fails the write with a message
+    // that names the fix, instead of exploding a sentinel onto ~1M rows
+    val cappedEnd =
+      s"""CASE WHEN $eDiv - $sDiv >= ${maxBands}L THEN CAST(raise_error(
+         |CONCAT('interval wider than maxBandsPerInterval=$maxBands bands (',
+         |CAST($eDiv - $sDiv + 1 AS STRING),
+         |'): clamp the end, widen bandSeconds, or use openEnded=true for current-row sentinels'))
+         |AS BIGINT) ELSE $eDiv END""".stripMargin
+    val closed = intervals
       .where(col(key).isNotNull && col(start).isNotNull &&
         col(end).isNotNull && col(start) <= col(end))
-      .withColumn("band", explode(sequence(
-        expr(s"unix_micros($start) div ${band}L"),
-        expr(s"unix_micros($end) div ${band}L"))))
+      .withColumn("band", explode(sequence(expr(sDiv), expr(cappedEnd))))
+    val banded =
+      if (!openEnded) closed
+      else closed.unionByName(intervals
+        .where(col(key).isNotNull && col(start).isNotNull && col(end).isNull)
+        .withColumn("band", lit(OpenBand)))
+    banded
       .write.mode(SaveMode.Overwrite).partitionBy("band")
       .parquet(s"${intervalsPath(dir)}/ingest_batch=$label")
   }
 
   private[operators] case class Meta(key: String, start: String, end: String,
-      bandSeconds: Long)
+      bandSeconds: Long, openEnded: Boolean, maxBands: Long)
 
   private[operators] def meta(dir: String): Meta = {
     val raw = readString(metaPath(dir))
     def s(field: String) =
       s""""$field":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
     val b = """"bandSeconds":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    Meta(s("key"), s("start"), s("end"), b)
+    val open = """"openEnded":(true|false)""".r.findFirstMatchIn(raw)
+      .exists(_.group(1) == "true")
+    val cap = """"maxBands":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong).getOrElse(4096L)
+    Meta(s("key"), s("start"), s("end"), b, open, cap)
   }
 
   /** The commit pointer: which `ingest_batch` labels are live, plus the
@@ -233,7 +275,9 @@ object IntervalIndexStore {
     val base = intervalsPath(dir)
     val df = spark.read.option("basePath", base)
       .parquet(man.live.map(l => s"$base/ingest_batch=$l"): _*)
-    man.minBand.fold(df)(b => df.where(col("band") >= b))
+    // open rows never expire: "current" has no age, whatever its start
+    man.minBand.fold(df)(b =>
+      df.where(col("band") >= b || col("band") === OpenBand))
   }
 
   /** Point lookup against the standing store: one equi-join on
@@ -253,12 +297,27 @@ object IntervalIndexStore {
     val p = points
       .where(col(m.key).isNotNull && col(ts).isNotNull)
       .withColumn("__pband", expr(s"unix_micros($ts) div ${band}L"))
+    def out(joined: DataFrame, pay: String) =
+      joined.select(points.columns.map(col).toSeq ++
+        iPayload.map(c => col(s"$pay.$c").as(s"$intervalPrefix$c")): _*)
     val i = store.select(col(m.key).as("__ikey"), col("band").as("__iband"),
       struct(iPayload.map(col): _*).as("__ipay"))
-    p.join(i, p(m.key) === i("__ikey") && p("__pband") === i("__iband"))
-      .where(col(ts).between(col(s"__ipay.${m.start}"), col(s"__ipay.${m.end}")))
-      .select(points.columns.map(col).toSeq ++
-        iPayload.map(c => col(s"__ipay.$c").as(s"$intervalPrefix$c")): _*)
+    val closed = out(
+      p.join(i, p(m.key) === i("__ikey") && p("__pband") === i("__iband"))
+        .where(col(ts).between(col(s"__ipay.${m.start}"), col(s"__ipay.${m.end}"))),
+      "__ipay")
+    if (!m.openEnded) closed
+    else {
+      // current rows: a plain key equi-join against the statically
+      // pruned OpenBand partition (≈1 open row per key in SCD2 data)
+      val o = store.where(col("band") === OpenBand)
+        .select(col(m.key).as("__okey"), struct(iPayload.map(col): _*).as("__opay"))
+      val open = out(
+        p.join(o, p(m.key) === o("__okey"))
+          .where(col(ts) >= col(s"__opay.${m.start}")),
+        "__opay")
+      closed.unionByName(open)
+    }
   }
 
   /** Store audit: banded row count, interval count, batches, partitions
@@ -269,7 +328,8 @@ object IntervalIndexStore {
     liveStore(spark, dir).agg(
       count(lit(1)).as("banded_rows"),
       countDistinct(col("ingest_batch")).as("ingest_batches"),
-      countDistinct(col("band")).as("bands"))
+      countDistinct(col("band")).as("bands"),
+      count(when(col("band") === OpenBand, 1)).as("open_rows"))
   }
 
   /** Continuous ingest: append each micro-batch of intervals under the
@@ -359,7 +419,10 @@ object IntervalIndexStore {
         (Array.empty[Path], Array.empty[Path])) { floor =>
       live.flatMap(l => fs.listStatus(l).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("band=")))
-        .partition(_.getName.stripPrefix("band=").toLong < floor)
+        .partition { p =>
+          val b = p.getName.stripPrefix("band=").toLong
+          b != OpenBand && b < floor // open rows never expire
+        }
     }
     // the same guard as compact: deleting EVERY band dir of every live
     // label would leave a store whose next read dies on schema
@@ -405,6 +468,66 @@ object IntervalIndexStore {
         sum($"value".cast("decimal(18,2)")).cast("double").as("attributed_value"))
       .orderBy($"user_id")
   }
+
+  /** q157: SCD2 state-at-event-time, served from an OPEN-ENDED store —
+    * the single most common validity shape: q90's per-user state
+    * history (successive signup/purchase events, `valid_to` NULL on the
+    * current row) indexed once, then every view event asks "which state
+    * row was in effect when this view happened". Closed history rows
+    * ride the banded path; current rows sit in the [[OpenBand]]
+    * partition and join by plain key equality — the sentinel shape that
+    * must never band (reference service_refresh.go's validity-window
+    * queries; q90Scd2 is the history builder, Relational4.scala:376).
+    * Hash-checked against a DuckDB oracle that states the same
+    * predicate directly on the raw tables. */
+  def q157Scd2LookupStore(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val dir = builtFor.computeIfAbsent("scd2:" + d, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivx-scd2-").toString
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val hist = graft.sources.Tables.events(spark, d)
+        .where($"event_type" === "signup" || $"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+        .withColumn("valid_from", $"ts")
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to")
+      build(hist, dir, key = "user_id", start = "valid_from",
+        end = "valid_to", bandSeconds = 7L * 86400L, openEnded = true)
+      dir
+    })
+    val views = graft.sources.Tables.events(spark, d)
+      .where($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    lookup(spark, dir, views, ts = "ts")
+      .groupBy($"i_event_type".as("state_type"))
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"state_type")
+  }
+
+  /** q157's DuckDB oracle: the same inclusive point-in-validity
+    * predicate, NULL `valid_to` = still current, stated directly. */
+  val q157Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), hist AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |         lead(ts, 1) OVER (PARTITION BY user_id
+      |                           ORDER BY ts ASC, event_id ASC) AS valid_to
+      |  FROM e WHERE event_type IN ('signup', 'purchase')
+      |), v AS (
+      |  SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'
+      |)
+      |SELECT h.event_type AS state_type, count(*) AS n_views,
+      |       count(DISTINCT v.user_id) AS n_users
+      |FROM v JOIN hist h ON v.user_id = h.user_id
+      |  AND v.ts >= h.valid_from
+      |  AND (h.valid_to IS NULL OR v.ts <= h.valid_to)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   /** Session-teardown/data-regeneration reset (mirrors the other
     * derived-store caches' contract) — and unlike the in-memory caches

@@ -278,6 +278,65 @@ class IntervalIndexStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/intervals/ingest_batch=nothing").exists())
   }
 
+  test("open-ended store: NULL-end current rows match by key, never band, never expire") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-open").toString
+    // user 1: a closed Jan state then an open (current) state from Mar;
+    // user 2: closed-only
+    val iv = Seq(
+      (1L, "old", "2024-01-01 00:00:00", "2024-03-01 00:00:00"),
+      (1L, "cur", "2024-03-01 00:00:00", null),
+      (2L, "only", "2024-01-01 00:00:00", "2024-02-01 00:00:00"))
+      .toDF("user_id", "tag", "s", "e")
+      .select($"user_id", $"tag", $"s".cast("timestamp").as("valid_from"),
+        $"e".cast("timestamp").as("valid_to"))
+    IntervalIndexStore.build(iv, dir, "user_id", "valid_from", "valid_to",
+      bandSeconds = 7L * 86400L, openEnded = true)
+    val pts = Seq((10L, 1L, "2024-01-15 00:00:00"), // in user 1's closed state
+      (20L, 1L, "2025-06-01 00:00:00"),             // far future: current only
+      (30L, 2L, "2024-03-01 00:00:00"))             // after user 2's only state
+      .toDF("event_id", "user_id", "t")
+      .select($"event_id", $"user_id", $"t".cast("timestamp").as("ts"))
+    def tags() = IntervalIndexStore.lookup(spark, dir, pts, "ts")
+      .select($"event_id", $"i_tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // boundary note: 2024-01-15 is inside [old]; 2024-03-01 00:00 hits
+    // BOTH old's inclusive end and cur's start — inclusive on purpose
+    // (the between contract); no point probes that boundary here
+    assert(tags() == Seq((10L, "old"), (20L, "cur")))
+    val a = IntervalIndexStore.audit(spark, dir).collect().head
+    assert(a.getLong(3) == 1, s"expected 1 open row, got ${a.getLong(3)}")
+    // the open-side store scan is STATICALLY pruned to the one
+    // OpenBand partition — the current-row join never lists the bands
+    val plan = IntervalIndexStore.lookup(spark, dir, pts, "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"= ${IntervalIndexStore.OpenBand}"),
+      s"no static OpenBand partition filter in:\n$plan")
+    // expiry never touches current rows: drop everything before 2025 —
+    // the open state (whose START is 2024) must still match
+    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    assert(tags() == Seq((20L, "cur")), "open row lost to expiry")
+    val (_, expired) = IntervalIndexStore.vacuum(spark, dir)
+    assert(expired > 0, "vacuum deleted no closed slices")
+    assert(tags() == Seq((20L, "cur")), "vacuum touched the open partition")
+  }
+
+  test("a closed interval wider than the band cap fails fast with a pointed message") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivx-cap").toString
+    val sentinel = Seq((1L, "2024-01-01 00:00:00", "9999-12-31 00:00:00"))
+      .toDF("user_id", "s", "e")
+      .select($"user_id", $"s".cast("timestamp").as("w_start"),
+        $"e".cast("timestamp").as("w_end"))
+    val e = intercept[Exception](
+      IntervalIndexStore.build(sentinel, dir, "user_id", "w_start", "w_end",
+        bandSeconds = 86400L))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxBandsPerInterval")),
+      s"wrong failure for a sentinel-wide interval: ${msgs(e).mkString(" | ")}")
+  }
+
   test("expire bands like Spark's div does: pre-1970 slices strictly before the cutoff stop matching") {
     import spark.implicits._
     // band assignment truncates toward zero (Spark `div`); an expire
