@@ -34,10 +34,10 @@ class ScaleProbeSpec extends SparkSpec {
     // is the planner rewrite — exactly what this guard exists to pin
     "q151_range_join_auto", "q152_overlap_auto", "q153_leftouter_auto",
     "q154_date_range_auto", "q155_anti_join_auto",
-    // the standing-store path: its lookup is a hand-built (key, band)
-    // equi-join, so a nested-loop plan here would mean the store scan
-    // stopped presenting the band column as a join key
-    "q156_standing_attribution",
+    // the standing-store paths: their lookups are hand-built (key, band)
+    // / key equi-joins, so a nested-loop plan here would mean the store
+    // scan stopped presenting its join keys
+    "q156_standing_attribution", "q157_scd2_lookup_store",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {
