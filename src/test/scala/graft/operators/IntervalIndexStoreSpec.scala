@@ -319,6 +319,11 @@ class IntervalIndexStoreSpec extends SparkSpec {
     val (_, expired) = IntervalIndexStore.vacuum(spark, dir)
     assert(expired > 0, "vacuum deleted no closed slices")
     assert(tags() == Seq((20L, "cur")), "vacuum touched the open partition")
+    // compact rewrites the store through the same partitionBy — the
+    // open partition must survive the merge
+    IntervalIndexStore.compact(spark, dir, "c1")
+    assert(tags() == Seq((20L, "cur")), "compact dropped the open partition")
+    assert(IntervalIndexStore.audit(spark, dir).collect().head.getLong(3) == 1)
   }
 
   test("a closed interval wider than the band cap fails fast with a pointed message") {
