@@ -94,18 +94,19 @@ object IntervalIndexStore {
     require(bandSeconds > 0, "bandSeconds must be positive")
     require(maxBandsPerInterval > 0, "maxBandsPerInterval must be positive")
     Seq(key, start, end).foreach(requireColName)
+    val spark = intervals.sparkSession
     writeBatch(intervals, dir, key, start, end, bandSeconds, openEnded,
       maxBandsPerInterval, "base")
     // an all-empty base would make every later live read fail on schema
     // inference with a message that points nowhere near the cause —
     // reject it here, by listing (no data read), with one that does
-    require(hasDataFiles(s"${intervalsPath(dir)}/ingest_batch=base"),
+    require(hasDataFiles(spark, s"${intervalsPath(dir)}/ingest_batch=base"),
       "no valid intervals to index: every row was NULL-bounded or start > end")
     val meta = s"""{"key":"$key","start":"$start","end":"$end",""" +
       s""""bandSeconds":$bandSeconds,"openEnded":$openEnded,""" +
       s""""maxBands":$maxBandsPerInterval}"""
-    writeString(metaPath(dir), meta, atomic = false)
-    writeManifest(dir, Manifest(1L, Seq("base"), None))
+    writeString(spark, metaPath(dir), meta, atomic = false)
+    writeManifest(spark, dir, Manifest(1L, Seq("base"), None))
   }
 
   // ---- metadata I/O: Hadoop FileSystem, so the store dir may live on
@@ -114,21 +115,25 @@ object IntervalIndexStore {
   // the data). Locally the manifest swap is a java.nio ATOMIC_MOVE; on
   // an object store a create-overwrite is a single PUT — atomic there.
 
-  private def hadoopFs(path: String) = {
+  // The CALLER's session supplies the Hadoop configuration — resolving
+  // SparkSession.active here would silently use whichever session is
+  // bound to the thread (wrong credentials in a multi-session setup)
+  // and crash entirely when none is.
+  private def hadoopFs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration), p)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def readString(path: String): String = {
-    val (fs, p) = hadoopFs(path)
+  private def readString(spark: SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(spark, path)
     val in = fs.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }
 
-  private def writeString(path: String, body: String, atomic: Boolean): Unit = {
-    val (fs, p) = hadoopFs(path)
+  private def writeString(spark: SparkSession, path: String, body: String,
+      atomic: Boolean): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
     if (atomic && fs.getScheme == "file") {
       val dst = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(dst.getParent)
@@ -144,8 +149,8 @@ object IntervalIndexStore {
     }
   }
 
-  private def hasDataFiles(path: String): Boolean = {
-    val (fs, p) = hadoopFs(path)
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, path)
     fs.exists(p) && {
       val it = fs.listFiles(p, true)
       var found = false
@@ -179,23 +184,31 @@ object IntervalIndexStore {
     * lookups, swept by [[vacuum]], and safely overwritten by the
     * replay. A batch with no valid interval rows commits nothing. */
   def append(delta: DataFrame, dir: String, label: String): Unit = {
-    val m = meta(dir)
+    val spark = delta.sparkSession
+    val m = meta(spark, dir)
     requireLabel(label)
     require(label != "base", "label 'base' is reserved")
-    val man = manifest(dir)
-    if (man.live.contains(label)) return // committed = immutable; replay no-op
+    if (manifest(spark, dir).live.contains(label))
+      return // committed = immutable; replay no-op
     writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, m.openEnded,
       m.maxBands, label)
     val labelDir = s"${intervalsPath(dir)}/ingest_batch=$label"
-    if (!hasDataFiles(labelDir)) {
+    if (!hasDataFiles(spark, labelDir)) {
       // every row was NULL-bounded/degenerate: committing a fileless
       // label would poison the live read once it is the last one left
-      val (fs, p) = hadoopFs(labelDir)
+      val (fs, p) = hadoopFs(spark, labelDir)
       fs.delete(p, true)
       return
     }
-    writeManifest(dir, man.copy(version = man.version + 1,
-      live = man.live :+ label))
+    // the parquet write can take minutes: commit against a FRESH read of
+    // the pointer, not the pre-write snapshot, so a concurrent expire/
+    // compact commit is not silently reverted (single WRITER is still
+    // the contract; this bounds the damage of violating it to the same
+    // tiny window the pre-snapshot design had)
+    val man = manifest(spark, dir)
+    if (!man.live.contains(label))
+      writeManifest(spark, dir, man.copy(version = man.version + 1,
+        live = man.live :+ label))
   }
 
   private def writeBatch(intervals: DataFrame, dir: String, key: String,
@@ -230,15 +243,17 @@ object IntervalIndexStore {
   private[operators] case class Meta(key: String, start: String, end: String,
       bandSeconds: Long, openEnded: Boolean, maxBands: Long)
 
-  private[operators] def meta(dir: String): Meta = {
-    val raw = readString(metaPath(dir))
+  private[operators] def meta(spark: SparkSession, dir: String): Meta = {
+    val raw = readString(spark, metaPath(dir))
     def s(field: String) =
       s""""$field":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
     val b = """"bandSeconds":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
     val open = """"openEnded":(true|false)""".r.findFirstMatchIn(raw)
       .exists(_.group(1) == "true")
+    // a store whose meta predates the cap had none: default to
+    // unlimited rather than retroactively wedging its ingest
     val cap = """"maxBands":(\d+)""".r.findFirstMatchIn(raw)
-      .map(_.group(1).toLong).getOrElse(4096L)
+      .map(_.group(1).toLong).getOrElse(Long.MaxValue)
     Meta(s("key"), s("start"), s("end"), b, open, cap)
   }
 
@@ -247,8 +262,8 @@ object IntervalIndexStore {
   private[operators] case class Manifest(version: Long, live: Seq[String],
       minBand: Option[Long])
 
-  private[operators] def manifest(dir: String): Manifest = {
-    val raw = readString(manifestPath(dir))
+  private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
+    val raw = readString(spark, manifestPath(dir))
     val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
     val live = """"live":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -259,11 +274,11 @@ object IntervalIndexStore {
 
   /** Single-file swap = the commit point (local: temp + ATOMIC_MOVE;
     * object store: one PUT). */
-  private[operators] def writeManifest(dir: String, m: Manifest): Unit = {
+  private[operators] def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val body = s"""{"version":${m.version},""" +
       s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]""" +
       m.minBand.map(b => s""","minBand":$b""").getOrElse("") + "}"
-    writeString(manifestPath(dir), body, atomic = true)
+    writeString(spark, manifestPath(dir), body, atomic = true)
   }
 
   /** The store as lookups see it: live labels only (explicit paths under
@@ -271,7 +286,7 @@ object IntervalIndexStore {
     * the expiry floor pruned — `band` is a partition column, so the
     * filter never reads a dropped slice. */
   private def liveStore(spark: SparkSession, dir: String): DataFrame = {
-    val man = manifest(dir)
+    val man = manifest(spark, dir)
     val base = intervalsPath(dir)
     val df = spark.read.option("basePath", base)
       .parquet(man.live.map(l => s"$base/ingest_batch=$l"): _*)
@@ -289,7 +304,8 @@ object IntervalIndexStore {
     * the scan to the point batch's bands. */
   def lookup(spark: SparkSession, dir: String, points: DataFrame, ts: String,
       intervalPrefix: String = "i_"): DataFrame = {
-    val m = meta(dir)
+    requireColName(ts) // spliced into the banding expr, like meta's columns
+    val m = meta(spark, dir)
     val band = m.bandSeconds * 1000000L
     val store = liveStore(spark, dir)
     val iPayload = store.columns
@@ -368,7 +384,7 @@ object IntervalIndexStore {
     * orphan — either way the store stays consistent. Refuses to compact
     * a fully-expired (empty) store: rebuild instead. */
   def compact(spark: SparkSession, dir: String, intoLabel: String): Unit = {
-    val man = manifest(dir)
+    val man = manifest(spark, dir)
     requireLabel(intoLabel)
     require(!man.live.contains(intoLabel),
       s"compact label '$intoLabel' must be new (live: ${man.live.mkString(",")})")
@@ -377,7 +393,7 @@ object IntervalIndexStore {
       "store is empty after the expiry floor; rebuild instead of compacting")
     merged.write.mode(SaveMode.Overwrite).partitionBy("band")
       .parquet(s"${intervalsPath(dir)}/ingest_batch=$intoLabel")
-    writeManifest(dir, man.copy(version = man.version + 1, live = Seq(intoLabel)))
+    writeManifest(spark, dir, man.copy(version = man.version + 1, live = Seq(intoLabel)))
   }
 
   /** M2 for the store: LOGICAL retention — time slices strictly older
@@ -386,15 +402,16 @@ object IntervalIndexStore {
     * read, let alone rewritten). An interval straddling the cutoff
     * keeps its newer slices: points after the cutoff still match it.
     * Physical reclaim is [[vacuum]] (or the next [[compact]]). */
-  def expire(dir: String, cutoff: java.sql.Timestamp): Unit = {
-    val m = meta(dir)
+  def expire(spark: SparkSession, dir: String,
+      cutoff: java.sql.Timestamp): Unit = {
+    val m = meta(spark, dir)
     // plain / (truncating), NOT floorDiv: band assignment uses Spark's
     // `div`, which truncates toward zero — for pre-1970 cutoffs a
     // floored floor is one band too low and keeps slices that end
     // strictly before the cutoff (spec-pinned with 1969 data)
     val cutBand = (cutoff.getTime * 1000L) / (m.bandSeconds * 1000000L)
-    val man = manifest(dir)
-    writeManifest(dir, man.copy(version = man.version + 1,
+    val man = manifest(spark, dir)
+    writeManifest(spark, dir, man.copy(version = man.version + 1,
       minBand = Some(man.minBand.fold(cutBand)(math.max(_, cutBand)))))
   }
 
@@ -406,7 +423,7 @@ object IntervalIndexStore {
     * (orphan label dirs deleted, expired band dirs deleted). */
   def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    val man = manifest(dir)
+    val man = manifest(spark, dir)
     val root = new Path(intervalsPath(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
@@ -414,7 +431,6 @@ object IntervalIndexStore {
       .map(_.getPath).filter(_.getName.startsWith("ingest_batch="))
     val (live, orphan) = labelDirs.partition(p =>
       man.live.contains(p.getName.stripPrefix("ingest_batch=")))
-    orphan.foreach(fs.delete(_, true))
     val (expired, kept) = man.minBand.fold(
         (Array.empty[Path], Array.empty[Path])) { floor =>
       live.flatMap(l => fs.listStatus(l).filter(_.isDirectory).map(_.getPath)
@@ -424,11 +440,13 @@ object IntervalIndexStore {
           b != OpenBand && b < floor // open rows never expire
         }
     }
-    // the same guard as compact: deleting EVERY band dir of every live
+    // the same guard as compact, and BEFORE any deletion, so a refused
+    // vacuum is side-effect-free: deleting EVERY band dir of every live
     // label would leave a store whose next read dies on schema
     // inference — a fully-expired store must be rebuilt, not vacuumed
     require(man.minBand.isEmpty || kept.nonEmpty,
       "expiry floor covers the entire store; rebuild instead of vacuuming")
+    orphan.foreach(fs.delete(_, true))
     expired.foreach(fs.delete(_, true))
     (orphan.length, expired.length)
   }
@@ -531,7 +549,10 @@ object IntervalIndexStore {
 
   /** Session-teardown/data-regeneration reset (mirrors the other
     * derived-store caches' contract) — and unlike the in-memory caches
-    * this one owns on-disk temp stores, so it deletes them too. */
+    * this one owns on-disk temp stores, so it deletes them too.
+    * java.nio on purpose (not the store's Hadoop-FS idiom): teardown
+    * may run after `spark.stop()`, and `builtFor` only ever holds
+    * local temp dirs this object created itself. */
   def clearSessionState(): Unit = {
     builtFor.values.forEach { d =>
       val p = java.nio.file.Paths.get(d)

@@ -145,9 +145,9 @@ class IntervalIndexStoreSpec extends SparkSpec {
     // crash between the parquet write and the manifest commit: run the
     // append, then restore the pre-append manifest — on-disk state is
     // exactly what a crash in between leaves behind
-    val preCrash = IntervalIndexStore.manifest(dir)
+    val preCrash = IntervalIndexStore.manifest(spark, dir)
     IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "delta1")
-    IntervalIndexStore.writeManifest(dir, preCrash)
+    IntervalIndexStore.writeManifest(spark, dir, preCrash)
     assert(new java.io.File(s"$dir/intervals/ingest_batch=delta1").exists())
     assert(pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts")) == baseOnly,
       "uncommitted append leaked into lookups")
@@ -175,7 +175,7 @@ class IntervalIndexStoreSpec extends SparkSpec {
     def matched() = IntervalIndexStore.lookup(spark, dir, pts, "ts")
       .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(matched() == Seq(100L, 200L))
-    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    IntervalIndexStore.expire(spark, dir, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
     assert(matched() == Seq(200L), "expired slice still matched")
     // physical reclaim: the January interval's two 1-day band dirs go
     val (orphans, expired) = IntervalIndexStore.vacuum(spark, dir)
@@ -222,7 +222,7 @@ class IntervalIndexStoreSpec extends SparkSpec {
     }
     assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
     // non-vacuous: the crashed epoch's append IS committed in the store
-    val livePreRestart = IntervalIndexStore.manifest(dir).live
+    val livePreRestart = IntervalIndexStore.manifest(spark, dir).live
     assert(livePreRestart.exists(_.startsWith("epoch-")),
       s"crash fired before any epoch appended (live: $livePreRestart)")
 
@@ -274,7 +274,7 @@ class IntervalIndexStoreSpec extends SparkSpec {
     // no directory — a live fileless label would poison the read once
     // it is the last one standing
     IntervalIndexStore.append(allBad, dir, "nothing")
-    assert(IntervalIndexStore.manifest(dir).live == Seq("base"))
+    assert(IntervalIndexStore.manifest(spark, dir).live == Seq("base"))
     assert(!new java.io.File(s"$dir/intervals/ingest_batch=nothing").exists())
   }
 
@@ -314,7 +314,7 @@ class IntervalIndexStoreSpec extends SparkSpec {
       s"no static OpenBand partition filter in:\n$plan")
     // expiry never touches current rows: drop everything before 2025 —
     // the open state (whose START is 2024) must still match
-    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    IntervalIndexStore.expire(spark, dir, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
     assert(tags() == Seq((20L, "cur")), "open row lost to expiry")
     val (_, expired) = IntervalIndexStore.vacuum(spark, dir)
     assert(expired > 0, "vacuum deleted no closed slices")
@@ -367,7 +367,7 @@ class IntervalIndexStoreSpec extends SparkSpec {
     def matched() = IntervalIndexStore.lookup(spark, dir, pts, "ts")
       .select($"event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(matched() == Seq(100L, 200L))
-    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("1969-12-31 12:00:00"))
+    IntervalIndexStore.expire(spark, dir, java.sql.Timestamp.valueOf("1969-12-31 12:00:00"))
     assert(matched() == Seq(200L),
       "slice ending strictly before the cutoff still matched (floorDiv-shaped floor)")
   }
@@ -381,7 +381,7 @@ class IntervalIndexStoreSpec extends SparkSpec {
         $"e".cast("timestamp").as("w_end"))
     IntervalIndexStore.build(iv, dir, "user_id", "w_start", "w_end",
       bandSeconds = 86400L)
-    IntervalIndexStore.expire(dir, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    IntervalIndexStore.expire(spark, dir, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
     val e = intercept[IllegalArgumentException](IntervalIndexStore.vacuum(spark, dir))
     assert(e.getMessage.contains("rebuild"), e.getMessage)
     // nothing was deleted: the store still reads (zero matches is fine)
