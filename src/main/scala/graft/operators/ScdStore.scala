@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The STANDING SCD2 dimension: [[ScdMerge]] made operational, with the
+  * write layout its `mergeParts` split exists for.
+  *
+  *  - `history/batch=<label>/` — APPEND-ONLY: each committed batch adds
+  *    the rows it closed and never touches earlier directories. At
+  *    100 TB the history partition is the ~whole dimension and this is
+  *    the property that makes nightly merges affordable: the write is
+  *    batch-sized, never history-sized.
+  *  - `current/v<N>/` — the only REWRITE, and it is current-partition-
+  *    sized (≈ one row per key). Version directories are immutable;
+  *    the live one is named by the manifest.
+  *  - `_live.json` — the commit pointer: `{version, applied:[labels]}`.
+  *    A batch label becomes visible only when it lands in `applied`,
+  *    and readers resolve BOTH the history label set and the current
+  *    version through the manifest — a crash between data writes and
+  *    the manifest swap leaves orphan directories no reader sees, and
+  *    the replayed batch overwrites them and commits (the
+  *    [[IntervalIndexStore]] manifest discipline; Iceberg's
+  *    metadata-pointer-is-the-commit, reference maintenance.py drives
+  *    the same machinery).
+  *
+  * Exactly-once ingest falls out: a replayed label is already in
+  * `applied` → no-op. [[ingestStream]] labels each epoch
+  * `<prefix>-<batchId>`, so at-least-once micro-batch delivery
+  * converges without read-side dedup (spec-pinned, crash injection
+  * included).
+  */
+object ScdStore {
+
+  private def historyPath(dir: String) = s"$dir/history"
+  private def currentPath(dir: String, v: Long) = s"$dir/current/v$v"
+  private def metaPath(dir: String) = s"$dir/_meta.json"
+  private def manifestPath(dir: String) = s"$dir/_live.json"
+
+  private val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  private def requireLabel(label: String): Unit =
+    require(LabelRx.matches(label),
+      s"label '$label' must match ${LabelRx.regex} (it names a directory and a JSON value)")
+
+  /** Initialize the store from a raw change log: compress → history
+    * rows under `batch=base`, current rows as `current/v1`. */
+  def init(log: DataFrame, dir: String, key: String, ts: String,
+      values: Seq[String], carry: Seq[String] = Nil): Unit = {
+    val spark = log.sparkSession
+    val scd = ScdMerge.compress(log, key, ts, values, carry)
+    scd.where(col("valid_to").isNotNull)
+      .write.mode(SaveMode.Overwrite).parquet(s"${historyPath(dir)}/batch=base")
+    scd.where(col("valid_to").isNull)
+      .write.mode(SaveMode.Overwrite).parquet(currentPath(dir, 1L))
+    val meta = s"""{"key":"$key","ts":"$ts",""" +
+      s""""values":[${values.map(v => s""""$v"""").mkString(",")}],""" +
+      s""""carry":[${carry.map(c => s""""$c"""").mkString(",")}]}"""
+    writeString(spark, metaPath(dir), meta, atomic = false)
+    writeManifest(spark, dir, Manifest(1L, Seq("base")))
+  }
+
+  /** Apply one change batch under `label`. Committed labels are
+    * immutable — a replay is a no-op, so at-least-once delivery
+    * converges. `beforeCommit` is the crash-injection seam for the
+    * spec (runs after both data writes, before the manifest swap). */
+  def applyBatch(changes: DataFrame, dir: String, label: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val spark = changes.sparkSession
+    requireLabel(label)
+    require(label != "base", "label 'base' is reserved")
+    val man = manifest(spark, dir)
+    if (man.applied.contains(label)) return // committed = immutable
+    val m = meta(spark, dir)
+    val (closedDelta, newCurrent) = ScdMerge.mergeParts(
+      current(spark, dir), changes, m.key, m.ts, m.values, m.carry)
+    // two jobs over one batch-sized merge plan: checkpoint it once so
+    // the closed/current split doesn't run the windowed merge twice
+    // (and so neither write re-reads a current version the commit below
+    // is about to supersede)
+    val parts = Seq(closedDelta, newCurrent).map(_.localCheckpoint())
+    parts(0).write.mode(SaveMode.Overwrite)
+      .parquet(s"${historyPath(dir)}/batch=$label")
+    parts(1).write.mode(SaveMode.Overwrite)
+      .parquet(currentPath(dir, man.version + 1))
+    beforeCommit()
+    // fresh pointer read before the swap — same contract as
+    // IntervalIndexStore.append: single writer, bounded damage
+    val fresh = manifest(spark, dir)
+    if (!fresh.applied.contains(label))
+      writeManifest(spark, dir,
+        Manifest(fresh.version + 1, fresh.applied :+ label))
+  }
+
+  /** The live current partition (≈ one row per key, `valid_to` NULL). */
+  def current(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(currentPath(dir, manifest(spark, dir).version))
+
+  /** The full SCD2 table: applied history labels ∪ live current. */
+  def table(spark: SparkSession, dir: String): DataFrame = {
+    val man = manifest(spark, dir)
+    val hist = spark.read
+      .option("basePath", historyPath(dir))
+      .parquet(man.applied.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+      .drop("batch")
+    hist.unionByName(spark.read.parquet(currentPath(dir, man.version)))
+  }
+
+  /** State-at-time read: the ≤1 row per key valid at `ts` (half-open
+    * `[valid_from, valid_to)` — a change instant belongs to the NEW
+    * row, so keys are never double-counted at boundaries). */
+  def asOf(spark: SparkSession, dir: String,
+      at: java.sql.Timestamp): DataFrame =
+    table(spark, dir).where(col("valid_from") <= lit(at) &&
+      (col("valid_to").isNull || col("valid_to") > lit(at)))
+
+  /** Continuous maintenance: each micro-batch of change events is one
+    * [[applyBatch]] under the deterministic label `<prefix>-<batchId>`;
+    * replays no-op (exactly-once, crash specs). */
+  def ingestStream(changes: DataFrame, dir: String,
+      checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      labelPrefix: String = "epoch",
+      afterApply: Long => Unit = _ => ()): StreamingQuery = {
+    requireLabel(labelPrefix)
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (delta: DataFrame, batchId: Long) =>
+        if (!delta.isEmpty) applyBatch(delta, dir, s"$labelPrefix-$batchId")
+        afterApply(batchId)
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** M1 for the history side: merge every applied label into one.
+    * Continuous ingest otherwise accretes a directory per epoch and
+    * every table() read lists them all. The swap is one manifest
+    * write; old labels become orphans for [[vacuum]]. */
+  def compactHistory(spark: SparkSession, dir: String,
+      intoLabel: String): Unit = {
+    val man = manifest(spark, dir)
+    requireLabel(intoLabel)
+    require(!man.applied.contains(intoLabel),
+      s"compact label '$intoLabel' must be new (applied: ${man.applied.mkString(",")})")
+    spark.read
+      .option("basePath", historyPath(dir))
+      .parquet(man.applied.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+      .drop("batch")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${historyPath(dir)}/batch=$intoLabel")
+    // `version` NAMES the live current directory — compaction touches
+    // only the history label set, so it must not advance it
+    writeManifest(spark, dir, Manifest(man.version, Seq(intoLabel)))
+  }
+
+  /** M3: delete history labels and current versions the manifest does
+    * not name — crashed batches, compacted-away labels, superseded
+    * current versions. Returns (history dirs, current dirs) deleted. */
+  def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val man = manifest(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sweep(root: String, keep: String => Boolean): Int = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0
+      else {
+        val victims = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .filterNot(d => keep(d.getName))
+        victims.foreach(fs.delete(_, true))
+        victims.length
+      }
+    }
+    val h = sweep(historyPath(dir),
+      n => man.applied.contains(n.stripPrefix("batch=")))
+    val c = sweep(s"$dir/current", _ == s"v${man.version}")
+    (h, c)
+  }
+
+  /** Store health: key count, open rows, history rows/batches, version. */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    val man = manifest(spark, dir)
+    val cur = current(spark, dir)
+    val m = meta(spark, dir)
+    val hist = spark.read
+      .option("basePath", historyPath(dir))
+      .parquet(man.applied.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+    cur.agg(count(lit(1)).as("current_rows"),
+        countDistinct(col(m.key)).as("current_keys"))
+      .crossJoin(hist.agg(count(lit(1)).as("history_rows"),
+        countDistinct(col("batch")).as("history_batches")))
+      .withColumn("version", lit(man.version))
+  }
+
+  // ---- metadata I/O (the IntervalIndexStore contract: Hadoop FS for
+  // data paths, atomic single-file swap for the pointer) --------------
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(spark, path)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(spark: SparkSession, path: String, body: String,
+      atomic: Boolean): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (atomic && fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private[operators] case class Meta(key: String, ts: String,
+      values: Seq[String], carry: Seq[String])
+
+  private[operators] def meta(spark: SparkSession, dir: String): Meta = {
+    val raw = readString(spark, metaPath(dir))
+    def s(field: String) =
+      s""""$field":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
+    def arr(field: String) =
+      s""""$field":\\[([^\\]]*)\\]""".r.findFirstMatchIn(raw).get.group(1)
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    Meta(s("key"), s("ts"), arr("values"), arr("carry"))
+  }
+
+  private[operators] case class Manifest(version: Long, applied: Seq[String])
+
+  private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
+    val raw = readString(spark, manifestPath(dir))
+    val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
+    val applied = """"applied":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get
+      .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    Manifest(v, applied)
+  }
+
+  private[operators] def writeManifest(spark: SparkSession, dir: String,
+      m: Manifest): Unit = {
+    val body = s"""{"version":${m.version},""" +
+      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}]}"""
+    writeString(spark, manifestPath(dir), body, atomic = true)
+  }
+
+  // ---- q160: the standing store, hash-checked against one-pass SQL --
+
+  private val builtFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q160: the full SCD2 table SERVED FROM THE STORE after an init plus
+    * two committed change batches — hash-checked against the same
+    * one-pass full-compress oracle as q159, so init → apply → apply →
+    * read is semantically invisible end-to-end (the q156/q157 bar). */
+  def q160Scd2Store(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = builtFor.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scd-").toString
+      val f = graft.sources.Tables.events(spark, d)
+        .where($"event_type" === "signup" || $"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+      val (c1, c2) = (lit("2024-01-11").cast("timestamp"),
+        lit("2024-01-21").cast("timestamp"))
+      init(f.where($"ts" < c1), dir, key = "user_id", ts = "ts",
+        values = Seq("event_type"), carry = Seq("event_id"))
+      applyBatch(f.where($"ts" >= c1 && $"ts" < c2), dir, "b1")
+      applyBatch(f.where($"ts" >= c2), dir, "b2")
+      dir
+    })
+    table(spark, dir).orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  /** Same shape as q159's oracle: the store must reproduce the one-pass
+    * compression of the whole log. */
+  val q160Sql: String = ScdMerge.q159Sql
+
+  /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */
+  def clearSessionState(): Unit = {
+    builtFor.values.forEach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    builtFor.clear()
+  }
+}

@@ -1,0 +1,300 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A FILE-GRAIN zone-map index: per-file min/max/value-count stats for
+  * chosen columns, persisted once and consulted at read time to scan
+  * only the files a range predicate can possibly match.
+  *
+  * This is the READ-side payoff of the data-layout family: q136 audits
+  * whether file key-zones overlap, `functions/ZOrder` is the rewrite
+  * that un-overlaps them, and the reference's `$files`-table queries
+  * (handler equivalents in queries/Metadata.scala) expose exactly these
+  * per-file stats — Iceberg/Delta keep them in manifests and prune
+  * scans with them. Plain parquet directories get no such pruning from
+  * Spark (row-group stats only kick in AFTER every footer is opened);
+  * at 100 TB the footer-open pass alone is ~800k object reads. The
+  * standing index replaces it with one metadata-sized scan.
+  *
+  * Correctness posture — the index is a PRUNER, never a filter:
+  *  - the predicate is re-applied to the surviving rows, so a stale or
+  *    coarse zone can only cost I/O, not rows;
+  *  - files present in the directory but NOT in the index (appended
+  *    since the last [[refresh]]) are always read — conservative under
+  *    ingest;
+  *  - indexed files no longer present (compacted/expired away) are
+  *    ignored — the live listing, not the index, names the scan set;
+  *  - a file whose zone is NULL (every row NULL in that column) is
+  *    skipped for a range predicate: a range never matches NULL — the
+  *    same contract as the interval family's NULL-bound drop.
+  *
+  * 100 TB: the stats table is file-count-sized (~800k rows for 128 MB
+  * files — kilobytes per TB); [[build]] is one partial agg over the
+  * table keyed by `_metadata.file_path`; [[refresh]] re-stats only the
+  * DELTA of unindexed files. Qualifying paths are collected on the
+  * driver (a string list over the matched subset); `maxListedFiles`
+  * caps that list — past the cap the scan falls back to the full
+  * directory read with the same predicate, because a prune that keeps
+  * most files wasn't going to win anyway.
+  */
+object SkippingIndex {
+
+  private def statsPath(dir: String) = s"$dir/stats"
+  private def metaPath(dir: String) = s"$dir/_meta.json"
+
+  /** An inclusive range predicate on one indexed column; `None` bounds
+    * are open. Values must be of (or comparable by Spark's `lit` to)
+    * the column's type: numbers, strings, java.sql.Date / Timestamp. */
+  final case class ColumnRange(column: String, lo: Option[Any],
+      hi: Option[Any]) {
+    require(lo.nonEmpty || hi.nonEmpty,
+      s"range on '$column' must bound at least one side")
+  }
+
+  private val ColRx = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireColName(c: String): Unit =
+    require(ColRx.matches(c),
+      s"column name '$c' must match ${ColRx.regex} (it is stored in _meta.json)")
+
+  /** Per-file stats for `cols` over the parquet table at `tablePath`,
+    * as one partial aggregation keyed by the hidden `_metadata`
+    * column — no listing job, no per-file read amplification. */
+  private def statsOf(spark: SparkSession, tablePath: String,
+      cols: Seq[String], only: Option[Seq[String]]): DataFrame = {
+    // `only` (the refresh delta) is read as an EXPLICIT path list — the
+    // stat job touches just the new files, not the standing table
+    val table = only.fold(spark.read.parquet(tablePath))(paths =>
+      spark.read.option("basePath", tablePath).parquet(paths: _*))
+    cols.foreach { c =>
+      require(table.columns.contains(c), s"column '$c' not in $tablePath")
+    }
+    table.groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("row_count"),
+        cols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"),
+          count(col(c)).as(s"nn_$c"))): _*)
+  }
+
+  /** Build (or rebuild) the index over the parquet table at
+    * `tablePath`. `cols` are the skippable columns — in production the
+    * ones the layout is clustered by (q136/ZOrder), because zones of a
+    * randomly-laid-out column all overlap and prune nothing (still
+    * correct, measured in the spec). */
+  def build(spark: SparkSession, tablePath: String, dir: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "at least one indexed column")
+    cols.foreach(requireColName)
+    statsOf(spark, tablePath, cols, only = None)
+      .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
+    val meta = s"""{"table":${jsonStr(tablePath)},""" +
+      s""""cols":[${cols.map(jsonStr).mkString(",")}]}"""
+    writeString(spark, metaPath(dir), meta)
+  }
+
+  /** Re-stat ONLY files the index does not know yet (delta-sized, the
+    * incremental-ingest path) and append them. Vanished files need no
+    * action — reads ignore them. Returns the number of files added. */
+  def refresh(spark: SparkSession, dir: String): Int = {
+    val m = meta(spark, dir)
+    val have = spark.read.parquet(statsPath(dir))
+      .select("file").collect().map(r => normPath(r.getString(0))).toSet
+    val unknown = listDataFiles(spark, m.table).filterNot(have).toSeq
+    if (unknown.nonEmpty) {
+      val delta = statsOf(spark, m.table, m.cols, only = Some(unknown))
+      // a ZERO-ROW file produces no aggregation row, but must still be
+      // recorded or every later refresh re-discovers it; its NULL zones
+      // are correct — no range can match a file with no rows, so
+      // qualify() skips it like an all-NULL zone
+      val statted = delta.select("file").collect()
+        .map(r => normPath(r.getString(0))).toSet
+      val empties = unknown.filterNot(statted)
+      val complete = if (empties.isEmpty) delta else {
+        val emptyRows = empties.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            f +: 0L +: m.cols.flatMap(_ => Seq(null, null, 0L)))
+        }
+        delta.unionByName(spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(emptyRows).asJava),
+          delta.schema))
+      }
+      complete.write.mode(SaveMode.Append).parquet(statsPath(dir))
+    }
+    unknown.size
+  }
+
+  /** The files a conjunction of ranges may match, per the index: zones
+    * intersecting every range, plus every live file the index has no
+    * row for. NULL zones (all-NULL column in that file) drop out of the
+    * comparison — a range predicate cannot match NULL. */
+  private def qualify(spark: SparkSession, dir: String,
+      ranges: Seq[ColumnRange]): (Seq[String], Seq[String]) = {
+    val m = meta(spark, dir)
+    ranges.foreach(r => require(m.cols.contains(r.column),
+      s"column '${r.column}' is not indexed (have: ${m.cols.mkString(",")})"))
+    val zoneHit = ranges.map { r =>
+      val lo = r.lo.map(v => col(s"max_${r.column}") >= lit(v))
+      val hi = r.hi.map(v => col(s"min_${r.column}") <= lit(v))
+      (lo ++ hi).reduce(_ && _)
+    }.reduce(_ && _)
+    // one control-plane pass over the file-count-sized stats table:
+    // every indexed file with its zone verdict
+    val verdicts = spark.read.parquet(statsPath(dir))
+      .select(col("file"), coalesce(zoneHit, lit(false)).as("hit"))
+      .collect().map(r => normPath(r.getString(0)) -> r.getBoolean(1)).toMap
+    val live = listDataFiles(spark, m.table)
+    val unknown = live.filterNot(verdicts.contains)
+    val qualifying = live.filter(f => verdicts.getOrElse(f, false))
+    (qualifying.toSeq, unknown.toSeq)
+  }
+
+  /** `_metadata.file_path` strings and Hadoop listing paths must compare
+    * equal whatever slash convention each renders (`file:/x` vs
+    * `file:///x`); route both through one URI normalization. */
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.toString
+
+  /** The table filtered by `ranges`, reading only files the index
+    * cannot rule out. Semantically identical to
+    * `spark.read.parquet(table).where(ranges)` — the predicate is
+    * re-applied after the prune (spec- and oracle-pinned). */
+  def prunedRead(spark: SparkSession, dir: String,
+      ranges: Seq[ColumnRange], maxListedFiles: Int = 100000): DataFrame = {
+    require(ranges.nonEmpty, "at least one range (use a plain read otherwise)")
+    val m = meta(spark, dir)
+    val pred = ranges.map { r =>
+      val lo = r.lo.map(v => col(r.column) >= lit(v))
+      val hi = r.hi.map(v => col(r.column) <= lit(v))
+      (lo ++ hi).reduce(_ && _)
+    }.reduce(_ && _)
+    val (qualifying, unknown) = qualify(spark, dir, ranges)
+    val paths = qualifying ++ unknown
+    if (paths.isEmpty) {
+      // nothing can match; keep the schema without touching data files
+      spark.read.parquet(m.table).where(lit(false)).where(pred)
+    } else if (paths.size > maxListedFiles) {
+      // a prune keeping this many files wasn't going to win; don't ship
+      // a huge explicit list through the driver
+      spark.read.parquet(m.table).where(pred)
+    } else {
+      spark.read.option("basePath", m.table).parquet(paths: _*).where(pred)
+    }
+  }
+
+  /** Index health for dashboards: indexed/live/unindexed file counts
+    * and per-column zone width stats (wide zones = clustering decayed,
+    * time to q142's rewrite advisory). */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    val m = meta(spark, dir)
+    val live = listDataFiles(spark, m.table).size
+    spark.read.parquet(statsPath(dir)).agg(
+      count(lit(1)).as("indexed_files"),
+      lit(live).cast("long").as("live_files"),
+      sum(col("row_count")).as("indexed_rows"))
+  }
+
+  // ---- plumbing (Hadoop FileSystem, same portability contract as
+  // IntervalIndexStore: the table and the index may live anywhere
+  // Spark can read parquet from) --------------------------------------
+
+  private def listDataFiles(spark: SparkSession, tablePath: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    val it = fs.listFiles(p, true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+        out += normPath(f.toString)
+    }
+    out.result()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private[operators] case class Meta(table: String, cols: Seq[String])
+
+  private[operators] def meta(spark: SparkSession, dir: String): Meta = {
+    val raw = readString(spark, metaPath(dir))
+    val table = """"table":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
+      .get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    val cols = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    Meta(table, cols)
+  }
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeString(spark: SparkSession, path: String,
+      body: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---- q158: the skipping scan, hash-checked against a full scan ----
+
+  private val builtFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q158: a selective partkey-band revenue rollup served through the
+    * index over a RANGE-CLUSTERED copy of lineitem (8 files keyed by
+    * `l_partkey` — the layout ZOrder/q142 produce). The DuckDB oracle
+    * states the same query on the original table, so a green hash
+    * proves the prune path is semantically invisible; the SPEC pins
+    * that it actually pruned (scan reads ≤ 2 of the 8 files). */
+  def q158SkippingScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = builtFor.computeIfAbsent(d, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-skip-").toString
+      graft.sources.Tables.lineitem(spark, d)
+        .repartitionByRange(8, $"l_partkey")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+      build(spark, s"$root/table", s"$root/index", Seq("l_partkey"))
+      root
+    })
+    prunedRead(spark, s"$dir/index",
+      Seq(ColumnRange("l_partkey", Some(100L), Some(299L))))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q158Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 299
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */
+  def clearSessionState(): Unit = {
+    builtFor.values.forEach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+    builtFor.clear()
+  }
+}

@@ -38,6 +38,10 @@ class ScaleProbeSpec extends SparkSpec {
     // / key equi-joins, so a nested-loop plan here would mean the store
     // scan stopped presenting its join keys
     "q156_standing_attribution", "q157_scd2_lookup_store",
+    // round-13 additions: the skipping scan must stay a pruned
+    // file-source scan + hash agg; the SCD2 merge/store paths are
+    // window + broadcast-anti shapes that must never cross-join
+    "q158_skipping_scan", "q159_scd2_merge", "q160_scd2_store",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {

@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The standing SCD2 store must serve exactly the one-pass compression
+  * of everything committed so far, converge under replays and crash
+  * replays (manifest-committed batches), keep history APPEND-ONLY at
+  * the file level, and keep maintenance (compact/vacuum) invisible to
+  * readers. Streaming ingest is the same contract per micro-batch. */
+class ScdStoreSpec extends SparkSpec {
+
+  import ScdStore._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def log: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .where($"event_type" === "signup" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+  }
+
+  private def rows(d: DataFrame): Seq[String] = {
+    import spark.implicits._
+    d.select($"user_id", $"event_type", $"event_id", $"valid_from",
+        $"valid_to", $"is_current")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def full: Seq[String] =
+    rows(ScdMerge.compress(log, "user_id", "ts", Seq("event_type"), Seq("event_id")))
+
+  private def initHalves(dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cut = lit("2024-01-16").cast("timestamp")
+    val (early, late) = (log.where($"ts" < cut), log.where($"ts" >= cut))
+    init(early, dir, "user_id", "ts", Seq("event_type"), Seq("event_id"))
+    (early, late)
+  }
+
+  test("init + applyBatch serves the one-pass compression of the full log") {
+    val dir = java.nio.file.Files.createTempDirectory("scd-eq").toString
+    val (_, late) = initHalves(dir)
+    applyBatch(late, dir, "b1")
+    assert(rows(table(spark, dir)) == full)
+  }
+
+  test("a replayed label is a no-op; a crashed commit converges on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("scd-replay").toString
+    val (_, late) = initHalves(dir)
+    // crash INJECTED between the data writes and the manifest swap:
+    // readers must still see the pre-batch table
+    val before = rows(table(spark, dir))
+    intercept[RuntimeException] {
+      applyBatch(late, dir, "b1",
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(rows(table(spark, dir)) == before,
+      "an uncommitted batch leaked into the table")
+    // replay with the same label: overwrites the orphans and commits
+    applyBatch(late, dir, "b1")
+    assert(rows(table(spark, dir)) == full)
+    // second replay: committed = immutable = no-op
+    applyBatch(late, dir, "b1")
+    assert(rows(table(spark, dir)) == full)
+    assert(manifest(spark, dir).applied == Seq("base", "b1"))
+  }
+
+  test("history is append-only at the FILE level across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-appendonly").toString
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val (_, late) = initHalves(dir)
+    def baseFiles() = {
+      val d = new java.io.File(s"$dir/history/batch=base")
+      d.listFiles().map(f => f.getName -> f.lastModified()).sortBy(_._1).toSeq
+    }
+    val before = baseFiles()
+    applyBatch(late.where($"ts" < cut2), dir, "b1")
+    applyBatch(late.where($"ts" >= cut2), dir, "b2")
+    assert(baseFiles() == before,
+      "committing batches rewrote the base history partition")
+    assert(rows(table(spark, dir)) == full)
+  }
+
+  test("asOf returns at most one state row per key (half-open intervals)") {
+    val dir = java.nio.file.Files.createTempDirectory("scd-asof").toString
+    val (_, late) = initHalves(dir)
+    applyBatch(late, dir, "b1")
+    val at = ts("2024-01-20 00:00:00")
+    val snap = asOf(spark, dir, at)
+    val perKey = snap.groupBy(col("user_id")).count()
+      .where(col("count") > 1).count()
+    assert(perKey == 0, "a key had two states at one instant")
+    // every key whose history started by `at` has exactly one state
+    val started = table(spark, dir).where(col("valid_from") <= lit(at))
+      .select("user_id").distinct().count()
+    assert(snap.count() == started)
+  }
+
+  test("a change-point boundary belongs to the NEW row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-boundary").toString
+    val logS = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, 2L, "b", ts("2024-01-05 00:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    init(logS, dir, "user_id", "ts", Seq("event_type"), Seq("event_id"))
+    val atChange = asOf(spark, dir, ts("2024-01-05 00:00:00"))
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    assert(atChange == Seq("b"))
+  }
+
+  test("compactHistory merges labels and vacuum sweeps orphans, table unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-compact").toString
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val (_, late) = initHalves(dir)
+    applyBatch(late.where($"ts" < cut2), dir, "b1")
+    applyBatch(late.where($"ts" >= cut2), dir, "b2")
+    val before = rows(table(spark, dir))
+    compactHistory(spark, dir, "merged-1")
+    assert(rows(table(spark, dir)) == before)
+    val (histSwept, curSwept) = vacuum(spark, dir)
+    assert(histSwept == 3, s"expected base+b1+b2 swept, got $histSwept")
+    assert(curSwept >= 1, "superseded current versions must be swept")
+    assert(rows(table(spark, dir)) == before)
+  }
+
+  test("streaming ingest drains to the batch table; restart is exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-stream").toString
+    val src = java.nio.file.Files.createTempDirectory("scd-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd-ckpt").toString
+    val (_, late) = initHalves(dir)
+    // three source files → micro-batches, in change-time order so no
+    // batch is out-of-order w.r.t. the standing current rows
+    val (c2, c3) = (lit("2024-01-21").cast("timestamp"),
+      lit("2024-01-26").cast("timestamp"))
+    late.where($"ts" < c2).coalesce(1).write.parquet(s"$src/f1")
+    val schema = late.schema
+    val q1 = ingestStream(
+      spark.readStream.schema(schema).parquet(s"$src/f1"),
+      dir, ckpt + "/c1")
+    q1.awaitTermination()
+    late.where($"ts" >= c2 && $"ts" < c3).coalesce(1).write.parquet(s"$src/f2")
+    late.where($"ts" >= c3).coalesce(1).write.parquet(s"$src/f3")
+    // a SECOND stream over all three dirs with a fresh checkpoint would
+    // replay f1 — the label replay no-op must absorb it. Stream the
+    // union dir-by-dir with the SAME per-source checkpoints instead,
+    // plus one deliberate duplicate label application.
+    val q2 = ingestStream(
+      spark.readStream.schema(schema).parquet(s"$src/f2"),
+      dir, ckpt + "/c2", labelPrefix = "e2")
+    q2.awaitTermination()
+    applyBatch(spark.read.parquet(s"$src/f2"), dir, "e2-0") // replay: no-op
+    val q3 = ingestStream(
+      spark.readStream.schema(schema).parquet(s"$src/f3"),
+      dir, ckpt + "/c3", labelPrefix = "e3")
+    q3.awaitTermination()
+    assert(rows(table(spark, dir)) == full)
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The skipping index is a PRUNER, never a filter: every read must
+  * equal the plain filtered scan — on clustered layouts (where it
+  * prunes), on random layouts (where it can't), under appends the index
+  * hasn't seen, and after files vanish. And on a clustered layout it
+  * must ACTUALLY prune: the executed scan's file set, not just the
+  * qualifying list, stays a fraction of the table. */
+class SkippingIndexSpec extends SparkSpec {
+
+  import SkippingIndex._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** lineitem re-laid-out as `nFiles` range-clustered files. */
+  private def clustered(root: String, nFiles: Int = 8): String = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .repartitionByRange(nFiles, $"l_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+    s"$root/table"
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val band = Seq(ColumnRange("l_partkey", Some(40L), Some(79L)))
+
+  test("pruned read equals the plain filtered scan on a clustered layout") {
+    val root = tmp("skip-eq")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    val got = prunedRead(spark, s"$root/index", band)
+    val expect = spark.read.parquet(table)
+      .where(col("l_partkey").between(40L, 79L))
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(expect))
+  }
+
+  test("the executed scan reads a fraction of the files, and no row is lost") {
+    val root = tmp("skip-prune")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    val got = prunedRead(spark, s"$root/index", band)
+    val full = spark.read.parquet(table)
+    assert(full.inputFiles.length == 8)
+    // [40,79] is 20% of sf0.001's partkey range: ~2 of 8 range files,
+    // +1 for a sampled boundary straddle
+    assert(got.inputFiles.length <= 3,
+      s"narrow band touched ${got.inputFiles.length} of 8 clustered files")
+    assert(got.count() ==
+      full.where(col("l_partkey").between(40L, 79L)).count())
+  }
+
+  test("a randomly-laid-out column prunes nothing but stays correct") {
+    import spark.implicits._
+    val root = tmp("skip-rand")
+    // hash-repartition: every file spans ~the full key range
+    Tables.lineitem(spark, sfDir).repartition(8, $"l_orderkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+    build(spark, s"$root/table", s"$root/index", Seq("l_partkey"))
+    val got = prunedRead(spark, s"$root/index", band)
+    val expect = spark.read.parquet(s"$root/table")
+      .where(col("l_partkey").between(40L, 79L))
+    assert(sortedRows(got) == sortedRows(expect))
+  }
+
+  test("files appended after the build are read conservatively") {
+    val root = tmp("skip-append")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    // an appended file OUTSIDE the band's zones — a pruner trusting the
+    // stale index would drop its in-band rows
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir).where($"l_partkey".between(40L, 79L))
+      .limit(50).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(table)
+    val got = prunedRead(spark, s"$root/index", band)
+    val expect = spark.read.parquet(table)
+      .where(col("l_partkey").between(40L, 79L))
+    assert(sortedRows(got) == sortedRows(expect))
+  }
+
+  test("refresh stats exactly the delta, after which the new file prunes too") {
+    import spark.implicits._
+    val root = tmp("skip-refresh")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    // append a file whose zone is entirely OUTSIDE the probe band
+    Tables.lineitem(spark, sfDir).where($"l_partkey" >= 150L)
+      .limit(100).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(table)
+    assert(refresh(spark, s"$root/index") == 1)
+    assert(refresh(spark, s"$root/index") == 0, "second refresh must be a no-op")
+    val got = prunedRead(spark, s"$root/index", band)
+    // the refreshed index knows the new file's zone misses the band:
+    // the scan must NOT include it
+    assert(got.inputFiles.length <= 3,
+      s"refreshed out-of-band file not pruned: ${got.inputFiles.length} files")
+    val expect = spark.read.parquet(table)
+      .where(col("l_partkey").between(40L, 79L))
+    assert(sortedRows(got) == sortedRows(expect))
+  }
+
+  test("vanished files are ignored: the live listing names the scan set") {
+    val root = tmp("skip-vanish")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    // drop one data file out from under the index
+    val victim = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val got = prunedRead(spark, s"$root/index",
+      Seq(ColumnRange("l_partkey", Some(0L), None)))
+    val expect = spark.read.parquet(table)
+      .where(col("l_partkey") >= 0L)
+    assert(sortedRows(got) == sortedRows(expect))
+  }
+
+  test("an empty qualifying set returns the empty frame without reading data") {
+    val root = tmp("skip-empty")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    val got = prunedRead(spark, s"$root/index",
+      Seq(ColumnRange("l_partkey", Some(10000000L), None)))
+    assert(got.count() == 0)
+    assert(got.inputFiles.isEmpty, "no file can match; none should be listed")
+  }
+
+  test("string and date columns index and prune the same way") {
+    import spark.implicits._
+    val root = tmp("skip-types")
+    Tables.lineitem(spark, sfDir)
+      .repartitionByRange(6, $"l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+    build(spark, s"$root/table", s"$root/index",
+      Seq("l_shipdate", "l_returnflag"))
+    // sf0.001 shipdates span 1995..2001 (timestamp-typed); half a year
+    // out of ~7 → ~1 of 6 range files
+    val lo = java.sql.Timestamp.valueOf("1995-02-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-08-31 23:59:59")
+    val got = prunedRead(spark, s"$root/index",
+      Seq(ColumnRange("l_shipdate", Some(lo), Some(hi)),
+        ColumnRange("l_returnflag", Some("A"), Some("A"))))
+    val expect = spark.read.parquet(s"$root/table")
+      .where(col("l_shipdate").between(lo, hi) && col("l_returnflag") === "A")
+    assert(got.count() > 0)
+    assert(sortedRows(got) == sortedRows(expect))
+    assert(got.inputFiles.length < 6,
+      s"date band touched all ${got.inputFiles.length} files")
+  }
+
+  test("an all-NULL zone is skipped: a range never matches NULL") {
+    import spark.implicits._
+    val root = tmp("skip-null")
+    Seq((1L, Some(5L)), (2L, Some(9L))).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$root/table")
+    Seq((3L, Option.empty[Long])).toDF("id", "k")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/table")
+    build(spark, s"$root/table", s"$root/index", Seq("k"))
+    val got = prunedRead(spark, s"$root/index",
+      Seq(ColumnRange("k", Some(0L), Some(100L))))
+    assert(got.inputFiles.length == 1, "the all-NULL file must be skipped")
+    assert(got.select(sum($"k")).collect().head.getLong(0) == 14L)
+  }
+
+  test("unindexed predicate columns are rejected with the indexed set named") {
+    val root = tmp("skip-reject")
+    val table = clustered(root)
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    val ex = intercept[IllegalArgumentException] {
+      prunedRead(spark, s"$root/index",
+        Seq(ColumnRange("l_suppkey", Some(1L), None)))
+    }
+    assert(ex.getMessage.contains("not indexed"))
+  }
+}
