@@ -284,6 +284,43 @@ object SkippingIndex {
       |WHERE l_partkey BETWEEN 100 AND 299
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q161: a TWO-column conjunction through the index over a Z-ORDERED
+    * copy of lineitem (`functions/ZOrder` interleaves l_partkey and
+    * l_suppkey, so BOTH columns' per-file zones are narrow — the whole
+    * point of rewrite-with-sort-order). Hash-checked against the same
+    * query on the original table; the SPEC contrasts layouts: a
+    * single-column sort prunes only its own column, the z-order prunes
+    * on either. */
+  def q161ZOrderScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = builtFor.computeIfAbsent("z:" + d, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-skipz-").toString
+      val li = graft.sources.Tables.lineitem(spark, d)
+      val z = graft.functions.ZOrder.zvalueOf(li, Seq("l_partkey", "l_suppkey"))
+      li.withColumn("__z", z)
+        .repartitionByRange(8, $"__z").drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+      build(spark, s"$root/table", s"$root/index",
+        Seq("l_partkey", "l_suppkey"))
+      root
+    })
+    prunedRead(spark, s"$dir/index",
+      Seq(ColumnRange("l_partkey", Some(20L), Some(59L)),
+        ColumnRange("l_suppkey", Some(2L), Some(5L))))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q161Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 20 AND 59 AND l_suppkey BETWEEN 2 AND 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */
   def clearSessionState(): Unit = {
     builtFor.values.forEach { d =>

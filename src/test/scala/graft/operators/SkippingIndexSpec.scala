@@ -171,6 +171,46 @@ class SkippingIndexSpec extends SparkSpec {
     assert(got.select(sum($"k")).collect().head.getLong(0) == 14L)
   }
 
+  test("z-order prunes on EITHER column; a single-column sort prunes only its own") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    // layout A: range-clustered by partkey alone
+    val rootA = tmp("skip-zA")
+    li.repartitionByRange(8, $"l_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$rootA/table")
+    build(spark, s"$rootA/table", s"$rootA/index",
+      Seq("l_partkey", "l_suppkey"))
+    // layout Z: z-ordered on (partkey, suppkey)
+    val rootZ = tmp("skip-zZ")
+    val z = graft.functions.ZOrder.zvalueOf(li, Seq("l_partkey", "l_suppkey"))
+    li.withColumn("__z", z).repartitionByRange(8, $"__z").drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(s"$rootZ/table")
+    build(spark, s"$rootZ/table", s"$rootZ/index",
+      Seq("l_partkey", "l_suppkey"))
+    // sf0.001 ranges: partkey 0..199, suppkey 0..9
+    val partPred = Seq(ColumnRange("l_partkey", Some(0L), Some(79L)))
+    val suppPred = Seq(ColumnRange("l_suppkey", Some(0L), Some(4L)))
+    def files(root: String, pred: Seq[ColumnRange]) =
+      prunedRead(spark, s"$root/index", pred).inputFiles.length
+    // the single-column sort: its own column prunes, the other reads all
+    assert(files(rootA, partPred) < 8)
+    assert(files(rootA, suppPred) == 8,
+      "a partkey sort should leave suppkey zones full-width")
+    // the z-order: BOTH columns prune
+    assert(files(rootZ, partPred) < 8,
+      s"z-layout partkey prune read ${files(rootZ, partPred)} of 8")
+    assert(files(rootZ, suppPred) < 8,
+      s"z-layout suppkey prune read ${files(rootZ, suppPred)} of 8")
+    // and the conjunction is correct on both layouts
+    val both = partPred ++ suppPred
+    val expect = sortedRows(li.where(
+      $"l_partkey".between(0L, 79L) && $"l_suppkey".between(0L, 4L)))
+    assert(sortedRows(prunedRead(spark, s"$rootA/index", both)
+      .select(li.columns.map(col).toSeq: _*)) == expect)
+    assert(sortedRows(prunedRead(spark, s"$rootZ/index", both)
+      .select(li.columns.map(col).toSeq: _*)) == expect)
+  }
+
   test("unindexed predicate columns are rejected with the indexed set named") {
     val root = tmp("skip-reject")
     val table = clustered(root)
