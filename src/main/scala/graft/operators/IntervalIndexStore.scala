@@ -65,6 +65,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IntervalIndexStore {
 
+  // Shared store plumbing (see the metadata-I/O note further down).
+  import StoreIO.{hadoopFs, hasDataFiles, readString, requireColName,
+    requireLabel, writeString}
+
   private def intervalsPath(dir: String) = s"$dir/intervals"
   private def metaPath(dir: String) = s"$dir/_meta.json"
   private def manifestPath(dir: String) = s"$dir/_live.json"
@@ -109,70 +113,11 @@ object IntervalIndexStore {
     writeManifest(spark, dir, Manifest(1L, Seq("base"), None))
   }
 
-  // ---- metadata I/O: Hadoop FileSystem, so the store dir may live on
-  // any filesystem Spark can write the parquet to (the scaladoc's
-  // object-store claim has to hold for the COMMIT POINTER too, not just
-  // the data). Locally the manifest swap is a java.nio ATOMIC_MOVE; on
-  // an object store a create-overwrite is a single PUT — atomic there.
-
-  // The CALLER's session supplies the Hadoop configuration — resolving
-  // SparkSession.active here would silently use whichever session is
-  // bound to the thread (wrong credentials in a multi-session setup)
-  // and crash entirely when none is.
-  private def hadoopFs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def readString(spark: SparkSession, path: String): String = {
-    val (fs, p) = hadoopFs(spark, path)
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
-
-  private def writeString(spark: SparkSession, path: String, body: String,
-      atomic: Boolean): Unit = {
-    val (fs, p) = hadoopFs(spark, path)
-    if (atomic && fs.getScheme == "file") {
-      val dst = java.nio.file.Paths.get(p.toUri.getPath)
-      java.nio.file.Files.createDirectories(dst.getParent)
-      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp, body)
-      java.nio.file.Files.move(tmp, dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
-
-  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
-    val (fs, p) = hadoopFs(spark, path)
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-  }
-
-  // Labels become directory names AND `_live.json` string values; the
-  // same allowlist discipline as Identifiers (F8) keeps both unbreakable.
-  private val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
-  private def requireLabel(label: String): Unit =
-    require(LabelRx.matches(label),
-      s"label '$label' must match ${LabelRx.regex} (it names a directory and a JSON value)")
-
-  // Column names are interpolated into `_meta.json` and into the
-  // banding `expr(...)` — same allowlist, same reason.
-  private val ColRx = "[A-Za-z_][A-Za-z0-9_]*".r
-  private def requireColName(c: String): Unit =
-    require(ColRx.matches(c),
-      s"column name '$c' must match ${ColRx.regex} (it is stored in _meta.json and spliced into SQL)")
+  // ---- metadata I/O: [[StoreIO]] — Hadoop FileSystem so the store dir
+  // may live on any filesystem Spark can write the parquet to (the
+  // scaladoc's object-store claim has to hold for the COMMIT POINTER
+  // too, not just the data); atomic single-file swap for the pointer;
+  // the F8 allowlists for labels and column names.
 
   /** Append an interval batch under its own `ingest_batch=<label>`
     * directory. A label's data is IMMUTABLE once committed: replaying a
@@ -549,20 +494,10 @@ object IntervalIndexStore {
 
   /** Session-teardown/data-regeneration reset (mirrors the other
     * derived-store caches' contract) — and unlike the in-memory caches
-    * this one owns on-disk temp stores, so it deletes them too.
-    * java.nio on purpose (not the store's Hadoop-FS idiom): teardown
-    * may run after `spark.stop()`, and `builtFor` only ever holds
-    * local temp dirs this object created itself. */
+    * this one owns on-disk temp stores, so it deletes them too
+    * ([[StoreIO.deleteLocalDirs]]: java.nio, safe after spark.stop()). */
   def clearSessionState(): Unit = {
-    builtFor.values.forEach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    StoreIO.deleteLocalDirs(builtFor.values)
     builtFor.clear()
   }
 }

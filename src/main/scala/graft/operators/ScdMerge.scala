@@ -84,10 +84,17 @@ object ScdMerge {
     * verbatim, untouched current rows verbatim, and each affected key's
     * current row re-derived together with its batch changes.
     *
-    * Exact replays (a change at the current row's `valid_from` with
-    * equal tracked values) are dropped, so re-applying a batch to the
-    * already-merged table converges. Anything else at or before the
-    * current `valid_from` raises — see the object scaladoc. */
+    * Replay convergence: a key whose batch rows include an EXACT match
+    * of its current row (same ts, NULL-safe-equal tracked values) is
+    * recognized as a re-delivery — that row and every older row of the
+    * key are dropped, so re-applying a whole batch to the
+    * already-merged table is a no-op even when the batch carried
+    * several changes per key. Without that marker, anything at or
+    * before the current `valid_from` raises — see the object scaladoc.
+    * (A genuinely out-of-order row that arrives in the same batch as a
+    * coincidental exact replay of its key is indistinguishable from
+    * the replayed prefix and is dropped with it; label-level
+    * idempotence — [[ScdStore.applyBatch]] — removes even that corner.) */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       ts: String, values: Seq[String], carry: Seq[String] = Nil): DataFrame = {
     val history = base.where(col("valid_to").isNotNull)
@@ -103,7 +110,8 @@ object ScdMerge {
     * caller's history data is untouched by construction, not by
     * convention. [[applyChanges]] is this plus the history union. */
   def mergeParts(current: DataFrame, changes: DataFrame, key: String,
-      ts: String, values: Seq[String], carry: Seq[String] = Nil)
+      ts: String, values: Seq[String], carry: Seq[String] = Nil,
+      materialize: DataFrame => DataFrame = identity)
       : (DataFrame, DataFrame) = {
     require(values.nonEmpty, "at least one tracked value column")
     val batchKeys = changes.select(col(key)).where(col(key).isNotNull).distinct()
@@ -115,23 +123,39 @@ object ScdMerge {
     val cur = touched.select(col(key).as("__ckey"),
       col("valid_from").as("__cur_from"), vals().as("__cur_vals"))
     val replay = col(ts) === col("__cur_from") && (vals() <=> col("__cur_vals"))
+    // a key is RE-DELIVERED when its batch contains an exact copy of
+    // the current row: the current row was derived from this batch, so
+    // the key's rows at or before it are the already-applied prefix
+    val redelivered = max(when(coalesce(replay, lit(false)), 1).otherwise(0))
+      .over(Window.partitionBy(col(key))) === 1
     // the guard rides INSIDE the ts the merge consumes (a free-standing
     // check column would be pruned away); new keys have no current row,
-    // so __cur_from is NULL and the guard passes
-    val guardedTs = when(
-      col("__cur_from").isNotNull && col(ts) <= col("__cur_from"),
+    // so __cur_from is NULL and the guard passes. NULL key/ts rows are
+    // NOT silently dropped — a lost change corrupts the dimension as
+    // surely as a mis-ordered one, so both fail fast.
+    val guardedTs = when(col(key).isNull || col(ts).isNull,
       raise_error(concat(
-        lit("out-of-order SCD2 change for key "), col(key).cast("string"),
-        lit(": change ts "), col(ts).cast("string"),
-        lit(" is at or before the current row's valid_from "),
-        col("__cur_from").cast("string"),
-        lit(" (and is not an exact replay); rebuild the key from the log")))
+        lit("SCD2 change with NULL "), lit(s"$key/$ts"),
+        lit(" (key="), coalesce(col(key).cast("string"), lit("NULL")),
+        lit("): every change must address a key at a time")))
         .cast(changes.schema(ts).dataType))
+      .when(
+        col("__cur_from").isNotNull && col(ts) <= col("__cur_from"),
+        raise_error(concat(
+          lit("out-of-order SCD2 change for key "), col(key).cast("string"),
+          lit(": change ts "), col(ts).cast("string"),
+          lit(" is at or before the current row's valid_from "),
+          col("__cur_from").cast("string"),
+          lit(" (and the key is not a re-delivery); rebuild the key from the log")))
+          .cast(changes.schema(ts).dataType))
       .otherwise(col(ts))
     val accepted = changes
-      .where(col(key).isNotNull && col(ts).isNotNull)
-      .join(cur, col(key) === col("__ckey"), "left")
-      .where(!coalesce(replay, lit(false)))
+      .join(cur, col(key) <=> col("__ckey"), "left")
+      .withColumn("__drop",
+        // coalesce: a NULL-ts row must fall through to the raise below,
+        // not vanish inside a redelivered key's dropped prefix
+        redelivered && coalesce(col(ts) <= col("__cur_from"), lit(false)))
+      .where(!col("__drop"))
       .withColumn(ts, guardedTs)
       .select((col(key) +: values.map(col) ++: carry.map(col)) :+ col(ts): _*)
     // the current row re-enters as the oldest pseudo-change of its key
@@ -142,7 +166,10 @@ object ScdMerge {
       .select((col(key) +: values.map(col) ++: carry.map(col)) :+
         col("valid_from").as(ts): _*)
       .unionByName(accepted)
-    val merged = compress(pseudo, key, ts, values, carry)
+    // both returned parts filter the SAME merged frame; `materialize`
+    // (e.g. localCheckpoint in ScdStore) lets a caller that consumes
+    // both pin the windowed merge to one execution instead of two
+    val merged = materialize(compress(pseudo, key, ts, values, carry))
     (merged.where(col("valid_to").isNotNull),
       untouched.unionByName(merged.where(col("valid_to").isNull)))
   }

@@ -38,15 +38,15 @@ object ScdStore {
   private def metaPath(dir: String) = s"$dir/_meta.json"
   private def manifestPath(dir: String) = s"$dir/_live.json"
 
-  private val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
-  private def requireLabel(label: String): Unit =
-    require(LabelRx.matches(label),
-      s"label '$label' must match ${LabelRx.regex} (it names a directory and a JSON value)")
+  // Shared store plumbing: Hadoop-FS metadata I/O, atomic pointer
+  // swap, and the F8 label/column allowlists.
+  import StoreIO.{readString, requireColName, requireLabel, writeString}
 
   /** Initialize the store from a raw change log: compress → history
     * rows under `batch=base`, current rows as `current/v1`. */
   def init(log: DataFrame, dir: String, key: String, ts: String,
       values: Seq[String], carry: Seq[String] = Nil): Unit = {
+    (key +: ts +: values ++: carry).foreach(requireColName)
     val spark = log.sparkSession
     val scd = ScdMerge.compress(log, key, ts, values, carry)
     scd.where(col("valid_to").isNotNull)
@@ -57,7 +57,7 @@ object ScdStore {
       s""""values":[${values.map(v => s""""$v"""").mkString(",")}],""" +
       s""""carry":[${carry.map(c => s""""$c"""").mkString(",")}]}"""
     writeString(spark, metaPath(dir), meta, atomic = false)
-    writeManifest(spark, dir, Manifest(1L, Seq("base")))
+    writeManifest(spark, dir, Manifest(1L, Seq("base"), Seq("base")))
   }
 
   /** Apply one change batch under `label`. Committed labels are
@@ -72,36 +72,46 @@ object ScdStore {
     val man = manifest(spark, dir)
     if (man.applied.contains(label)) return // committed = immutable
     val m = meta(spark, dir)
+    // `materialize = localCheckpoint` pins the windowed merge to ONE
+    // execution shared by both writes (and detaches them from a
+    // current version the commit below is about to supersede)
     val (closedDelta, newCurrent) = ScdMerge.mergeParts(
-      current(spark, dir), changes, m.key, m.ts, m.values, m.carry)
-    // two jobs over one batch-sized merge plan: checkpoint it once so
-    // the closed/current split doesn't run the windowed merge twice
-    // (and so neither write re-reads a current version the commit below
-    // is about to supersede)
-    val parts = Seq(closedDelta, newCurrent).map(_.localCheckpoint())
-    parts(0).write.mode(SaveMode.Overwrite)
+      current(spark, dir), changes, m.key, m.ts, m.values, m.carry,
+      materialize = _.localCheckpoint())
+    closedDelta.write.mode(SaveMode.Overwrite)
       .parquet(s"${historyPath(dir)}/batch=$label")
-    parts(1).write.mode(SaveMode.Overwrite)
+    newCurrent.write.mode(SaveMode.Overwrite)
       .parquet(currentPath(dir, man.version + 1))
     beforeCommit()
-    // fresh pointer read before the swap — same contract as
-    // IntervalIndexStore.append: single writer, bounded damage
+    // fresh pointer read before the swap, but the committed version
+    // must name the directory THIS batch wrote (man.version + 1) — a
+    // drifted counter means the single-writer contract was violated,
+    // and committing fresh.version + 1 would point every later read at
+    // a directory nobody wrote. Fail loudly instead.
     val fresh = manifest(spark, dir)
-    if (!fresh.applied.contains(label))
+    if (!fresh.applied.contains(label)) {
+      require(fresh.version == man.version,
+        s"concurrent ScdStore commit detected (version ${man.version} -> " +
+          s"${fresh.version} during applyBatch '$label'); single writer is " +
+          "the contract — replay the batch")
       writeManifest(spark, dir,
-        Manifest(fresh.version + 1, fresh.applied :+ label))
+        Manifest(man.version + 1, fresh.applied :+ label,
+          fresh.histLive :+ label))
+    }
   }
 
   /** The live current partition (≈ one row per key, `valid_to` NULL). */
   def current(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(currentPath(dir, manifest(spark, dir).version))
 
-  /** The full SCD2 table: applied history labels ∪ live current. */
+  /** The full SCD2 table: live history label dirs ∪ live current.
+    * (`histLive` names the DATA directories; `applied` is the replay
+    * ledger and keeps labels compaction has folded away.) */
   def table(spark: SparkSession, dir: String): DataFrame = {
     val man = manifest(spark, dir)
     val hist = spark.read
       .option("basePath", historyPath(dir))
-      .parquet(man.applied.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+      .parquet(man.histLive.map(l => s"${historyPath(dir)}/batch=$l"): _*)
       .drop("batch")
     hist.unionByName(spark.read.parquet(currentPath(dir, man.version)))
   }
@@ -134,10 +144,14 @@ object ScdStore {
       .start()
   }
 
-  /** M1 for the history side: merge every applied label into one.
+  /** M1 for the history side: merge every live history label into one.
     * Continuous ingest otherwise accretes a directory per epoch and
     * every table() read lists them all. The swap is one manifest
-    * write; old labels become orphans for [[vacuum]]. */
+    * write; old label dirs become orphans for [[vacuum]]. The APPLIED
+    * ledger is preserved (plus `intoLabel`): folding a batch's data
+    * into the merged dir must not un-commit its label, or a streaming
+    * replay after compaction would re-merge an already-applied epoch
+    * (and trip the out-of-order guard). */
   def compactHistory(spark: SparkSession, dir: String,
       intoLabel: String): Unit = {
     val man = manifest(spark, dir)
@@ -146,13 +160,14 @@ object ScdStore {
       s"compact label '$intoLabel' must be new (applied: ${man.applied.mkString(",")})")
     spark.read
       .option("basePath", historyPath(dir))
-      .parquet(man.applied.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+      .parquet(man.histLive.map(l => s"${historyPath(dir)}/batch=$l"): _*)
       .drop("batch")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${historyPath(dir)}/batch=$intoLabel")
     // `version` NAMES the live current directory — compaction touches
     // only the history label set, so it must not advance it
-    writeManifest(spark, dir, Manifest(man.version, Seq(intoLabel)))
+    writeManifest(spark, dir,
+      Manifest(man.version, man.applied :+ intoLabel, Seq(intoLabel)))
   }
 
   /** M3: delete history labels and current versions the manifest does
@@ -174,7 +189,7 @@ object ScdStore {
       }
     }
     val h = sweep(historyPath(dir),
-      n => man.applied.contains(n.stripPrefix("batch=")))
+      n => man.histLive.contains(n.stripPrefix("batch=")))
     val c = sweep(s"$dir/current", _ == s"v${man.version}")
     (h, c)
   }
@@ -186,45 +201,12 @@ object ScdStore {
     val m = meta(spark, dir)
     val hist = spark.read
       .option("basePath", historyPath(dir))
-      .parquet(man.applied.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+      .parquet(man.histLive.map(l => s"${historyPath(dir)}/batch=$l"): _*)
     cur.agg(count(lit(1)).as("current_rows"),
         countDistinct(col(m.key)).as("current_keys"))
       .crossJoin(hist.agg(count(lit(1)).as("history_rows"),
         countDistinct(col("batch")).as("history_batches")))
       .withColumn("version", lit(man.version))
-  }
-
-  // ---- metadata I/O (the IntervalIndexStore contract: Hadoop FS for
-  // data paths, atomic single-file swap for the pointer) --------------
-
-  private def hadoopFs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def readString(spark: SparkSession, path: String): String = {
-    val (fs, p) = hadoopFs(spark, path)
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
-
-  private def writeString(spark: SparkSession, path: String, body: String,
-      atomic: Boolean): Unit = {
-    val (fs, p) = hadoopFs(spark, path)
-    if (atomic && fs.getScheme == "file") {
-      val dst = java.nio.file.Paths.get(p.toUri.getPath)
-      java.nio.file.Files.createDirectories(dst.getParent)
-      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp, body)
-      java.nio.file.Files.move(tmp, dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
   }
 
   private[operators] case class Meta(key: String, ts: String,
@@ -241,21 +223,28 @@ object ScdStore {
     Meta(s("key"), s("ts"), arr("values"), arr("carry"))
   }
 
-  private[operators] case class Manifest(version: Long, applied: Seq[String])
+  /** `applied` is the REPLAY LEDGER (every label ever committed —
+    * compaction never removes one); `histLive` names the history
+    * directories reads list (compaction collapses them). */
+  private[operators] case class Manifest(version: Long,
+      applied: Seq[String], histLive: Seq[String])
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
     val raw = readString(spark, manifestPath(dir))
     val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    val applied = """"applied":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get
-      .group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-    Manifest(v, applied)
+    def arr(field: String): Option[Seq[String]] =
+      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
+        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq)
+    val applied = arr("applied").get
+    Manifest(v, applied, arr("histLive").getOrElse(applied))
   }
 
   private[operators] def writeManifest(spark: SparkSession, dir: String,
       m: Manifest): Unit = {
     val body = s"""{"version":${m.version},""" +
-      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}]}"""
+      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
+      s""""histLive":[${m.histLive.map(l => s""""$l"""").mkString(",")}]}"""
     writeString(spark, manifestPath(dir), body, atomic = true)
   }
 
@@ -293,15 +282,7 @@ object ScdStore {
 
   /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */
   def clearSessionState(): Unit = {
-    builtFor.values.forEach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    StoreIO.deleteLocalDirs(builtFor.values)
     builtFor.clear()
   }
 }

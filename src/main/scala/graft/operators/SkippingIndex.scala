@@ -52,10 +52,9 @@ object SkippingIndex {
       s"range on '$column' must bound at least one side")
   }
 
-  private val ColRx = "[A-Za-z_][A-Za-z0-9_]*".r
-  private def requireColName(c: String): Unit =
-    require(ColRx.matches(c),
-      s"column name '$c' must match ${ColRx.regex} (it is stored in _meta.json)")
+  // Shared store plumbing: Hadoop-FS metadata I/O and the F8
+  // column-name allowlist.
+  import StoreIO.{readString, requireColName, writeString}
 
   /** Per-file stats for `cols` over the parquet table at `tablePath`,
     * as one partial aggregation keyed by the hidden `_metadata`
@@ -90,7 +89,7 @@ object SkippingIndex {
       .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
     val meta = s"""{"table":${jsonStr(tablePath)},""" +
       s""""cols":[${cols.map(jsonStr).mkString(",")}]}"""
-    writeString(spark, metaPath(dir), meta)
+    writeString(spark, metaPath(dir), meta, atomic = false)
   }
 
   /** Re-stat ONLY files the index does not know yet (delta-sized, the
@@ -102,7 +101,11 @@ object SkippingIndex {
       .select("file").collect().map(r => normPath(r.getString(0))).toSet
     val unknown = listDataFiles(spark, m.table).filterNot(have).toSeq
     if (unknown.nonEmpty) {
+      // checkpoint: the delta stats are consumed twice (the statted-set
+      // collect below and the append write) — the stat job over the
+      // new files must run once, or "delta-sized" is a half-truth
       val delta = statsOf(spark, m.table, m.cols, only = Some(unknown))
+        .localCheckpoint()
       // a ZERO-ROW file produces no aggregation row, but must still be
       // recorded or every later refresh re-discovers it; its NULL zones
       // are correct — no range can match a file with no rows, so
@@ -183,16 +186,20 @@ object SkippingIndex {
     }
   }
 
-  /** Index health for dashboards: indexed/live/unindexed file counts
-    * and per-column zone width stats (wide zones = clustering decayed,
-    * time to q142's rewrite advisory). */
+  /** Index health for dashboards: indexed/live file counts, row
+    * totals, and per-column NULL counts (the `nn_` value-count stats —
+    * the same per-column shape the Analyze store serves, and the
+    * signal for whether an IS NULL predicate would even be worth a
+    * skipping rule). */
   def audit(spark: SparkSession, dir: String): DataFrame = {
     val m = meta(spark, dir)
     val live = listDataFiles(spark, m.table).size
-    spark.read.parquet(statsPath(dir)).agg(
-      count(lit(1)).as("indexed_files"),
+    val aggs = Seq(count(lit(1)).as("indexed_files"),
       lit(live).cast("long").as("live_files"),
-      sum(col("row_count")).as("indexed_rows"))
+      sum(col("row_count")).as("indexed_rows")) ++
+      m.cols.map(c =>
+        sum(col("row_count") - col(s"nn_$c")).as(s"nulls_$c"))
+    spark.read.parquet(statsPath(dir)).agg(aggs.head, aggs.tail: _*)
   }
 
   // ---- plumbing (Hadoop FileSystem, same portability contract as
@@ -226,23 +233,6 @@ object SkippingIndex {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
     Meta(table, cols)
-  }
-
-  private def readString(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
-
-  private def writeString(spark: SparkSession, path: String,
-      body: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
   }
 
   // ---- q158: the skipping scan, hash-checked against a full scan ----
@@ -323,15 +313,7 @@ object SkippingIndex {
 
   /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */
   def clearSessionState(): Unit = {
-    builtFor.values.forEach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close()
-      }
-    }
+    StoreIO.deleteLocalDirs(builtFor.values)
     builtFor.clear()
   }
 }

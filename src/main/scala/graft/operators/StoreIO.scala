@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared metadata plumbing for the standing stores
+  * ([[IntervalIndexStore]], [[ScdStore]], [[SkippingIndex]]): Hadoop
+  * FileSystem I/O so store dirs may live on any filesystem Spark can
+  * write parquet to, an atomic single-file swap for commit pointers
+  * (local: temp + ATOMIC_MOVE; object store: one PUT — atomic there),
+  * and the label/column-name allowlists (F8 discipline — these strings
+  * become directory names, JSON values, and spliced SQL).
+  *
+  * One copy on purpose: the portability and atomicity fixes these
+  * lines have absorbed must not have to be re-applied per store. */
+private[operators] object StoreIO {
+
+  // The CALLER's session supplies the Hadoop configuration — resolving
+  // SparkSession.active here would silently use whichever session is
+  // bound to the thread (wrong credentials in a multi-session setup)
+  // and crash entirely when none is.
+  def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def readString(spark: SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(spark, path)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeString(spark: SparkSession, path: String, body: String,
+      atomic: Boolean): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (atomic && fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, path)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  // Labels become directory names AND manifest JSON string values.
+  val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  def requireLabel(label: String): Unit =
+    require(LabelRx.matches(label),
+      s"label '$label' must match ${LabelRx.regex} (it names a directory and a JSON value)")
+
+  // Column names are interpolated into `_meta.json` (and, in the
+  // interval store, into a banding `expr(...)`).
+  val ColRx = "[A-Za-z_][A-Za-z0-9_]*".r
+  def requireColName(c: String): Unit =
+    require(ColRx.matches(c),
+      s"column name '$c' must match ${ColRx.regex} (it is stored in _meta.json and spliced into SQL)")
+
+  /** Session-teardown deletion of a store's local temp dirs. java.nio
+    * on purpose (not the Hadoop idiom above): teardown may run after
+    * `spark.stop()`, and the caches only ever hold local temp dirs the
+    * stores created themselves. */
+  def deleteLocalDirs(dirs: java.util.Collection[String]): Unit = {
+    dirs.forEach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }
+  }
+}

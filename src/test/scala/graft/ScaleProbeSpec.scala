@@ -44,7 +44,7 @@ class ScaleProbeSpec extends SparkSpec {
     "q158_skipping_scan", "q159_scd2_merge", "q160_scd2_store",
     // z-ordered two-column prune and the MOR equality-delete anti-join
     // (its delete side must broadcast, never shuffle the table)
-    "q161_zorder_scan", "q162_equality_deletes",
+    "q161_zorder_scan", "q162_equality_deletes", "q163_delete_store",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {

@@ -114,6 +114,38 @@ class ScdMergeSpec extends SparkSpec {
     assert(rows(twice) == rows(once))
   }
 
+  test("re-applying a batch with SEVERAL changes per key converges too") {
+    val base = compress(df(Seq((1L, 1L, "a", ts("2024-01-01 00:00:00")))),
+      "user_id", "ts", Seq("event_type"), Seq("event_id"))
+    val batch = df(Seq(
+      (1L, 2L, "b", ts("2024-01-03 00:00:00")),
+      (1L, 3L, "c", ts("2024-01-05 00:00:00")),
+      (1L, 4L, "d", ts("2024-01-07 00:00:00"))))
+    val once = applyChanges(base, batch, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    // at-least-once redelivery of the whole batch: the key's exact
+    // current-row copy marks it re-delivered; the older rows are the
+    // already-applied prefix, not out-of-order input
+    val twice = applyChanges(once, batch, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    assert(rows(twice) == rows(once))
+  }
+
+  test("a change with NULL key or ts raises instead of silently vanishing") {
+    import spark.implicits._
+    val base = compress(df(Seq((1L, 1L, "a", ts("2024-01-01 00:00:00")))),
+      "user_id", "ts", Seq("event_type"), Seq("event_id"))
+    val nullTs = Seq((1L, 2L, "b", Option.empty[Timestamp]))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val ex = intercept[Exception] {
+      applyChanges(base, nullTs, "user_id", "ts",
+        Seq("event_type"), Seq("event_id")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("NULL")), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("an out-of-order change fails fast with the key named") {
     val base = compress(df(Seq((1L, 5L, "a", ts("2024-01-10 00:00:00")))),
       "user_id", "ts", Seq("event_type"), Seq("event_id"))

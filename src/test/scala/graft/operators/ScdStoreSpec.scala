@@ -133,6 +133,22 @@ class ScdStoreSpec extends SparkSpec {
     assert(rows(table(spark, dir)) == before)
   }
 
+  test("a replayed label is STILL a no-op after compaction folded its data away") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-compact-replay").toString
+    val (_, late) = initHalves(dir)
+    applyBatch(late, dir, "b1")
+    val before = rows(table(spark, dir))
+    compactHistory(spark, dir, "merged-1")
+    // the applied LEDGER must survive the fold: a streaming restart
+    // that re-runs epoch b1 after a nightly compact must not re-merge
+    // (it would trip the out-of-order guard and wedge ingest)
+    applyBatch(late, dir, "b1")
+    assert(rows(table(spark, dir)) == before)
+    assert(manifest(spark, dir).applied.contains("b1"))
+    assert(manifest(spark, dir).histLive == Seq("merged-1"))
+  }
+
   test("streaming ingest drains to the batch table; restart is exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scd-stream").toString
