@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** A FILE-GRAIN zone-map index: per-file min/max/value-count stats for
   * chosen columns, persisted once and consulted at read time to scan
-  * only the files a range predicate can possibly match.
+  * only the files a range predicate can possibly match. Columns named
+  * in `bloomCols` additionally get a per-file Bloom filter
+  * ([[graft.functions.BloomAggregator]]) so POINT probes (`col = v`,
+  * `col IN (...)`) prune on layouts where zones cannot — a
+  * hash-scattered high-cardinality key leaves every zone full-width,
+  * but its per-file membership bits still answer "might v be here".
   *
   * This is the READ-side payoff of the data-layout family: q136 audits
   * whether file key-zones overlap, `functions/ZOrder` is the rewrite
@@ -52,6 +57,17 @@ object SkippingIndex {
       s"range on '$column' must bound at least one side")
   }
 
+  /** A point/IN predicate (`column = v1 OR column = v2 ...`) on one
+    * indexed column. Zones answer it where the layout clusters the
+    * column; a Bloom-indexed column answers it on ANY layout — the
+    * case zones structurally cannot prune. NULL values are rejected:
+    * equality never matches NULL (use the `nn_` stats for IS NULL). */
+  final case class ColumnEquals(column: String, values: Seq[Any]) {
+    require(values.nonEmpty, s"equality on '$column' needs >= 1 value")
+    require(values.forall(_ != null),
+      s"equality on '$column' cannot probe NULL (col = NULL matches nothing)")
+  }
+
   // Shared store plumbing: Hadoop-FS metadata I/O and the F8
   // column-name allowlist.
   import StoreIO.{readString, requireColName, writeString}
@@ -60,20 +76,29 @@ object SkippingIndex {
     * as one partial aggregation keyed by the hidden `_metadata`
     * column — no listing job, no per-file read amplification. */
   private def statsOf(spark: SparkSession, tablePath: String,
-      cols: Seq[String], only: Option[Seq[String]]): DataFrame = {
+      cols: Seq[String], bloomCols: Seq[String], bloomBits: Int,
+      only: Option[Seq[String]]): DataFrame = {
     // `only` (the refresh delta) is read as an EXPLICIT path list — the
     // stat job touches just the new files, not the standing table
     val table = only.fold(spark.read.parquet(tablePath))(paths =>
       spark.read.option("basePath", tablePath).parquet(paths: _*))
-    cols.foreach { c =>
+    (cols ++ bloomCols).foreach { c =>
       require(table.columns.contains(c), s"column '$c' not in $tablePath")
     }
+    // the bloom ingests xxhash64(col): hash of a NULL row is the bare
+    // seed — a harmless extra key (equality never probes NULL, and a
+    // spurious bit costs at most a false positive, i.e. I/O)
+    val bloomAgg =
+      if (bloomCols.isEmpty) None
+      else Some(udaf(new graft.functions.BloomAggregator(bloomBits)))
     table.groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("row_count"),
         cols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"),
-          count(col(c)).as(s"nn_$c"))): _*)
+          count(col(c)).as(s"nn_$c"))) ++
+        bloomCols.map(c =>
+          bloomAgg.get(xxhash64(col(c))).as(s"bloom_$c")): _*)
   }
 
   /** Build (or rebuild) the index over the parquet table at
@@ -82,13 +107,19 @@ object SkippingIndex {
     * randomly-laid-out column all overlap and prune nothing (still
     * correct, measured in the spec). */
   def build(spark: SparkSession, tablePath: String, dir: String,
-      cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "at least one indexed column")
-    cols.foreach(requireColName)
-    statsOf(spark, tablePath, cols, only = None)
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17): Unit = {
+    require(cols.nonEmpty || bloomCols.nonEmpty, "at least one indexed column")
+    (cols ++ bloomCols).foreach(requireColName)
+    if (bloomCols.nonEmpty)
+      require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
+        s"bloomBits must be a power of two >= 64 (got $bloomBits)")
+    statsOf(spark, tablePath, cols, bloomCols, bloomBits, only = None)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
     val meta = s"""{"table":${jsonStr(tablePath)},""" +
-      s""""cols":[${cols.map(jsonStr).mkString(",")}]}"""
+      s""""cols":[${cols.map(jsonStr).mkString(",")}],""" +
+      s""""bloomCols":[${bloomCols.map(jsonStr).mkString(",")}],""" +
+      s""""bloomBits":$bloomBits}"""
     writeString(spark, metaPath(dir), meta, atomic = false)
   }
 
@@ -104,7 +135,8 @@ object SkippingIndex {
       // checkpoint: the delta stats are consumed twice (the statted-set
       // collect below and the append write) — the stat job over the
       // new files must run once, or "delta-sized" is a half-truth
-      val delta = statsOf(spark, m.table, m.cols, only = Some(unknown))
+      val delta = statsOf(spark, m.table, m.cols, m.bloomCols, m.bloomBits,
+        only = Some(unknown))
         .localCheckpoint()
       // a ZERO-ROW file produces no aggregation row, but must still be
       // recorded or every later refresh re-discovers it; its NULL zones
@@ -116,7 +148,10 @@ object SkippingIndex {
       val complete = if (empties.isEmpty) delta else {
         val emptyRows = empties.map { f =>
           org.apache.spark.sql.Row.fromSeq(
-            f +: 0L +: m.cols.flatMap(_ => Seq(null, null, 0L)))
+            f +: 0L +: (m.cols.flatMap(_ => Seq(null, null, 0L)) ++
+              // an empty file's bloom is all-zero: every probe misses,
+              // so the file is skipped — correct, it has no rows
+              m.bloomCols.map(_ => new Array[Byte](m.bloomBits / 8))))
         }
         delta.unionByName(spark.createDataFrame(
           new java.util.ArrayList(
@@ -133,15 +168,43 @@ object SkippingIndex {
     * row for. NULL zones (all-NULL column in that file) drop out of the
     * comparison — a range predicate cannot match NULL. */
   private def qualify(spark: SparkSession, dir: String,
-      ranges: Seq[ColumnRange]): (Seq[String], Seq[String]) = {
+      ranges: Seq[ColumnRange], equalities: Seq[ColumnEquals] = Nil)
+      : (Seq[String], Seq[String]) = {
     val m = meta(spark, dir)
     ranges.foreach(r => require(m.cols.contains(r.column),
       s"column '${r.column}' is not indexed (have: ${m.cols.mkString(",")})"))
-    val zoneHit = ranges.map { r =>
+    equalities.foreach(e => require(
+      m.cols.contains(e.column) || m.bloomCols.contains(e.column),
+      s"column '${e.column}' is not indexed (zones: ${m.cols.mkString(",")};" +
+        s" blooms: ${m.bloomCols.mkString(",")})"))
+    val rangeHits = ranges.map { r =>
       val lo = r.lo.map(v => col(s"max_${r.column}") >= lit(v))
       val hi = r.hi.map(v => col(s"min_${r.column}") <= lit(v))
       (lo ++ hi).reduce(_ && _)
-    }.reduce(_ && _)
+    }
+    // Equality verdicts: the zone test (value inside [min,max]) where
+    // the column has zones, AND the Bloom membership test where it has
+    // a bloom — on a scattered layout the zone test is always true and
+    // the bloom is the only thing that prunes. Literal hashes are
+    // computed ONCE on the driver through the same xxhash64, cast to
+    // the table's column type so build-time and probe-time bits agree.
+    val eqHits = equalities.map { e =>
+      val zone =
+        if (!m.cols.contains(e.column)) None
+        else Some(e.values.map(v =>
+          col(s"min_${e.column}") <= lit(v) &&
+            col(s"max_${e.column}") >= lit(v)).reduce(_ || _))
+      val bloom =
+        if (!m.bloomCols.contains(e.column)) None
+        else {
+          val hashes = literalHashes(spark, m.table, e.column, e.values)
+          val hit = udf((b: Array[Byte]) => b == null ||
+            hashes.exists(graft.functions.BloomAggregator.mightContain(b, _)))
+          Some(hit(col(s"bloom_${e.column}")))
+        }
+      (zone ++ bloom).reduce(_ && _)
+    }
+    val zoneHit = (rangeHits ++ eqHits).reduce(_ && _)
     // one control-plane pass over the file-count-sized stats table:
     // every indexed file with its zone verdict
     val verdicts = spark.read.parquet(statsPath(dir))
@@ -159,20 +222,42 @@ object SkippingIndex {
   private def normPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.toString
 
+  /** xxhash64 of each probe literal, cast to the table column's actual
+    * type — an Int literal probing a BIGINT column must hash the LONG,
+    * or no build-time bit would ever match. One driver-local one-row
+    * job (LocalTableScan over `range(1)`), no table data touched. */
+  private def literalHashes(spark: SparkSession, tablePath: String,
+      column: String, values: Seq[Any]): Seq[Long] = {
+    val dt = spark.read.parquet(tablePath).schema
+      .find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' not in $tablePath")).dataType
+    spark.range(1)
+      .select(values.map(v => xxhash64(lit(v).cast(dt))): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+  }
+
   /** The table filtered by `ranges`, reading only files the index
     * cannot rule out. Semantically identical to
     * `spark.read.parquet(table).where(ranges)` — the predicate is
     * re-applied after the prune (spec- and oracle-pinned). */
   def prunedRead(spark: SparkSession, dir: String,
-      ranges: Seq[ColumnRange], maxListedFiles: Int = 100000): DataFrame = {
-    require(ranges.nonEmpty, "at least one range (use a plain read otherwise)")
+      ranges: Seq[ColumnRange], maxListedFiles: Int): DataFrame =
+    prunedRead(spark, dir, ranges, Nil, maxListedFiles)
+
+  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColumnRange],
+      equalities: Seq[ColumnEquals] = Nil,
+      maxListedFiles: Int = 100000): DataFrame = {
+    require(ranges.nonEmpty || equalities.nonEmpty,
+      "at least one range or equality (use a plain read otherwise)")
     val m = meta(spark, dir)
-    val pred = ranges.map { r =>
+    val pred = (ranges.map { r =>
       val lo = r.lo.map(v => col(r.column) >= lit(v))
       val hi = r.hi.map(v => col(r.column) <= lit(v))
       (lo ++ hi).reduce(_ && _)
-    }.reduce(_ && _)
-    val (qualifying, unknown) = qualify(spark, dir, ranges)
+    } ++ equalities.map(e => col(e.column).isin(e.values: _*)))
+      .reduce(_ && _)
+    val (qualifying, unknown) = qualify(spark, dir, ranges, equalities)
     val paths = qualifying ++ unknown
     if (paths.isEmpty) {
       // nothing can match; keep the schema without touching data files
@@ -223,16 +308,20 @@ object SkippingIndex {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private[operators] case class Meta(table: String, cols: Seq[String])
+  private[operators] case class Meta(table: String, cols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int)
 
   private[operators] def meta(spark: SparkSession, dir: String): Meta = {
     val raw = readString(spark, metaPath(dir))
     val table = """"table":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
       .get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-    val cols = """"cols":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-    Meta(table, cols)
+    def arr(field: String): Seq[String] =
+      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
+        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val bits = """"bloomBits":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toInt).getOrElse(0)
+    Meta(table, arr("cols"), arr("bloomCols"), bits)
   }
 
   // ---- q158: the skipping scan, hash-checked against a full scan ----
@@ -309,6 +398,44 @@ object SkippingIndex {
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem
       |WHERE l_partkey BETWEEN 20 AND 59 AND l_suppkey BETWEEN 2 AND 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q164: a point probe (`l_orderkey IN (...)`) through the BLOOM side
+    * of the index over a HASH-SCATTERED copy of lineitem — the layout
+    * where every file's min/max zone spans the whole key range and the
+    * zone map structurally prunes nothing. The Bloom bits don't care
+    * about layout: an order's ~4 line items land in at most 4 of the
+    * 32 files, and only files that might contain one of the probed
+    * keys are read — at ANY scale factor, because rows-per-order is a
+    * TPC-H constant while the file count grows with the table. The
+    * DuckDB oracle states the same query on the original table (a
+    * green hash proves false positives cost I/O only, never rows);
+    * the SPEC pins that it actually pruned. */
+  def q164BloomScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = builtFor.computeIfAbsent("b:" + d, { _ =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-skipb-").toString
+      graft.sources.Tables.lineitem(spark, d)
+        .repartition(32, $"l_partkey") // scatters l_orderkey across files
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+      build(spark, s"$root/table", s"$root/index",
+        cols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+      root
+    })
+    prunedRead(spark, s"$dir/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("l_orderkey", Seq(42L, 1337L))))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q164Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (42, 1337)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */

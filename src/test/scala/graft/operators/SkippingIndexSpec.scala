@@ -211,6 +211,139 @@ class SkippingIndexSpec extends SparkSpec {
       .select(li.columns.map(col).toSeq: _*)) == expect)
   }
 
+  // ---- the Bloom side: point probes where zones cannot prune --------
+
+  /** 100k unique ids hash-scattered across 8 files: every file spans
+    * ~the whole id range (zones full-width), but each id lives in
+    * exactly one file. */
+  private def scattered(root: String): String = {
+    import spark.implicits._
+    spark.range(100000)
+      .withColumn("noise", col("id") % 97)
+      .repartition(8, $"noise").drop("noise")
+      .withColumn("s", concat(lit("k"), col("id")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+    s"$root/table"
+  }
+
+  test("a point probe on a scattered layout: zones read everything, the bloom prunes") {
+    val root = tmp("skip-bloom")
+    val table = scattered(root)
+    build(spark, table, s"$root/index",
+      cols = Seq("id"), bloomCols = Seq("id"))
+    // the zone side alone (a degenerate [v,v] range) cannot prune:
+    // every file's [min,max] contains every id
+    val zoneOnly = prunedRead(spark, s"$root/index",
+      Seq(ColumnRange("id", Some(31337L), Some(31337L))))
+    assert(zoneOnly.inputFiles.length == 8,
+      "scattered zones should be full-width — this layout is the bloom's case")
+    // the bloom prunes to the one file that holds the id (± an FP)
+    val bloomed = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("id", Seq(31337L))))
+    assert(bloomed.inputFiles.length <= 2,
+      s"bloom probe read ${bloomed.inputFiles.length} of 8 scattered files")
+    assert(bloomed.collect().map(_.getLong(0)).toSeq == Seq(31337L))
+  }
+
+  test("IN-lists, string keys, and Int-vs-Long literals all hash the column's type") {
+    val root = tmp("skip-bloom-types")
+    val table = scattered(root)
+    build(spark, table, s"$root/index",
+      cols = Seq("id"), bloomCols = Seq("id", "s"))
+    // an IN-list qualifies the union of per-value files
+    val inList = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("id", Seq(11L, 4242L, 99999L))))
+    assert(inList.inputFiles.length <= 4)
+    assert(inList.select(sum(col("id"))).collect().head.getLong(0) ==
+      11L + 4242L + 99999L)
+    // a string-typed bloom prunes the same way
+    val str = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("s", Seq("k31337"))))
+    assert(str.inputFiles.length <= 2)
+    assert(str.select(col("id")).collect().map(_.getLong(0)).toSeq ==
+      Seq(31337L))
+    // an Int literal probing the BIGINT column must hash as LONG —
+    // same files, same row, no silent type-mismatch miss
+    val asInt = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("id", Seq(31337))))
+    assert(asInt.collect().map(_.getLong(0)).toSeq == Seq(31337L))
+    assert(asInt.inputFiles.length <= 2)
+  }
+
+  test("equality on a zone-only column degrades to the [v,v] zone test") {
+    val root = tmp("skip-eq-zone")
+    val table = clustered(root) // range-clustered: zones CAN answer points
+    build(spark, table, s"$root/index", Seq("l_partkey"))
+    val got = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("l_partkey", Seq(42L))))
+    val expect = spark.read.parquet(table).where(col("l_partkey") === 42L)
+    assert(got.inputFiles.length <= 2,
+      s"clustered zone point probe read ${got.inputFiles.length} of 8")
+    assert(sortedRows(got) == sortedRows(expect))
+  }
+
+  test("a range AND a bloom equality conjoin; both prune their own dimension") {
+    import spark.implicits._
+    val root = tmp("skip-mixed")
+    // range-clustered by partkey, so the range prunes; orderkey rides
+    // along scattered, so only its bloom prunes
+    val table = clustered(root)
+    build(spark, table, s"$root/index",
+      cols = Seq("l_partkey"), bloomCols = Seq("l_orderkey"))
+    val someKey = spark.read.parquet(table)
+      .where($"l_partkey".between(40L, 79L))
+      .select($"l_orderkey").head().getLong(0)
+    val got = prunedRead(spark, s"$root/index",
+      Seq(ColumnRange("l_partkey", Some(40L), Some(79L))),
+      Seq(ColumnEquals("l_orderkey", Seq(someKey))))
+    val expect = spark.read.parquet(table).where(
+      $"l_partkey".between(40L, 79L) && $"l_orderkey" === someKey)
+    assert(sortedRows(got) == sortedRows(expect))
+    assert(got.count() > 0)
+    assert(got.inputFiles.length <= 3)
+  }
+
+  test("refresh blooms the delta too: new files prune for absent keys, hit for theirs") {
+    import spark.implicits._
+    val root = tmp("skip-bloom-refresh")
+    val table = scattered(root)
+    build(spark, table, s"$root/index",
+      cols = Seq("id"), bloomCols = Seq("id"))
+    // append a file of entirely new ids
+    spark.range(200000, 201000)
+      .withColumn("s", concat(lit("k"), col("id")))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(table)
+    // pre-refresh: the unknown file is read conservatively
+    val before = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("id", Seq(31337L))))
+    assert(before.inputFiles.length >= 2, "unindexed file must be read")
+    assert(refresh(spark, s"$root/index") == 1)
+    // post-refresh: the new file's bloom lacks 31337 — pruned again
+    val after = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("id", Seq(31337L))))
+    assert(after.inputFiles.length <= 2,
+      s"refreshed file not bloom-pruned: ${after.inputFiles.length}")
+    // and its own keys are found through the refreshed bloom
+    val theirs = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("id", Seq(200500L))))
+    assert(theirs.collect().map(_.getLong(0)).toSeq == Seq(200500L))
+    assert(theirs.inputFiles.length <= 2)
+  }
+
+  test("NULL probe values are rejected; equality on an unindexed column names both sets") {
+    val root = tmp("skip-bloom-reject")
+    val table = scattered(root)
+    build(spark, table, s"$root/index",
+      cols = Seq("id"), bloomCols = Seq("id"))
+    intercept[IllegalArgumentException](ColumnEquals("id", Seq(1L, null)))
+    val ex = intercept[IllegalArgumentException] {
+      prunedRead(spark, s"$root/index", ranges = Nil,
+        equalities = Seq(ColumnEquals("s", Seq("k1"))))
+    }
+    assert(ex.getMessage.contains("not indexed"))
+    assert(ex.getMessage.contains("blooms"))
+  }
+
   test("unindexed predicate columns are rejected with the indexed set named") {
     val root = tmp("skip-reject")
     val table = clustered(root)
