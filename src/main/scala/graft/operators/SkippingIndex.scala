@@ -167,7 +167,7 @@ object SkippingIndex {
     * intersecting every range, plus every live file the index has no
     * row for. NULL zones (all-NULL column in that file) drop out of the
     * comparison — a range predicate cannot match NULL. */
-  private def qualify(spark: SparkSession, dir: String,
+  private[graft] def qualify(spark: SparkSession, dir: String,
       ranges: Seq[ColumnRange], equalities: Seq[ColumnEquals] = Nil)
       : (Seq[String], Seq[String]) = {
     val m = meta(spark, dir)
@@ -308,10 +308,10 @@ object SkippingIndex {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private[operators] case class Meta(table: String, cols: Seq[String],
+  private[graft] case class Meta(table: String, cols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int)
 
-  private[operators] def meta(spark: SparkSession, dir: String): Meta = {
+  private[graft] def meta(spark: SparkSession, dir: String): Meta = {
     val raw = readString(spark, metaPath(dir))
     val table = """"table":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
       .get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")

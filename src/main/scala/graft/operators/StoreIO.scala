@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * One copy on purpose: the portability and atomicity fixes these
   * lines have absorbed must not have to be re-applied per store. */
-private[operators] object StoreIO {
+private[graft] object StoreIO {
 
   // The CALLER's session supplies the Hadoop configuration — resolving
   // SparkSession.active here would silently use whichever session is
