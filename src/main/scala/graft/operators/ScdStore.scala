@@ -37,6 +37,7 @@ object ScdStore {
   private def currentPath(dir: String, v: Long) = s"$dir/current/v$v"
   private def metaPath(dir: String) = s"$dir/_meta.json"
   private def manifestPath(dir: String) = s"$dir/_live.json"
+  private def commitPath(dir: String, c: Long) = s"$dir/_commits/c$c.json"
 
   // Shared store plumbing: Hadoop-FS metadata I/O, atomic pointer
   // swap, and the F8 label/column allowlists.
@@ -57,7 +58,8 @@ object ScdStore {
       s""""values":[${values.map(v => s""""$v"""").mkString(",")}],""" +
       s""""carry":[${carry.map(c => s""""$c"""").mkString(",")}]}"""
     writeString(spark, metaPath(dir), meta, atomic = false)
-    writeManifest(spark, dir, Manifest(1L, Seq("base"), Seq("base")))
+    commitManifest(spark, dir,
+      Manifest(1L, Seq("base"), Seq("base"), 1L), "init", "base")
   }
 
   /** Apply one change batch under `label`. Committed labels are
@@ -94,9 +96,9 @@ object ScdStore {
         s"concurrent ScdStore commit detected (version ${man.version} -> " +
           s"${fresh.version} during applyBatch '$label'); single writer is " +
           "the contract — replay the batch")
-      writeManifest(spark, dir,
+      commitManifest(spark, dir,
         Manifest(man.version + 1, fresh.applied :+ label,
-          fresh.histLive :+ label))
+          fresh.histLive :+ label, fresh.commit + 1), "batch", label)
     }
   }
 
@@ -107,13 +109,96 @@ object ScdStore {
   /** The full SCD2 table: live history label dirs ∪ live current.
     * (`histLive` names the DATA directories; `applied` is the replay
     * ledger and keeps labels compaction has folded away.) */
-  def table(spark: SparkSession, dir: String): DataFrame = {
-    val man = manifest(spark, dir)
-    val hist = spark.read
+  def table(spark: SparkSession, dir: String): DataFrame =
+    tableOf(spark, dir, manifest(spark, dir))
+
+  private def histOf(spark: SparkSession, dir: String,
+      labels: Seq[String]): DataFrame =
+    spark.read
       .option("basePath", historyPath(dir))
-      .parquet(man.histLive.map(l => s"${historyPath(dir)}/batch=$l"): _*)
+      .parquet(labels.map(l => s"${historyPath(dir)}/batch=$l"): _*)
       .drop("batch")
-    hist.unionByName(spark.read.parquet(currentPath(dir, man.version)))
+
+  private def tableOf(spark: SparkSession, dir: String,
+      man: Manifest): DataFrame =
+    histOf(spark, dir, man.histLive)
+      .unionByName(spark.read.parquet(currentPath(dir, man.version)))
+
+  /** TIME TRAVEL: the full SCD2 table exactly as commit `c` saw it —
+    * the snapshot's history label set ∪ the snapshot's current version
+    * (both immutable directories; [[vacuum]] keeps every directory a
+    * retained snapshot names, so a travel read never races
+    * maintenance — [[expireCommits]] is what retires them). */
+  def tableAt(spark: SparkSession, dir: String, c: Long): DataFrame =
+    tableOf(spark, dir, commitAt(spark, dir, c).manifest)
+
+  /** The current partition as of commit `c` (≤1 row per key then). */
+  def currentAt(spark: SparkSession, dir: String, c: Long): DataFrame =
+    spark.read.parquet(
+      currentPath(dir, commitAt(spark, dir, c).manifest.version))
+
+  /** CDC READ: what changed between commit `from` (exclusive) and
+    * commit `to` (inclusive), as SCD2 rows tagged `_change_type`:
+    *
+    *  - `close` — a validity row ended (the key changed or was
+    *    superseded): the OLD row, `valid_to` now set;
+    *  - `open` — a validity row began and is still current at `to`:
+    *    the NEW row (covers both brand-new keys and changed keys).
+    *
+    * Cost posture: `open` is a current-partition-sized anti-join of
+    * the two snapshots' current versions; `close` reads ONLY the
+    * batch directories committed in the window — batch-sized, the
+    * append-only layout's whole point. If a COMPACT commit falls in
+    * the window the per-batch dirs are folded, and the read falls
+    * back to the exact history diff (history-sized; schedule CDC
+    * consumers ahead of compaction to stay on the cheap path). */
+  def changesBetween(spark: SparkSession, dir: String, from: Long,
+      to: Long): DataFrame = {
+    require(from < to, s"need from < to (got $from >= $to)")
+    val m = meta(spark, dir)
+    val cf = commitAt(spark, dir, from).manifest
+    val ct = commitAt(spark, dir, to).manifest
+    val window = ((from + 1) to to).map(commitAt(spark, dir, _))
+    val curF = spark.read.parquet(currentPath(dir, cf.version))
+    val curT = spark.read.parquet(currentPath(dir, ct.version))
+    // identity of a validity row: (key, valid_from, tie-break ts column
+    // carries inside valid_from already; event identity disambiguates
+    // same-instant changes)
+    val rowKey = Seq(m.key, "valid_from")
+    // a using-columns anti-join fronts its keys; pin one column order
+    // so both code paths (and both change kinds) emit the same schema
+    val cols = curT.columns.toSeq.map(col)
+    val closes =
+      if (window.exists(_.kind == "compact"))
+        histOf(spark, dir, ct.histLive)
+          .join(histOf(spark, dir, cf.histLive), rowKey, "left_anti")
+      else {
+        val labels = window.filter(_.kind == "batch").map(_.label)
+        if (labels.isEmpty) curT.where(lit(false))
+        else histOf(spark, dir, labels)
+      }
+    val opens = curT.join(curF, rowKey, "left_anti")
+    closes.select(cols: _*).withColumn("_change_type", lit("close"))
+      .unionByName(opens.select(cols: _*)
+        .withColumn("_change_type", lit("open")))
+  }
+
+  /** M2 for the snapshot log: drop all but the newest `keepLast`
+    * commit snapshots (the live pointer is untouched — liveness never
+    * depends on a snapshot). Directories only a dropped snapshot
+    * referenced become [[vacuum]]'s to sweep. Returns commits
+    * expired. */
+  def expireCommits(spark: SparkSession, dir: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    import org.apache.hadoop.fs.Path
+    val victims = listCommits(spark, dir).dropRight(keepLast)
+    val conf = spark.sparkContext.hadoopConfiguration
+    victims.foreach { c =>
+      val p = new Path(commitPath(dir, c))
+      p.getFileSystem(conf).delete(p, false)
+    }
+    victims.size
   }
 
   /** State-at-time read: the ≤1 row per key valid at `ts` (half-open
@@ -166,16 +251,25 @@ object ScdStore {
       .parquet(s"${historyPath(dir)}/batch=$intoLabel")
     // `version` NAMES the live current directory — compaction touches
     // only the history label set, so it must not advance it
-    writeManifest(spark, dir,
-      Manifest(man.version, man.applied :+ intoLabel, Seq(intoLabel)))
+    commitManifest(spark, dir,
+      Manifest(man.version, man.applied :+ intoLabel, Seq(intoLabel),
+        man.commit + 1), "compact", intoLabel)
   }
 
-  /** M3: delete history labels and current versions the manifest does
-    * not name — crashed batches, compacted-away labels, superseded
-    * current versions. Returns (history dirs, current dirs) deleted. */
+  /** M3: delete history labels and current versions neither the live
+    * manifest nor any RETAINED commit snapshot names — crashed
+    * batches, and directories whose last referencing snapshot was
+    * [[expireCommits]]'d. Time travel to a retained commit therefore
+    * always resolves; expiry, not vacuum, is the retention decision.
+    * Returns (history dirs, current dirs) deleted. */
   def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val man = manifest(spark, dir)
+    val retained = listCommits(spark, dir).map(commitAt(spark, dir, _))
+      .map(_.manifest)
+    val keepHist = (man.histLive ++ retained.flatMap(_.histLive)).toSet
+    val keepVers = (retained.map(_.version) :+ man.version)
+      .map(v => s"v$v").toSet
     val conf = spark.sparkContext.hadoopConfiguration
     def sweep(root: String, keep: String => Boolean): Int = {
       val p = new Path(root)
@@ -189,8 +283,8 @@ object ScdStore {
       }
     }
     val h = sweep(historyPath(dir),
-      n => man.histLive.contains(n.stripPrefix("batch=")))
-    val c = sweep(s"$dir/current", _ == s"v${man.version}")
+      n => keepHist.contains(n.stripPrefix("batch=")))
+    val c = sweep(s"$dir/current", keepVers.contains)
     (h, c)
   }
 
@@ -207,6 +301,9 @@ object ScdStore {
       .crossJoin(hist.agg(count(lit(1)).as("history_rows"),
         countDistinct(col("batch")).as("history_batches")))
       .withColumn("version", lit(man.version))
+      .withColumn("commit", lit(man.commit))
+      .withColumn("retained_commits",
+        lit(listCommits(spark, dir).size.toLong))
   }
 
   private[operators] case class Meta(key: String, ts: String,
@@ -225,27 +322,77 @@ object ScdStore {
 
   /** `applied` is the REPLAY LEDGER (every label ever committed —
     * compaction never removes one); `histLive` names the history
-    * directories reads list (compaction collapses them). */
+    * directories reads list (compaction collapses them); `commit` is
+    * the monotone COMMIT NUMBER — every pointer swap gets one, and an
+    * immutable snapshot of the manifest it swapped in lives under
+    * `_commits/c<N>.json` (Iceberg's snapshot log: the pointer is the
+    * present, the snapshots are the past). */
   private[operators] case class Manifest(version: Long,
-      applied: Seq[String], histLive: Seq[String])
+      applied: Seq[String], histLive: Seq[String], commit: Long)
 
-  private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
-    val raw = readString(spark, manifestPath(dir))
+  private def parseManifest(raw: String): Manifest = {
     val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
     def arr(field: String): Option[Seq[String]] =
       (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
         _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq)
     val applied = arr("applied").get
-    Manifest(v, applied, arr("histLive").getOrElse(applied))
+    val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong).getOrElse(1L) // pre-snapshot stores
+    Manifest(v, applied, arr("histLive").getOrElse(applied), c)
   }
 
-  private[operators] def writeManifest(spark: SparkSession, dir: String,
-      m: Manifest): Unit = {
-    val body = s"""{"version":${m.version},""" +
+  private[operators] def manifest(spark: SparkSession, dir: String): Manifest =
+    parseManifest(readString(spark, manifestPath(dir)))
+
+  private def manifestBody(m: Manifest): String =
+    s"""{"version":${m.version},"commit":${m.commit},""" +
       s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
       s""""histLive":[${m.histLive.map(l => s""""$l"""").mkString(",")}]}"""
-    writeString(spark, manifestPath(dir), body, atomic = true)
+
+  private[operators] def writeManifest(spark: SparkSession, dir: String,
+      m: Manifest): Unit =
+    writeString(spark, manifestPath(dir), manifestBody(m), atomic = true)
+
+  /** One commit = one immutable snapshot + the pointer swap, in that
+    * order: a crash between the two leaves an orphan snapshot no read
+    * resolves, and the batch replay overwrites it — the applyBatch
+    * crash discipline extended to the snapshot log. */
+  private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
+      kind: String, label: String): Unit = {
+    val snap = manifestBody(m).dropRight(1) +
+      s""","kind":"$kind","label":"$label"}"""
+    writeString(spark, commitPath(dir, m.commit), snap, atomic = true)
+    writeManifest(spark, dir, m)
+  }
+
+  /** A committed snapshot: the manifest as of that commit, plus what
+    * the commit did (`init` / `batch` / `compact`) and its label. */
+  private[operators] case class Commit(manifest: Manifest, kind: String,
+      label: String)
+
+  private[operators] def commitAt(spark: SparkSession, dir: String,
+      c: Long): Commit = {
+    val raw =
+      try readString(spark, commitPath(dir, c))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"commit $c is not retained in $dir (expired, or never " +
+            s"committed — live commit is ${manifest(spark, dir).commit})", e)
+      }
+    val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
+    val label = """"label":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
+    Commit(parseManifest(raw), kind, label)
+  }
+
+  private def listCommits(spark: SparkSession, dir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/_commits")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath.getName).toSeq
+      .flatMap("""c(\d+)\.json""".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .sorted
   }
 
   // ---- q160: the standing store, hash-checked against one-pass SQL --
@@ -257,9 +404,12 @@ object ScdStore {
     * two committed change batches — hash-checked against the same
     * one-pass full-compress oracle as q159, so init → apply → apply →
     * read is semantically invisible end-to-end (the q156/q157 bar). */
-  def q160Scd2Store(spark: SparkSession, d: String): DataFrame = {
+  /** One store shared by q160/q166/q167: init on events before
+    * 2024-01-11 (commit 1), batch b1 [01-11, 01-21) (commit 2), batch
+    * b2 [01-21, ∞) (commit 3). */
+  private def q160Dir(spark: SparkSession, d: String): String = {
     import spark.implicits._
-    val dir = builtFor.computeIfAbsent(d, { _ =>
+    builtFor.computeIfAbsent(d, { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft-scd-").toString
       val f = graft.sources.Tables.events(spark, d)
@@ -273,12 +423,88 @@ object ScdStore {
       applyBatch(f.where($"ts" >= c2), dir, "b2")
       dir
     })
-    table(spark, dir).orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  def q160Scd2Store(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    table(spark, q160Dir(spark, d))
+      .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
   /** Same shape as q159's oracle: the store must reproduce the one-pass
     * compression of the whole log. */
   val q160Sql: String = ScdMerge.q159Sql
+
+  /** q166: TIME TRAVEL to commit 2 (init + b1, before b2 landed). The
+    * oracle recomputes the one-pass compression over ONLY the events
+    * both those batches saw — a green hash proves the snapshot read
+    * reconstructs exactly the state the pointer named then, from
+    * directories later commits never touched. */
+  def q166TimeTravel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    tableAt(spark, q160Dir(spark, d), 2L)
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  val q166Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21'
+      |), c AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         row_number() OVER w AS rn,
+      |         lag(event_type) OVER w AS prev
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), p AS (
+      |  SELECT user_id, event_id, event_type, ts FROM c
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+      |)
+      |SELECT user_id, event_type, event_id,
+      |       ts AS valid_from,
+      |       lead(ts, 1) OVER w AS valid_to,
+      |       (lead(ts, 1) OVER w IS NULL) AS is_current
+      |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** q167: the CDC read between commits 2 and 3 — what batch b2 did,
+    * as close/open SCD2 rows. The oracle derives the same delta from
+    * the one-pass compression of the WHOLE log: a row was closed by b2
+    * iff its `valid_to` is a b2-window event instant (>= 01-21), and a
+    * current row was (re)opened by b2 iff its `valid_from` is. A green
+    * hash proves the batch-dir read + current-version anti-join emit
+    * exactly the semantic delta, nothing else. */
+  def q167ChangesFeed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    changesBetween(spark, q160Dir(spark, d), from = 2L, to = 3L)
+      .orderBy($"user_id", $"valid_from", $"_change_type")
+  }
+
+  val q167Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type IN ('signup', 'purchase')
+      |), c AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         row_number() OVER w AS rn,
+      |         lag(event_type) OVER w AS prev
+      |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), p AS (
+      |  SELECT user_id, event_id, event_type, ts FROM c
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+      |), scd AS (
+      |  SELECT user_id, event_type, event_id,
+      |         ts AS valid_from,
+      |         lead(ts, 1) OVER w AS valid_to,
+      |         (lead(ts, 1) OVER w IS NULL) AS is_current
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |)
+      |SELECT *, 'close' AS _change_type FROM scd
+      |WHERE valid_to >= TIMESTAMP '2024-01-21'
+      |UNION ALL
+      |SELECT *, 'open' AS _change_type FROM scd
+      |WHERE valid_to IS NULL AND valid_from >= TIMESTAMP '2024-01-21'
+      |ORDER BY user_id, valid_from, _change_type""".stripMargin
 
   /** Same teardown contract as [[IntervalIndexStore.clearSessionState]]. */
   def clearSessionState(): Unit = {

@@ -117,7 +117,7 @@ class ScdStoreSpec extends SparkSpec {
     assert(atChange == Seq("b"))
   }
 
-  test("compactHistory merges labels and vacuum sweeps orphans, table unchanged") {
+  test("compactHistory merges labels; vacuum honors snapshots until they expire") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("scd-compact").toString
     val cut2 = lit("2024-01-21").cast("timestamp")
@@ -127,10 +127,90 @@ class ScdStoreSpec extends SparkSpec {
     val before = rows(table(spark, dir))
     compactHistory(spark, dir, "merged-1")
     assert(rows(table(spark, dir)) == before)
+    // every directory is still named by a RETAINED commit snapshot:
+    // vacuum must sweep nothing, and time travel must still resolve
+    assert(vacuum(spark, dir) == ((0, 0)),
+      "vacuum swept a directory a retained snapshot references")
+    assert(rows(tableAt(spark, dir, 3L)) == before)
+    // expiry — not vacuum — is the retention decision
+    assert(expireCommits(spark, dir, keepLast = 1) == 3)
     val (histSwept, curSwept) = vacuum(spark, dir)
     assert(histSwept == 3, s"expected base+b1+b2 swept, got $histSwept")
     assert(curSwept >= 1, "superseded current versions must be swept")
     assert(rows(table(spark, dir)) == before)
+  }
+
+  test("time travel reconstructs every commit's state exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-travel").toString
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val (early, late) = initHalves(dir)
+    applyBatch(late.where($"ts" < cut2), dir, "b1")
+    applyBatch(late.where($"ts" >= cut2), dir, "b2")
+    def compress(d: DataFrame): Seq[String] =
+      rows(ScdMerge.compress(d, "user_id", "ts", Seq("event_type"), Seq("event_id")))
+    assert(rows(tableAt(spark, dir, 1L)) == compress(early))
+    assert(rows(tableAt(spark, dir, 2L)) ==
+      compress(early.unionByName(late.where($"ts" < cut2))))
+    assert(rows(tableAt(spark, dir, 3L)) == full)
+    assert(rows(tableAt(spark, dir, 3L)) == rows(table(spark, dir)))
+    // the snapshot read is pinned to ITS directories: later commits
+    // must not leak in
+    assert(rows(tableAt(spark, dir, 1L)) != full)
+  }
+
+  test("applying the CDC delta to the FROM snapshot reconstructs the TO snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-cdc").toString
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val (_, late) = initHalves(dir)
+    applyBatch(late.where($"ts" < cut2), dir, "b1")
+    applyBatch(late.where($"ts" >= cut2), dir, "b2")
+    for ((from, to) <- Seq((1L, 2L), (2L, 3L), (1L, 3L))) {
+      val delta = changesBetween(spark, dir, from, to).localCheckpoint()
+      val closes = delta.where($"_change_type" === "close").drop("_change_type")
+      val opens = delta.where($"_change_type" === "open").drop("_change_type")
+      // rows of FROM superseded by a close (same key + valid_from,
+      // valid_to now set) drop out; closes and opens come in
+      val fromTbl = tableAt(spark, dir, from)
+      val kept = fromTbl.join(closes.select($"user_id", $"valid_from"),
+        Seq("user_id", "valid_from"), "left_anti")
+      val rebuilt = kept.unionByName(closes).unionByName(opens)
+      assert(rows(rebuilt) == rows(tableAt(spark, dir, to)),
+        s"delta ($from -> $to) does not reconstruct the snapshot")
+    }
+  }
+
+  test("a compact inside the CDC window falls back to the exact diff") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-cdc-compact").toString
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val (_, late) = initHalves(dir)
+    applyBatch(late.where($"ts" < cut2), dir, "b1")
+    applyBatch(late.where($"ts" >= cut2), dir, "b2")
+    def strs(d: DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    val cheap = strs(changesBetween(spark, dir, 1L, 3L))
+    compactHistory(spark, dir, "merged-1")
+    // window (1, 4] contains the compact commit: per-batch dirs are
+    // folded, so the read must take the exact-diff path — and agree,
+    // because compaction never changes semantics
+    val fallback = strs(changesBetween(spark, dir, 1L, 4L))
+    assert(fallback == cheap,
+      "the compact-window fallback disagreed with the batch-dir delta")
+  }
+
+  test("expired commits refuse time travel, naming the live commit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd-expire").toString
+    val (_, late) = initHalves(dir)
+    applyBatch(late, dir, "b1")
+    assert(expireCommits(spark, dir, keepLast = 1) == 1)
+    val live = rows(table(spark, dir))
+    assert(rows(tableAt(spark, dir, 2L)) == live, "the kept commit must resolve")
+    val ex = intercept[IllegalArgumentException](tableAt(spark, dir, 1L))
+    assert(ex.getMessage.contains("not retained") &&
+      ex.getMessage.contains("live commit is 2"))
   }
 
   test("a replayed label is STILL a no-op after compaction folded its data away") {
