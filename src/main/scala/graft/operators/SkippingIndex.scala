@@ -68,6 +68,13 @@ object SkippingIndex {
       s"equality on '$column' cannot probe NULL (col = NULL matches nothing)")
   }
 
+  /** An IS [NOT] NULL predicate on one zone-indexed column, answered
+    * from the `nn_` value counts: a file with no NULLs in the column
+    * cannot match IS NULL; a file that is all-NULL (or empty) cannot
+    * match IS NOT NULL. Spark pushes IsNotNull alongside almost every
+    * comparison, so the transparent scan gets this prune for free. */
+  final case class ColumnNullness(column: String, isNull: Boolean)
+
   // Shared store plumbing: Hadoop-FS metadata I/O and the F8
   // column-name allowlist.
   import StoreIO.{readString, requireColName, writeString}
@@ -168,7 +175,8 @@ object SkippingIndex {
     * row for. NULL zones (all-NULL column in that file) drop out of the
     * comparison — a range predicate cannot match NULL. */
   private[graft] def qualify(spark: SparkSession, dir: String,
-      ranges: Seq[ColumnRange], equalities: Seq[ColumnEquals] = Nil)
+      ranges: Seq[ColumnRange], equalities: Seq[ColumnEquals] = Nil,
+      nullness: Seq[ColumnNullness] = Nil)
       : (Seq[String], Seq[String]) = {
     val m = meta(spark, dir)
     ranges.foreach(r => require(m.cols.contains(r.column),
@@ -177,6 +185,9 @@ object SkippingIndex {
       m.cols.contains(e.column) || m.bloomCols.contains(e.column),
       s"column '${e.column}' is not indexed (zones: ${m.cols.mkString(",")};" +
         s" blooms: ${m.bloomCols.mkString(",")})"))
+    nullness.foreach(n => require(m.cols.contains(n.column),
+      s"column '${n.column}' has no value-count stats " +
+        s"(zone-indexed: ${m.cols.mkString(",")})"))
     val rangeHits = ranges.map { r =>
       val lo = r.lo.map(v => col(s"max_${r.column}") >= lit(v))
       val hi = r.hi.map(v => col(s"min_${r.column}") <= lit(v))
@@ -204,7 +215,13 @@ object SkippingIndex {
         }
       (zone ++ bloom).reduce(_ && _)
     }
-    val zoneHit = (rangeHits ++ eqHits).reduce(_ && _)
+    // nullness verdicts from the value counts; an empty file (0 rows)
+    // matches neither IS NULL nor IS NOT NULL
+    val nullHits = nullness.map { n =>
+      if (n.isNull) col("row_count") > col(s"nn_${n.column}")
+      else col(s"nn_${n.column}") > 0L
+    }
+    val zoneHit = (rangeHits ++ eqHits ++ nullHits).reduce(_ && _)
     // one control-plane pass over the file-count-sized stats table:
     // every indexed file with its zone verdict
     val verdicts = spark.read.parquet(statsPath(dir))
@@ -243,21 +260,25 @@ object SkippingIndex {
     * re-applied after the prune (spec- and oracle-pinned). */
   def prunedRead(spark: SparkSession, dir: String,
       ranges: Seq[ColumnRange], maxListedFiles: Int): DataFrame =
-    prunedRead(spark, dir, ranges, Nil, maxListedFiles)
+    prunedRead(spark, dir, ranges, Nil, Nil, maxListedFiles)
 
   def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColumnRange],
       equalities: Seq[ColumnEquals] = Nil,
+      nullness: Seq[ColumnNullness] = Nil,
       maxListedFiles: Int = 100000): DataFrame = {
-    require(ranges.nonEmpty || equalities.nonEmpty,
-      "at least one range or equality (use a plain read otherwise)")
+    require(ranges.nonEmpty || equalities.nonEmpty || nullness.nonEmpty,
+      "at least one constraint (use a plain read otherwise)")
     val m = meta(spark, dir)
     val pred = (ranges.map { r =>
       val lo = r.lo.map(v => col(r.column) >= lit(v))
       val hi = r.hi.map(v => col(r.column) <= lit(v))
       (lo ++ hi).reduce(_ && _)
-    } ++ equalities.map(e => col(e.column).isin(e.values: _*)))
+    } ++ equalities.map(e => col(e.column).isin(e.values: _*))
+      ++ nullness.map(n =>
+        if (n.isNull) col(n.column).isNull else col(n.column).isNotNull))
       .reduce(_ && _)
-    val (qualifying, unknown) = qualify(spark, dir, ranges, equalities)
+    val (qualifying, unknown) =
+      qualify(spark, dir, ranges, equalities, nullness)
     val paths = qualifying ++ unknown
     if (paths.isEmpty) {
       // nothing can match; keep the schema without touching data files

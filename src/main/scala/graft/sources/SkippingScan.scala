@@ -4,15 +4,15 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-  LessThanOrEqual, Literal, PredicateHelper}
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.SkippingIndex
-import graft.operators.SkippingIndex.{ColumnEquals, ColumnRange}
+import graft.operators.SkippingIndex.{ColumnEquals, ColumnNullness, ColumnRange}
 
 /** The skipping index made TRANSPARENT: a DataFrame whose scan node
   * consults the index itself. `prunedRead` asks the caller to restate
@@ -58,11 +58,13 @@ object SkippingScan extends PredicateHelper {
     * literal (a cast around the column means Spark decided the types
     * don't match — hashing/zoning the literal would be unsound).
     * Strict bounds widen to inclusive ones (a superset read; the
-    * scan's own filter keeps strictness). Everything else — IsNotNull,
-    * disjunctions, expressions — is simply not pruned on. */
+    * scan's own filter keeps strictness); IS [NOT] NULL on a
+    * zone-indexed column prunes from the value counts. Everything
+    * else — disjunctions, expressions over columns — is simply not
+    * pruned on. */
   private[sources] def translate(filters: Seq[Expression],
       zoneCols: Set[String], bloomCols: Set[String])
-      : (Seq[ColumnRange], Seq[ColumnEquals]) = {
+      : (Seq[ColumnRange], Seq[ColumnEquals], Seq[ColumnNullness]) = {
     val conjuncts = filters.flatMap(splitConjunctivePredicates)
     def ext(l: Literal): Option[Any] =
       Option(l.value).map(CatalystTypeConverters.convertToScala(_, l.dataType))
@@ -71,6 +73,7 @@ object SkippingScan extends PredicateHelper {
       zone(a) || bloomCols.contains(a.name)
     val ranges = Seq.newBuilder[ColumnRange]
     val equals = Seq.newBuilder[ColumnEquals]
+    val nulls = Seq.newBuilder[ColumnNullness]
     conjuncts.foreach {
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) if zone(a) =>
         ext(l).foreach(v => ranges += ColumnRange(a.name, Some(v), None))
@@ -103,9 +106,13 @@ object SkippingScan extends PredicateHelper {
         val ext2 = vs.toSeq.filter(_ != null)
           .map(CatalystTypeConverters.convertToScala(_, a.dataType))
         if (ext2.nonEmpty) equals += ColumnEquals(a.name, ext2)
+      case IsNull(a: AttributeReference) if zone(a) =>
+        nulls += ColumnNullness(a.name, isNull = true)
+      case IsNotNull(a: AttributeReference) if zone(a) =>
+        nulls += ColumnNullness(a.name, isNull = false)
       case _ => // unsupported shape: no prune, the scan filter handles it
     }
-    (ranges.result(), equals.result())
+    (ranges.result(), equals.result(), nulls.result())
   }
 
   // ---- q165: the transparent scan, hash-checked ----------------------
@@ -190,14 +197,14 @@ class SkippingFileIndex(spark: SparkSession, indexDir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (ranges, equalities) = SkippingScan.translate(dataFilters,
+    val (ranges, equalities, nullness) = SkippingScan.translate(dataFilters,
       zoneCols.toSet, bloomCols.toSet)
     val files = allFiles()
     val selected =
-      if (ranges.isEmpty && equalities.isEmpty) files
+      if (ranges.isEmpty && equalities.isEmpty && nullness.isEmpty) files
       else {
         val (qualifying, unknown) =
-          SkippingIndex.qualify(spark, indexDir, ranges, equalities)
+          SkippingIndex.qualify(spark, indexDir, ranges, equalities, nullness)
         val keep = (qualifying ++ unknown).toSet
         files.filter(f => keep.contains(norm(f.getPath.toString)))
       }

@@ -330,6 +330,33 @@ class SkippingIndexSpec extends SparkSpec {
     assert(theirs.inputFiles.length <= 2)
   }
 
+  test("IS NULL / IS NOT NULL prune from the value counts") {
+    import spark.implicits._
+    val root = tmp("skip-nullness")
+    // file A: k all NULL; file B: k never NULL; file C: mixed
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$root/table")
+    Seq((3L, Some(5L)), (4L, Some(9L))).toDF("id", "k")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/table")
+    Seq((5L, Some(7L)), (6L, Option.empty[Long])).toDF("id", "k")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/table")
+    build(spark, s"$root/table", s"$root/index", Seq("k"))
+    val isNull = prunedRead(spark, s"$root/index", ranges = Nil,
+      nullness = Seq(ColumnNullness("k", isNull = true)))
+    assert(isNull.inputFiles.length == 2, "the no-NULL file must be skipped")
+    assert(isNull.select(sum($"id")).collect().head.getLong(0) == 1L + 2L + 6L)
+    val notNull = prunedRead(spark, s"$root/index", ranges = Nil,
+      nullness = Seq(ColumnNullness("k", isNull = false)))
+    assert(notNull.inputFiles.length == 2, "the all-NULL file must be skipped")
+    assert(notNull.select(sum($"k")).collect().head.getLong(0) == 5L + 9L + 7L)
+    // nullness on a column without value counts is rejected
+    val ex = intercept[IllegalArgumentException] {
+      prunedRead(spark, s"$root/index", ranges = Nil,
+        nullness = Seq(ColumnNullness("id", isNull = true)))
+    }
+    assert(ex.getMessage.contains("value-count stats"))
+  }
+
   test("NULL probe values are rejected; equality on an unindexed column names both sets") {
     val root = tmp("skip-bloom-reject")
     val table = scattered(root)

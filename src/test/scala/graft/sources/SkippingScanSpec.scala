@@ -136,6 +136,30 @@ class SkippingScanSpec extends SparkSpec {
     }
   }
 
+  test("pushed IS [NOT] NULL prunes all-NULL and no-NULL files transparently") {
+    import spark.implicits._
+    val root = tmp("tscan-null")
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$root/table")
+    Seq((3L, Some(5L)), (4L, Some(9L))).toDF("id", "k")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/table")
+    SkippingIndex.build(spark, s"$root/table", s"$root/index", Seq("k"))
+    val notNull = SkippingScan.table(spark, s"$root/index")
+      .where($"k".isNotNull)
+    assert(filesRead(notNull) == 1, "the all-NULL file must be skipped")
+    assert(notNull.select(sum($"k")).collect().head.getLong(0) == 14L)
+    val isNull = SkippingScan.table(spark, s"$root/index")
+      .where($"k".isNull)
+    assert(filesRead(isNull) == 1, "the no-NULL file must be skipped")
+    assert(isNull.count() == 2)
+    // and the IsNotNull Spark pushes ALONGSIDE a comparison composes
+    // with the comparison's own zone prune
+    val both = SkippingScan.table(spark, s"$root/index")
+      .where($"k" >= 6L)
+    assert(filesRead(both) == 1)
+    assert(both.select(sum($"k")).collect().head.getLong(0) == 9L)
+  }
+
   test("files appended after the build are read conservatively, then prune after refresh") {
     import spark.implicits._
     val root = tmp("tscan-append")
