@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SkippingIndex.{ColumnEquals, ColumnNullness, ColumnRange}
+
+/** The standing pieces composed into ONE table format — what a user of
+  * the reference's Iceberg tables actually holds, rebuilt from this
+  * repo's own parts:
+  *
+  *  - `data/batch=<label>/` — immutable committed data batches behind
+  *    `_live.json` (applied ledger + live list: the
+  *    [[DeleteStore]]/[[ScdStore]] manifest discipline, so appends are
+  *    crash-safe and replay-idempotent, and READERS NEVER SEE an
+  *    uncommitted directory — including through the pruned path);
+  *  - `index/` — a [[SkippingIndex]] over the data directory,
+  *    refreshed per append (zones + blooms + value counts);
+  *  - `del/` — a [[DeleteStore]]: merge-on-read equality deletes, one
+  *    broadcast probe per read;
+  *  - [[optimize]] — the `rewrite_data_files` step (reference
+  *    maintenance.py:153-175 drives exactly this): fold every live
+  *    batch + apply standing deletes + lay out by the zone columns
+  *    (z-order for ≥2) + rebuild the index + reset the delete store,
+  *    all behind one manifest swap;
+  *  - [[vacuum]] — M3: sweep non-live batch dirs and delete-store
+  *    orphans.
+  *
+  * 100 TB: every read is scan + broadcast probe (never a table
+  * shuffle); [[readWhere]] scans only live files the index cannot rule
+  * out; appends and deletes are batch-sized; optimize is the only
+  * table-sized write and bounds both the per-read probe cost and the
+  * per-append listing growth.
+  */
+object GraftTable {
+
+  import StoreIO.{hasDataFiles, readString, requireColName, requireLabel,
+    writeString}
+
+  private def dataPath(dir: String) = s"$dir/data"
+  private def indexPath(dir: String) = s"$dir/index"
+  private def delPath(dir: String) = s"$dir/del"
+  private def metaPath(dir: String) = s"$dir/_meta.json"
+  private def manifestPath(dir: String) = s"$dir/_live.json"
+
+  /** Initialize an empty table. `zoneCols` get min/max/value-count
+    * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
+    * Bloom filters, `deleteKeys` are the equality-delete address. */
+  def create(spark: SparkSession, dir: String, zoneCols: Seq[String],
+      bloomCols: Seq[String] = Nil,
+      deleteKeys: Seq[String] = Nil): Unit = {
+    require(zoneCols.nonEmpty, "at least one zone column (it drives layout)")
+    (zoneCols ++ bloomCols ++ deleteKeys).foreach(requireColName)
+    def arr(s: Seq[String]) = s.map(c => s""""$c"""").mkString(",")
+    writeString(spark, metaPath(dir),
+      s"""{"zoneCols":[${arr(zoneCols)}],"bloomCols":[${arr(bloomCols)}],""" +
+        s""""delKeys":[${arr(deleteKeys)}]}""",
+      atomic = false)
+    writeManifest(spark, dir, Manifest(Nil, Nil))
+    if (deleteKeys.nonEmpty) DeleteStore.init(spark, delPath(dir), deleteKeys)
+  }
+
+  /** Commit one data batch under `label` (immutable; replay = no-op;
+    * a crash before the manifest swap leaves an orphan no reader
+    * sees), then bring the skipping index up to date — build on first
+    * data, refresh the delta after. `beforeCommit` is the spec's
+    * crash-injection seam. */
+  def append(df: DataFrame, dir: String, label: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
+    val spark = df.sparkSession
+    requireLabel(label)
+    val m = meta(spark, dir)
+    if (manifest(spark, dir).applied.contains(label)) return
+    (m.zoneCols ++ m.bloomCols).foreach(c => require(df.columns.contains(c),
+      s"append is missing indexed column '$c'"))
+    require(!df.columns.contains("batch"),
+      "'batch' is the table's partition label column")
+    if (df.isEmpty) return // an empty committed dir would grow reads forever
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"${dataPath(dir)}/batch=$label")
+    if (!hasDataFiles(spark, s"${dataPath(dir)}/batch=$label")) return
+    beforeCommit()
+    val fresh = manifest(spark, dir)
+    if (!fresh.applied.contains(label))
+      writeManifest(spark, dir,
+        Manifest(fresh.applied :+ label, fresh.live :+ label))
+    refreshIndex(spark, dir, m)
+  }
+
+  private def refreshIndex(spark: SparkSession, dir: String,
+      m: Meta): Unit = {
+    val (fs, p) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
+    if (fs.exists(p)) SkippingIndex.refresh(spark, indexPath(dir))
+    else SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
+      m.zoneCols, m.bloomCols)
+    ()
+  }
+
+  /** Every committed row, standing deletes applied (merge-on-read:
+    * one scan of the live batch dirs + one broadcast anti-probe). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val man = manifest(spark, dir)
+    require(man.live.nonEmpty, s"table at $dir has no committed data")
+    withDeletes(spark, dir, baseRead(spark, dir, man.live))
+  }
+
+  private def baseRead(spark: SparkSession, dir: String,
+      live: Seq[String]): DataFrame =
+    spark.read
+      .option("basePath", dataPath(dir))
+      .parquet(live.map(l => s"${dataPath(dir)}/batch=$l"): _*)
+      .drop("batch")
+
+  private def withDeletes(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val m = meta(spark, dir)
+    if (m.delKeys.isEmpty) df else DeleteStore.morRead(df, delPath(dir))
+  }
+
+  /** The filtered read, scanning ONLY live files the index cannot rule
+    * out — [[SkippingIndex.prunedRead]]'s prune intersected with the
+    * manifest's read-committed guarantee (a crashed append's orphan
+    * directory stays invisible even though the raw listing, and
+    * possibly the index, knows its files). Deletes apply on top; the
+    * exact predicate is re-applied after the prune as always. */
+  def readWhere(spark: SparkSession, dir: String,
+      ranges: Seq[ColumnRange] = Nil,
+      equalities: Seq[ColumnEquals] = Nil,
+      nullness: Seq[ColumnNullness] = Nil): DataFrame = {
+    require(ranges.nonEmpty || equalities.nonEmpty || nullness.nonEmpty,
+      "at least one constraint (use read() otherwise)")
+    val man = manifest(spark, dir)
+    require(man.live.nonEmpty, s"table at $dir has no committed data")
+    val pred = SkippingIndex.predicateOf(ranges, equalities, nullness)
+    val (fs, metaP) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
+    if (!fs.exists(metaP)) // no index yet: correct, just unpruned
+      return withDeletes(spark, dir, baseRead(spark, dir, man.live).where(pred))
+    val (qualifying, unknown) =
+      SkippingIndex.qualify(spark, indexPath(dir), ranges, equalities, nullness)
+    val live = liveFiles(spark, dir, man.live)
+    val paths = (qualifying ++ unknown).filter(live)
+    val base =
+      if (paths.isEmpty) baseRead(spark, dir, man.live).where(lit(false))
+      else spark.read.option("basePath", dataPath(dir)).parquet(paths: _*)
+        .drop("batch")
+    withDeletes(spark, dir, base.where(pred))
+  }
+
+  /** Normalized data-file paths under the LIVE batch dirs only. */
+  private def liveFiles(spark: SparkSession, dir: String,
+      live: Seq[String]): Set[String] = {
+    val out = Set.newBuilder[String]
+    live.foreach { l =>
+      val (fs, p) = StoreIO.hadoopFs(spark, s"${dataPath(dir)}/batch=$l")
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+            out += new org.apache.hadoop.fs.Path(f.toString).toUri.toString
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Commit one equality-delete batch (merge-on-read; see
+    * [[DeleteStore.append]] for the replay/crash contract). */
+  def delete(deletes: DataFrame, dir: String, label: String): Unit = {
+    val spark = deletes.sparkSession
+    require(meta(spark, dir).delKeys.nonEmpty,
+      "table was created without deleteKeys")
+    DeleteStore.append(deletes, delPath(dir), label)
+  }
+
+  /** The `rewrite_data_files` step: fold every live batch, APPLY the
+    * standing deletes, lay the result out by the zone columns (z-order
+    * when there are ≥2, range otherwise) into `nFiles` files, and
+    * commit as the single live batch `intoLabel`. The delete store is
+    * then reset (the deletes are IN the data now) and the index
+    * rebuilt for the new layout. Replay-idempotent: a committed
+    * `intoLabel` short-circuits to the reset+rebuild epilogue, so a
+    * crash between the swap and the epilogue converges on replay. */
+  def optimize(spark: SparkSession, dir: String, intoLabel: String,
+      nFiles: Int = 8): Unit = {
+    requireLabel(intoLabel)
+    val m = meta(spark, dir)
+    val man = manifest(spark, dir)
+    require(man.live.nonEmpty, "nothing to optimize: no committed data")
+    if (!man.applied.contains(intoLabel)) {
+      val snapshot = read(spark, dir)
+      val laidOut =
+        if (m.zoneCols.size >= 2) {
+          val z = graft.functions.ZOrder.zvalueOf(snapshot, m.zoneCols)
+          snapshot.withColumn("__graft_z", z)
+            .repartitionByRange(nFiles, col("__graft_z")).drop("__graft_z")
+        } else snapshot.repartitionByRange(nFiles, col(m.zoneCols.head))
+      laidOut.write.mode(SaveMode.Overwrite)
+        .parquet(s"${dataPath(dir)}/batch=$intoLabel")
+      val fresh = manifest(spark, dir)
+      writeManifest(spark, dir,
+        Manifest(fresh.applied :+ intoLabel, Seq(intoLabel)))
+    }
+    // epilogue (also the replay path): deletes are in the data — keep
+    // the ledger, empty the live set — and the index must describe the
+    // new layout, not the folded-away one
+    if (m.delKeys.nonEmpty) DeleteStore.reset(spark, delPath(dir))
+    SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
+      m.zoneCols, m.bloomCols)
+  }
+
+  /** M3: sweep data batch dirs the manifest no longer names (crashed
+    * appends, optimized-away batches) and the delete store's orphans.
+    * Returns (data dirs, delete dirs) swept. */
+  def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
+    val man = manifest(spark, dir)
+    val (fs, root) = StoreIO.hadoopFs(spark, dataPath(dir))
+    val dataSwept =
+      if (!fs.exists(root)) 0
+      else {
+        val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+          .filterNot(p => man.live.contains(p.getName.stripPrefix("batch=")))
+        victims.foreach(fs.delete(_, true))
+        victims.length
+      }
+    val delSwept =
+      if (meta(spark, dir).delKeys.isEmpty) 0
+      else DeleteStore.vacuum(spark, delPath(dir))
+    (dataSwept, delSwept)
+  }
+
+  /** Table health: live/applied batches, live delete keys, index
+    * coverage — the A1-shaped summary for this format. */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    val man = manifest(spark, dir)
+    val m = meta(spark, dir)
+    val base = spark.range(1).select(
+      lit(man.live.size.toLong).as("live_batches"),
+      lit(man.applied.size.toLong).as("applied_labels"))
+    val withDel =
+      if (m.delKeys.isEmpty) base.withColumn("live_delete_rows", lit(0L))
+      else base.crossJoin(DeleteStore.audit(spark, delPath(dir))
+        .select(col("live_delete_rows")))
+    val (fs, p) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
+    if (!fs.exists(p)) withDel.withColumn("indexed_files", lit(0L))
+    else withDel.crossJoin(SkippingIndex.audit(spark, indexPath(dir))
+      .select(col("indexed_files")))
+  }
+
+  // ---- manifest plumbing (the DeleteStore shape) ----------------------
+
+  private[operators] case class Manifest(applied: Seq[String],
+      live: Seq[String])
+
+  private[operators] def manifest(spark: SparkSession,
+      dir: String): Manifest = {
+    val raw = readString(spark, manifestPath(dir))
+    def arr(field: String): Seq[String] =
+      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
+        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    Manifest(arr("applied"), arr("live"))
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String,
+      m: Manifest): Unit = {
+    val body =
+      s"""{"applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
+        s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]}"""
+    writeString(spark, manifestPath(dir), body, atomic = true)
+  }
+
+  private[operators] case class Meta(zoneCols: Seq[String],
+      bloomCols: Seq[String], delKeys: Seq[String])
+
+  private[operators] def meta(spark: SparkSession, dir: String): Meta = {
+    val raw = readString(spark, metaPath(dir))
+    def arr(field: String): Seq[String] =
+      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
+        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    Meta(arr("zoneCols"), arr("bloomCols"), arr("delKeys"))
+  }
+
+  // ---- q168/q169: the composed table, hash-checked --------------------
+
+  private val builtFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Base lifecycle shared by q168/q169: create → two committed
+    * appends (lineitem split by orderkey) → one committed erasure
+    * batch (the F-orders CDC shape). */
+  private def q168Dir(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    builtFor.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-table-").toString
+      create(spark, dir, zoneCols = Seq("l_partkey"),
+        bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
+      val li = graft.sources.Tables.lineitem(spark, d)
+      val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+      append(li.where($"l_orderkey" <= mid), dir, "b1")
+      append(li.where($"l_orderkey" > mid), dir, "b2")
+      delete(graft.sources.Tables.orders(spark, d)
+        .where($"o_orderstatus" === "F")
+        .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+      dir
+    })
+  }
+
+  /** q168: a zone-band rollup through [[readWhere]] on the composed
+    * table — pruned scan + merge-on-read deletes in one plan. The
+    * DuckDB oracle states the same band + NOT EXISTS on the raw
+    * tables: the whole lifecycle (create → append → append → delete →
+    * pruned read) must be semantically invisible. */
+  def q168ComposedTable(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    readWhere(spark, q168Dir(spark, d),
+      ranges = Seq(ColumnRange("l_partkey", Some(100L), Some(299L))))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q168Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |WHERE l.l_partkey BETWEEN 100 AND 299
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q169: the SAME query after [[optimize]] folded the batches,
+    * applied the deletes into the data, z-ordered the layout, and
+    * rebuilt the index — hash-checked against the SAME oracle, because
+    * maintenance must never change what a query returns (the M1
+    * contract, now for the whole composed table). Queries are
+    * order-independent: if this builds first, q168 reads the optimized
+    * table — same rows either way. */
+  def q169OptimizedTable(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = q168Dir(spark, d)
+    builtFor.computeIfAbsent("opt:" + d, { _ =>
+      optimize(spark, dir, "opt-1")
+      vacuum(spark, dir)
+      dir
+    })
+    readWhere(spark, dir,
+      ranges = Seq(ColumnRange("l_partkey", Some(100L), Some(299L))))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q169Sql: String = q168Sql
+
+  /** Same teardown contract as the sibling stores ("opt:" entries
+    * alias the base dir — deleting twice is harmless). */
+  def clearSessionState(): Unit = {
+    StoreIO.deleteLocalDirs(builtFor.values)
+    builtFor.clear()
+  }
+}

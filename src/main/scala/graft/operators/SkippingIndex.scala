@@ -262,14 +262,12 @@ object SkippingIndex {
       ranges: Seq[ColumnRange], maxListedFiles: Int): DataFrame =
     prunedRead(spark, dir, ranges, Nil, Nil, maxListedFiles)
 
-  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColumnRange],
-      equalities: Seq[ColumnEquals] = Nil,
-      nullness: Seq[ColumnNullness] = Nil,
-      maxListedFiles: Int = 100000): DataFrame = {
-    require(ranges.nonEmpty || equalities.nonEmpty || nullness.nonEmpty,
-      "at least one constraint (use a plain read otherwise)")
-    val m = meta(spark, dir)
-    val pred = (ranges.map { r =>
+  /** The EXACT row filter a constraint set denotes — what every pruned
+    * read re-applies after the file-level prune. */
+  private[graft] def predicateOf(ranges: Seq[ColumnRange],
+      equalities: Seq[ColumnEquals],
+      nullness: Seq[ColumnNullness]): org.apache.spark.sql.Column =
+    (ranges.map { r =>
       val lo = r.lo.map(v => col(r.column) >= lit(v))
       val hi = r.hi.map(v => col(r.column) <= lit(v))
       (lo ++ hi).reduce(_ && _)
@@ -277,6 +275,15 @@ object SkippingIndex {
       ++ nullness.map(n =>
         if (n.isNull) col(n.column).isNull else col(n.column).isNotNull))
       .reduce(_ && _)
+
+  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColumnRange],
+      equalities: Seq[ColumnEquals] = Nil,
+      nullness: Seq[ColumnNullness] = Nil,
+      maxListedFiles: Int = 100000): DataFrame = {
+    require(ranges.nonEmpty || equalities.nonEmpty || nullness.nonEmpty,
+      "at least one constraint (use a plain read otherwise)")
+    val m = meta(spark, dir)
+    val pred = predicateOf(ranges, equalities, nullness)
     val (qualifying, unknown) =
       qualify(spark, dir, ranges, equalities, nullness)
     val paths = qualifying ++ unknown

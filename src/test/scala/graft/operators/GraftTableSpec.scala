@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SkippingIndex.{ColumnEquals, ColumnRange}
+import graft.sources.Tables
+
+/** The composed table must behave like ONE table format: committed
+  * appends and deletes are exactly visible, uncommitted ones exactly
+  * invisible (including through the pruned read path), maintenance
+  * (optimize/vacuum) never changes query results, and the pruning is
+  * measured, not asserted. */
+class GraftTableSpec extends SparkSpec {
+
+  import GraftTable._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("gt-").toString
+
+  private def li: DataFrame = Tables.lineitem(spark, sfDir)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** create + two appends split by orderkey + one erasure batch. */
+  private def build(dir: String): Long = {
+    import spark.implicits._
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    delete(Tables.orders(spark, sfDir).where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+    mid
+  }
+
+  /** What the table should hold: lineitem minus F-order lines. */
+  private def expected: DataFrame = {
+    import spark.implicits._
+    li.join(Tables.orders(spark, sfDir).where($"o_orderstatus" === "F")
+        .select($"o_orderkey".as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti")
+  }
+
+  test("append + delete lifecycle: read() is the raw data minus the erasure") {
+    val dir = tmp()
+    build(dir)
+    assert(sortedRows(read(spark, dir)) == sortedRows(expected))
+  }
+
+  test("readWhere == read().where(...) and actually prunes live files") {
+    import spark.implicits._
+    val dir = tmp()
+    val mid = build(dir)
+    val band = Seq(ColumnRange("l_partkey", Some(40L), Some(79L)))
+    val got = readWhere(spark, dir, ranges = band)
+    val expect = expected.where($"l_partkey".between(40L, 79L))
+    assert(sortedRows(got) == sortedRows(expect))
+    // the bloom side prunes point probes on the scattered orderkey
+    val key = mid - 1L
+    val point = readWhere(spark, dir,
+      equalities = Seq(ColumnEquals("l_orderkey", Seq(key))))
+    assert(sortedRows(point) ==
+      sortedRows(expected.where($"l_orderkey" === key)))
+    val allFiles = read(spark, dir).inputFiles.length
+    assert(point.inputFiles.length < allFiles,
+      s"point probe read ${point.inputFiles.length} of $allFiles live files")
+  }
+
+  test("a crashed append is invisible — through read() AND the pruned path — then converges") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    val before = sortedRows(read(spark, dir))
+    val band = Seq(ColumnRange("l_partkey", Some(0L), Some(999999L)))
+    val bandBefore = sortedRows(readWhere(spark, dir, ranges = band))
+    val extra = li.limit(100)
+    intercept[RuntimeException] {
+      append(extra, dir, "b3",
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    // the orphan directory exists on disk but no read may see it —
+    // the pruned path must intersect with the LIVE set, not trust the
+    // raw listing's conservative "unknown files are read" rule
+    assert(new java.io.File(s"$dir/data/batch=b3").exists())
+    assert(sortedRows(read(spark, dir)) == before)
+    assert(sortedRows(readWhere(spark, dir, ranges = band)) == bandBefore)
+    // replay commits; a second replay is a no-op
+    append(extra, dir, "b3")
+    val after = sortedRows(read(spark, dir))
+    assert(after != before)
+    append(extra, dir, "b3")
+    assert(sortedRows(read(spark, dir)) == after)
+  }
+
+  test("optimize folds batches, materializes deletes, z-orders; results unchanged") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    val before = sortedRows(read(spark, dir))
+    val band = Seq(ColumnRange("l_partkey", Some(40L), Some(79L)))
+    val bandBefore = sortedRows(readWhere(spark, dir, ranges = band))
+    optimize(spark, dir, "opt-1", nFiles = 8)
+    assert(sortedRows(read(spark, dir)) == before)
+    assert(sortedRows(readWhere(spark, dir, ranges = band)) == bandBefore)
+    // one live batch; the delete store's live set is empty (the
+    // deletes are IN the data) but its ledger survives
+    assert(manifest(spark, dir).live == Seq("opt-1"))
+    val audit0 = DeleteStore.audit(spark, s"$dir/del").collect().head
+    assert(audit0.getLong(0) == 0L, "live deletes must reset after optimize")
+    // a replayed erasure epoch stays absorbed by the ledger
+    delete(Tables.orders(spark, sfDir).where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+    assert(sortedRows(read(spark, dir)) == before,
+      "a replayed delete label re-deleted after optimize")
+    // replaying optimize is a no-op too
+    optimize(spark, dir, "opt-1")
+    assert(sortedRows(read(spark, dir)) == before)
+    // and the rewrite paid off: the zone band now prunes the scan
+    val pruned = readWhere(spark, dir, ranges = band)
+    assert(pruned.inputFiles.length <= 3,
+      s"band read ${pruned.inputFiles.length} of 8 optimized files")
+  }
+
+  test("vacuum sweeps the folded batches and delete dirs; reads unchanged") {
+    val dir = tmp()
+    build(dir)
+    val before = sortedRows(read(spark, dir))
+    optimize(spark, dir, "opt-1")
+    val (dataSwept, delSwept) = vacuum(spark, dir)
+    assert(dataSwept == 2, s"expected b1+b2 swept, got $dataSwept")
+    assert(delSwept == 1, s"expected erase-1 swept, got $delSwept")
+    assert(sortedRows(read(spark, dir)) == before)
+    assert(!new java.io.File(s"$dir/data/batch=b1").exists())
+  }
+
+  test("audit reports batches, deletes, and index coverage") {
+    val dir = tmp()
+    build(dir)
+    val row = audit(spark, dir).collect().head
+    assert(row.getAs[Long]("live_batches") == 2L)
+    assert(row.getAs[Long]("applied_labels") == 2L)
+    assert(row.getAs[Long]("live_delete_rows") > 0L)
+    assert(row.getAs[Long]("indexed_files") > 0L)
+  }
+
+  test("tables without deleteKeys skip the delete machinery; delete() is rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.limit(500), dir, "b1")
+    assert(read(spark, dir).count() == 500)
+    val ex = intercept[IllegalArgumentException] {
+      delete(li.select($"l_orderkey").limit(1), dir, "e1")
+    }
+    assert(ex.getMessage.contains("deleteKeys"))
+  }
+
+  test("appends missing an indexed column, or carrying 'batch', are rejected") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    val exCol = intercept[IllegalArgumentException] {
+      append(li.drop("l_partkey"), dir, "b1")
+    }
+    assert(exCol.getMessage.contains("l_partkey"))
+    val exBatch = intercept[IllegalArgumentException] {
+      append(li.withColumn("batch", lit("x")), dir, "b1")
+    }
+    assert(exBatch.getMessage.contains("batch"))
+    // empty appends commit nothing
+    append(li.where(lit(false)), dir, "b0")
+    assert(manifest(spark, dir).applied.isEmpty)
+  }
+}
