@@ -146,22 +146,67 @@ object GraftTable {
     withDeletes(spark, dir, base.where(pred))
   }
 
-  /** Normalized data-file paths under the LIVE batch dirs only. */
-  private def liveFiles(spark: SparkSession, dir: String,
-      live: Seq[String]): Set[String] = {
-    val out = Set.newBuilder[String]
+  /** FileStatuses of the data files under the LIVE batch dirs only. */
+  private def liveFileStatuses(spark: SparkSession, dir: String,
+      live: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     live.foreach { l =>
       val (fs, p) = StoreIO.hadoopFs(spark, s"${dataPath(dir)}/batch=$l")
       if (fs.exists(p)) {
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
-            out += new org.apache.hadoop.fs.Path(f.toString).toUri.toString
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet") ||
+              f.getPath.getName.startsWith("part-"))
+            out += f
         }
       }
     }
     out.result()
+  }
+
+  /** Normalized data-file paths under the LIVE batch dirs only. */
+  private def liveFiles(spark: SparkSession, dir: String,
+      live: Seq[String]): Set[String] =
+    liveFileStatuses(spark, dir, live).map(f =>
+      new org.apache.hadoop.fs.Path(f.getPath.toString).toUri.toString).toSet
+
+  /** The TRANSPARENT read: a DataFrame whose scan node consults the
+    * index with the plan's own pushed filters ([[graft.sources.
+    * SkippingScan]]) AND lists only manifest-live files — plain
+    * `.where` code gets the [[readWhere]] prune plus the
+    * read-committed guarantee, with the merge-on-read delete probe on
+    * top. The live set is re-resolved at each scan planning, so the
+    * frame tracks later commits like any other deferred read. */
+  def table(spark: SparkSession, dir: String): DataFrame = {
+    val man = manifest(spark, dir)
+    require(man.live.nonEmpty, s"table at $dir has no committed data")
+    val schema = baseRead(spark, dir, man.live).schema // data cols only
+    val base = graft.sources.SkippingScan.tableWith(spark, indexPath(dir),
+      schema, Some(() =>
+        liveFileStatuses(spark, dir, manifest(spark, dir).live)))
+    withDeletes(spark, dir, base)
+  }
+
+  /** Continuous ingest: one committed [[append]] per micro-batch under
+    * `<prefix>-<batchId>` — exactly-once by label replay, the
+    * [[DeleteStore.ingestStream]] contract for the data side. */
+  def ingestStream(df: DataFrame, dir: String, checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      labelPrefix: String = "epoch",
+      afterAppend: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireLabel(labelPrefix)
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (delta: DataFrame, batchId: Long) =>
+        append(delta, dir, s"$labelPrefix-$batchId")
+        afterAppend(batchId)
+      }
+      .trigger(trigger)
+      .start()
   }
 
   /** Commit one equality-delete batch (merge-on-read; see
@@ -358,6 +403,22 @@ object GraftTable {
   }
 
   val q169Sql: String = q168Sql
+
+  /** q170: the SAME semantics through the TRANSPARENT read — the band
+    * predicate written as a plain `.where`, pruned inside the scan
+    * node via the pushed filters, live-set-committed, deletes applied.
+    * Same oracle as q168: three spellings of one table, one answer. */
+  def q170TransparentTable(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    table(spark, q168Dir(spark, d))
+      .where($"l_partkey".between(100L, 299L))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q170Sql: String = q168Sql
 
   /** Same teardown contract as the sibling stores ("opt:" entries
     * alias the base dir — deleting twice is harmless). */

@@ -43,11 +43,24 @@ object SkippingScan extends PredicateHelper {
     * [[SkippingIndex.build]]t. */
   def table(spark: SparkSession, indexDir: String): DataFrame = {
     val m = SkippingIndex.meta(spark, indexDir)
-    val schema = spark.read.parquet(m.table).schema
+    tableWith(spark, indexDir, spark.read.parquet(m.table).schema,
+      candidates = None)
+  }
+
+  /** The relation with an explicit data schema and candidate file set
+    * — the manifest-committed-table entry point (GraftTable): the
+    * caller's live listing replaces the raw directory listing, and the
+    * schema excludes layout-only partition columns its data files
+    * don't carry. */
+  private[graft] def tableWith(spark: SparkSession, indexDir: String,
+      dataSchema: StructType,
+      candidates: Option[() => Seq[org.apache.hadoop.fs.FileStatus]])
+      : DataFrame = {
+    val m = SkippingIndex.meta(spark, indexDir)
     val idx = new SkippingFileIndex(spark, indexDir, m.table, m.cols,
-      m.bloomCols)
+      m.bloomCols, candidates)
     val rel = HadoopFsRelation(idx, partitionSchema = StructType(Nil),
-      dataSchema = schema, bucketSpec = None, new ParquetFileFormat,
+      dataSchema = dataSchema, bucketSpec = None, new ParquetFileFormat,
       options = Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(rel)
   }
@@ -166,9 +179,17 @@ object SkippingScan extends PredicateHelper {
   * pushed data filters, plus every live file the index has no row for
   * (conservative under ingest — the [[SkippingIndex.refresh]]
   * contract). Non-partitioned: the table's layout IS the prune
-  * dimension here; hidden-partition pruning is the F1-family's job. */
+  * dimension here; hidden-partition pruning is the F1-family's job.
+  *
+  * `candidates` overrides the candidate file set (default: a fresh
+  * recursive listing of the table directory). A manifest-committed
+  * caller (GraftTable) passes its LIVE file listing, so the
+  * read-committed guarantee composes with the prune: an uncommitted
+  * orphan never reaches the scan even though the raw listing — and
+  * the "unknown files are read conservatively" rule — would admit it. */
 class SkippingFileIndex(spark: SparkSession, indexDir: String,
-    tablePath: String, zoneCols: Seq[String], bloomCols: Seq[String])
+    tablePath: String, zoneCols: Seq[String], bloomCols: Seq[String],
+    candidates: Option[() => Seq[FileStatus]] = None)
     extends FileIndex {
 
   override val rootPaths: Seq[Path] = Seq(new Path(tablePath))
@@ -177,22 +198,25 @@ class SkippingFileIndex(spark: SparkSession, indexDir: String,
 
   private def norm(s: String): String = new Path(s).toUri.toString
 
-  /** Fresh recursive listing per call: the live directory, not the
-    * index, names the candidate set (vanished files drop out, new
-    * files appear and are read conservatively until refreshed). */
-  private def allFiles(): Seq[FileStatus] = {
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    val it = fs.listFiles(root, true)
-    val out = Seq.newBuilder[FileStatus]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet") ||
-          f.getPath.getName.startsWith("part-"))
-        out += f
-    }
-    out.result()
+  /** Fresh candidate set per call: the live directory (or the
+    * caller's manifest), not the index, names the candidate set
+    * (vanished files drop out, new files appear and are read
+    * conservatively until refreshed). */
+  private def allFiles(): Seq[FileStatus] = candidates match {
+    case Some(f) => f()
+    case None =>
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return Seq.empty
+      val it = fs.listFiles(root, true)
+      val out = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") ||
+            f.getPath.getName.startsWith("part-"))
+          out += f
+      }
+      out.result()
   }
 
   override def listFiles(partitionFilters: Seq[Expression],

@@ -45,6 +45,12 @@ class ScaleProbeSpec extends SparkSpec {
     // z-ordered two-column prune and the MOR equality-delete anti-join
     // (its delete side must broadcast, never shuffle the table)
     "q161_zorder_scan", "q162_equality_deletes", "q163_delete_store",
+    // round-13 second half: bloom point probe, transparent FileIndex
+    // scan, SCD2 commit-travel + CDC (window/anti shapes), and the
+    // composed table's pruned MOR read — none may cross-join
+    "q164_bloom_scan", "q165_transparent_scan", "q166_scd2_time_travel",
+    "q167_scd2_changes", "q168_composed_table", "q169_optimized_table",
+    "q170_transparent_table",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {

@@ -137,6 +137,62 @@ class GraftTableSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/data/batch=b1").exists())
   }
 
+  test("table(): plain .where prunes inside the scan, live-set-committed, deletes applied") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    optimize(spark, dir, "opt-1") // clustered layout so the band prunes
+    val t = table(spark, dir).where($"l_partkey".between(40L, 79L))
+    // measured on FIRST execution (driver numFiles resets on re-run)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    t.collect()
+    val dataScanFiles = scans(t.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).max // the delete probe scan is tiny
+    assert(dataScanFiles <= 3,
+      s"transparent band read $dataScanFiles of 8 optimized files")
+    assert(sortedRows(table(spark, dir).where($"l_partkey".between(40L, 79L)))
+      == sortedRows(expected.where($"l_partkey".between(40L, 79L))))
+    // a crashed append's orphan is invisible through the transparent
+    // path too — the live set, not the listing, names the candidates
+    val before = sortedRows(table(spark, dir))
+    intercept[RuntimeException] {
+      append(li.limit(50), dir, "b9",
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(new java.io.File(s"$dir/data/batch=b9").exists())
+    assert(sortedRows(table(spark, dir)) == before)
+  }
+
+  test("streaming ingest commits per-epoch labels; a replayed epoch is absorbed") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = java.nio.file.Files.createTempDirectory("gt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gt-ckpt").toString
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    li.where($"l_orderkey" <= mid).coalesce(1).write.parquet(s"$src/f1")
+    li.where($"l_orderkey" > mid).coalesce(1).write.parquet(s"$src/f2")
+    val q1 = ingestStream(
+      spark.readStream.schema(li.schema).parquet(s"$src/f1"),
+      dir, s"$ckpt/c1", labelPrefix = "e1")
+    q1.awaitTermination()
+    val q2 = ingestStream(
+      spark.readStream.schema(li.schema).parquet(s"$src/f2"),
+      dir, s"$ckpt/c2", labelPrefix = "e2")
+    q2.awaitTermination()
+    // a deliberate epoch replay: the label ledger absorbs it
+    append(spark.read.parquet(s"$src/f2"), dir, "e2-0")
+    assert(sortedRows(read(spark, dir)) == sortedRows(li))
+    assert(manifest(spark, dir).applied.sorted == Seq("e1-0", "e2-0"))
+  }
+
   test("audit reports batches, deletes, and index coverage") {
     val dir = tmp()
     build(dir)
