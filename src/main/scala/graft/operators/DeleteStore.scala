@@ -84,9 +84,18 @@ object DeleteStore {
         org.apache.spark.sql.types.StructType(m.keys.map(k =>
           org.apache.spark.sql.types.StructField(k,
             org.apache.spark.sql.types.NullType))))
+    deletesOf(spark, dir, man.live)
+  }
+
+  /** The delete keys of specific committed batch labels — the
+    * snapshot-pinned read a table-level commit log resolves through
+    * (labels must be non-empty and still on disk, i.e. retained). */
+  def deletesOf(spark: SparkSession, dir: String,
+      labels: Seq[String]): DataFrame = {
+    require(labels.nonEmpty, "no delete labels to read")
     spark.read
       .option("basePath", deletesPath(dir))
-      .parquet(man.live.map(l => s"${deletesPath(dir)}/batch=$l"): _*)
+      .parquet(labels.map(l => s"${deletesPath(dir)}/batch=$l"): _*)
       .drop("batch")
   }
 

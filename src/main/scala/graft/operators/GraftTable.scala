@@ -42,6 +42,7 @@ object GraftTable {
   private def delPath(dir: String) = s"$dir/del"
   private def metaPath(dir: String) = s"$dir/_meta.json"
   private def manifestPath(dir: String) = s"$dir/_live.json"
+  private def commitPath(dir: String, c: Long) = s"$dir/_commits/c$c.json"
 
   /** Initialize an empty table. `zoneCols` get min/max/value-count
     * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
@@ -56,8 +57,8 @@ object GraftTable {
       s"""{"zoneCols":[${arr(zoneCols)}],"bloomCols":[${arr(bloomCols)}],""" +
         s""""delKeys":[${arr(deleteKeys)}]}""",
       atomic = false)
-    writeManifest(spark, dir, Manifest(Nil, Nil))
     if (deleteKeys.nonEmpty) DeleteStore.init(spark, delPath(dir), deleteKeys)
+    commitManifest(spark, dir, Manifest(Nil, Nil, 1L), "create", "", Nil)
   }
 
   /** Commit one data batch under `label` (immutable; replay = no-op;
@@ -82,10 +83,19 @@ object GraftTable {
     beforeCommit()
     val fresh = manifest(spark, dir)
     if (!fresh.applied.contains(label))
-      writeManifest(spark, dir,
-        Manifest(fresh.applied :+ label, fresh.live :+ label))
+      commitManifest(spark, dir,
+        Manifest(fresh.applied :+ label, fresh.live :+ label,
+          fresh.commit + 1),
+        "append", label, delLive(spark, dir))
     refreshIndex(spark, dir, m)
   }
+
+  /** The delete store's live label set right now (empty for tables
+    * created without deleteKeys) — recorded on every table commit so
+    * a snapshot pins BOTH sides of the merge-on-read state. */
+  private def delLive(spark: SparkSession, dir: String): Seq[String] =
+    if (meta(spark, dir).delKeys.isEmpty) Nil
+    else DeleteStore.manifest(spark, delPath(dir)).live
 
   private def refreshIndex(spark: SparkSession, dir: String,
       m: Meta): Unit = {
@@ -210,12 +220,23 @@ object GraftTable {
   }
 
   /** Commit one equality-delete batch (merge-on-read; see
-    * [[DeleteStore.append]] for the replay/crash contract). */
+    * [[DeleteStore.append]] for the replay/crash contract). A delete
+    * that actually changed state also advances the TABLE commit (kind
+    * `delete`), so the snapshot log sees every read-visible change; a
+    * replayed label changes nothing and commits nothing. */
   def delete(deletes: DataFrame, dir: String, label: String): Unit = {
     val spark = deletes.sparkSession
     require(meta(spark, dir).delKeys.nonEmpty,
       "table was created without deleteKeys")
+    val before = DeleteStore.manifest(spark, delPath(dir)).applied
     DeleteStore.append(deletes, delPath(dir), label)
+    if (!before.contains(label) &&
+        DeleteStore.manifest(spark, delPath(dir)).applied.contains(label)) {
+      val fresh = manifest(spark, dir)
+      commitManifest(spark, dir,
+        Manifest(fresh.applied, fresh.live, fresh.commit + 1),
+        "delete", label, delLive(spark, dir))
+    }
   }
 
   /** The `rewrite_data_files` step: fold every live batch, APPLY the
@@ -243,8 +264,12 @@ object GraftTable {
       laidOut.write.mode(SaveMode.Overwrite)
         .parquet(s"${dataPath(dir)}/batch=$intoLabel")
       val fresh = manifest(spark, dir)
-      writeManifest(spark, dir,
-        Manifest(fresh.applied :+ intoLabel, Seq(intoLabel)))
+      // the snapshot records delLive = [] — the rewrite CONTAINS the
+      // deletes, so travel to this commit must not re-apply them
+      commitManifest(spark, dir,
+        Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
+          fresh.commit + 1),
+        "optimize", intoLabel, Nil)
     }
     // epilogue (also the replay path): deletes are in the data — keep
     // the ledger, empty the live set — and the index must describe the
@@ -254,24 +279,37 @@ object GraftTable {
       m.zoneCols, m.bloomCols)
   }
 
-  /** M3: sweep data batch dirs the manifest no longer names (crashed
-    * appends, optimized-away batches) and the delete store's orphans.
-    * Returns (data dirs, delete dirs) swept. */
+  /** M3: sweep data batch dirs and delete batch dirs that neither the
+    * live manifests nor any RETAINED commit snapshot name — crashed
+    * appends, and directories whose last referencing snapshot was
+    * [[expireCommits]]'d. Time travel to a retained commit always
+    * resolves; expiry, not vacuum, is the retention decision. Returns
+    * (data dirs, delete dirs) swept. */
   def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
     val man = manifest(spark, dir)
-    val (fs, root) = StoreIO.hadoopFs(spark, dataPath(dir))
-    val dataSwept =
-      if (!fs.exists(root)) 0
+    val retained = listCommits(spark, dir).map(commitAt(spark, dir, _))
+    val keepData = (man.live ++ retained.flatMap(_.manifest.live)).toSet
+    def sweep(root: String, keep: Set[String]): Int = {
+      val (fs, p) = StoreIO.hadoopFs(spark, root)
+      if (!fs.exists(p)) 0
       else {
-        val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        val victims = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
           .filter(_.getName.startsWith("batch="))
-          .filterNot(p => man.live.contains(p.getName.stripPrefix("batch=")))
+          .filterNot(d => keep.contains(d.getName.stripPrefix("batch=")))
         victims.foreach(fs.delete(_, true))
         victims.length
       }
+    }
+    val dataSwept = sweep(dataPath(dir), keepData)
     val delSwept =
       if (meta(spark, dir).delKeys.isEmpty) 0
-      else DeleteStore.vacuum(spark, delPath(dir))
+      else {
+        // the delete store's own vacuum keeps only ITS live set; here
+        // retained table snapshots pin delete labels too
+        val keepDel = (DeleteStore.manifest(spark, delPath(dir)).live ++
+          retained.flatMap(_.delLive)).toSet
+        sweep(s"${delPath(dir)}/deletes", keepDel)
+      }
     (dataSwept, delSwept)
   }
 
@@ -282,7 +320,9 @@ object GraftTable {
     val m = meta(spark, dir)
     val base = spark.range(1).select(
       lit(man.live.size.toLong).as("live_batches"),
-      lit(man.applied.size.toLong).as("applied_labels"))
+      lit(man.applied.size.toLong).as("applied_labels"),
+      lit(man.commit).as("commit"),
+      lit(listCommits(spark, dir).size.toLong).as("retained_commits"))
     val withDel =
       if (m.delKeys.isEmpty) base.withColumn("live_delete_rows", lit(0L))
       else base.crossJoin(DeleteStore.audit(spark, delPath(dir))
@@ -293,27 +333,144 @@ object GraftTable {
       .select(col("indexed_files")))
   }
 
-  // ---- manifest plumbing (the DeleteStore shape) ----------------------
+  // ---- manifest + commit-snapshot plumbing (the ScdStore shape) -------
 
   private[operators] case class Manifest(applied: Seq[String],
-      live: Seq[String])
+      live: Seq[String], commit: Long)
 
-  private[operators] def manifest(spark: SparkSession,
-      dir: String): Manifest = {
-    val raw = readString(spark, manifestPath(dir))
-    def arr(field: String): Seq[String] =
-      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    Manifest(arr("applied"), arr("live"))
+  private def parseArr(raw: String, field: String): Seq[String] =
+    (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
+      _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def parseManifest(raw: String): Manifest = {
+    val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong).getOrElse(1L)
+    Manifest(parseArr(raw, "applied"), parseArr(raw, "live"), c)
   }
 
-  private def writeManifest(spark: SparkSession, dir: String,
-      m: Manifest): Unit = {
-    val body =
-      s"""{"applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
-        s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]}"""
-    writeString(spark, manifestPath(dir), body, atomic = true)
+  private[operators] def manifest(spark: SparkSession,
+      dir: String): Manifest =
+    parseManifest(readString(spark, manifestPath(dir)))
+
+  private def manifestBody(m: Manifest): String =
+    s"""{"commit":${m.commit},""" +
+      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
+      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]}"""
+
+  /** One commit = one immutable snapshot (manifest + what the commit
+    * did + the delete store's live labels at that instant) + the
+    * pointer swap, in that order — the ScdStore crash discipline. */
+  private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
+      kind: String, label: String, delLabels: Seq[String]): Unit = {
+    val snap = manifestBody(m).dropRight(1) +
+      s""","kind":"$kind","label":"$label",""" +
+      s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}]}"""
+    writeString(spark, commitPath(dir, m.commit), snap, atomic = true)
+    writeString(spark, manifestPath(dir), manifestBody(m), atomic = true)
+  }
+
+  /** A committed snapshot: live data batches, the delete store's live
+    * labels, and what the commit did (create/append/delete/optimize). */
+  private[operators] case class Commit(manifest: Manifest, kind: String,
+      label: String, delLive: Seq[String])
+
+  private[operators] def commitAt(spark: SparkSession, dir: String,
+      c: Long): Commit = {
+    val raw =
+      try readString(spark, commitPath(dir, c))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"commit $c is not retained in $dir (expired, or never " +
+            s"committed — live commit is ${manifest(spark, dir).commit})", e)
+      }
+    val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
+    val label = """"label":"([^"]*)"""".r.findFirstMatchIn(raw).get.group(1)
+    Commit(parseManifest(raw), kind, label, parseArr(raw, "delLive"))
+  }
+
+  private def listCommits(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, root) = StoreIO.hadoopFs(spark, s"$dir/_commits")
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath.getName).toSeq
+      .flatMap("""c(\d+)\.json""".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .sorted
+  }
+
+  /** TIME TRAVEL: the table exactly as commit `c` saw it — the
+    * snapshot's live batch dirs with the snapshot's delete labels
+    * applied (both immutable; [[vacuum]] keeps everything a retained
+    * snapshot names, [[expireCommits]] retires them). */
+  def tableAt(spark: SparkSession, dir: String, c: Long): DataFrame = {
+    val snap = commitAt(spark, dir, c)
+    require(snap.manifest.live.nonEmpty,
+      s"commit $c has no committed data (kind ${snap.kind})")
+    val base = baseRead(spark, dir, snap.manifest.live)
+    if (snap.delLive.isEmpty) base
+    else RowDeletes.applyEqualityDeletes(base,
+      DeleteStore.deletesOf(spark, delPath(dir), snap.delLive),
+      meta(spark, dir).delKeys)
+  }
+
+  /** CDC READ: the visible delta between commit `from` (exclusive)
+    * and `to` (inclusive), as full rows tagged `_change_type`:
+    * `insert` rows straight from the window's append-batch dirs
+    * (batch-sized), `delete` rows as PREIMAGES — the data rows the
+    * window's delete batches erased (rows both live at `to` and
+    * matched by a window delete key, minus rows already deleted at
+    * `from`). A row appended AND deleted inside the window emits both
+    * — the per-event contract a downstream sync replays. OPTIMIZE in
+    * the window folds the batch dirs and bakes the deletes in, so the
+    * read refuses with a pointed error: run CDC consumers ahead of
+    * maintenance (the ScdStore compact rule, stated loudly here
+    * because there is no exact fallback for a general table). */
+  def changesBetween(spark: SparkSession, dir: String, from: Long,
+      to: Long): DataFrame = {
+    require(from < to, s"need from < to (got $from >= $to)")
+    val m = meta(spark, dir)
+    val cf = commitAt(spark, dir, from)
+    val ct = commitAt(spark, dir, to)
+    val window = ((from + 1) to to).map(commitAt(spark, dir, _))
+    require(!window.exists(_.kind == "optimize"),
+      s"commits ($from, $to] contain an optimize — its rewrite folds " +
+        "the per-batch dirs this read is priced on; consume CDC before " +
+        "running maintenance")
+    val cols = baseRead(spark, dir, ct.manifest.live).columns.toSeq.map(col)
+    val inserts = {
+      val labels = window.filter(_.kind == "append").map(_.label)
+      if (labels.isEmpty)
+        baseRead(spark, dir, ct.manifest.live).where(lit(false))
+      else baseRead(spark, dir, labels)
+    }
+    val delLabels = window.filter(_.kind == "delete").map(_.label)
+    val deletes =
+      if (delLabels.isEmpty)
+        baseRead(spark, dir, ct.manifest.live).where(lit(false))
+      else {
+        val keys = DeleteStore.deletesOf(spark, delPath(dir), delLabels)
+        val hit = baseRead(spark, dir, ct.manifest.live)
+          .join(keys.distinct(), m.delKeys, "left_semi")
+        if (cf.delLive.isEmpty) hit
+        else RowDeletes.applyEqualityDeletes(hit,
+          DeleteStore.deletesOf(spark, delPath(dir), cf.delLive), m.delKeys)
+      }
+    inserts.select(cols: _*).withColumn("_change_type", lit("insert"))
+      .unionByName(deletes.select(cols: _*)
+        .withColumn("_change_type", lit("delete")))
+  }
+
+  /** M2 for the snapshot log: keep the newest `keepLast` commit
+    * snapshots; directories only dropped snapshots referenced become
+    * [[vacuum]]'s to sweep. Returns commits expired. */
+  def expireCommits(spark: SparkSession, dir: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val victims = listCommits(spark, dir).dropRight(keepLast)
+    victims.foreach { c =>
+      val (fs, p) = StoreIO.hadoopFs(spark, commitPath(dir, c))
+      fs.delete(p, false)
+    }
+    victims.size
   }
 
   private[operators] case class Meta(zoneCols: Seq[String],
@@ -419,6 +576,52 @@ object GraftTable {
   }
 
   val q170Sql: String = q168Sql
+
+  /** q171: TIME TRAVEL to commit 3 — after both appends, BEFORE the
+    * erasure commit — so the oracle is the same band rollup with NO
+    * delete clause: the snapshot pins the delete store's live set (here
+    * empty) alongside the data batches. */
+  def q171TableTravel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    tableAt(spark, q168Dir(spark, d), 3L)
+      .where($"l_partkey".between(100L, 299L))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q171Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 299
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q172: the CDC window (3, 4] — exactly the erasure commit — so the
+    * delta is pure delete PREIMAGES: every line of an F-order, tagged.
+    * The oracle restates the erased row set with EXISTS. Aggregated to
+    * a per-flag count + key checksum so the hash pins the full preimage
+    * row set without shipping half of lineitem through the compare. */
+  def q172TableChanges(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    changesBetween(spark, q168Dir(spark, d), from = 3L, to = 4L)
+      .groupBy($"_change_type", $"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_orderkey").as("key_sum"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"_change_type", $"l_returnflag")
+  }
+
+  val q172Sql: String =
+    """SELECT 'delete' AS _change_type, l_returnflag, count(*) AS n,
+      |       sum(l_orderkey) AS key_sum,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_orderkey = l.l_orderkey
+      |                AND o.o_orderstatus = 'F')
+      |GROUP BY 2 ORDER BY 1, 2""".stripMargin
 
   /** Same teardown contract as the sibling stores ("opt:" entries
     * alias the base dir — deleting twice is harmless). */

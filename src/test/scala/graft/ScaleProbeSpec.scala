@@ -50,7 +50,7 @@ class ScaleProbeSpec extends SparkSpec {
     // composed table's pruned MOR read — none may cross-join
     "q164_bloom_scan", "q165_transparent_scan", "q166_scd2_time_travel",
     "q167_scd2_changes", "q168_composed_table", "q169_optimized_table",
-    "q170_transparent_table",
+    "q170_transparent_table", "q171_table_travel", "q172_table_changes",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {

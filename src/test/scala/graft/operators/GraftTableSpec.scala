@@ -125,16 +125,87 @@ class GraftTableSpec extends SparkSpec {
       s"band read ${pruned.inputFiles.length} of 8 optimized files")
   }
 
-  test("vacuum sweeps the folded batches and delete dirs; reads unchanged") {
+  test("vacuum honors retained snapshots; after expiry it sweeps the folded dirs") {
     val dir = tmp()
     build(dir)
     val before = sortedRows(read(spark, dir))
     optimize(spark, dir, "opt-1")
+    // every directory is still named by a retained commit snapshot:
+    // vacuum sweeps nothing and time travel still resolves
+    assert(vacuum(spark, dir) == ((0, 0)),
+      "vacuum swept a directory a retained snapshot references")
+    assert(sortedRows(tableAt(spark, dir, 4L)) == before)
+    // expiry is the retention decision (commits 1-4 dropped, 5 kept)
+    assert(expireCommits(spark, dir, keepLast = 1) == 4)
     val (dataSwept, delSwept) = vacuum(spark, dir)
     assert(dataSwept == 2, s"expected b1+b2 swept, got $dataSwept")
     assert(delSwept == 1, s"expected erase-1 swept, got $delSwept")
     assert(sortedRows(read(spark, dir)) == before)
     assert(!new java.io.File(s"$dir/data/batch=b1").exists())
+  }
+
+  test("time travel reconstructs pre-append, pre-delete, and post-optimize states") {
+    import spark.implicits._
+    val dir = tmp()
+    val mid = build(dir) // commits: create=1, b1=2, b2=3, erase-1=4
+    intercept[IllegalArgumentException](tableAt(spark, dir, 1L)) // no data yet
+    assert(sortedRows(tableAt(spark, dir, 2L)) ==
+      sortedRows(li.where($"l_orderkey" <= mid)))
+    assert(sortedRows(tableAt(spark, dir, 3L)) == sortedRows(li))
+    assert(sortedRows(tableAt(spark, dir, 4L)) == sortedRows(expected))
+    assert(sortedRows(tableAt(spark, dir, 4L)) == sortedRows(read(spark, dir)))
+    optimize(spark, dir, "opt-1") // commit 5: deletes baked in, delLive []
+    assert(sortedRows(tableAt(spark, dir, 5L)) == sortedRows(expected))
+    // earlier snapshots stay exact after maintenance
+    assert(sortedRows(tableAt(spark, dir, 3L)) == sortedRows(li))
+  }
+
+  test("changesBetween emits inserts and delete preimages; optimize windows refuse") {
+    import spark.implicits._
+    val dir = tmp()
+    val mid = build(dir)
+    def strs(d: DataFrame) = d.collect().map(_.toString).sorted.toSeq
+    // (2, 3]: pure insert window — batch b2's rows verbatim
+    val w23 = changesBetween(spark, dir, 2L, 3L)
+    assert(w23.select($"_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    assert(strs(w23.drop("_change_type")) ==
+      strs(li.where($"l_orderkey" > mid)))
+    // (3, 4]: pure delete window — preimages of the erased rows
+    val w34 = changesBetween(spark, dir, 3L, 4L)
+    assert(w34.select($"_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    val erased = li.join(Tables.orders(spark, sfDir)
+        .where($"o_orderstatus" === "F")
+        .select($"o_orderkey".as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    assert(strs(w34.drop("_change_type")) == strs(erased))
+    // (2, 4]: mixed window — a row appended in b2 AND erased emits BOTH
+    val w24 = changesBetween(spark, dir, 2L, 4L)
+    val both = w24.groupBy($"l_orderkey", $"l_linenumber").count()
+      .where($"count" === 2)
+    assert(both.count() > 0, "insert-then-delete rows must emit both events")
+    // re-deleting keys already dead at `from` is not a visible change
+    delete(Tables.orders(spark, sfDir).where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-2") // commit 5
+    assert(changesBetween(spark, dir, 4L, 5L).count() == 0)
+    optimize(spark, dir, "opt-1") // commit 6
+    val ex = intercept[IllegalArgumentException](
+      changesBetween(spark, dir, 3L, 6L))
+    assert(ex.getMessage.contains("optimize"))
+    // windows that END before the optimize still serve
+    assert(strs(changesBetween(spark, dir, 3L, 4L).drop("_change_type")) ==
+      strs(erased))
+  }
+
+  test("expired table commits refuse travel, naming the live commit") {
+    val dir = tmp()
+    build(dir) // commits 1-4
+    assert(expireCommits(spark, dir, keepLast = 1) == 3)
+    assert(sortedRows(tableAt(spark, dir, 4L)) == sortedRows(expected))
+    val ex = intercept[IllegalArgumentException](tableAt(spark, dir, 2L))
+    assert(ex.getMessage.contains("not retained") &&
+      ex.getMessage.contains("live commit is 4"))
   }
 
   test("table(): plain .where prunes inside the scan, live-set-committed, deletes applied") {
