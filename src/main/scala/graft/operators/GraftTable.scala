@@ -114,10 +114,16 @@ object GraftTable {
     withDeletes(spark, dir, baseRead(spark, dir, man.live))
   }
 
+  // mergeSchema: batches may EVOLVE the schema (new nullable columns
+  // — appends only enforce the indexed columns' presence); the union
+  // schema nulls the gaps, parquet-standard. At 100 TB the union
+  // should come from a catalog, not per-read footer merging — this is
+  // the schema-on-read fallback a catalog would replace.
   private def baseRead(spark: SparkSession, dir: String,
       live: Seq[String]): DataFrame =
     spark.read
       .option("basePath", dataPath(dir))
+      .option("mergeSchema", "true")
       .parquet(live.map(l => s"${dataPath(dir)}/batch=$l"): _*)
       .drop("batch")
 
@@ -151,7 +157,8 @@ object GraftTable {
     val paths = (qualifying ++ unknown).filter(live)
     val base =
       if (paths.isEmpty) baseRead(spark, dir, man.live).where(lit(false))
-      else spark.read.option("basePath", dataPath(dir)).parquet(paths: _*)
+      else spark.read.option("basePath", dataPath(dir))
+        .option("mergeSchema", "true").parquet(paths: _*)
         .drop("batch")
     withDeletes(spark, dir, base.where(pred))
   }
@@ -457,6 +464,70 @@ object GraftTable {
     inserts.select(cols: _*).withColumn("_change_type", lit("insert"))
       .unionByName(deletes.select(cols: _*)
         .withColumn("_change_type", lit("delete")))
+  }
+
+  /** The CDC feed's consumer contract, shipped as code: incrementally
+    * maintain a downstream MIRROR of the table at `mirrorDir` from the
+    * commit log. Each call applies `changesBetween(lastSynced, live)`
+    * to the mirror — inserts unioned in, delete-preimage keys
+    * anti-joined out (insert-then-delete nets to absent because the
+    * deletes apply after) — and writes the next immutable
+    * `v<commit>/` version behind a `_sync.json` pointer swap. A first
+    * sync, or a window an OPTIMIZE landed in (changesBetween refuses
+    * — no exact delta across a rewrite), re-baselines with a full
+    * copy. Returns (fromCommit, toCommit); equal means no-op.
+    *
+    * 100 TB: steady-state sync cost is delta-sized (the window's batch
+    * dirs + the mirror rewrite); only the re-baseline is table-sized —
+    * which is why consumers schedule syncs ahead of maintenance. */
+  def syncMirror(spark: SparkSession, dir: String,
+      mirrorDir: String): (Long, Long) = {
+    val live = manifest(spark, dir).commit
+    val syncPath = s"$mirrorDir/_sync.json"
+    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
+    val last: Long =
+      if (!fs.exists(sp)) 0L
+      else """"commit":(\d+)""".r
+        .findFirstMatchIn(readString(spark, syncPath)).get.group(1).toLong
+    if (last == live) return (last, live)
+    def commitMirror(df: DataFrame): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$mirrorDir/v$live")
+      writeString(spark, syncPath, s"""{"commit":$live}""", atomic = true)
+    }
+    val m = meta(spark, dir)
+    val delta =
+      if (last == 0) None
+      else
+        try Some(changesBetween(spark, dir, last, live))
+        catch { // an optimize in the window: no exact delta exists
+          case e: IllegalArgumentException
+              if e.getMessage.contains("optimize") => None
+        }
+    delta match {
+      case None => commitMirror(read(spark, dir)) // (re-)baseline
+      case Some(d) =>
+        val cur = spark.read.parquet(s"$mirrorDir/v$last")
+        val inserts = d.where(col("_change_type") === "insert")
+          .drop("_change_type")
+        val upserted = cur.unionByName(inserts, allowMissingColumns = true)
+        val next =
+          if (m.delKeys.isEmpty) upserted // delete commits cannot exist
+          else upserted.join(
+            d.where(col("_change_type") === "delete")
+              .select(m.delKeys.map(col): _*).distinct(),
+            m.delKeys, "left_anti")
+        commitMirror(next)
+    }
+    (last, live)
+  }
+
+  /** The mirror's current contents (whatever [[syncMirror]] last
+    * committed). */
+  def mirrorRead(spark: SparkSession, mirrorDir: String): DataFrame = {
+    val c = """"commit":(\d+)""".r
+      .findFirstMatchIn(readString(spark, s"$mirrorDir/_sync.json"))
+      .get.group(1).toLong
+    spark.read.parquet(s"$mirrorDir/v$c")
   }
 
   /** M2 for the snapshot log: keep the newest `keepLast` commit

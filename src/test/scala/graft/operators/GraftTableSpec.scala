@@ -264,6 +264,57 @@ class GraftTableSpec extends SparkSpec {
     assert(manifest(spark, dir).applied.sorted == Seq("e1-0", "e2-0"))
   }
 
+  test("appends may evolve the schema; reads union with NULL gaps, prunes intact") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.select($"l_partkey", $"l_orderkey", $"l_quantity"), dir, "b1")
+    // b2 brings a column b1 never had
+    append(li.select($"l_partkey", $"l_orderkey", $"l_quantity")
+      .limit(100).withColumn("source_tag", lit("v2")), dir, "b2")
+    val t = read(spark, dir)
+    assert(t.columns.contains("source_tag"))
+    assert(t.where(col("source_tag").isNull).count() == li.count(),
+      "pre-evolution rows must read the new column as NULL")
+    assert(t.where(col("source_tag") === "v2").count() == 100)
+    // the pruned read and the transparent read see the union schema too
+    val pruned = readWhere(spark, dir,
+      ranges = Seq(SkippingIndex.ColumnRange("l_partkey", Some(0L), None)))
+    assert(pruned.columns.contains("source_tag"))
+    assert(pruned.count() == t.count())
+    assert(table(spark, dir).columns.contains("source_tag"))
+  }
+
+  test("syncMirror maintains a downstream mirror: baseline, delta, re-baseline") {
+    import spark.implicits._
+    val dir = tmp()
+    val mirror = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    // first sync: full baseline
+    val (f1, t1) = syncMirror(spark, dir, mirror)
+    assert(f1 == 0L && t1 == 2L)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir)))
+    // append + delete → one DELTA sync covering both commits
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    delete(Tables.orders(spark, sfDir).where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+    val (f2, t2) = syncMirror(spark, dir, mirror)
+    assert(f2 == 2L && t2 == 4L)
+    assert(sortedRows(mirrorRead(spark, mirror)) == sortedRows(expected))
+    // nothing new → no-op
+    assert(syncMirror(spark, dir, mirror) == ((4L, 4L)))
+    // an optimize lands before the next sync: re-baseline, same rows
+    optimize(spark, dir, "opt-1")
+    val (f3, t3) = syncMirror(spark, dir, mirror)
+    assert(f3 == 4L && t3 == 5L)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir)))
+  }
+
   test("audit reports batches, deletes, and index coverage") {
     val dir = tmp()
     build(dir)
