@@ -153,6 +153,17 @@ object DeleteStore {
     writeManifest(spark, dir, Manifest(man.applied, Nil))
   }
 
+  /** [[reset]] for a NAMED label set: drop exactly the labels a
+    * specific rewrite materialized, keeping labels committed since.
+    * The idempotent replay form — a rewrite replayed after LATER
+    * delete batches landed must not wipe them (they are NOT in its
+    * data). Ledger preserved, as always. */
+  def retire(spark: SparkSession, dir: String, labels: Seq[String]): Unit = {
+    val man = manifest(spark, dir)
+    writeManifest(spark, dir,
+      Manifest(man.applied, man.live.filterNot(labels.contains)))
+  }
+
   /** Delete non-live label directories (crashed appends, compacted or
     * reset-away batches). Returns the count swept. */
   def vacuum(spark: SparkSession, dir: String): Int = {
@@ -181,11 +192,7 @@ object DeleteStore {
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
     val raw = readString(spark, manifestPath(dir))
-    def arr(field: String): Seq[String] =
-      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    Manifest(arr("applied"), arr("live"))
+    Manifest(StoreIO.jsonArr(raw, "applied"), StoreIO.jsonArr(raw, "live"))
   }
 
   private[operators] def writeManifest(spark: SparkSession, dir: String,

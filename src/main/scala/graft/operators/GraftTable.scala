@@ -102,7 +102,9 @@ object GraftTable {
     val (fs, p) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
     if (fs.exists(p)) SkippingIndex.refresh(spark, indexPath(dir))
     else SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
-      m.zoneCols, m.bloomCols)
+      m.zoneCols, m.bloomCols,
+      only = Some(liveFileStatuses(spark, dir,
+        manifest(spark, dir).live).map(_.getPath.toString)))
     ()
   }
 
@@ -198,6 +200,11 @@ object GraftTable {
   def table(spark: SparkSession, dir: String): DataFrame = {
     val man = manifest(spark, dir)
     require(man.live.nonEmpty, s"table at $dir has no committed data")
+    // no index yet (a crash between the first append's commit and its
+    // refreshIndex): degrade to the unpruned live read, like readWhere
+    val (fs, metaP) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
+    if (!fs.exists(metaP))
+      return withDeletes(spark, dir, baseRead(spark, dir, man.live))
     val schema = baseRead(spark, dir, man.live).schema // data cols only
     val base = graft.sources.SkippingScan.tableWith(spark, indexPath(dir),
       schema, Some(() =>
@@ -260,30 +267,49 @@ object GraftTable {
     val m = meta(spark, dir)
     val man = manifest(spark, dir)
     require(man.live.nonEmpty, "nothing to optimize: no committed data")
-    if (!man.applied.contains(intoLabel)) {
-      val snapshot = read(spark, dir)
-      val laidOut =
-        if (m.zoneCols.size >= 2) {
-          val z = graft.functions.ZOrder.zvalueOf(snapshot, m.zoneCols)
-          snapshot.withColumn("__graft_z", z)
-            .repartitionByRange(nFiles, col("__graft_z")).drop("__graft_z")
-        } else snapshot.repartitionByRange(nFiles, col(m.zoneCols.head))
-      laidOut.write.mode(SaveMode.Overwrite)
-        .parquet(s"${dataPath(dir)}/batch=$intoLabel")
-      val fresh = manifest(spark, dir)
-      // the snapshot records delLive = [] — the rewrite CONTAINS the
-      // deletes, so travel to this commit must not re-apply them
-      commitManifest(spark, dir,
-        Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
-          fresh.commit + 1),
-        "optimize", intoLabel, Nil)
-    }
-    // epilogue (also the replay path): deletes are in the data — keep
-    // the ledger, empty the live set — and the index must describe the
-    // new layout, not the folded-away one
-    if (m.delKeys.nonEmpty) DeleteStore.reset(spark, delPath(dir))
+    // the delete labels THIS rewrite materializes — recorded on the
+    // commit, because the epilogue must retire exactly these and
+    // nothing more: a replayed optimize after LATER delete batches
+    // landed must not wipe them (their keys are NOT in its data)
+    val materialized: Seq[String] =
+      if (!man.applied.contains(intoLabel)) {
+        val dels = delLive(spark, dir)
+        val snapshot = read(spark, dir)
+        val laidOut =
+          if (m.zoneCols.size >= 2) {
+            val z = graft.functions.ZOrder.zvalueOf(snapshot, m.zoneCols)
+            snapshot.withColumn("__graft_z", z)
+              .repartitionByRange(nFiles, col("__graft_z")).drop("__graft_z")
+          } else snapshot.repartitionByRange(nFiles, col(m.zoneCols.head))
+        laidOut.write.mode(SaveMode.Overwrite)
+          .parquet(s"${dataPath(dir)}/batch=$intoLabel")
+        val fresh = manifest(spark, dir)
+        // the snapshot records delLive = [] — the rewrite CONTAINS the
+        // deletes, so travel to this commit must not re-apply them;
+        // `retired` names what the epilogue drops from the live set
+        commitManifest(spark, dir,
+          Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
+            fresh.commit + 1),
+          "optimize", intoLabel, Nil, retired = dels)
+        dels
+      } else
+        // replay: recover the original rewrite's label set from its
+        // retained snapshot (expired → the original epilogue is long
+        // done; nothing left to retire)
+        listCommits(spark, dir).view.map(commitAt(spark, dir, _))
+          .find(c => c.kind == "optimize" && c.label == intoLabel)
+          .map(_.retired).getOrElse(Nil)
+    // epilogue (also the replay path): the materialized deletes are in
+    // the data — keep the ledger, drop exactly them from the live set
+    // — and the index must describe the new layout (built over ONLY
+    // the live files: superseded dirs linger until vacuum and their
+    // stats would be dead weight every qualify() pays to discard)
+    if (m.delKeys.nonEmpty && materialized.nonEmpty)
+      DeleteStore.retire(spark, delPath(dir), materialized)
     SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
-      m.zoneCols, m.bloomCols)
+      m.zoneCols, m.bloomCols,
+      only = Some(liveFileStatuses(spark, dir,
+        manifest(spark, dir).live).map(_.getPath.toString)))
   }
 
   /** M3: sweep data batch dirs and delete batch dirs that neither the
@@ -346,9 +372,7 @@ object GraftTable {
       live: Seq[String], commit: Long)
 
   private def parseArr(raw: String, field: String): Seq[String] =
-    (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-      _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    StoreIO.jsonArr(raw, field)
 
   private def parseManifest(raw: String): Manifest = {
     val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
@@ -369,18 +393,22 @@ object GraftTable {
     * did + the delete store's live labels at that instant) + the
     * pointer swap, in that order — the ScdStore crash discipline. */
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
-      kind: String, label: String, delLabels: Seq[String]): Unit = {
+      kind: String, label: String, delLabels: Seq[String],
+      retired: Seq[String] = Nil): Unit = {
     val snap = manifestBody(m).dropRight(1) +
       s""","kind":"$kind","label":"$label",""" +
-      s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}]}"""
+      s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}],""" +
+      s""""retired":[${retired.map(l => s""""$l"""").mkString(",")}]}"""
     writeString(spark, commitPath(dir, m.commit), snap, atomic = true)
     writeString(spark, manifestPath(dir), manifestBody(m), atomic = true)
   }
 
   /** A committed snapshot: live data batches, the delete store's live
-    * labels, and what the commit did (create/append/delete/optimize). */
+    * labels at the commit, what the commit did
+    * (create/append/delete/optimize), and — for optimize — which
+    * delete labels its rewrite materialized. */
   private[operators] case class Commit(manifest: Manifest, kind: String,
-      label: String, delLive: Seq[String])
+      label: String, delLive: Seq[String], retired: Seq[String])
 
   private[operators] def commitAt(spark: SparkSession, dir: String,
       c: Long): Commit = {
@@ -393,7 +421,8 @@ object GraftTable {
       }
     val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
     val label = """"label":"([^"]*)"""".r.findFirstMatchIn(raw).get.group(1)
-    Commit(parseManifest(raw), kind, label, parseArr(raw, "delLive"))
+    Commit(parseManifest(raw), kind, label, parseArr(raw, "delLive"),
+      parseArr(raw, "retired"))
   }
 
   private def listCommits(spark: SparkSession, dir: String): Seq[Long] = {
@@ -442,7 +471,14 @@ object GraftTable {
       s"commits ($from, $to] contain an optimize — its rewrite folds " +
         "the per-batch dirs this read is priced on; consume CDC before " +
         "running maintenance")
-    val cols = baseRead(spark, dir, ct.manifest.live).columns.toSeq.map(col)
+    val unionSchema = baseRead(spark, dir, ct.manifest.live).schema
+    // schema evolution: a window batch may lack columns later (or
+    // earlier) batches carry — project every frame to the table's
+    // union schema with typed NULLs for its gaps
+    def conform(df: DataFrame): DataFrame =
+      df.select(unionSchema.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
     val inserts = {
       val labels = window.filter(_.kind == "append").map(_.label)
       if (labels.isEmpty)
@@ -454,15 +490,22 @@ object GraftTable {
       if (delLabels.isEmpty)
         baseRead(spark, dir, ct.manifest.live).where(lit(false))
       else {
+        // NULL-SAFE key match, like the reads themselves (morRead's
+        // <=>): a delete row with a NULL key addresses data NULLs —
+        // a name-join would silently drop those preimages and the
+        // mirror would diverge from read()
         val keys = DeleteStore.deletesOf(spark, delPath(dir), delLabels)
-        val hit = baseRead(spark, dir, ct.manifest.live)
-          .join(keys.distinct(), m.delKeys, "left_semi")
+          .select(m.delKeys.map(k => col(k).as(s"__d_$k")): _*).distinct()
+        val base = baseRead(spark, dir, ct.manifest.live)
+        val hit = base.join(keys,
+          m.delKeys.map(k => base(k) <=> keys(s"__d_$k")).reduce(_ && _),
+          "left_semi")
         if (cf.delLive.isEmpty) hit
         else RowDeletes.applyEqualityDeletes(hit,
           DeleteStore.deletesOf(spark, delPath(dir), cf.delLive), m.delKeys)
       }
-    inserts.select(cols: _*).withColumn("_change_type", lit("insert"))
-      .unionByName(deletes.select(cols: _*)
+    conform(inserts).withColumn("_change_type", lit("insert"))
+      .unionByName(conform(deletes)
         .withColumn("_change_type", lit("delete")))
   }
 
@@ -499,9 +542,13 @@ object GraftTable {
       if (last == 0) None
       else
         try Some(changesBetween(spark, dir, last, live))
-        catch { // an optimize in the window: no exact delta exists
+        catch {
+          // an optimize in the window (no exact delta exists) or the
+          // last-synced commit has been EXPIRED (the log can no longer
+          // price the window): both recover by re-baselining
           case e: IllegalArgumentException
-              if e.getMessage.contains("optimize") => None
+              if e.getMessage.contains("optimize") ||
+                e.getMessage.contains("not retained") => None
         }
     delta match {
       case None => commitMirror(read(spark, dir)) // (re-)baseline
@@ -512,10 +559,12 @@ object GraftTable {
         val upserted = cur.unionByName(inserts, allowMissingColumns = true)
         val next =
           if (m.delKeys.isEmpty) upserted // delete commits cannot exist
-          else upserted.join(
-            d.where(col("_change_type") === "delete")
-              .select(m.delKeys.map(col): _*).distinct(),
-            m.delKeys, "left_anti")
+          else
+            // null-safe, like the table's own reads (<=>): a NULL-key
+            // delete must erase mirror NULLs too
+            RowDeletes.applyEqualityDeletes(upserted,
+              d.where(col("_change_type") === "delete")
+                .select(m.delKeys.map(col): _*), m.delKeys)
         commitMirror(next)
     }
     (last, live)
@@ -549,11 +598,8 @@ object GraftTable {
 
   private[operators] def meta(spark: SparkSession, dir: String): Meta = {
     val raw = readString(spark, metaPath(dir))
-    def arr(field: String): Seq[String] =
-      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    Meta(arr("zoneCols"), arr("bloomCols"), arr("delKeys"))
+    Meta(StoreIO.jsonArr(raw, "zoneCols"), StoreIO.jsonArr(raw, "bloomCols"),
+      StoreIO.jsonArr(raw, "delKeys"))
   }
 
   // ---- q168/q169: the composed table, hash-checked --------------------

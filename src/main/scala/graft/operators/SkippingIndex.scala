@@ -115,13 +115,17 @@ object SkippingIndex {
     * correct, measured in the spec). */
   def build(spark: SparkSession, tablePath: String, dir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 17): Unit = {
+      bloomBits: Int = 1 << 17,
+      only: Option[Seq[String]] = None): Unit = {
     require(cols.nonEmpty || bloomCols.nonEmpty, "at least one indexed column")
     (cols ++ bloomCols).foreach(requireColName)
     if (bloomCols.nonEmpty)
       require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
         s"bloomBits must be a power of two >= 64 (got $bloomBits)")
-    statsOf(spark, tablePath, cols, bloomCols, bloomBits, only = None)
+    // `only` restricts the stat job to an explicit file list — a
+    // manifest-committed caller passes its LIVE set so superseded or
+    // orphaned files still on disk aren't statted as dead weight
+    statsOf(spark, tablePath, cols, bloomCols, bloomBits, only)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
     val meta = s"""{"table":${jsonStr(tablePath)},""" +
       s""""cols":[${cols.map(jsonStr).mkString(",")}],""" +
@@ -343,10 +347,7 @@ object SkippingIndex {
     val raw = readString(spark, metaPath(dir))
     val table = """"table":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
       .get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-    def arr(field: String): Seq[String] =
-      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def arr(field: String): Seq[String] = StoreIO.jsonArr(raw, field)
     val bits = """"bloomBits":(\d+)""".r.findFirstMatchIn(raw)
       .map(_.group(1).toInt).getOrElse(0)
     Meta(table, arr("cols"), arr("bloomCols"), bits)

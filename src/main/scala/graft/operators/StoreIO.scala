@@ -60,6 +60,14 @@ private[graft] object StoreIO {
     }
   }
 
+  /** Parse a `"field":["a","b"]` string array out of store metadata
+    * JSON (absent field → Nil). One copy for every store's manifest
+    * and meta reader — the same rule as the rest of this object. */
+  def jsonArr(raw: String, field: String): Seq[String] =
+    (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
+      _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   // Labels become directory names AND manifest JSON string values.
   val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
   def requireLabel(label: String): Unit =

@@ -315,6 +315,99 @@ class GraftTableSpec extends SparkSpec {
       sortedRows(read(spark, dir)))
   }
 
+  test("a replayed optimize retires ONLY the deletes its rewrite materialized") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    optimize(spark, dir, "opt-1") // materializes erase-1
+    // a LATER erasure commits live deletes the replay must not wipe
+    val late = li.select($"l_orderkey").distinct().limit(5)
+    delete(late, dir, "erase-late")
+    val withLate = sortedRows(read(spark, dir))
+    assert(withLate != sortedRows(expected), "vacuous: late erasure erased nothing")
+    // at-least-once orchestrator replays the committed optimize
+    optimize(spark, dir, "opt-1")
+    assert(sortedRows(read(spark, dir)) == withLate,
+      "replayed optimize resurrected rows a later delete batch erased")
+    assert(DeleteStore.manifest(spark, s"$dir/del").live == Seq("erase-late"))
+  }
+
+  test("changesBetween conforms window batches to the union schema") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.select($"l_partkey", $"l_orderkey")
+      .limit(100).withColumn("extra", lit("v1")), dir, "b1") // commit 2
+    append(li.select($"l_partkey", $"l_orderkey").limit(50), dir, "b2") // 3
+    val w = changesBetween(spark, dir, 2L, 3L)
+    assert(w.columns.contains("extra"))
+    assert(w.count() == 50)
+    assert(w.where(col("extra").isNull).count() == 50,
+      "the narrow batch's rows must carry typed NULL gaps")
+    // and the mirror path survives the same window
+    val mirror = tmp()
+    val dir2 = dir // mirror of the evolving table
+    syncMirror(spark, dir2, mirror)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir2)))
+  }
+
+  test("syncMirror re-baselines when its last-synced commit has been expired") {
+    import spark.implicits._
+    val dir = tmp()
+    val mirror = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    append(li.limit(1000), dir, "b1") // commit 2
+    syncMirror(spark, dir, mirror)
+    append(li.limit(2000), dir, "b2") // commit 3 (overlap is fine)
+    assert(expireCommits(spark, dir, keepLast = 1) == 2) // commit 2 gone
+    val (f, t) = syncMirror(spark, dir, mirror)
+    assert(f == 2L && t == 3L)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir)))
+  }
+
+  test("NULL-key deletes erase NULL rows in the table, the CDC feed, and the mirror") {
+    import spark.implicits._
+    val dir = tmp()
+    val mirror = tmp()
+    create(spark, dir, zoneCols = Seq("v"), deleteKeys = Seq("k"))
+    val data = Seq((Some(1L), 10L), (Option.empty[Long], 20L),
+      (Some(3L), 30L)).toDF("k", "v")
+    append(data, dir, "b1") // commit 2
+    syncMirror(spark, dir, mirror)
+    delete(Seq(Option.empty[Long]).toDF("k"), dir, "e1") // commit 3
+    // the table: the NULL-key row is gone (<=> semantics)
+    assert(read(spark, dir).select($"v").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 30L))
+    // the CDC feed emits its preimage
+    val del = changesBetween(spark, dir, 2L, 3L)
+    assert(del.where($"_change_type" === "delete").select($"v").collect()
+      .map(_.getLong(0)).toSeq == Seq(20L))
+    // and the mirror converges to the table
+    syncMirror(spark, dir, mirror)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir)))
+  }
+
+  test("table() degrades to an unpruned read when the index is missing") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.limit(500), dir, "b1")
+    // simulate a crash between the first append's commit and its
+    // index build: drop the index wholesale
+    val idx = new java.io.File(s"$dir/index")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(idx)
+    assert(table(spark, dir).count() == 500)
+    assert(readWhere(spark, dir, ranges = Seq(
+      SkippingIndex.ColumnRange("l_partkey", Some(0L), None))).count() == 500)
+  }
+
   test("audit reports batches, deletes, and index coverage") {
     val dir = tmp()
     build(dir)
