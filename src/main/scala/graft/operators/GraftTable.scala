@@ -100,11 +100,13 @@ object GraftTable {
   private def refreshIndex(spark: SparkSession, dir: String,
       m: Meta): Unit = {
     val (fs, p) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
-    if (fs.exists(p)) SkippingIndex.refresh(spark, indexPath(dir))
+    val live = liveFileStatuses(spark, dir, manifest(spark, dir).live)
+      .map(_.getPath.toString)
+    if (fs.exists(p))
+      SkippingIndex.refresh(spark, indexPath(dir),
+        candidates = Some(live.toSet))
     else SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
-      m.zoneCols, m.bloomCols,
-      only = Some(liveFileStatuses(spark, dir,
-        manifest(spark, dir).live).map(_.getPath.toString)))
+      m.zoneCols, m.bloomCols, only = Some(live))
     ()
   }
 
@@ -157,13 +159,28 @@ object GraftTable {
       SkippingIndex.qualify(spark, indexPath(dir), ranges, equalities, nullness)
     val live = liveFiles(spark, dir, man.live)
     val paths = (qualifying ++ unknown).filter(live)
+    // the result schema must not vary with the predicate: a prune that
+    // drops every file carrying an evolved column would otherwise
+    // narrow the frame (and could un-resolve the delete key) — conform
+    // the surviving files to the FULL live union schema
+    val full = baseRead(spark, dir, man.live)
     val base =
-      if (paths.isEmpty) baseRead(spark, dir, man.live).where(lit(false))
-      else spark.read.option("basePath", dataPath(dir))
-        .option("mergeSchema", "true").parquet(paths: _*)
-        .drop("batch")
+      if (paths.isEmpty) full.where(lit(false))
+      else conformTo(full.schema,
+        spark.read.option("basePath", dataPath(dir))
+          .option("mergeSchema", "true").parquet(paths: _*)
+          .drop("batch"))
     withDeletes(spark, dir, base.where(pred))
   }
+
+  /** Project `df` to exactly `schema`'s columns, typed NULLs for its
+    * gaps — the schema-evolution conformance every multi-batch read
+    * path shares. */
+  private def conformTo(schema: org.apache.spark.sql.types.StructType,
+      df: DataFrame): DataFrame =
+    df.select(schema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
 
   /** FileStatuses of the data files under the LIVE batch dirs only. */
   private def liveFileStatuses(spark: SparkSession, dir: String,
@@ -261,20 +278,33 @@ object GraftTable {
     * rebuilt for the new layout. Replay-idempotent: a committed
     * `intoLabel` short-circuits to the reset+rebuild epilogue, so a
     * crash between the swap and the epilogue converges on replay. */
+  private def pendingRetirePath(dir: String, label: String) =
+    s"$dir/_pending_retire_$label.json"
+
   def optimize(spark: SparkSession, dir: String, intoLabel: String,
-      nFiles: Int = 8): Unit = {
+      nFiles: Int = 8, beforeEpilogue: () => Unit = () => ()): Unit = {
     requireLabel(intoLabel)
     val m = meta(spark, dir)
     val man = manifest(spark, dir)
     require(man.live.nonEmpty, "nothing to optimize: no committed data")
-    // the delete labels THIS rewrite materializes — recorded on the
-    // commit, because the epilogue must retire exactly these and
-    // nothing more: a replayed optimize after LATER delete batches
-    // landed must not wipe them (their keys are NOT in its data)
+    // the delete labels THIS rewrite materializes — the epilogue must
+    // retire exactly these and nothing more: a replayed optimize after
+    // LATER delete batches landed must not wipe them (their keys are
+    // NOT in its data). Written to a PENDING sidecar before the commit
+    // (removed after the retire), so a crash between the commit and
+    // the epilogue survives commit-log EXPIRY: the replay reads the
+    // sidecar, not the possibly-expired snapshot.
     val materialized: Seq[String] =
       if (!man.applied.contains(intoLabel)) {
+        // ONE delete-manifest read pins both the rewrite input and the
+        // retire set — read() would re-resolve the manifest and a
+        // delete committing in between would be folded but not retired
         val dels = delLive(spark, dir)
-        val snapshot = read(spark, dir)
+        val base = baseRead(spark, dir, man.live)
+        val snapshot =
+          if (dels.isEmpty) base
+          else RowDeletes.applyEqualityDeletes(base,
+            DeleteStore.deletesOf(spark, delPath(dir), dels), m.delKeys)
         val laidOut =
           if (m.zoneCols.size >= 2) {
             val z = graft.functions.ZOrder.zvalueOf(snapshot, m.zoneCols)
@@ -283,6 +313,9 @@ object GraftTable {
           } else snapshot.repartitionByRange(nFiles, col(m.zoneCols.head))
         laidOut.write.mode(SaveMode.Overwrite)
           .parquet(s"${dataPath(dir)}/batch=$intoLabel")
+        writeString(spark, pendingRetirePath(dir, intoLabel),
+          s"""{"retired":[${dels.map(l => s""""$l"""").mkString(",")}]}""",
+          atomic = true)
         val fresh = manifest(spark, dir)
         // the snapshot records delLive = [] — the rewrite CONTAINS the
         // deletes, so travel to this commit must not re-apply them;
@@ -292,13 +325,20 @@ object GraftTable {
             fresh.commit + 1),
           "optimize", intoLabel, Nil, retired = dels)
         dels
-      } else
-        // replay: recover the original rewrite's label set from its
-        // retained snapshot (expired → the original epilogue is long
-        // done; nothing left to retire)
-        listCommits(spark, dir).view.map(commitAt(spark, dir, _))
-          .find(c => c.kind == "optimize" && c.label == intoLabel)
-          .map(_.retired).getOrElse(Nil)
+      } else {
+        // replay: the pending sidecar (crash before the epilogue), or
+        // the retained snapshot, or nothing (epilogue long done)
+        val (fs, pp) = StoreIO.hadoopFs(spark,
+          pendingRetirePath(dir, intoLabel))
+        if (fs.exists(pp))
+          StoreIO.jsonArr(readString(spark,
+            pendingRetirePath(dir, intoLabel)), "retired")
+        else
+          listCommits(spark, dir).view.map(commitAt(spark, dir, _))
+            .find(c => c.kind == "optimize" && c.label == intoLabel)
+            .map(_.retired).getOrElse(Nil)
+      }
+    beforeEpilogue() // the spec's crash-injection seam
     // epilogue (also the replay path): the materialized deletes are in
     // the data — keep the ledger, drop exactly them from the live set
     // — and the index must describe the new layout (built over ONLY
@@ -306,6 +346,8 @@ object GraftTable {
     // stats would be dead weight every qualify() pays to discard)
     if (m.delKeys.nonEmpty && materialized.nonEmpty)
       DeleteStore.retire(spark, delPath(dir), materialized)
+    val (fs, pp) = StoreIO.hadoopFs(spark, pendingRetirePath(dir, intoLabel))
+    if (fs.exists(pp)) fs.delete(pp, false)
     SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
       m.zoneCols, m.bloomCols,
       only = Some(liveFileStatuses(spark, dir,
@@ -471,24 +513,28 @@ object GraftTable {
       s"commits ($from, $to] contain an optimize — its rewrite folds " +
         "the per-batch dirs this read is priced on; consume CDC before " +
         "running maintenance")
-    val unionSchema = baseRead(spark, dir, ct.manifest.live).schema
-    // schema evolution: a window batch may lack columns later (or
-    // earlier) batches carry — project every frame to the table's
-    // union schema with typed NULLs for its gaps
-    def conform(df: DataFrame): DataFrame =
-      df.select(unionSchema.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
-    val inserts = {
+    // ONE full-live frame: its (merged) schema conforms every branch,
+    // and the empty/delete branches reuse it — a second mergeSchema
+    // read would pay another footer-merge job over every live file
+    val full = baseRead(spark, dir, ct.manifest.live)
+    val inserts0 = {
       val labels = window.filter(_.kind == "append").map(_.label)
-      if (labels.isEmpty)
-        baseRead(spark, dir, ct.manifest.live).where(lit(false))
+      if (labels.isEmpty) full.where(lit(false))
       else baseRead(spark, dir, labels)
     }
+    // rows appended in the window under a key a PRE-WINDOW delete
+    // still holds live at `to` were never visible — emitting them as
+    // inserts (with no compensating delete event, since their label is
+    // not a window commit) would make a mirror keep rows read() hides.
+    // Keys deleted IN the window stay: those emit insert AND delete.
+    val preDel = cf.delLive.intersect(ct.delLive)
+    val inserts =
+      if (preDel.isEmpty || m.delKeys.isEmpty) inserts0
+      else RowDeletes.applyEqualityDeletes(inserts0,
+        DeleteStore.deletesOf(spark, delPath(dir), preDel), m.delKeys)
     val delLabels = window.filter(_.kind == "delete").map(_.label)
     val deletes =
-      if (delLabels.isEmpty)
-        baseRead(spark, dir, ct.manifest.live).where(lit(false))
+      if (delLabels.isEmpty) full.where(lit(false))
       else {
         // NULL-SAFE key match, like the reads themselves (morRead's
         // <=>): a delete row with a NULL key addresses data NULLs —
@@ -496,16 +542,15 @@ object GraftTable {
         // mirror would diverge from read()
         val keys = DeleteStore.deletesOf(spark, delPath(dir), delLabels)
           .select(m.delKeys.map(k => col(k).as(s"__d_$k")): _*).distinct()
-        val base = baseRead(spark, dir, ct.manifest.live)
-        val hit = base.join(keys,
-          m.delKeys.map(k => base(k) <=> keys(s"__d_$k")).reduce(_ && _),
+        val hit = full.join(keys,
+          m.delKeys.map(k => full(k) <=> keys(s"__d_$k")).reduce(_ && _),
           "left_semi")
         if (cf.delLive.isEmpty) hit
         else RowDeletes.applyEqualityDeletes(hit,
           DeleteStore.deletesOf(spark, delPath(dir), cf.delLive), m.delKeys)
       }
-    conform(inserts).withColumn("_change_type", lit("insert"))
-      .unionByName(conform(deletes)
+    conformTo(full.schema, inserts).withColumn("_change_type", lit("insert"))
+      .unionByName(conformTo(full.schema, deletes)
         .withColumn("_change_type", lit("delete")))
   }
 
@@ -525,7 +570,8 @@ object GraftTable {
     * which is why consumers schedule syncs ahead of maintenance. */
   def syncMirror(spark: SparkSession, dir: String,
       mirrorDir: String): (Long, Long) = {
-    val live = manifest(spark, dir).commit
+    val srcMan = manifest(spark, dir)
+    val live = srcMan.commit
     val syncPath = s"$mirrorDir/_sync.json"
     val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
     val last: Long =
@@ -533,9 +579,19 @@ object GraftTable {
       else """"commit":(\d+)""".r
         .findFirstMatchIn(readString(spark, syncPath)).get.group(1).toLong
     if (last == live) return (last, live)
+    // nothing committed yet (a sync scheduled ahead of the first
+    // append): there is no table to mirror — report no progress
+    if (srcMan.live.isEmpty) return (last, last)
     def commitMirror(df: DataFrame): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$mirrorDir/v$live")
       writeString(spark, syncPath, s"""{"commit":$live}""", atomic = true)
+      // the pointer swap retired every older version: sweep them (the
+      // mirror is single-consumer by contract — a reader mid-scan of a
+      // superseded version re-resolves the pointer on its next read)
+      val (mfs, mroot) = StoreIO.hadoopFs(spark, mirrorDir)
+      mfs.listStatus(mroot).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") && p.getName != s"v$live")
+        .foreach(mfs.delete(_, true))
     }
     val m = meta(spark, dir)
     val delta =

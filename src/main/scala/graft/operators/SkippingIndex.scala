@@ -136,12 +136,20 @@ object SkippingIndex {
 
   /** Re-stat ONLY files the index does not know yet (delta-sized, the
     * incremental-ingest path) and append them. Vanished files need no
-    * action — reads ignore them. Returns the number of files added. */
-  def refresh(spark: SparkSession, dir: String): Int = {
+    * action — reads ignore them. `candidates` restricts the discovery
+    * set (a manifest-committed caller passes its LIVE files, so
+    * superseded or orphaned directories still on disk are never
+    * statted — without it, a refresh after an only=live build would
+    * re-ingest the dead files as a table-sized stat job). Returns the
+    * number of files added. */
+  def refresh(spark: SparkSession, dir: String,
+      candidates: Option[Set[String]] = None): Int = {
     val m = meta(spark, dir)
     val have = spark.read.parquet(statsPath(dir))
       .select("file").collect().map(r => normPath(r.getString(0))).toSet
-    val unknown = listDataFiles(spark, m.table).filterNot(have).toSeq
+    val unknown = candidates.map(_.map(normPath))
+      .getOrElse(listDataFiles(spark, m.table))
+      .filterNot(have).toSeq
     if (unknown.nonEmpty) {
       // checkpoint: the delta stats are consumed twice (the statted-set
       // collect below and the append write) — the stat job over the

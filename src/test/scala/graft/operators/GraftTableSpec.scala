@@ -408,6 +408,100 @@ class GraftTableSpec extends SparkSpec {
       SkippingIndex.ColumnRange("l_partkey", Some(0L), None))).count() == 500)
   }
 
+  test("rows appended under a standing pre-window delete never reach the CDC feed or the mirror") {
+    import spark.implicits._
+    val dir = tmp()
+    val mirror = tmp()
+    create(spark, dir, zoneCols = Seq("v"), deleteKeys = Seq("k"))
+    append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir, "b1") // commit 2
+    delete(Seq(1L).toDF("k"), dir, "e1")                        // commit 3
+    syncMirror(spark, dir, mirror)
+    // k=1 is still a LIVE standing delete; re-appending it is invisible
+    append(Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), dir, "b2") // commit 4
+    val w = changesBetween(spark, dir, 3L, 4L)
+    assert(w.select($"k").collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "an insert under a live pre-window delete leaked into the feed")
+    syncMirror(spark, dir, mirror)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir)))
+    // keys deleted IN a window still emit both events (the b2+erase
+    // case): pin that the pre-window filter did not break it
+    append(Seq((4L, 40L)).toDF("k", "v"), dir, "b3")            // commit 5
+    delete(Seq(4L).toDF("k"), dir, "e2")                        // commit 6
+    val w2 = changesBetween(spark, dir, 4L, 6L)
+    assert(w2.where($"k" === 4L).count() == 2)
+  }
+
+  test("readWhere keeps the union schema when the prune drops the evolved batch") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.select($"l_partkey", $"l_orderkey")
+      .where($"l_partkey" < 100L), dir, "b1")
+    append(li.select($"l_partkey", $"l_orderkey")
+      .where($"l_partkey" >= 100L)
+      .withColumn("source_tag", lit("v2")), dir, "b2")
+    // the band prunes to b1 only — but the frame must still carry b2's
+    // evolved column (as NULLs), or downstream selects break
+    val got = readWhere(spark, dir, ranges = Seq(
+      SkippingIndex.ColumnRange("l_partkey", Some(0L), Some(50L))))
+    assert(got.columns.contains("source_tag"))
+    assert(got.where(col("source_tag").isNull).count() == got.count())
+    assert(got.count() ==
+      li.where($"l_partkey".between(0L, 50L)).count())
+  }
+
+  test("an append after optimize refreshes only the live delta, not the superseded dirs") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    optimize(spark, dir, "opt-1", nFiles = 4)
+    // superseded b1/b2 still on disk (no vacuum yet); the next append
+    // must index ONLY its own file — superseded files must not re-enter
+    append(li.limit(100), dir, "b3")
+    val indexed = SkippingIndex.audit(spark, s"$dir/index")
+      .collect().head.getAs[Long]("indexed_files")
+    val liveCount = read(spark, dir).inputFiles.length
+    assert(indexed == liveCount,
+      s"index holds $indexed files but only $liveCount are live — superseded dirs re-statted")
+  }
+
+  test("a crash between the optimize commit and its epilogue survives commit expiry") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    // crash AFTER the rewrite committed, BEFORE the retire+rebuild
+    intercept[RuntimeException] {
+      optimize(spark, dir, "opt-1",
+        beforeEpilogue = () => throw new RuntimeException("crash"))
+    }
+    assert(DeleteStore.manifest(spark, s"$dir/del").live == Seq("erase-1"),
+      "vacuous: the crash must land before the retire")
+    // the commit log is expired before the replay — the pending
+    // sidecar, not the snapshot, must carry the retire set
+    expireCommits(spark, dir, keepLast = 1)
+    optimize(spark, dir, "opt-1")
+    assert(DeleteStore.manifest(spark, s"$dir/del").live.isEmpty,
+      "replay after expiry failed to retire the materialized deletes")
+    assert(sortedRows(read(spark, dir)) == sortedRows(expected))
+  }
+
+  test("syncMirror before any data is a no-op; superseded mirror versions are swept") {
+    import spark.implicits._
+    val dir = tmp()
+    val mirror = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    assert(syncMirror(spark, dir, mirror) == ((0L, 0L)))
+    append(li.limit(200), dir, "b1")
+    syncMirror(spark, dir, mirror)
+    append(li.limit(400), dir, "b2")
+    syncMirror(spark, dir, mirror)
+    val vdirs = new java.io.File(mirror).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(vdirs.toSeq == Seq("v3"), s"superseded versions not swept: ${vdirs.mkString(",")}")
+    assert(mirrorRead(spark, mirror).count() == read(spark, dir).count())
+  }
+
   test("audit reports batches, deletes, and index coverage") {
     val dir = tmp()
     build(dir)
