@@ -212,8 +212,14 @@ object GraftTable {
     * SkippingScan]]) AND lists only manifest-live files — plain
     * `.where` code gets the [[readWhere]] prune plus the
     * read-committed guarantee, with the merge-on-read delete probe on
-    * top. The live set is re-resolved at each scan planning, so the
-    * frame tracks later commits like any other deferred read. */
+    * top.
+    *
+    * SNAPSHOT ISOLATION: the frame pins BOTH the live batch set and
+    * the delete-store state at creation (the Iceberg/Delta read
+    * contract). Earlier the data side re-resolved per scan planning
+    * while the delete probe pinned — a frame held across an optimize
+    * applied retired delete keys to the rewritten data, a state no
+    * commit ever was. Re-call table() to see later commits. */
   def table(spark: SparkSession, dir: String): DataFrame = {
     val man = manifest(spark, dir)
     require(man.live.nonEmpty, s"table at $dir has no committed data")
@@ -223,9 +229,9 @@ object GraftTable {
     if (!fs.exists(metaP))
       return withDeletes(spark, dir, baseRead(spark, dir, man.live))
     val schema = baseRead(spark, dir, man.live).schema // data cols only
+    val pinned = liveFileStatuses(spark, dir, man.live)
     val base = graft.sources.SkippingScan.tableWith(spark, indexPath(dir),
-      schema, Some(() =>
-        liveFileStatuses(spark, dir, manifest(spark, dir).live)))
+      schema, Some(() => pinned))
     withDeletes(spark, dir, base)
   }
 
@@ -254,20 +260,48 @@ object GraftTable {
     * [[DeleteStore.append]] for the replay/crash contract). A delete
     * that actually changed state also advances the TABLE commit (kind
     * `delete`), so the snapshot log sees every read-visible change; a
-    * replayed label changes nothing and commits nothing. */
-  def delete(deletes: DataFrame, dir: String, label: String): Unit = {
+    * replayed label changes nothing and commits nothing.
+    *
+    * The two-store commit is bridged by a PENDING sidecar (the
+    * optimize `_pending_retire` handshake): a crash between the
+    * delete store's manifest swap and the table-level commit would
+    * otherwise lose the table commit forever — the replay sees the
+    * label applied and writes nothing, yet read() applies the delete,
+    * so changesBetween never emits it in any window and a mirror
+    * silently diverges. The sidecar survives the crash; the replay
+    * writes the missing commit (unless a retained kind=delete commit
+    * with this label already exists — crash AFTER the commit), then
+    * removes it. */
+  private def pendingDeletePath(dir: String, label: String) =
+    s"$dir/_pending_delete_$label.json"
+
+  def delete(deletes: DataFrame, dir: String, label: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val spark = deletes.sparkSession
+    requireLabel(label) // before it names a sidecar file
     require(meta(spark, dir).delKeys.nonEmpty,
       "table was created without deleteKeys")
     val before = DeleteStore.manifest(spark, delPath(dir)).applied
+    val (fs, pp) = StoreIO.hadoopFs(spark, pendingDeletePath(dir, label))
+    if (!before.contains(label))
+      writeString(spark, pendingDeletePath(dir, label),
+        s"""{"label":"$label"}""", atomic = true)
     DeleteStore.append(deletes, delPath(dir), label)
-    if (!before.contains(label) &&
-        DeleteStore.manifest(spark, delPath(dir)).applied.contains(label)) {
-      val fresh = manifest(spark, dir)
-      commitManifest(spark, dir,
-        Manifest(fresh.applied, fresh.live, fresh.commit + 1),
-        "delete", label, delLive(spark, dir))
+    beforeCommit() // the spec's crash-injection seam
+    if (DeleteStore.manifest(spark, delPath(dir)).applied.contains(label)) {
+      val needCommit =
+        if (!before.contains(label)) true
+        else fs.exists(pp) && !listCommits(spark, dir).view
+          .map(commitAt(spark, dir, _))
+          .exists(c => c.kind == "delete" && c.label == label)
+      if (needCommit) {
+        val fresh = manifest(spark, dir)
+        commitManifest(spark, dir,
+          Manifest(fresh.applied, fresh.live, fresh.commit + 1),
+          "delete", label, delLive(spark, dir))
+      }
     }
+    if (fs.exists(pp)) fs.delete(pp, false)
   }
 
   /** The `rewrite_data_files` step: fold every live batch, APPLY the
@@ -282,7 +316,8 @@ object GraftTable {
     s"$dir/_pending_retire_$label.json"
 
   def optimize(spark: SparkSession, dir: String, intoLabel: String,
-      nFiles: Int = 8, beforeEpilogue: () => Unit = () => ()): Unit = {
+      nFiles: Int = 8, beforeEpilogue: () => Unit = () => (),
+      beforeCommit: () => Unit = () => ()): Unit = {
     requireLabel(intoLabel)
     val m = meta(spark, dir)
     val man = manifest(spark, dir)
@@ -313,17 +348,38 @@ object GraftTable {
           } else snapshot.repartitionByRange(nFiles, col(m.zoneCols.head))
         laidOut.write.mode(SaveMode.Overwrite)
           .parquet(s"${dataPath(dir)}/batch=$intoLabel")
+        beforeCommit() // spec seam: a commit landing during the rewrite
+        val fresh = manifest(spark, dir)
+        // OPTIMISTIC CONCURRENCY (the ScdStore.applyBatch discipline):
+        // a data batch committed DURING the rewrite is in fresh.live
+        // but NOT in the rewritten data — committing live=[intoLabel]
+        // would silently drop it forever (its replay is a label
+        // no-op), and folding its label in is subtly wrong too (a row
+        // it appended under a key this rewrite just materialized and
+        // retired would flip from hidden to visible). Abort before the
+        // swap: nothing committed, the orphan rewrite dir is vacuum's,
+        // the caller retries against the new state. Concurrent DELETE
+        // batches are fine — they stay live (the epilogue retires
+        // exactly `dels`), apply to the folded data through the
+        // merge-on-read probe, and the snapshot records them so travel
+        // to this commit re-applies them. `dels` themselves are IN the
+        // data — travel must NOT re-apply them; `retired` names what
+        // the epilogue drops.
+        val unseen = fresh.live.filterNot(man.live.contains)
+        if (unseen.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"optimize($intoLabel) aborted: batches [${unseen.mkString(",")}]" +
+              " committed during the rewrite and are not in its data —" +
+              " rerun optimize against the new state (no commit was" +
+              " written; the rewrite directory is vacuum's to sweep)")
         writeString(spark, pendingRetirePath(dir, intoLabel),
           s"""{"retired":[${dels.map(l => s""""$l"""").mkString(",")}]}""",
           atomic = true)
-        val fresh = manifest(spark, dir)
-        // the snapshot records delLive = [] — the rewrite CONTAINS the
-        // deletes, so travel to this commit must not re-apply them;
-        // `retired` names what the epilogue drops from the live set
         commitManifest(spark, dir,
           Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
             fresh.commit + 1),
-          "optimize", intoLabel, Nil, retired = dels)
+          "optimize", intoLabel,
+          delLive(spark, dir).filterNot(dels.contains), retired = dels)
         dels
       } else {
         // replay: the pending sidecar (crash before the epilogue), or
@@ -663,26 +719,43 @@ object GraftTable {
   private val builtFor =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Base lifecycle shared by q168/q169: create → two committed
+  /** One table lifecycle into a fresh temp dir: create → two committed
     * appends (lineitem split by orderkey) → one committed erasure
     * batch (the F-orders CDC shape). */
-  private def q168Dir(spark: SparkSession, d: String): String = {
+  private def buildLifecycle(spark: SparkSession, d: String): String = {
     import spark.implicits._
-    builtFor.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-table-").toString
-      create(spark, dir, zoneCols = Seq("l_partkey"),
-        bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
-      val li = graft.sources.Tables.lineitem(spark, d)
-      val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
-      append(li.where($"l_orderkey" <= mid), dir, "b1")
-      append(li.where($"l_orderkey" > mid), dir, "b2")
-      delete(graft.sources.Tables.orders(spark, d)
-        .where($"o_orderstatus" === "F")
-        .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-table-").toString
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    delete(graft.sources.Tables.orders(spark, d)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+    dir
+  }
+
+  /** The lifecycle dir q168/q170/q171/q172 read. NO maintenance ever
+    * runs here: q171 (time travel) and q172 (CDC preimages) price
+    * their reads on the per-batch dirs, so q169's optimize/vacuum gets
+    * its OWN dir ([[q169Dir]]) — queries share nothing mutable and are
+    * order/interleaving-independent under any harness. */
+  private def q168Dir(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent(d, _ => buildLifecycle(spark, d))
+
+  /** A second, identical lifecycle that q169 optimizes and vacuums —
+    * isolated so the maintenance-invariance check cannot perturb the
+    * snapshot/CDC reads (and vice versa). */
+  private def q169Dir(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("opt:" + d, { _ =>
+      val dir = buildLifecycle(spark, d)
+      optimize(spark, dir, "opt-1")
+      vacuum(spark, dir)
       dir
     })
-  }
 
   /** q168: a zone-band rollup through [[readWhere]] on the composed
     * table — pruned scan + merge-on-read deletes in one plan. The
@@ -713,18 +786,12 @@ object GraftTable {
     * applied the deletes into the data, z-ordered the layout, and
     * rebuilt the index — hash-checked against the SAME oracle, because
     * maintenance must never change what a query returns (the M1
-    * contract, now for the whole composed table). Queries are
-    * order-independent: if this builds first, q168 reads the optimized
-    * table — same rows either way. */
+    * contract, now for the whole composed table). Runs on its OWN
+    * lifecycle dir ([[q169Dir]]) so the maintenance never touches the
+    * dir the snapshot/CDC queries read. */
   def q169OptimizedTable(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val dir = q168Dir(spark, d)
-    builtFor.computeIfAbsent("opt:" + d, { _ =>
-      optimize(spark, dir, "opt-1")
-      vacuum(spark, dir)
-      dir
-    })
-    readWhere(spark, dir,
+    readWhere(spark, q169Dir(spark, d),
       ranges = Seq(ColumnRange("l_partkey", Some(100L), Some(299L))))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -775,7 +842,10 @@ object GraftTable {
     * delta is pure delete PREIMAGES: every line of an F-order, tagged.
     * The oracle restates the erased row set with EXISTS. Aggregated to
     * a per-flag count + key checksum so the hash pins the full preimage
-    * row set without shipping half of lineitem through the compare. */
+    * row set without shipping half of lineitem through the compare.
+    * The oracle CASTs key_sum to BIGINT: DuckDB's sum(BIGINT) widens
+    * to HUGEINT, which pandas-style fetch paths render as float
+    * ("3.0" vs "3") — identical values, drifted hash (the r13 red). */
   def q172TableChanges(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     changesBetween(spark, q168Dir(spark, d), from = 3L, to = 4L)
@@ -788,7 +858,7 @@ object GraftTable {
 
   val q172Sql: String =
     """SELECT 'delete' AS _change_type, l_returnflag, count(*) AS n,
-      |       sum(l_orderkey) AS key_sum,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem l
       |WHERE EXISTS (SELECT 1 FROM orders o
@@ -796,8 +866,8 @@ object GraftTable {
       |                AND o.o_orderstatus = 'F')
       |GROUP BY 2 ORDER BY 1, 2""".stripMargin
 
-  /** Same teardown contract as the sibling stores ("opt:" entries
-    * alias the base dir — deleting twice is harmless). */
+  /** Same teardown contract as the sibling stores (each map value is
+    * its own temp dir now that q169 is isolated). */
   def clearSessionState(): Unit = {
     StoreIO.deleteLocalDirs(builtFor.values)
     builtFor.clear()

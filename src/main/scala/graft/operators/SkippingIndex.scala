@@ -219,13 +219,17 @@ object SkippingIndex {
             col(s"max_${e.column}") >= lit(v)).reduce(_ || _))
       val bloom =
         if (!m.bloomCols.contains(e.column)) None
-        else {
-          val hashes = literalHashes(spark, m.table, e.column, e.values)
+        else literalHashes(spark, m.table, e.column, e.values).map { hashes =>
+          // None = an uncastable probe value: no bloom verdict (the
+          // zone test, if any, still prunes; the exact predicate is
+          // re-applied either way)
           val hit = udf((b: Array[Byte]) => b == null ||
             hashes.exists(graft.functions.BloomAggregator.mightContain(b, _)))
-          Some(hit(col(s"bloom_${e.column}")))
+          hit(col(s"bloom_${e.column}"))
         }
-      (zone ++ bloom).reduce(_ && _)
+      // both verdicts unavailable (bloom-only column, uncastable
+      // probe): no file-level opinion — every file qualifies
+      (zone ++ bloom).reduceOption(_ && _).getOrElse(lit(true))
     }
     // nullness verdicts from the value counts; an empty file (0 rows)
     // matches neither IS NULL nor IS NOT NULL
@@ -254,16 +258,30 @@ object SkippingIndex {
   /** xxhash64 of each probe literal, cast to the table column's actual
     * type — an Int literal probing a BIGINT column must hash the LONG,
     * or no build-time bit would ever match. One driver-local one-row
-    * job (LocalTableScan over `range(1)`), no table data touched. */
+    * job (LocalTableScan over `range(1)`), no table data touched.
+    *
+    * Returns None when ANY non-null probe value's cast NULLs out
+    * (e.g. "abc" probing an INT column): xxhash64(NULL) is the bare
+    * seed, and a seed-bit miss would silently prune files the
+    * re-applied, engine-coerced predicate could still match — the
+    * caller must fall back to the zone-only verdict. NULL probe
+    * values themselves are dropped: equality never matches NULL, so
+    * they cannot widen the file set. */
   private def literalHashes(spark: SparkSession, tablePath: String,
-      column: String, values: Seq[Any]): Seq[Long] = {
+      column: String, values: Seq[Any]): Option[Seq[Long]] = {
     val dt = spark.read.parquet(tablePath).schema
       .find(_.name == column)
       .getOrElse(throw new IllegalArgumentException(
         s"column '$column' not in $tablePath")).dataType
-    spark.range(1)
-      .select(values.map(v => xxhash64(lit(v).cast(dt))): _*)
-      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    val probes = values.filter(_ != null)
+    if (probes.isEmpty) return Some(Nil) // isin(NULL…) matches nothing
+    val row = spark.range(1)
+      .select(probes.flatMap(v =>
+        Seq(xxhash64(lit(v).cast(dt)), lit(v).cast(dt).isNull)): _*)
+      .collect().head
+    val (hashes, nulled) = probes.indices
+      .map(i => (row.getLong(2 * i), row.getBoolean(2 * i + 1))).unzip
+    if (nulled.exists(identity)) None else Some(hashes)
   }
 
   /** The table filtered by `ranges`, reading only files the index

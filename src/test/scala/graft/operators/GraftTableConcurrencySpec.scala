@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SkippingIndex.ColumnRange
+import graft.sources.Tables
+
+/** Reader/writer interleaving and cross-store crash seams — the q172
+  * class of bug, generalized: maintenance (optimize/vacuum) racing
+  * reads (table(), tableAt, changesBetween, readWhere), a commit
+  * landing DURING a rewrite, and a crash BETWEEN the delete store's
+  * manifest swap and the table-level commit. Every scenario asserts
+  * bit-equal results or a refusal — never a silently different
+  * answer. */
+class GraftTableConcurrencySpec extends SparkSpec {
+
+  import GraftTable._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("gtc-").toString
+
+  private def li: DataFrame = Tables.lineitem(spark, sfDir)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** create + two appends split by orderkey + one erasure batch
+    * (commits: 1 create, 2 append b1, 3 append b2, 4 delete). */
+  private def build(dir: String): Long = {
+    import spark.implicits._
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    delete(Tables.orders(spark, sfDir).where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1")
+    mid
+  }
+
+  test("frames created BEFORE optimize+vacuum return bit-equal results AFTER") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    // one frame per read surface, all created pre-maintenance
+    val t = table(spark, dir)
+    val trav = tableAt(spark, dir, 3L)
+    val cdc = changesBetween(spark, dir, from = 3L, to = 4L)
+    val pruned = readWhere(spark, dir,
+      ranges = Seq(ColumnRange("l_partkey", Some(100L), Some(299L))))
+    val (tB, travB, cdcB, prunedB) =
+      (sortedRows(t), sortedRows(trav), sortedRows(cdc), sortedRows(pruned))
+    optimize(spark, dir, "opt-1")
+    vacuum(spark, dir)
+    // the retained snapshots pin every file the frames resolved:
+    // vacuum must not sweep them, retire must not change the pinned
+    // delete probe, and the rebuilt index must not re-route the scans
+    assert(sortedRows(t) == tB, "table() frame changed across optimize")
+    assert(sortedRows(trav) == travB, "tableAt frame changed across optimize")
+    assert(sortedRows(cdc) == cdcB,
+      "CDC preimage frame changed across optimize (the q172 seam)")
+    assert(sortedRows(pruned) == prunedB,
+      "readWhere frame changed across optimize")
+    // and fresh frames agree with the pre-maintenance table state
+    assert(sortedRows(read(spark, dir)) == tB)
+  }
+
+  test("optimize ABORTS when a data batch commits during the rewrite; nothing lost") {
+    import spark.implicits._
+    val dir = tmp()
+    val mid = build(dir)
+    // deterministic row set: the frame is evaluated twice (append +
+    // the expected-rows assertion) and a bare limit() may not repeat
+    val extra = li.orderBy($"l_orderkey", $"l_linenumber").limit(100)
+      .withColumn("l_orderkey", $"l_orderkey" + 1000000L) // fresh keys
+    val before = sortedRows(read(spark, dir))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      optimize(spark, dir, "opt-1",
+        beforeCommit = () => append(extra, dir, "b3"))
+    }
+    assert(ex.getMessage.contains("b3"))
+    // no optimize commit was written; the append survives in full
+    val man = manifest(spark, dir)
+    assert(man.live == Seq("b1", "b2", "b3"))
+    assert(!man.applied.contains("opt-1"))
+    assert(sortedRows(read(spark, dir)) ==
+      (before ++ sortedRows(extra)).sorted)
+    // the standing delete was NOT retired (its keys are in no rewrite)
+    assert(DeleteStore.manifest(spark, s"$dir/del").live == Seq("erase-1"))
+    // the retry against the new state succeeds and changes no answers
+    val expect = sortedRows(read(spark, dir))
+    optimize(spark, dir, "opt-1")
+    vacuum(spark, dir)
+    assert(manifest(spark, dir).live == Seq("opt-1"))
+    assert(sortedRows(read(spark, dir)) == expect)
+  }
+
+  test("a delete committing during the rewrite stays live and applies post-optimize") {
+    import spark.implicits._
+    val dir = tmp()
+    val mid = build(dir)
+    val lateKeys = li.where($"l_orderkey" <= mid)
+      .select($"l_orderkey").distinct().orderBy($"l_orderkey").limit(5)
+    val lateKeySet = lateKeys.collect().map(_.getLong(0)).toSet
+    optimize(spark, dir, "opt-1",
+      beforeCommit = () => delete(lateKeys, dir, "erase-2"))
+    // erase-1 was materialized and retired; erase-2 landed mid-rewrite,
+    // is NOT in the rewritten data, and must stay live
+    assert(DeleteStore.manifest(spark, s"$dir/del").live == Seq("erase-2"))
+    val got = read(spark, dir).select($"l_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(lateKeySet).isEmpty,
+      "mid-rewrite delete keys visible after optimize")
+    // the optimize commit SNAPSHOT records the mid-rewrite delete, so
+    // time travel to it re-applies erase-2 (but never erase-1)
+    val optCommit = manifest(spark, dir).commit
+    val travKeys = tableAt(spark, dir, optCommit).select($"l_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(travKeys == got)
+  }
+
+  test("delete() crash between the delete-store commit and the table commit converges on replay") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
+    append(li, dir, "b1") // commit 2
+    val mirror = tmp()
+    syncMirror(spark, dir, mirror) // baseline at commit 2
+    val keys = li.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(3)
+    intercept[RuntimeException] {
+      delete(keys, dir, "erase-1",
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    // the bad interim state the sidecar exists to repair: the delete
+    // store applied the label, the table-level commit is missing
+    assert(DeleteStore.manifest(spark, s"$dir/del").applied == Seq("erase-1"))
+    assert(manifest(spark, dir).commit == 2L)
+    // replay with the same label: the pending sidecar writes the
+    // missing kind=delete commit exactly once
+    delete(keys, dir, "erase-1")
+    val man = manifest(spark, dir)
+    assert(man.commit == 3L)
+    assert(commitAt(spark, dir, 3L).kind == "delete")
+    assert(commitAt(spark, dir, 3L).label == "erase-1")
+    assert(!new java.io.File(s"$dir/_pending_delete_erase-1.json").exists())
+    // a further replay commits nothing more
+    delete(keys, dir, "erase-1")
+    assert(manifest(spark, dir).commit == 3L)
+    // the CDC window now SEES the delete, and the mirror converges
+    val w = changesBetween(spark, dir, 2L, 3L)
+    assert(w.where($"_change_type" === "delete").count() > 0,
+      "repaired delete commit missing from the CDC feed")
+    syncMirror(spark, dir, mirror)
+    assert(sortedRows(mirrorRead(spark, mirror)) ==
+      sortedRows(read(spark, dir)),
+      "mirror diverged from read() after the crash-replay repair")
+  }
+}

@@ -371,6 +371,35 @@ class SkippingIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("blooms"))
   }
 
+  test("an uncastable probe value never wrong-prunes: ANSI fails fast, non-ANSI degrades to no bloom verdict") {
+    val root = tmp("skip-uncast")
+    val table = scattered(root)
+    build(spark, table, s"$root/index",
+      cols = Seq("id"), bloomCols = Seq("id"))
+    val probe = Seq(ColumnEquals("id", Seq("not-a-number")))
+    // ANSI (the session default): the literal cast throws during the
+    // driver-local hash job — a loud error, never a silent wrong prune
+    intercept[Exception] {
+      prunedRead(spark, s"$root/index", ranges = Nil, equalities = probe)
+        .count()
+    }
+    // non-ANSI: the cast NULLs out; the bloom verdict (xxhash64(NULL) =
+    // the bare seed — its bits prune files the coerced predicate could
+    // match) must be SKIPPED, not trusted. The read completes and
+    // equals the plain filtered scan (empty here: "not-a-number"
+    // coerces to NULL, and equality never matches NULL).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val got = prunedRead(spark, s"$root/index", ranges = Nil,
+        equalities = probe)
+      assert(got.count() == 0L)
+      // a castable probe alongside the index still works in this mode
+      val ok = prunedRead(spark, s"$root/index", ranges = Nil,
+        equalities = Seq(ColumnEquals("id", Seq(7L))))
+      assert(ok.count() == 1L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("unindexed predicate columns are rejected with the indexed set named") {
     val root = tmp("skip-reject")
     val table = clustered(root)
