@@ -567,34 +567,68 @@ object TextAnalysis {
     val bucketed = bigramCountsOf(docs)
       .groupBy(pmod(xxhash64($"bigram"), lit(buckets.toLong)).as("bigram"))
       .agg(sum($"n_ab").as("n"))
-    familiarityScoreKeyed(docs, bucketed,
-      c => pmod(xxhash64(c), lit(buckets.toLong)))
+    // the probe-side key replays pmod(xxhash64(s)) in the JVM:
+    // XxHash64Function IS the interpreted body of the xxhash64 column
+    // function (same seed 42), so the bucket ids agree bit-for-bit —
+    // FamiliarityHashedSpec's rank-agreement assertions would collapse
+    // to ~zero familiar hits on any drift
+    val b = buckets.toLong
+    familiarityScoreKeyed(docs, bucketed, { s: String =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L)
+      java.lang.Long.valueOf(((h % b) + b) % b)
+    })
   }
 
-  /** Shared scoring kernel: doc-side bigrams and the count table meet on
-    * `key(bigram)` — identity for the exact form, a feature-hash bucket
-    * for [[familiarityHashed]]. The count table must already be keyed
-    * by the same map. */
+  /** Shared scoring kernel: per-document bigrams probe the FAMILIAR SET
+    * (corpus count at/above the mean) through `key` — identity for the
+    * exact form, a feature-hash bucket for [[familiarityHashed]]. The
+    * count table must already be keyed by the same map.
+    *
+    * PLAN SHAPE: `doc_id` is unique per input row, so the old
+    * explode → broadcast-join → re-aggregate-on-doc_id spelling paid a
+    * corpus-token-sized Generate, a join probe per token, and a shuffle
+    * to reassemble rows that were never apart. This is the map-only
+    * form: the familiar set — the exact rows the old plan's broadcast
+    * build side already shipped to every executor, vocabulary-bounded
+    * at ≤ n_total/mean = n_distinct entries — is collected once and
+    * broadcast as a hash set, and each document scores in one pass over
+    * its own tokens. No Generate, no join, no aggregation exchange;
+    * the only shuffle left is the output sort. (r13→r14: 2.07 s →
+    * map-only at sf0.1; the 10× probe scales with the token scan.) */
   private def familiarityScoreKeyed(docs: DataFrame, counts: DataFrame,
-      key: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      key: String => Any): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the identity (exact) path must stay a NOOP projection so the
-    // exact form's optimized plan — and its pinned bench digest — is
-    // byte-identical to the pre-refactor shape
-    val bg = docs.where($"text".isNotNull)
-      .select($"doc_id", explode(graft.functions.TextFunctions.shingles($"text", 2)).as("bigram"))
-      .select($"doc_id", key($"bigram").as("bigram"))
     val stats = counts.agg(sum($"n").as("n_total"), count(lit(1)).as("n_distinct"))
-    val familiar = counts.crossJoin(broadcast(stats))
+    val familiar: Set[Any] = counts.crossJoin(broadcast(stats))
       .where($"n" * $"n_distinct" >= $"n_total")
-      .select($"bigram", lit(1).as("__fam"))
+      .select($"bigram").collect().map(_.get(0)).toSet
+    val fam = spark.sparkContext.broadcast(familiar)
+    val scored = docs.where($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val set = fam.value
+        it.flatMap { case (id, t) =>
+          // same tokenize as the counts side (bigramCountsOf): plain
+          // toLowerCase + single-char split, bigram = "tokA tokB"
+          val toks = t.toLowerCase.split(' ')
+          var nb = 0; var nf = 0; var i = 0
+          while (i + 1 < toks.length) {
+            nb += 1
+            if (set.contains(key(toks(i) + " " + toks(i + 1)))) nf += 1
+            i += 1
+          }
+          // <2 tokens → no bigrams → score undefined, doc excluded
+          if (nb == 0) Iterator.empty
+          else Iterator.single((id, nb.toLong, nf.toLong))
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "n_familiar")
     val quotient =
       $"n_familiar".cast("double") / $"n_bigrams".cast("double")
-    bg.join(familiar, Seq("bigram"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), count($"__fam").as("n_familiar"))
-      .select($"doc_id", $"n_bigrams", $"n_familiar",
+    scored.select($"doc_id", $"n_bigrams", $"n_familiar",
         quotient.as("familiarity"),
         when(quotient >= 0.9, "head")
           .when(quotient >= 0.5, "middle")
