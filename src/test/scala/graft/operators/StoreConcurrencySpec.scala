@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Reader/writer interleaving for the OTHER standing stores — the q172
+  * class of bug, generalized past GraftTable (which has its own spec):
+  * every read surface evaluated (a) MID-COMMIT, through the writers'
+  * crash-injection seams — must see exactly the pre-commit state — and
+  * (b) as a frame HELD ACROSS maintenance — must stay bit-equal where
+  * the store's retention machinery pins the files the frame resolved.
+  *
+  * Retention contract, asserted here and documented at the operators:
+  *  - ScdStore has a commit log; vacuum keeps every directory a
+  *    retained snapshot names, so held frames survive compact+vacuum
+  *    until `expireCommits` retires their snapshot — the Iceberg rule
+  *    (retention ≥ max reader duration), with expiry as the knob.
+  *  - DeleteStore / IntervalIndexStore have a manifest but no snapshot
+  *    log: compaction alone leaves superseded dirs on disk (held
+  *    frames keep working); VACUUM is the retention decision, so a
+  *    frame held across compact+vacuum is undefined there and only
+  *    FRESH reads are asserted invariant. The composed GraftTable is
+  *    what gives delete batches snapshot-pinned lifetimes.
+  */
+class StoreConcurrencySpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(d: DataFrame): Seq[String] =
+    d.collect().map(_.toString).sorted.toSeq
+
+  // ---- ScdStore -------------------------------------------------------
+
+  private def scdLog: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .where($"event_type" === "signup" || $"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+  }
+
+  test("ScdStore: reads mid-applyBatch see exactly the pre-batch commit") {
+    import spark.implicits._
+    val dir = tmp("scd-mid-")
+    val cut = lit("2024-01-16").cast("timestamp")
+    ScdStore.init(scdLog.where($"ts" < cut), dir, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    val beforeTable = rows(ScdStore.table(spark, dir))
+    val beforeCur = rows(ScdStore.current(spark, dir))
+    var midTable: Seq[String] = null
+    var midCur: Seq[String] = null
+    // the seam runs AFTER both data writes (history delta + next
+    // current version are on disk), BEFORE the manifest swap — the
+    // widest window in which a torn read could exist
+    ScdStore.applyBatch(scdLog.where($"ts" >= cut), dir, "b1",
+      beforeCommit = () => {
+        midTable = rows(ScdStore.table(spark, dir))
+        midCur = rows(ScdStore.current(spark, dir))
+      })
+    assert(midTable == beforeTable,
+      "table() mid-commit saw uncommitted batch data")
+    assert(midCur == beforeCur,
+      "current() mid-commit saw the unswapped next version")
+    // and the commit then became visible
+    assert(rows(ScdStore.table(spark, dir)) != beforeTable)
+  }
+
+  test("ScdStore: frames held across compactHistory+vacuum stay bit-equal") {
+    import spark.implicits._
+    val dir = tmp("scd-held-")
+    val cut = lit("2024-01-16").cast("timestamp")
+    ScdStore.init(scdLog.where($"ts" < cut), dir, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    ScdStore.applyBatch(scdLog.where($"ts" >= cut), dir, "b1") // commit 2
+    // one held frame per read surface, all created pre-maintenance
+    val t = ScdStore.table(spark, dir)
+    val cur = ScdStore.current(spark, dir)
+    val trav = ScdStore.tableAt(spark, dir, 1L)
+    val cdc = ScdStore.changesBetween(spark, dir, 1L, 2L)
+    val (tB, curB, travB, cdcB) = (rows(t), rows(cur), rows(trav), rows(cdc))
+    ScdStore.compactHistory(spark, dir, "fold-1")
+    ScdStore.vacuum(spark, dir)
+    // the commit log retains snapshots naming the pre-compact label
+    // dirs and current version; vacuum must keep them all
+    assert(rows(t) == tB, "table() frame changed across compact+vacuum")
+    assert(rows(cur) == curB, "current() frame changed across compact+vacuum")
+    assert(rows(trav) == travB, "tableAt frame changed across compact+vacuum")
+    assert(rows(cdc) == cdcB, "changesBetween frame changed across compact+vacuum")
+    // fresh reads agree with the held frames (maintenance invariance)
+    assert(rows(ScdStore.table(spark, dir)) == tB)
+    assert(rows(ScdStore.current(spark, dir)) == curB)
+  }
+
+  test("ScdStore: expireCommits is the retention decision that breaks held travel") {
+    import spark.implicits._
+    val dir = tmp("scd-exp-")
+    val cut = lit("2024-01-16").cast("timestamp")
+    ScdStore.init(scdLog.where($"ts" < cut), dir, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    ScdStore.applyBatch(scdLog.where($"ts" >= cut), dir, "b1")
+    ScdStore.compactHistory(spark, dir, "fold-1")
+    val live = rows(ScdStore.table(spark, dir))
+    // expire everything but the newest snapshot, THEN vacuum: the
+    // pre-compact dirs lose their last reference and are swept
+    ScdStore.expireCommits(spark, dir, keepLast = 1)
+    val (h, c) = ScdStore.vacuum(spark, dir)
+    assert(h + c > 0, "expiry freed nothing — retention knob inert")
+    // live reads are untouched; travel to an expired commit fails
+    // LOUDLY (never a silently different answer)
+    assert(rows(ScdStore.table(spark, dir)) == live)
+    intercept[Exception] { ScdStore.tableAt(spark, dir, 1L).collect() }
+  }
+
+  // ---- DeleteStore ----------------------------------------------------
+
+  private def liTable: DataFrame = Tables.lineitem(spark, sfDir)
+
+  test("DeleteStore: morRead mid-append applies only committed batches") {
+    import spark.implicits._
+    val dir = tmp("del-mid-")
+    DeleteStore.init(spark, dir, Seq("l_orderkey"))
+    val keys1 = liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(5)
+    DeleteStore.append(keys1, dir, "d1")
+    val before = rows(DeleteStore.morRead(liTable, dir))
+    val keys2 = liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey".desc).limit(5)
+    var mid: Seq[String] = null
+    DeleteStore.append(keys2, dir, "d2",
+      beforeCommit = () => mid = rows(DeleteStore.morRead(liTable, dir)))
+    assert(mid == before, "morRead mid-commit applied the uncommitted batch")
+    assert(rows(DeleteStore.morRead(liTable, dir)) != before)
+  }
+
+  test("DeleteStore: frames held across compact stay bit-equal; vacuum needs no held readers") {
+    import spark.implicits._
+    val dir = tmp("del-held-")
+    DeleteStore.init(spark, dir, Seq("l_orderkey"))
+    DeleteStore.append(liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(5), dir, "d1")
+    DeleteStore.append(liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey".desc).limit(5), dir, "d2")
+    val held = DeleteStore.morRead(liTable, dir)
+    val heldB = rows(held)
+    DeleteStore.compact(spark, dir, "fold-1")
+    // superseded label dirs are still on disk until vacuum: the held
+    // frame (pinned to d1/d2) and a fresh frame (on fold-1) agree
+    assert(rows(held) == heldB, "held morRead changed across compact")
+    assert(rows(DeleteStore.morRead(liTable, dir)) == heldB,
+      "compact changed what a fresh morRead returns")
+    // vacuum then sweeps the superseded dirs; FRESH reads are still
+    // bit-equal (held frames across vacuum are the documented
+    // retention boundary for log-less stores — not asserted)
+    assert(DeleteStore.vacuum(spark, dir) == 2)
+    assert(rows(DeleteStore.morRead(liTable, dir)) == heldB,
+      "vacuum changed what a fresh morRead returns")
+  }
+
+  // ---- IntervalIndexStore ----------------------------------------------
+
+  private def views: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir).where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 3 DAY")).as("w_end"))
+  }
+  private def purchases: DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+  }
+
+  test("IntervalIndexStore: lookup frames held across compact stay bit-equal") {
+    import spark.implicits._
+    val dir = tmp("ivl-held-")
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 86400)
+    IntervalIndexStore.append(views.where($"view_id" % 2 === 1), dir, "b1")
+    val held = IntervalIndexStore.lookup(spark, dir, purchases, "ts")
+    val heldB = rows(held)
+    IntervalIndexStore.compact(spark, dir, "fold-1")
+    assert(rows(held) == heldB, "held lookup changed across compact")
+    assert(rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+      == heldB, "compact changed what a fresh lookup returns")
+    val (orphans, _) = IntervalIndexStore.vacuum(spark, dir)
+    assert(orphans == 2, "base + b1 should be swept after compact")
+    assert(rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+      == heldB, "vacuum changed what a fresh lookup returns")
+  }
+
+  test("IntervalIndexStore: a written-but-uncommitted label dir is invisible to lookups") {
+    import spark.implicits._
+    val dir = tmp("ivl-torn-")
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 86400)
+    val before = rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+    // simulate the mid-append window (data written, manifest not yet
+    // swapped) by cloning the base batch dir under an uncommitted name
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/intervals/ingest_batch=base")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/intervals/ingest_batch=torn")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, conf)
+    assert(rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+      == before, "uncommitted label dir leaked into lookups")
+    // vacuum sweeps it as an orphan
+    val (orphans, _) = IntervalIndexStore.vacuum(spark, dir)
+    assert(orphans == 1)
+  }
+}
