@@ -866,8 +866,110 @@ object GraftTable {
       |                AND o.o_orderstatus = 'F')
       |GROUP BY 2 ORDER BY 1, 2""".stripMargin
 
+  /** A lifecycle whose CDC feed drives a MIRROR: baseline sync after
+    * the first append, then b2 + the erasure land, then a second sync
+    * whose window (2, 4] carries both inserts and delete preimages —
+    * the steady-state delta path, never the re-baseline. q173 reads
+    * the MIRROR, so the oracle checks that the consumer-side replay
+    * (insert union + delete anti-join) converged to table state. */
+  private def buildMirrorLifecycle(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mirror-").toString
+    val dir = s"$root/table"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Nil, deleteKeys = Seq("l_orderkey"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1") // commit 2
+    syncMirror(spark, dir, s"$root/mirror") // full-copy baseline at 2
+    append(li.where($"l_orderkey" > mid), dir, "b2") // commit 3
+    delete(graft.sources.Tables.orders(spark, d)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1") // commit 4
+    syncMirror(spark, dir, s"$root/mirror") // DELTA window (2, 4]
+    root
+  }
+
+  private def q173Root(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("mirror:" + d,
+      _ => buildMirrorLifecycle(spark, d))
+
+  /** q173: the DOWNSTREAM MIRROR after an incremental CDC sync — the
+    * consumer contract hash-checked end to end. The window carried b2's
+    * inserts AND the erasure's preimages, so the oracle is the full
+    * table minus the F-order lines: a mirror that re-baselined, missed
+    * the delete, or double-applied the inserts all hash differently. */
+  def q173TableMirror(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mirrorRead(spark, s"${q173Root(spark, d)}/mirror")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_orderkey").as("key_sum"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q173Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A lifecycle whose second batch EVOLVES the schema: b1 carries the
+    * four base columns, b2 adds `l_note` (l_linestatus renamed). The
+    * split is `l_orderkey % 2` so the oracle can restate which rows
+    * carry the evolved column without data-dependent literals. */
+  private def buildEvolutionLifecycle(spark: SparkSession,
+      d: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-evo-").toString
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_returnflag",
+        $"l_linestatus")
+    append(li.where($"l_orderkey" % 2 === 0).drop("l_linestatus"), dir, "b1")
+    append(li.where($"l_orderkey" % 2 === 1)
+      .withColumnRenamed("l_linestatus", "l_note"), dir, "b2")
+    dir
+  }
+
+  private def q174Dir(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("evo:" + d,
+      _ => buildEvolutionLifecycle(spark, d))
+
+  /** q174: SCHEMA EVOLUTION under the union read — the old batch's
+    * rows surface typed NULLs for the evolved column (parquet-standard
+    * mergeSchema semantics; at 100 TB the union schema comes from a
+    * catalog — SCALE.md prices the per-read footer-merge fallback).
+    * `count(l_note)` counts only rows from the evolved batch, so a
+    * read that dropped the old batch, defaulted the gap to a value, or
+    * mis-merged the schema all hash differently. */
+  def q174TableEvolution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    read(spark, q174Dir(spark, d))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        count($"l_note").as("n_note"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q174Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       count(CASE WHEN l_orderkey % 2 = 1 THEN l_linestatus END) AS n_note,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Same teardown contract as the sibling stores (each map value is
-    * its own temp dir now that q169 is isolated). */
+    * its own temp dir now that q169 is isolated; the mirror lifecycle
+    * keeps table + mirror under one root). */
   def clearSessionState(): Unit = {
     StoreIO.deleteLocalDirs(builtFor.values)
     builtFor.clear()
