@@ -15,6 +15,16 @@ object TextFunctions {
     * string_split(text, ' '). */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** JVM-side twin of [[tokens]] for the typed flatMap hot paths:
+    * `split(" ", -1)` keeps trailing empty tokens (Spark's `split`
+    * and DuckDB's `string_split` both do — plain `String.split(char)`
+    * silently drops them, a latent count divergence on texts ending
+    * in a separator), and `Locale.ROOT` keeps lowercasing independent
+    * of the executor's default locale. Every JVM tokenizer that feeds
+    * an oracle-checked count must go through this. */
+  def jvmTokens(t: String): Array[String] =
+    t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+
   /** Word n-gram shingles as space-joined strings:
     * shingle i = tokens[i..i+n-1], for i in 0 .. size-n. */
   def shingles(text: Column, n: Int): Column = {

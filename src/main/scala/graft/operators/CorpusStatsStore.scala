@@ -50,7 +50,7 @@ object CorpusStatsStore {
     import spark.implicits._
     docs.where($"text".isNotNull)
       .select($"text").as[String]
-      .flatMap(t => t.toLowerCase.split(' ').sliding(2)
+      .flatMap(t => graft.functions.TextFunctions.jvmTokens(t).sliding(2)
         .withFilter(_.length == 2).map(_.mkString(" ")))
       .toDF("bigram")
       .groupBy($"bigram").agg(count(lit(1)).as("n"))

@@ -98,7 +98,7 @@ object Dedup {
     docs.where($"text".isNotNull)
       .select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        text.toLowerCase.split(' ').sliding(ShingleN)
+        graft.functions.TextFunctions.jvmTokens(text).sliding(ShingleN)
           .withFilter(_.length == ShingleN)
           .map(w => (id, w.mkString(" ")))
       }

@@ -44,6 +44,51 @@ object GraftTable {
   private def manifestPath(dir: String) = s"$dir/_live.json"
   private def commitPath(dir: String, c: Long) = s"$dir/_commits/c$c.json"
 
+  // ---- PENDING sidecars: every in-flight write announces itself ------
+  // One protocol, three kinds: `append` (data dir being written),
+  // `delete` (two-store commit bridge), `retire` (optimize rewrite +
+  // its epilogue's retire set). The sidecar is written BEFORE the data
+  // it protects and removed after the commit/epilogue, so [[vacuum]]
+  // can tell an in-flight directory from a crashed orphan — the same
+  // job Iceberg's remove_orphan_files `older_than` horizon does by
+  // time, done here by announcement (deterministic, so the interleaving
+  // specs can pin it). A sidecar whose writer crashed keeps its orphan
+  // dir alive until the label is replayed (which converges and cleans
+  // it) — bounded garbage, never a swept-out-from-under writer.
+
+  private def pendingPath(dir: String, kind: String, label: String) =
+    s"$dir/_pending_${kind}_$label.json"
+
+  private def writePending(spark: SparkSession, dir: String, kind: String,
+      label: String, body: String = ""): Unit =
+    writeString(spark, pendingPath(dir, kind, label),
+      if (body.nonEmpty) body else s"""{"label":"$label"}""", atomic = true)
+
+  private def pendingExists(spark: SparkSession, dir: String, kind: String,
+      label: String): Boolean = {
+    val (fs, p) = StoreIO.hadoopFs(spark, pendingPath(dir, kind, label))
+    fs.exists(p)
+  }
+
+  private def clearPending(spark: SparkSession, dir: String, kind: String,
+      label: String): Unit = {
+    val (fs, p) = StoreIO.hadoopFs(spark, pendingPath(dir, kind, label))
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Labels with ANY standing pending sidecar, by kind — the in-flight
+    * announcements [[vacuum]] must not sweep. */
+  private def pendingLabels(spark: SparkSession,
+      dir: String): Map[String, Set[String]] = {
+    val (fs, root) = StoreIO.hadoopFs(spark, dir)
+    if (!fs.exists(root)) return Map.empty
+    val re = """_pending_(append|delete|retire)_(.+)\.json""".r
+    fs.listStatus(root).iterator.filterNot(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case re(kind, label) => (kind, label) }
+      .toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
   /** Initialize an empty table. `zoneCols` get min/max/value-count
     * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
     * Bloom filters, `deleteKeys` are the equality-delete address. */
@@ -65,7 +110,9 @@ object GraftTable {
     * a crash before the manifest swap leaves an orphan no reader
     * sees), then bring the skipping index up to date — build on first
     * data, refresh the delta after. `beforeCommit` is the spec's
-    * crash-injection seam. */
+    * crash-injection seam. The write is ANNOUNCED by a pending sidecar
+    * so a concurrent [[vacuum]] can tell the in-flight directory from
+    * a crashed orphan. */
   def append(df: DataFrame, dir: String, label: String,
       beforeCommit: () => Unit = () => ()): Unit = {
     val spark = df.sparkSession
@@ -77,9 +124,13 @@ object GraftTable {
     require(!df.columns.contains("batch"),
       "'batch' is the table's partition label column")
     if (df.isEmpty) return // an empty committed dir would grow reads forever
+    writePending(spark, dir, "append", label)
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"${dataPath(dir)}/batch=$label")
-    if (!hasDataFiles(spark, s"${dataPath(dir)}/batch=$label")) return
+    if (!hasDataFiles(spark, s"${dataPath(dir)}/batch=$label")) {
+      clearPending(spark, dir, "append", label)
+      return
+    }
     beforeCommit()
     val fresh = manifest(spark, dir)
     if (!fresh.applied.contains(label))
@@ -87,6 +138,11 @@ object GraftTable {
         Manifest(fresh.applied :+ label, fresh.live :+ label,
           fresh.commit + 1),
         "append", label, delLive(spark, dir))
+    // cleared only on the success path: a crash (or injected throw)
+    // leaves the announcement standing, so vacuum keeps shielding the
+    // orphan until the label is replayed (which re-announces, commits,
+    // and clears) — abandoned labels are bounded garbage by contract
+    clearPending(spark, dir, "append", label)
     refreshIndex(spark, dir, m)
   }
 
@@ -262,19 +318,15 @@ object GraftTable {
     * `delete`), so the snapshot log sees every read-visible change; a
     * replayed label changes nothing and commits nothing.
     *
-    * The two-store commit is bridged by a PENDING sidecar (the
-    * optimize `_pending_retire` handshake): a crash between the
-    * delete store's manifest swap and the table-level commit would
-    * otherwise lose the table commit forever — the replay sees the
-    * label applied and writes nothing, yet read() applies the delete,
-    * so changesBetween never emits it in any window and a mirror
-    * silently diverges. The sidecar survives the crash; the replay
-    * writes the missing commit (unless a retained kind=delete commit
-    * with this label already exists — crash AFTER the commit), then
-    * removes it. */
-  private def pendingDeletePath(dir: String, label: String) =
-    s"$dir/_pending_delete_$label.json"
-
+    * The two-store commit is bridged by a PENDING sidecar (the shared
+    * announce protocol): a crash between the delete store's manifest
+    * swap and the table-level commit would otherwise lose the table
+    * commit forever — the replay sees the label applied and writes
+    * nothing, yet read() applies the delete, so changesBetween never
+    * emits it in any window and a mirror silently diverges. The
+    * sidecar survives the crash; the replay writes the missing commit
+    * (unless a VISIBLE kind=delete commit with this label already
+    * exists — crash AFTER the commit), then removes it. */
   def delete(deletes: DataFrame, dir: String, label: String,
       beforeCommit: () => Unit = () => ()): Unit = {
     val spark = deletes.sparkSession
@@ -282,18 +334,22 @@ object GraftTable {
     require(meta(spark, dir).delKeys.nonEmpty,
       "table was created without deleteKeys")
     val before = DeleteStore.manifest(spark, delPath(dir)).applied
-    val (fs, pp) = StoreIO.hadoopFs(spark, pendingDeletePath(dir, label))
-    if (!before.contains(label))
-      writeString(spark, pendingDeletePath(dir, label),
-        s"""{"label":"$label"}""", atomic = true)
+    if (!before.contains(label)) writePending(spark, dir, "delete", label)
     DeleteStore.append(deletes, delPath(dir), label)
     beforeCommit() // the spec's crash-injection seam
+    val man = manifest(spark, dir)
     if (DeleteStore.manifest(spark, delPath(dir)).applied.contains(label)) {
       val needCommit =
         if (!before.contains(label)) true
-        else fs.exists(pp) && !listCommits(spark, dir).view
-          .map(commitAt(spark, dir, _))
-          .exists(c => c.kind == "delete" && c.label == label)
+        else pendingExists(spark, dir, "delete", label) &&
+          // only VISIBLE commits count (≤ the manifest pointer): a
+          // snapshot file above the pointer is a crash orphan from a
+          // commitManifest that died between its two writes — the next
+          // commit overwrites it, so treating it as done would lose
+          // the delete commit after all
+          !listCommits(spark, dir).view.filter(_ <= man.commit)
+            .map(commitAt(spark, dir, _))
+            .exists(c => c.kind == "delete" && c.label == label)
       if (needCommit) {
         val fresh = manifest(spark, dir)
         commitManifest(spark, dir,
@@ -301,7 +357,7 @@ object GraftTable {
           "delete", label, delLive(spark, dir))
       }
     }
-    if (fs.exists(pp)) fs.delete(pp, false)
+    clearPending(spark, dir, "delete", label)
   }
 
   /** The `rewrite_data_files` step: fold every live batch, APPLY the
@@ -312,9 +368,6 @@ object GraftTable {
     * rebuilt for the new layout. Replay-idempotent: a committed
     * `intoLabel` short-circuits to the reset+rebuild epilogue, so a
     * crash between the swap and the epilogue converges on replay. */
-  private def pendingRetirePath(dir: String, label: String) =
-    s"$dir/_pending_retire_$label.json"
-
   def optimize(spark: SparkSession, dir: String, intoLabel: String,
       nFiles: Int = 8, beforeEpilogue: () => Unit = () => (),
       beforeCommit: () => Unit = () => ()): Unit = {
@@ -325,16 +378,24 @@ object GraftTable {
     // the delete labels THIS rewrite materializes — the epilogue must
     // retire exactly these and nothing more: a replayed optimize after
     // LATER delete batches landed must not wipe them (their keys are
-    // NOT in its data). Written to a PENDING sidecar before the commit
-    // (removed after the retire), so a crash between the commit and
-    // the epilogue survives commit-log EXPIRY: the replay reads the
-    // sidecar, not the possibly-expired snapshot.
+    // NOT in its data). Written to a PENDING sidecar before the
+    // rewrite itself (removed after the retire), so a crash between
+    // the commit and the epilogue survives commit-log EXPIRY — the
+    // replay reads the sidecar, not the possibly-expired snapshot —
+    // and a concurrent vacuum sees the rewrite directory announced.
     val materialized: Seq[String] =
       if (!man.applied.contains(intoLabel)) {
         // ONE delete-manifest read pins both the rewrite input and the
         // retire set — read() would re-resolve the manifest and a
         // delete committing in between would be folded but not retired
         val dels = delLive(spark, dir)
+        // announce BEFORE the rewrite write: the sidecar both names the
+        // retire set for the crash-replay epilogue AND shields the
+        // in-flight `batch=intoLabel` directory from a concurrent
+        // vacuum (which would otherwise sweep it as an orphan and
+        // leave the commit below pointing at deleted data)
+        writePending(spark, dir, "retire", intoLabel,
+          s"""{"retired":[${dels.map(l => s""""$l"""").mkString(",")}]}""")
         val base = baseRead(spark, dir, man.live)
         val snapshot =
           if (dels.isEmpty) base
@@ -366,15 +427,17 @@ object GraftTable {
         // data — travel must NOT re-apply them; `retired` names what
         // the epilogue drops.
         val unseen = fresh.live.filterNot(man.live.contains)
-        if (unseen.nonEmpty)
+        if (unseen.nonEmpty) {
+          // un-announce first: the abort leaves the rewrite dir an
+          // orphan, and a standing sidecar would shield it from
+          // vacuum forever (an aborted label may never be retried)
+          clearPending(spark, dir, "retire", intoLabel)
           throw new java.util.ConcurrentModificationException(
             s"optimize($intoLabel) aborted: batches [${unseen.mkString(",")}]" +
               " committed during the rewrite and are not in its data —" +
               " rerun optimize against the new state (no commit was" +
               " written; the rewrite directory is vacuum's to sweep)")
-        writeString(spark, pendingRetirePath(dir, intoLabel),
-          s"""{"retired":[${dels.map(l => s""""$l"""").mkString(",")}]}""",
-          atomic = true)
+        }
         commitManifest(spark, dir,
           Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
             fresh.commit + 1),
@@ -384,11 +447,9 @@ object GraftTable {
       } else {
         // replay: the pending sidecar (crash before the epilogue), or
         // the retained snapshot, or nothing (epilogue long done)
-        val (fs, pp) = StoreIO.hadoopFs(spark,
-          pendingRetirePath(dir, intoLabel))
-        if (fs.exists(pp))
+        if (pendingExists(spark, dir, "retire", intoLabel))
           StoreIO.jsonArr(readString(spark,
-            pendingRetirePath(dir, intoLabel)), "retired")
+            pendingPath(dir, "retire", intoLabel)), "retired")
         else
           listCommits(spark, dir).view.map(commitAt(spark, dir, _))
             .find(c => c.kind == "optimize" && c.label == intoLabel)
@@ -402,8 +463,7 @@ object GraftTable {
     // stats would be dead weight every qualify() pays to discard)
     if (m.delKeys.nonEmpty && materialized.nonEmpty)
       DeleteStore.retire(spark, delPath(dir), materialized)
-    val (fs, pp) = StoreIO.hadoopFs(spark, pendingRetirePath(dir, intoLabel))
-    if (fs.exists(pp)) fs.delete(pp, false)
+    clearPending(spark, dir, "retire", intoLabel)
     SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
       m.zoneCols, m.bloomCols,
       only = Some(liveFileStatuses(spark, dir,
@@ -411,35 +471,59 @@ object GraftTable {
   }
 
   /** M3: sweep data batch dirs and delete batch dirs that neither the
-    * live manifests nor any RETAINED commit snapshot name — crashed
-    * appends, and directories whose last referencing snapshot was
+    * live manifests, any RETAINED commit snapshot, nor any PENDING
+    * announcement names — crashed-and-replayed leftovers, and
+    * directories whose last referencing snapshot was
     * [[expireCommits]]'d. Time travel to a retained commit always
-    * resolves; expiry, not vacuum, is the retention decision. Returns
-    * (data dirs, delete dirs) swept. */
+    * resolves; expiry, not vacuum, is the retention decision.
+    *
+    * Safe against in-flight writers: directories are LISTED FIRST and
+    * liveness resolved AFTER — every writer announces its label (a
+    * pending sidecar, written before its first data byte) and commits
+    * before un-announcing, so any directory this listing saw is
+    * either announced (sidecar read below sees it), committed (the
+    * fresh manifest/snapshot read below names it), or a true orphan.
+    * The Iceberg analogue is remove_orphan_files' `older_than`
+    * horizon; announcement does the same job deterministically.
+    * Returns (data dirs, delete dirs) swept. */
   def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
+    def list(root: String): Seq[org.apache.hadoop.fs.Path] = {
+      val (fs, p) = StoreIO.hadoopFs(spark, root)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch=")).toSeq
+    }
+    val hasDel = meta(spark, dir).delKeys.nonEmpty
+    val dataCandidates = list(dataPath(dir))
+    val delCandidates = if (hasDel) list(s"${delPath(dir)}/deletes") else Nil
+    // keep-state read strictly after the listing (see scaladoc)
     val man = manifest(spark, dir)
     val retained = listCommits(spark, dir).map(commitAt(spark, dir, _))
-    val keepData = (man.live ++ retained.flatMap(_.manifest.live)).toSet
-    def sweep(root: String, keep: Set[String]): Int = {
-      val (fs, p) = StoreIO.hadoopFs(spark, root)
-      if (!fs.exists(p)) 0
-      else {
-        val victims = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-          .filter(_.getName.startsWith("batch="))
-          .filterNot(d => keep.contains(d.getName.stripPrefix("batch=")))
-        victims.foreach(fs.delete(_, true))
-        victims.length
+    val pending = pendingLabels(spark, dir)
+    val keepData = (man.live ++ retained.flatMap(_.manifest.live)).toSet ++
+      pending.getOrElse("append", Set.empty) ++
+      pending.getOrElse("retire", Set.empty)
+    def sweep(victims: Seq[org.apache.hadoop.fs.Path],
+        keep: Set[String]): Int = {
+      val dead = victims
+        .filterNot(d => keep.contains(d.getName.stripPrefix("batch=")))
+      dead.foreach { d =>
+        val (fs, p) = StoreIO.hadoopFs(spark, d.toString)
+        fs.delete(p, true)
       }
+      dead.length
     }
-    val dataSwept = sweep(dataPath(dir), keepData)
+    val dataSwept = sweep(dataCandidates, keepData)
     val delSwept =
-      if (meta(spark, dir).delKeys.isEmpty) 0
+      if (!hasDel) 0
       else {
         // the delete store's own vacuum keeps only ITS live set; here
-        // retained table snapshots pin delete labels too
+        // retained table snapshots and in-flight delete() announcements
+        // pin delete labels too
         val keepDel = (DeleteStore.manifest(spark, delPath(dir)).live ++
-          retained.flatMap(_.delLive)).toSet
-        sweep(s"${delPath(dir)}/deletes", keepDel)
+          retained.flatMap(_.delLive)).toSet ++
+          pending.getOrElse("delete", Set.empty)
+        sweep(delCandidates, keepDel)
       }
     (dataSwept, delSwept)
   }

@@ -94,7 +94,7 @@ object LmScore {
     docs.select($"doc_id", $"text").where($"text".isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        t.toLowerCase.split(' ').sliding(2).withFilter(_.length == 2)
+        graft.functions.TextFunctions.jvmTokens(t).sliding(2).withFilter(_.length == 2)
           .map(g => (id, g.mkString(" "), g(1)))
       }
       .toDF("doc_id", "bigram", "w2")
@@ -108,7 +108,7 @@ object LmScore {
     docTokCache.getOrElseUpdate(docs.queryExecution.analyzed.canonicalized) {
       val df = docs.select($"doc_id", $"text").where($"text".isNotNull)
         .as[(Long, String)]
-        .flatMap { case (id, t) => t.toLowerCase.split(' ').iterator.map((id, _)) }
+        .flatMap { case (id, t) => graft.functions.TextFunctions.jvmTokens(t).iterator.map((id, _)) }
         .toDF("doc_id", "tok")
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("u_doc"))
         .cache()

@@ -390,7 +390,7 @@ object TextAnalysis {
     Tables.documents(spark, d)
       .where($"text".isNotNull)
       .select($"text").as[String]
-      .flatMap(t => t.toLowerCase.split(' ').sliding(2)
+      .flatMap(t => jvmTokens(t).sliding(2)
         .withFilter(_.length == 2).map(_.mkString(" ")))
       .toDF("bigram")
       .groupBy($"bigram").agg(count(lit(1)).as("n"))
@@ -456,7 +456,7 @@ object TextAnalysis {
       docs
         .where($"text".isNotNull)
         .select($"text").as[String]
-        .flatMap(t => t.toLowerCase.split(' ').sliding(2)
+        .flatMap(t => jvmTokens(t).sliding(2)
           .withFilter(_.length == 2).map(g => (g.mkString(" "), g(0), g(1))))
         .toDF("bigram", "tok_a", "tok_b")
         .groupBy($"bigram", $"tok_a", $"tok_b")
@@ -613,7 +613,7 @@ object TextAnalysis {
         it.flatMap { case (id, t) =>
           // same tokenize as the counts side (bigramCountsOf): plain
           // toLowerCase + single-char split, bigram = "tokA tokB"
-          val toks = t.toLowerCase.split(' ')
+          val toks = jvmTokens(t)
           var nb = 0; var nf = 0; var i = 0
           while (i + 1 < toks.length) {
             nb += 1
@@ -757,7 +757,7 @@ object TextAnalysis {
       val kgrams = docs.where($"text".isNotNull)
         .select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (id, text) =>
-          text.toLowerCase.split(' ').sliding(k)
+          jvmTokens(text).sliding(k)
             .withFilter(_.length == k).zipWithIndex
             .map { case (g, i) => (id, i, polyHash(g.mkString(" "))) }
         }

@@ -235,10 +235,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert("WindowExec|Window ".r.findAllIn(plan).nonEmpty, plan)
   }
 
-  test("q104 familiarity broadcasts the corpus stats and keeps partial aggs") {
+  test("q104 familiarity is map-only: no join, no aggregation exchange") {
     val plan = planOf(queries.TrainingData.q104Familiarity(spark, sfDir))
+    // the r14 kernel scores each doc in one pass against a broadcast
+    // familiar set: the only exchange left is the output sort, and the
+    // scan reads exactly (doc_id, text)
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("partial_count") || plan.contains("partial"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan) // rangepartitioning
+    assert(plan.contains("rangepartitioning(doc_id"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
   test("q122 CDC dedup: scan-side chunking, one hash shuffle, bounded top-k") {

@@ -121,6 +121,73 @@ class GraftTableConcurrencySpec extends SparkSpec {
     assert(travKeys == got)
   }
 
+  test("vacuum during an in-flight optimize must not sweep the announced rewrite dir") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    val before = sortedRows(read(spark, dir))
+    // vacuum fires in the widest window: rewrite dir fully written,
+    // commit not yet — without the announcement it would sweep
+    // batch=opt-1 as an orphan and the commit would point at nothing
+    optimize(spark, dir, "opt-1", beforeCommit = () => {
+      vacuum(spark, dir)
+      assert(new java.io.File(s"$dir/data/batch=opt-1").exists(),
+        "vacuum swept the in-flight rewrite directory")
+    })
+    assert(manifest(spark, dir).live == Seq("opt-1"))
+    assert(sortedRows(read(spark, dir)) == before,
+      "optimize+concurrent vacuum changed the table")
+  }
+
+  test("vacuum during an in-flight append must not sweep the announced batch dir") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    val extra = li.orderBy($"l_orderkey", $"l_linenumber").limit(50)
+      .withColumn("l_orderkey", $"l_orderkey" + 2000000L)
+    val expect = (sortedRows(read(spark, dir)) ++ sortedRows(extra)).sorted
+    append(extra, dir, "b3", beforeCommit = () => {
+      vacuum(spark, dir)
+      assert(new java.io.File(s"$dir/data/batch=b3").exists(),
+        "vacuum swept the in-flight append directory")
+    })
+    assert(sortedRows(read(spark, dir)) == expect,
+      "append+concurrent vacuum lost the batch")
+  }
+
+  test("a commit snapshot orphaned ABOVE the pointer does not satisfy the delete replay") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
+    append(li, dir, "b1") // commit 2
+    val keys = li.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(3)
+    intercept[RuntimeException] {
+      delete(keys, dir, "erase-1",
+        beforeCommit = () => throw new RuntimeException("crash"))
+    }
+    // simulate the worst replay environment: a commitManifest that died
+    // BETWEEN its snapshot write and its pointer swap left an orphan
+    // c3 with the right kind+label — visible to listCommits, invisible
+    // to manifest.commit. The replay must not count it as done.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_commits"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_commits/c3.json"),
+      """{"commit":3,"applied":["b1"],"live":["b1"],""" +
+        """"kind":"delete","label":"erase-1","delLive":["erase-1"],""" +
+        """"retired":[]}""")
+    assert(manifest(spark, dir).commit == 2L)
+    delete(keys, dir, "erase-1") // replay
+    val man = manifest(spark, dir)
+    assert(man.commit == 3L, "replay did not repair the lost table commit")
+    assert(commitAt(spark, dir, 3L).kind == "delete")
+    // the CDC window sees the delete exactly once
+    val w = changesBetween(spark, dir, 2L, 3L)
+    assert(w.where($"_change_type" === "delete").count() > 0)
+  }
+
   test("delete() crash between the delete-store commit and the table commit converges on replay") {
     import spark.implicits._
     val dir = tmp()

@@ -87,9 +87,18 @@ class SkippingScanSpec extends SparkSpec {
       .where($"l_orderkey" === someKey)
     val expect = spark.read.parquet(s"$root/table")
       .where($"l_orderkey" === someKey)
-    // ~4 line items per order → at most ~4 files hold the key (+FP)
+    // the key's TRUE file spread is layout-dependent (repartitionByRange
+    // samples its boundaries, so the spread can vary run to run — a
+    // fixed "<= 5" bound flaked at spread 4 + 2 FPs); assert against
+    // the measured spread plus a small false-positive allowance, and
+    // that pruning actually happened
+    val spread = spark.read.parquet(s"$root/table")
+      .where($"l_orderkey" === someKey)
+      .select(input_file_name()).distinct().count()
     val n = filesRead(got)
-    assert(n <= 5, s"bloom equality read $n of 8 files")
+    assert(n < 8, s"bloom equality pruned nothing ($n of 8 files)")
+    assert(n <= spread + 2,
+      s"bloom equality read $n files for a key spread over $spread")
     assert(sortedRows(got) == sortedRows(expect))
     assert(got.count() > 0)
   }
