@@ -63,14 +63,21 @@ object DeleteStore {
     // empty frame (so hasDataFiles alone would commit a no-op label,
     // growing the live list — and the per-read listing — forever)
     if (keyed.isEmpty) return
+    // announce before writing (StoreIO's shared protocol) so a
+    // concurrent [[vacuum]] never sweeps the in-flight directory
+    StoreIO.writePending(spark, dir, "append", label)
     keyed.write.mode(SaveMode.Overwrite)
       .parquet(s"${deletesPath(dir)}/batch=$label")
-    if (!hasDataFiles(spark, s"${deletesPath(dir)}/batch=$label")) return
+    if (!hasDataFiles(spark, s"${deletesPath(dir)}/batch=$label")) {
+      StoreIO.clearPending(spark, dir, "append", label)
+      return
+    }
     beforeCommit()
     val fresh = manifest(spark, dir)
     if (!fresh.applied.contains(label))
       writeManifest(spark, dir,
         Manifest(fresh.applied :+ label, fresh.live :+ label))
+    StoreIO.clearPending(spark, dir, "append", label) // success path only
   }
 
   /** Every live delete key (the frame [[morRead]] anti-joins). */
@@ -137,11 +144,13 @@ object DeleteStore {
     require(!man.applied.contains(intoLabel),
       s"compact label '$intoLabel' must be new (applied: ${man.applied.mkString(",")})")
     require(man.live.nonEmpty, "nothing to compact: the store is empty")
+    StoreIO.writePending(spark, dir, "compact", intoLabel) // announce
     liveDeletes(spark, dir).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${deletesPath(dir)}/batch=$intoLabel")
     writeManifest(spark, dir,
       Manifest(man.applied :+ intoLabel, Seq(intoLabel)))
+    StoreIO.clearPending(spark, dir, "compact", intoLabel)
   }
 
   /** After [[RowDeletes.materialize]] rewrote the data, the applied
@@ -168,13 +177,21 @@ object DeleteStore {
     * reset-away batches). Returns the count swept. */
   def vacuum(spark: SparkSession, dir: String): Int = {
     import org.apache.hadoop.fs.Path
-    val man = manifest(spark, dir)
     val root = new Path(deletesPath(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    val victims = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    // list first, resolve liveness after (see StoreIO's announce
+    // protocol): an in-flight append/compact is announced before its
+    // first data byte, so it is never mistaken for an orphan
+    val candidates = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("batch="))
-      .filterNot(p => man.live.contains(p.getName.stripPrefix("batch=")))
+    val man = manifest(spark, dir)
+    val pending = StoreIO.pendingLabels(spark, dir)
+    val keep = man.live.toSet ++
+      pending.getOrElse("append", Set.empty) ++
+      pending.getOrElse("compact", Set.empty)
+    val victims = candidates
+      .filterNot(p => keep.contains(p.getName.stripPrefix("batch=")))
     victims.foreach(fs.delete(_, true))
     victims.length
   }

@@ -44,50 +44,13 @@ object GraftTable {
   private def manifestPath(dir: String) = s"$dir/_live.json"
   private def commitPath(dir: String, c: Long) = s"$dir/_commits/c$c.json"
 
-  // ---- PENDING sidecars: every in-flight write announces itself ------
-  // One protocol, three kinds: `append` (data dir being written),
-  // `delete` (two-store commit bridge), `retire` (optimize rewrite +
-  // its epilogue's retire set). The sidecar is written BEFORE the data
-  // it protects and removed after the commit/epilogue, so [[vacuum]]
-  // can tell an in-flight directory from a crashed orphan — the same
-  // job Iceberg's remove_orphan_files `older_than` horizon does by
-  // time, done here by announcement (deterministic, so the interleaving
-  // specs can pin it). A sidecar whose writer crashed keeps its orphan
-  // dir alive until the label is replayed (which converges and cleans
-  // it) — bounded garbage, never a swept-out-from-under writer.
-
-  private def pendingPath(dir: String, kind: String, label: String) =
-    s"$dir/_pending_${kind}_$label.json"
-
-  private def writePending(spark: SparkSession, dir: String, kind: String,
-      label: String, body: String = ""): Unit =
-    writeString(spark, pendingPath(dir, kind, label),
-      if (body.nonEmpty) body else s"""{"label":"$label"}""", atomic = true)
-
-  private def pendingExists(spark: SparkSession, dir: String, kind: String,
-      label: String): Boolean = {
-    val (fs, p) = StoreIO.hadoopFs(spark, pendingPath(dir, kind, label))
-    fs.exists(p)
-  }
-
-  private def clearPending(spark: SparkSession, dir: String, kind: String,
-      label: String): Unit = {
-    val (fs, p) = StoreIO.hadoopFs(spark, pendingPath(dir, kind, label))
-    if (fs.exists(p)) { fs.delete(p, false); () }
-  }
-
-  /** Labels with ANY standing pending sidecar, by kind — the in-flight
-    * announcements [[vacuum]] must not sweep. */
-  private def pendingLabels(spark: SparkSession,
-      dir: String): Map[String, Set[String]] = {
-    val (fs, root) = StoreIO.hadoopFs(spark, dir)
-    if (!fs.exists(root)) return Map.empty
-    val re = """_pending_(append|delete|retire)_(.+)\.json""".r
-    fs.listStatus(root).iterator.filterNot(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case re(kind, label) => (kind, label) }
-      .toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-  }
+  // PENDING sidecars ([[StoreIO]]'s shared announce protocol), three
+  // kinds here: `append` (data dir being written), `delete` (two-store
+  // commit bridge), `retire` (optimize rewrite + its epilogue's retire
+  // set). Written BEFORE the data they protect, removed after the
+  // commit/epilogue, honored by [[vacuum]].
+  import StoreIO.{clearPending, pendingExists, pendingLabels, pendingPath,
+    writePending}
 
   /** Initialize an empty table. `zoneCols` get min/max/value-count
     * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
@@ -518,11 +481,15 @@ object GraftTable {
       if (!hasDel) 0
       else {
         // the delete store's own vacuum keeps only ITS live set; here
-        // retained table snapshots and in-flight delete() announcements
-        // pin delete labels too
+        // retained table snapshots and in-flight announcements (the
+        // table-level delete() bridge AND the delete store's own
+        // append/compact sidecars) pin delete labels too
+        val delPending = pendingLabels(spark, delPath(dir))
         val keepDel = (DeleteStore.manifest(spark, delPath(dir)).live ++
           retained.flatMap(_.delLive)).toSet ++
-          pending.getOrElse("delete", Set.empty)
+          pending.getOrElse("delete", Set.empty) ++
+          delPending.getOrElse("append", Set.empty) ++
+          delPending.getOrElse("compact", Set.empty)
         sweep(delCandidates, keepDel)
       }
     (dataSwept, delSwept)

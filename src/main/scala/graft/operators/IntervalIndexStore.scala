@@ -135,6 +135,9 @@ object IntervalIndexStore {
     require(label != "base", "label 'base' is reserved")
     if (manifest(spark, dir).live.contains(label))
       return // committed = immutable; replay no-op
+    // announce before writing (StoreIO's shared protocol) so a
+    // concurrent [[vacuum]] never sweeps the in-flight directory
+    StoreIO.writePending(spark, dir, "append", label)
     writeBatch(delta, dir, m.key, m.start, m.end, m.bandSeconds, m.openEnded,
       m.maxBands, label)
     val labelDir = s"${intervalsPath(dir)}/ingest_batch=$label"
@@ -143,6 +146,7 @@ object IntervalIndexStore {
       // label would poison the live read once it is the last one left
       val (fs, p) = hadoopFs(spark, labelDir)
       fs.delete(p, true)
+      StoreIO.clearPending(spark, dir, "append", label)
       return
     }
     // the parquet write can take minutes: commit against a FRESH read of
@@ -154,6 +158,7 @@ object IntervalIndexStore {
     if (!man.live.contains(label))
       writeManifest(spark, dir, man.copy(version = man.version + 1,
         live = man.live :+ label))
+    StoreIO.clearPending(spark, dir, "append", label) // success path only
   }
 
   private def writeBatch(intervals: DataFrame, dir: String, key: String,
@@ -336,9 +341,11 @@ object IntervalIndexStore {
     val merged = liveStore(spark, dir).drop("ingest_batch")
     require(!merged.isEmpty,
       "store is empty after the expiry floor; rebuild instead of compacting")
+    StoreIO.writePending(spark, dir, "compact", intoLabel) // announce
     merged.write.mode(SaveMode.Overwrite).partitionBy("band")
       .parquet(s"${intervalsPath(dir)}/ingest_batch=$intoLabel")
     writeManifest(spark, dir, man.copy(version = man.version + 1, live = Seq(intoLabel)))
+    StoreIO.clearPending(spark, dir, "compact", intoLabel)
   }
 
   /** M2 for the store: LOGICAL retention — time slices strictly older
@@ -368,18 +375,30 @@ object IntervalIndexStore {
     * (orphan label dirs deleted, expired band dirs deleted). */
   def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    val man = manifest(spark, dir)
     val root = new Path(intervalsPath(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
+    // list first, resolve liveness after (StoreIO's announce protocol):
+    // an in-flight append/compact announced itself before its first
+    // data byte, so it is never mistaken for an orphan
     val labelDirs = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("ingest_batch="))
+    val man = manifest(spark, dir)
+    val pending = StoreIO.pendingLabels(spark, dir)
+    val keep = man.live.toSet ++
+      pending.getOrElse("append", Set.empty) ++
+      pending.getOrElse("compact", Set.empty)
     val (live, orphan) = labelDirs.partition(p =>
+      keep.contains(p.getName.stripPrefix("ingest_batch=")))
+    // the expired-band sweep runs only over COMMITTED labels: an
+    // announced-but-uncommitted append is protected wholesale (its
+    // writer is still laying band dirs down)
+    val committed = live.filter(p =>
       man.live.contains(p.getName.stripPrefix("ingest_batch=")))
     val (expired, kept) = man.minBand.fold(
         (Array.empty[Path], Array.empty[Path])) { floor =>
-      live.flatMap(l => fs.listStatus(l).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith("band=")))
+      committed.flatMap(l => fs.listStatus(l).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("band=")))
         .partition { p =>
           val b = p.getName.stripPrefix("band=").toLong
           b != OpenBand && b < floor // open rows never expire

@@ -74,6 +74,13 @@ object ScdStore {
     val man = manifest(spark, dir)
     if (man.applied.contains(label)) return // committed = immutable
     val m = meta(spark, dir)
+    // announce BOTH directories this batch writes (StoreIO's shared
+    // protocol) so a concurrent [[vacuum]] can tell them from crashed
+    // orphans — without it, a vacuum racing the writes sweeps the
+    // fully-written history/current dirs and the commit below points
+    // at deleted data
+    StoreIO.writePending(spark, dir, "batch", label)
+    StoreIO.writePending(spark, dir, "current", s"v${man.version + 1}")
     // `materialize = localCheckpoint` pins the windowed merge to ONE
     // execution shared by both writes (and detaches them from a
     // current version the commit below is about to supersede)
@@ -100,6 +107,10 @@ object ScdStore {
         Manifest(man.version + 1, fresh.applied :+ label,
           fresh.histLive :+ label, fresh.commit + 1), "batch", label)
     }
+    // success path only: a crash leaves the announcements standing so
+    // vacuum keeps shielding the orphans until the label is replayed
+    StoreIO.clearPending(spark, dir, "batch", label)
+    StoreIO.clearPending(spark, dir, "current", s"v${man.version + 1}")
   }
 
   /** The live current partition (≈ one row per key, `valid_to` NULL). */
@@ -243,6 +254,7 @@ object ScdStore {
     requireLabel(intoLabel)
     require(!man.applied.contains(intoLabel),
       s"compact label '$intoLabel' must be new (applied: ${man.applied.mkString(",")})")
+    StoreIO.writePending(spark, dir, "batch", intoLabel) // announce
     spark.read
       .option("basePath", historyPath(dir))
       .parquet(man.histLive.map(l => s"${historyPath(dir)}/batch=$l"): _*)
@@ -254,6 +266,7 @@ object ScdStore {
     commitManifest(spark, dir,
       Manifest(man.version, man.applied :+ intoLabel, Seq(intoLabel),
         man.commit + 1), "compact", intoLabel)
+    StoreIO.clearPending(spark, dir, "batch", intoLabel)
   }
 
   /** M3: delete history labels and current versions neither the live
@@ -264,27 +277,35 @@ object ScdStore {
     * Returns (history dirs, current dirs) deleted. */
   def vacuum(spark: SparkSession, dir: String): (Int, Int) = {
     import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    // candidate dirs LISTED FIRST, liveness resolved AFTER: writers
+    // announce their labels (StoreIO pending sidecars) before writing,
+    // so any dir this listing saw is announced, committed (the fresh
+    // manifest/snapshot read below names it), or a true orphan
+    def list(root: String): Seq[Path] = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    }
+    val histCandidates = list(historyPath(dir))
+    val curCandidates = list(s"$dir/current")
     val man = manifest(spark, dir)
     val retained = listCommits(spark, dir).map(commitAt(spark, dir, _))
       .map(_.manifest)
-    val keepHist = (man.histLive ++ retained.flatMap(_.histLive)).toSet
+    val pending = StoreIO.pendingLabels(spark, dir)
+    val keepHist = (man.histLive ++ retained.flatMap(_.histLive)).toSet ++
+      pending.getOrElse("batch", Set.empty)
     val keepVers = (retained.map(_.version) :+ man.version)
-      .map(v => s"v$v").toSet
-    val conf = spark.sparkContext.hadoopConfiguration
-    def sweep(root: String, keep: String => Boolean): Int = {
-      val p = new Path(root)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) 0
-      else {
-        val victims = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-          .filterNot(d => keep(d.getName))
-        victims.foreach(fs.delete(_, true))
-        victims.length
-      }
+      .map(v => s"v$v").toSet ++ pending.getOrElse("current", Set.empty)
+    def sweep(victims: Seq[Path], keep: String => Boolean): Int = {
+      val dead = victims.filterNot(d => keep(d.getName))
+      dead.foreach(d => d.getFileSystem(conf).delete(d, true))
+      dead.length
     }
-    val h = sweep(historyPath(dir),
+    val h = sweep(histCandidates,
       n => keepHist.contains(n.stripPrefix("batch=")))
-    val c = sweep(s"$dir/current", keepVers.contains)
+    val c = sweep(curCandidates, keepVers.contains)
     (h, c)
   }
 

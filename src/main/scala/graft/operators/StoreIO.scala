@@ -81,6 +81,53 @@ private[graft] object StoreIO {
     require(ColRx.matches(c),
       s"column name '$c' must match ${ColRx.regex} (it is stored in _meta.json and spliced into SQL)")
 
+  // ---- PENDING announce protocol (shared by every store that vacuums) --
+  // A writer ANNOUNCES its label with a sidecar written before its
+  // first data byte and un-announces only after its commit (or
+  // epilogue); vacuum lists candidate directories FIRST and resolves
+  // liveness AFTER, keeping announced labels — so any directory a
+  // listing saw is either announced, committed (the post-listing
+  // manifest/snapshot read names it), or a true orphan. This is the
+  // deterministic analogue of Iceberg remove_orphan_files'
+  // `older_than` horizon: without it, a vacuum racing a writer can
+  // sweep a fully-written-but-not-yet-committed directory and leave
+  // the subsequent commit pointing at deleted data. A sidecar whose
+  // writer crashed keeps its orphan alive until the label is replayed
+  // (which re-announces, commits, and clears) — bounded garbage,
+  // never a swept-out-from-under writer.
+
+  def writePending(spark: SparkSession, dir: String, kind: String,
+      label: String, body: String = ""): Unit =
+    writeString(spark, pendingPath(dir, kind, label),
+      if (body.nonEmpty) body else s"""{"label":"$label"}""", atomic = true)
+
+  def pendingPath(dir: String, kind: String, label: String): String =
+    s"$dir/_pending_${kind}_$label.json"
+
+  def pendingExists(spark: SparkSession, dir: String, kind: String,
+      label: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, pendingPath(dir, kind, label))
+    fs.exists(p)
+  }
+
+  def clearPending(spark: SparkSession, dir: String, kind: String,
+      label: String): Unit = {
+    val (fs, p) = hadoopFs(spark, pendingPath(dir, kind, label))
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Labels with ANY standing pending sidecar under `dir`, by kind. */
+  def pendingLabels(spark: SparkSession,
+      dir: String): Map[String, Set[String]] = {
+    val (fs, root) = hadoopFs(spark, dir)
+    if (!fs.exists(root)) return Map.empty
+    val re = """_pending_([a-z]+)_(.+)\.json""".r
+    fs.listStatus(root).iterator.filterNot(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case re(kind, label) => (kind, label) }
+      .toSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+  }
+
   /** Session-teardown deletion of a store's local temp dirs. java.nio
     * on purpose (not the Hadoop idiom above): teardown may run after
     * `spark.stop()`, and the caches only ever hold local temp dirs the

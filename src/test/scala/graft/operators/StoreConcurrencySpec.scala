@@ -191,6 +191,71 @@ class StoreConcurrencySpec extends SparkSpec {
       == heldB, "vacuum changed what a fresh lookup returns")
   }
 
+  test("ScdStore: vacuum during an in-flight applyBatch must not sweep the announced dirs") {
+    import spark.implicits._
+    val dir = tmp("scd-vac-")
+    val cut = lit("2024-01-16").cast("timestamp")
+    ScdStore.init(scdLog.where($"ts" < cut), dir, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    // vacuum fires in the widest window: history delta + next current
+    // version fully written, manifest not yet swapped — without the
+    // announcement both dirs are sweepable orphans and the commit
+    // below would point at deleted data
+    ScdStore.applyBatch(scdLog.where($"ts" >= cut), dir, "b1",
+      beforeCommit = () => {
+        ScdStore.vacuum(spark, dir)
+        assert(new java.io.File(s"$dir/history/batch=b1").exists(),
+          "vacuum swept the in-flight history delta")
+        assert(new java.io.File(s"$dir/current/v2").exists(),
+          "vacuum swept the in-flight current version")
+      })
+    // the batch committed and serves the full compression
+    val full = ScdMerge.compress(scdLog, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    assert(rows(ScdStore.table(spark, dir)) == rows(full),
+      "applyBatch+concurrent vacuum lost data")
+  }
+
+  test("DeleteStore: vacuum during an in-flight append must not sweep the announced dir") {
+    import spark.implicits._
+    val dir = tmp("del-vac-")
+    DeleteStore.init(spark, dir, Seq("l_orderkey"))
+    DeleteStore.append(liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(3), dir, "d1")
+    val keys2 = liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey".desc).limit(3)
+    DeleteStore.append(keys2, dir, "d2", beforeCommit = () => {
+      DeleteStore.vacuum(spark, dir)
+      assert(new java.io.File(s"$dir/deletes/batch=d2").exists(),
+        "vacuum swept the in-flight delete batch")
+    })
+    assert(DeleteStore.manifest(spark, dir).live == Seq("d1", "d2"))
+    assert(DeleteStore.liveDeletes(spark, dir).count() == 6)
+  }
+
+  test("IntervalIndexStore: an announced uncommitted dir survives vacuum; un-announced it is swept") {
+    import spark.implicits._
+    val dir = tmp("ivl-vac-")
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 86400)
+    // simulate the in-flight window append() occupies: sidecar written,
+    // data dir on disk, manifest not yet swapped
+    StoreIO.writePending(spark, dir, "append", "torn")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/intervals/ingest_batch=base")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/intervals/ingest_batch=torn")
+    org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+      dst.getFileSystem(conf), dst, false, conf)
+    val (orphans1, _) = IntervalIndexStore.vacuum(spark, dir)
+    assert(orphans1 == 0, "vacuum swept an announced in-flight dir")
+    assert(dst.getFileSystem(conf).exists(dst))
+    // writer crashed for good and the label was never replayed: once
+    // the announcement is cleared the dir is a true orphan again
+    StoreIO.clearPending(spark, dir, "append", "torn")
+    val (orphans2, _) = IntervalIndexStore.vacuum(spark, dir)
+    assert(orphans2 == 1)
+  }
+
   test("IntervalIndexStore: a written-but-uncommitted label dir is invisible to lookups") {
     import spark.implicits._
     val dir = tmp("ivl-torn-")
