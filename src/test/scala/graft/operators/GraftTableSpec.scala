@@ -512,6 +512,29 @@ class GraftTableSpec extends SparkSpec {
     assert(row.getAs[Long]("indexed_files") > 0L)
   }
 
+  test("optimize after a FULL erasure leaves a readable empty table") {
+    import spark.implicits._
+    // the GDPR shape: every key deleted, then the rewrite folds the
+    // deletes in — the folded batch is empty but must stay readable
+    // (Spark writes a schema-bearing empty parquet file), through
+    // read(), the pruned read, and fresh appends afterwards
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("part"), deleteKeys = Seq("id"))
+    append((0 until 10).map(i => (i.toLong, i.toLong % 3, 1L))
+      .toDF("id", "part", "qty"), dir, "b1")
+    delete((0 until 10).map(_.toLong).toDF("id"), dir, "e1")
+    assert(read(spark, dir).count() == 0)
+    optimize(spark, dir, "opt1", nFiles = 2)
+    assert(manifest(spark, dir).live == Seq("opt1"))
+    assert(read(spark, dir).count() == 0)
+    assert(readWhere(spark, dir,
+      ranges = Seq(ColumnRange("part", Some(0L), Some(9L)))).count() == 0)
+    // life goes on: a fresh append (re-inserting erased keys) is
+    // visible — the optimize retired the delete batch with its data
+    append(Seq((3L, 1L, 7L)).toDF("id", "part", "qty"), dir, "b2")
+    assert(read(spark, dir).select($"id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("tables without deleteKeys skip the delete machinery; delete() is rejected") {
     import spark.implicits._
     val dir = tmp()
