@@ -57,7 +57,12 @@ object DeleteStore {
     val spark = deletes.sparkSession
     requireLabel(label)
     val m = meta(spark, dir)
-    if (manifest(spark, dir).applied.contains(label)) return
+    if (manifest(spark, dir).applied.contains(label)) {
+      // replay of a committed label: clear a crash-leaked sidecar so
+      // the superseded dir stays sweepable (see StoreIO's protocol)
+      StoreIO.clearPending(spark, dir, "append", label)
+      return
+    }
     val keyed = deletes.select(m.keys.map(col): _*)
     // rows, not files: Spark writes one EMPTY parquet file for an
     // empty frame (so hasDataFiles alone would commit a no-op label,
@@ -180,19 +185,26 @@ object DeleteStore {
     val root = new Path(deletesPath(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
-    // list first, resolve liveness after (see StoreIO's announce
-    // protocol): an in-flight append/compact is announced before its
-    // first data byte, so it is never mistaken for an orphan
+    // list first, resolve liveness after — and PENDING BEFORE the
+    // manifest (StoreIO's announce protocol): a writer un-announces
+    // only after its commit, so a sidecar gone by this read means the
+    // later manifest read sees the commit; manifest-first would let a
+    // commit+un-announce slip between the two reads and the committed
+    // dir be seen by neither
     val candidates = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("batch="))
-    val man = manifest(spark, dir)
     val pending = StoreIO.pendingLabels(spark, dir)
+    val man = manifest(spark, dir)
     val keep = man.live.toSet ++
       pending.getOrElse("append", Set.empty) ++
       pending.getOrElse("compact", Set.empty)
     val victims = candidates
       .filterNot(p => keep.contains(p.getName.stripPrefix("batch=")))
     victims.foreach(fs.delete(_, true))
+    // crash-leaked sidecars of committed labels are stale — clear them
+    // so superseded dirs stay sweepable
+    StoreIO.clearCommittedPending(spark, dir, pending,
+      (_, l) => man.applied.contains(l))
     victims.length
   }
 

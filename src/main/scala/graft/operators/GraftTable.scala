@@ -81,7 +81,13 @@ object GraftTable {
     val spark = df.sparkSession
     requireLabel(label)
     val m = meta(spark, dir)
-    if (manifest(spark, dir).applied.contains(label)) return
+    if (manifest(spark, dir).applied.contains(label)) {
+      // replay of a committed label: clear a sidecar a crash between
+      // the commit and the un-announce may have left, or the (live,
+      // later superseded) directory is shielded from vacuum forever
+      clearPending(spark, dir, "append", label)
+      return
+    }
     (m.zoneCols ++ m.bloomCols).foreach(c => require(df.columns.contains(c),
       s"append is missing indexed column '$c'"))
     require(!df.columns.contains("batch"),
@@ -459,10 +465,15 @@ object GraftTable {
     val hasDel = meta(spark, dir).delKeys.nonEmpty
     val dataCandidates = list(dataPath(dir))
     val delCandidates = if (hasDel) list(s"${delPath(dir)}/deletes") else Nil
-    // keep-state read strictly after the listing (see scaladoc)
+    // keep-state reads strictly after the listing, and PENDING BEFORE
+    // the manifest: a writer un-announces only after its commit, so a
+    // sidecar gone by this read means the commit exists by the (later)
+    // manifest/snapshot read. Reading the manifest first would open a
+    // window where a writer commits and un-announces in between and
+    // its committed directory is seen by neither.
+    val pending = pendingLabels(spark, dir)
     val man = manifest(spark, dir)
     val retained = listCommits(spark, dir).map(commitAt(spark, dir, _))
-    val pending = pendingLabels(spark, dir)
     val keepData = (man.live ++ retained.flatMap(_.manifest.live)).toSet ++
       pending.getOrElse("append", Set.empty) ++
       pending.getOrElse("retire", Set.empty)
@@ -483,15 +494,24 @@ object GraftTable {
         // the delete store's own vacuum keeps only ITS live set; here
         // retained table snapshots and in-flight announcements (the
         // table-level delete() bridge AND the delete store's own
-        // append/compact sidecars) pin delete labels too
+        // append/compact sidecars) pin delete labels too — pending
+        // read before the store manifest, same order argument as above
         val delPending = pendingLabels(spark, delPath(dir))
-        val keepDel = (DeleteStore.manifest(spark, delPath(dir)).live ++
+        val delMan = DeleteStore.manifest(spark, delPath(dir))
+        val keepDel = (delMan.live ++
           retained.flatMap(_.delLive)).toSet ++
           pending.getOrElse("delete", Set.empty) ++
           delPending.getOrElse("append", Set.empty) ++
           delPending.getOrElse("compact", Set.empty)
         sweep(delCandidates, keepDel)
       }
+    // crash-leaked sidecars whose label PROVABLY committed are stale —
+    // clear them so the (eventually superseded) dirs stay sweepable.
+    // "retire" is NOT clearable here (it carries the retire set until
+    // optimize's epilogue runs), and "delete" is NOT (it bridges the
+    // two-store commit until the table-level commit is repaired).
+    StoreIO.clearCommittedPending(spark, dir, pending,
+      (kind, l) => kind == "append" && man.applied.contains(l))
     (dataSwept, delSwept)
   }
 

@@ -133,8 +133,12 @@ object IntervalIndexStore {
     val m = meta(spark, dir)
     requireLabel(label)
     require(label != "base", "label 'base' is reserved")
-    if (manifest(spark, dir).live.contains(label))
+    if (manifest(spark, dir).live.contains(label)) {
+      // replay of a committed label: clear a crash-leaked sidecar so
+      // the superseded dir stays sweepable (see StoreIO's protocol)
+      StoreIO.clearPending(spark, dir, "append", label)
       return // committed = immutable; replay no-op
+    }
     // announce before writing (StoreIO's shared protocol) so a
     // concurrent [[vacuum]] never sweeps the in-flight directory
     StoreIO.writePending(spark, dir, "append", label)
@@ -346,6 +350,13 @@ object IntervalIndexStore {
       .parquet(s"${intervalsPath(dir)}/ingest_batch=$intoLabel")
     writeManifest(spark, dir, man.copy(version = man.version + 1, live = Seq(intoLabel)))
     StoreIO.clearPending(spark, dir, "compact", intoLabel)
+    // a PRIOR compact's crash-leaked sidecar names a label this commit
+    // just superseded (single writer: no other compact is in flight) —
+    // clear it here, since the live-only manifest gives vacuum no
+    // ledger to prove it stale by
+    StoreIO.pendingLabels(spark, dir).getOrElse("compact", Set.empty)
+      .filterNot(_ == intoLabel)
+      .foreach(l => StoreIO.clearPending(spark, dir, "compact", l))
   }
 
   /** M2 for the store: LOGICAL retention — time slices strictly older
@@ -378,13 +389,15 @@ object IntervalIndexStore {
     val root = new Path(intervalsPath(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
-    // list first, resolve liveness after (StoreIO's announce protocol):
-    // an in-flight append/compact announced itself before its first
-    // data byte, so it is never mistaken for an orphan
+    // list first, resolve liveness after — and PENDING BEFORE the
+    // manifest (StoreIO's announce protocol): a writer un-announces
+    // only after its commit, so manifest-first would let a
+    // commit+un-announce slip between the reads and the committed dir
+    // be seen by neither
     val labelDirs = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith("ingest_batch="))
-    val man = manifest(spark, dir)
     val pending = StoreIO.pendingLabels(spark, dir)
+    val man = manifest(spark, dir)
     val keep = man.live.toSet ++
       pending.getOrElse("append", Set.empty) ++
       pending.getOrElse("compact", Set.empty)
@@ -412,6 +425,12 @@ object IntervalIndexStore {
       "expiry floor covers the entire store; rebuild instead of vacuuming")
     orphan.foreach(fs.delete(_, true))
     expired.foreach(fs.delete(_, true))
+    // crash-leaked sidecars of LIVE labels are stale (the commit they
+    // announced exists) — clear them so the dirs stay sweepable once a
+    // later compact supersedes them; superseded-label sidecars are
+    // cleared by compact itself (this manifest has no applied ledger)
+    StoreIO.clearCommittedPending(spark, dir, pending,
+      (_, l) => man.live.contains(l))
     (orphan.length, expired.length)
   }
 

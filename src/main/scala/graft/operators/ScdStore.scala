@@ -72,7 +72,21 @@ object ScdStore {
     requireLabel(label)
     require(label != "base", "label 'base' is reserved")
     val man = manifest(spark, dir)
-    if (man.applied.contains(label)) return // committed = immutable
+    if (man.applied.contains(label)) {
+      // replay of a committed label: clear sidecars a crash between
+      // the commit and the un-announce may have leaked — the batch's
+      // own, and any "current" announcement at or below the pointer
+      // (committed versions are protected by manifest+snapshots; only
+      // a version ABOVE the pointer can still be in-flight)
+      StoreIO.clearPending(spark, dir, "batch", label)
+      StoreIO.pendingLabels(spark, dir).getOrElse("current", Set.empty)
+        .foreach { v =>
+          val n = v.stripPrefix("v")
+          if (n.forall(_.isDigit) && n.toLong <= man.version)
+            StoreIO.clearPending(spark, dir, "current", v)
+        }
+      return // committed = immutable
+    }
     val m = meta(spark, dir)
     // announce BOTH directories this batch writes (StoreIO's shared
     // protocol) so a concurrent [[vacuum]] can tell them from crashed
@@ -290,10 +304,14 @@ object ScdStore {
     }
     val histCandidates = list(historyPath(dir))
     val curCandidates = list(s"$dir/current")
+    // PENDING BEFORE the manifest: a writer un-announces only after
+    // its commit, so a sidecar gone by this read means the later
+    // manifest/snapshot read sees the commit — manifest-first would
+    // let a commit+un-announce slip between the reads
+    val pending = StoreIO.pendingLabels(spark, dir)
     val man = manifest(spark, dir)
     val retained = listCommits(spark, dir).map(commitAt(spark, dir, _))
       .map(_.manifest)
-    val pending = StoreIO.pendingLabels(spark, dir)
     val keepHist = (man.histLive ++ retained.flatMap(_.histLive)).toSet ++
       pending.getOrElse("batch", Set.empty)
     val keepVers = (retained.map(_.version) :+ man.version)
@@ -306,6 +324,15 @@ object ScdStore {
     val h = sweep(histCandidates,
       n => keepHist.contains(n.stripPrefix("batch=")))
     val c = sweep(curCandidates, keepVers.contains)
+    // crash-leaked sidecars of committed labels / at-or-below-pointer
+    // versions are stale — clear them so superseded dirs stay sweepable
+    StoreIO.clearCommittedPending(spark, dir, pending, {
+      case ("batch", l) => man.applied.contains(l)
+      case ("current", v) =>
+        val n = v.stripPrefix("v")
+        n.forall(_.isDigit) && n.nonEmpty && n.toLong <= man.version
+      case _ => false
+    })
     (h, c)
   }
 

@@ -87,7 +87,17 @@ private[graft] object StoreIO {
   // epilogue); vacuum lists candidate directories FIRST and resolves
   // liveness AFTER, keeping announced labels — so any directory a
   // listing saw is either announced, committed (the post-listing
-  // manifest/snapshot read names it), or a true orphan. This is the
+  // manifest/snapshot read names it), or a true orphan.
+  //
+  // READ ORDER IS LOAD-BEARING: vacuum must read the pending sidecars
+  // BEFORE the manifest/snapshots. Un-announce happens strictly after
+  // commit, so "sidecar gone at the pending read" implies "commit
+  // visible at the (later) manifest read". Manifest-first would let a
+  // writer commit and un-announce between the two reads, its committed
+  // directory seen by neither — swept as an orphan. Replay paths must
+  // clear the label's sidecar even on the committed-already early
+  // return, or a crash between commit and un-announce shields the
+  // directory from vacuum forever once it is superseded. This is the
   // deterministic analogue of Iceberg remove_orphan_files'
   // `older_than` horizon: without it, a vacuum racing a writer can
   // sweep a fully-written-but-not-yet-committed directory and leave
@@ -114,6 +124,25 @@ private[graft] object StoreIO {
       label: String): Unit = {
     val (fs, p) = hadoopFs(spark, pendingPath(dir, kind, label))
     if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  /** Clear standing sidecars the caller can PROVE stale: `committed`
+    * decides from a ledger read taken AFTER the pending read whether a
+    * (kind, label) already committed and carries no further protocol
+    * role (e.g. not an epilogue-carrying retire). Without this, a
+    * crash between a writer's commit and its un-announce would shield
+    * the — eventually superseded — directory from vacuum forever.
+    * Returns the number cleared. */
+  def clearCommittedPending(spark: SparkSession, dir: String,
+      pending: Map[String, Set[String]],
+      committed: (String, String) => Boolean): Int = {
+    var n = 0
+    pending.foreach { case (kind, labels) =>
+      labels.foreach { l =>
+        if (committed(kind, l)) { clearPending(spark, dir, kind, l); n += 1 }
+      }
+    }
+    n
   }
 
   /** Labels with ANY standing pending sidecar under `dir`, by kind. */

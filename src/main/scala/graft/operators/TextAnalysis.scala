@@ -611,8 +611,9 @@ object TextAnalysis {
       .mapPartitions { it =>
         val set = fam.value
         it.flatMap { case (id, t) =>
-          // same tokenize as the counts side (bigramCountsOf): plain
-          // toLowerCase + single-char split, bigram = "tokA tokB"
+          // same tokenize as the counts side (bigramCountsOf):
+          // jvmTokens — trailing empties kept, Locale.ROOT lowercase —
+          // bigram = "tokA tokB"
           val toks = jvmTokens(t)
           var nb = 0; var nf = 0; var i = 0
           while (i + 1 < toks.length) {

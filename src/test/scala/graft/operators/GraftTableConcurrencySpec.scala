@@ -155,6 +155,31 @@ class GraftTableConcurrencySpec extends SparkSpec {
       "append+concurrent vacuum lost the batch")
   }
 
+  test("a sidecar leaked by a crash AFTER the commit is cleared, not a permanent shield") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir)
+    // simulate the crash window between b1's commitManifest and its
+    // clearPending: the label is committed, the announcement stands
+    StoreIO.writePending(spark, dir, "append", "b1")
+    optimize(spark, dir, "opt-1") // supersedes b1/b2
+    expireCommits(spark, dir, keepLast = 1)
+    // first vacuum: the sidecar was read into the keep set (announce
+    // order), but b1 is provably committed (applied ledger) → cleared
+    vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/_pending_append_b1.json").exists(),
+      "vacuum left a provably-stale sidecar standing")
+    // second vacuum: nothing shields the superseded dir any more
+    vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/data/batch=b1").exists(),
+      "superseded dir still shielded after the stale sidecar was cleared")
+    // replay of the committed label also clears a leaked sidecar
+    StoreIO.writePending(spark, dir, "append", "b2")
+    append(li.limit(1), dir, "b2") // applied → early-return replay
+    assert(!new java.io.File(s"$dir/_pending_append_b2.json").exists(),
+      "replay of a committed label left its sidecar standing")
+  }
+
   test("a commit snapshot orphaned ABOVE the pointer does not satisfy the delete replay") {
     import spark.implicits._
     val dir = tmp()
