@@ -74,7 +74,10 @@ object DeleteStore {
     keyed.write.mode(SaveMode.Overwrite)
       .parquet(s"${deletesPath(dir)}/batch=$label")
     if (!hasDataFiles(spark, s"${deletesPath(dir)}/batch=$label")) {
-      StoreIO.clearPending(spark, dir, "append", label)
+      // abandon: dir + sidecar together (dir first), never an
+      // existing-but-unannounced directory (see StoreIO.abandonPending)
+      StoreIO.abandonPending(spark, dir, "append", label,
+        s"${deletesPath(dir)}/batch=$label")
       return
     }
     beforeCommit()

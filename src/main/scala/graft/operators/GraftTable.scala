@@ -36,6 +36,7 @@ object GraftTable {
 
   import StoreIO.{hasDataFiles, readString, requireColName, requireLabel,
     writeString}
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
   private def dataPath(dir: String) = s"$dir/data"
   private def indexPath(dir: String) = s"$dir/index"
@@ -49,8 +50,8 @@ object GraftTable {
   // commit bridge), `retire` (optimize rewrite + its epilogue's retire
   // set). Written BEFORE the data they protect, removed after the
   // commit/epilogue, honored by [[vacuum]].
-  import StoreIO.{clearPending, pendingExists, pendingLabels, pendingPath,
-    writePending}
+  import StoreIO.{abandonPending, clearPending, pendingExists, pendingLabels,
+    pendingPath, writePending}
 
   /** Initialize an empty table. `zoneCols` get min/max/value-count
     * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
@@ -81,7 +82,8 @@ object GraftTable {
     val spark = df.sparkSession
     requireLabel(label)
     val m = meta(spark, dir)
-    if (manifest(spark, dir).applied.contains(label)) {
+    val man0 = manifest(spark, dir)
+    if (man0.applied.contains(label)) {
       // replay of a committed label: clear a sidecar a crash between
       // the commit and the un-announce may have left, or the (live,
       // later superseded) directory is shielded from vacuum forever
@@ -92,21 +94,56 @@ object GraftTable {
       s"append is missing indexed column '$c'"))
     require(!df.columns.contains("batch"),
       "'batch' is the table's partition label column")
+    // evolve the PINNED union schema before any data byte is written:
+    // a type conflict fails here, at the writer, never at read time
+    // inside a footer merge. A legacy (pre-schema) manifest self-heals
+    // through one last footer merge; every commit after carries it.
+    val unionSchema = {
+      val dfs = toNullable(org.apache.spark.sql.types.StructType(
+        df.schema.fields)).asInstanceOf[StructType]
+      pinnedSchema(man0.schemaJson)
+        .orElse(if (man0.live.isEmpty) None
+          else Some(baseRead(spark, dir, man0.live, None).schema))
+        .map(mergeSchemas(_, dfs)).getOrElse(dfs)
+    }
     if (df.isEmpty) return // an empty committed dir would grow reads forever
     writePending(spark, dir, "append", label)
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"${dataPath(dir)}/batch=$label")
     if (!hasDataFiles(spark, s"${dataPath(dir)}/batch=$label")) {
-      clearPending(spark, dir, "append", label)
+      // abandon, not just un-announce: the dir (Spark writes an empty
+      // file even for zero rows) must go WITH the sidecar, or an
+      // existing-but-unannounced directory survives
+      abandonPending(spark, dir, "append", label,
+        s"${dataPath(dir)}/batch=$label")
       return
     }
     beforeCommit()
     val fresh = manifest(spark, dir)
-    if (!fresh.applied.contains(label))
+    if (!fresh.applied.contains(label)) {
+      // OPTIMISTIC CONCURRENCY (the ScdStore.applyBatch discipline,
+      // verbatim for appends): a commit that advanced the pointer
+      // between this append's first manifest read and this one means
+      // another writer raced the single-writer contract. Two appends
+      // racing the same swap would each write c<N+1> (the second
+      // overwriting the first's snapshot) and the loser's label would
+      // silently vanish from the applied ledger — its batch an orphan
+      // nobody replays. Abort loudly and ABANDON the written dir
+      // (announce-protocol rule: never an unannounced directory).
+      if (fresh.commit != man0.commit) {
+        abandonPending(spark, dir, "append", label,
+          s"${dataPath(dir)}/batch=$label")
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent GraftTable commit detected (commit ${man0.commit}" +
+            s" -> ${fresh.commit} during append '$label'); single writer" +
+            " is the contract — retry the append (nothing was committed;" +
+            " the batch directory has been removed)")
+      }
       commitManifest(spark, dir,
         Manifest(fresh.applied :+ label, fresh.live :+ label,
-          fresh.commit + 1),
+          fresh.commit + 1, Some(unionSchema.json)),
         "append", label, delLive(spark, dir))
+    }
     // cleared only on the success path: a crash (or injected throw)
     // leaves the announcement standing, so vacuum keeps shielding the
     // orphan until the label is replayed (which re-announces, commits,
@@ -140,21 +177,37 @@ object GraftTable {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val man = manifest(spark, dir)
     require(man.live.nonEmpty, s"table at $dir has no committed data")
-    withDeletes(spark, dir, baseRead(spark, dir, man.live))
+    withDeletes(spark, dir, baseRead(spark, dir, man.live, man.schemaJson))
   }
 
-  // mergeSchema: batches may EVOLVE the schema (new nullable columns
-  // — appends only enforce the indexed columns' presence); the union
-  // schema nulls the gaps, parquet-standard. At 100 TB the union
-  // should come from a catalog, not per-read footer merging — this is
-  // the schema-on-read fallback a catalog would replace.
-  private def baseRead(spark: SparkSession, dir: String,
-      live: Seq[String]): DataFrame =
-    spark.read
-      .option("basePath", dataPath(dir))
-      .option("mergeSchema", "true")
-      .parquet(live.map(l => s"${dataPath(dir)}/batch=$l"): _*)
-      .drop("batch")
+  /** The live-batch scan. Batches may EVOLVE the schema (new nullable
+    * columns — appends enforce only the indexed columns' presence);
+    * the union schema nulls the gaps, parquet-standard. The union
+    * comes from the COMMIT METADATA (`schemaJson`, pinned at append
+    * time): supplying it as the user schema makes Spark skip footer
+    * inference entirely — planning a read opens ZERO parquet files, at
+    * any live-file count. Only a pre-schema manifest (legacy table,
+    * handcrafted snapshot) pays the mergeSchema footer-merge job, as a
+    * repair path; the next append/optimize pins the schema. */
+  private def baseRead(spark: SparkSession, dir: String, live: Seq[String],
+      schemaJson: Option[String]): DataFrame = {
+    val paths = live.map(l => s"${dataPath(dir)}/batch=$l")
+    pinnedSchema(schemaJson) match {
+      case Some(st) =>
+        // the user schema names the DATA columns; the `batch` partition
+        // column is discovered from the paths and appended, then shed
+        spark.read.schema(st)
+          .option("basePath", dataPath(dir))
+          .parquet(paths: _*)
+          .drop("batch")
+      case None =>
+        spark.read
+          .option("basePath", dataPath(dir))
+          .option("mergeSchema", "true")
+          .parquet(paths: _*)
+          .drop("batch")
+    }
+  }
 
   private def withDeletes(spark: SparkSession, dir: String,
       df: DataFrame): DataFrame = {
@@ -179,22 +232,29 @@ object GraftTable {
     val pred = SkippingIndex.predicateOf(ranges, equalities, nullness)
     val (fs, metaP) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
     if (!fs.exists(metaP)) // no index yet: correct, just unpruned
-      return withDeletes(spark, dir, baseRead(spark, dir, man.live).where(pred))
+      return withDeletes(spark, dir,
+        baseRead(spark, dir, man.live, man.schemaJson).where(pred))
     val (qualifying, unknown) =
       SkippingIndex.qualify(spark, indexPath(dir), ranges, equalities, nullness)
     val live = liveFiles(spark, dir, man.live)
     val paths = (qualifying ++ unknown).filter(live)
     // the result schema must not vary with the predicate: a prune that
     // drops every file carrying an evolved column would otherwise
-    // narrow the frame (and could un-resolve the delete key) — conform
-    // the surviving files to the FULL live union schema
-    val full = baseRead(spark, dir, man.live)
+    // narrow the frame (and could un-resolve the delete key) — the
+    // pinned union schema conforms the surviving files for free; the
+    // legacy path conforms the footer-merged subset explicitly
+    val full = baseRead(spark, dir, man.live, man.schemaJson)
     val base =
       if (paths.isEmpty) full.where(lit(false))
-      else conformTo(full.schema,
-        spark.read.option("basePath", dataPath(dir))
-          .option("mergeSchema", "true").parquet(paths: _*)
-          .drop("batch"))
+      else pinnedSchema(man.schemaJson) match {
+        case Some(st) =>
+          spark.read.schema(st).option("basePath", dataPath(dir))
+            .parquet(paths: _*).drop("batch")
+        case None => conformTo(full.schema,
+          spark.read.option("basePath", dataPath(dir))
+            .option("mergeSchema", "true").parquet(paths: _*)
+            .drop("batch"))
+      }
     withDeletes(spark, dir, base.where(pred))
   }
 
@@ -252,8 +312,11 @@ object GraftTable {
     // refreshIndex): degrade to the unpruned live read, like readWhere
     val (fs, metaP) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
     if (!fs.exists(metaP))
-      return withDeletes(spark, dir, baseRead(spark, dir, man.live))
-    val schema = baseRead(spark, dir, man.live).schema // data cols only
+      return withDeletes(spark, dir,
+        baseRead(spark, dir, man.live, man.schemaJson))
+    // data cols only; pinned = zero footer opens to resolve it
+    val schema = pinnedSchema(man.schemaJson)
+      .getOrElse(baseRead(spark, dir, man.live, None).schema)
     val pinned = liveFileStatuses(spark, dir, man.live)
     val base = graft.sources.SkippingScan.tableWith(spark, indexPath(dir),
       schema, Some(() => pinned))
@@ -322,7 +385,8 @@ object GraftTable {
       if (needCommit) {
         val fresh = manifest(spark, dir)
         commitManifest(spark, dir,
-          Manifest(fresh.applied, fresh.live, fresh.commit + 1),
+          Manifest(fresh.applied, fresh.live, fresh.commit + 1,
+            fresh.schemaJson),
           "delete", label, delLive(spark, dir))
       }
     }
@@ -365,7 +429,7 @@ object GraftTable {
         // leave the commit below pointing at deleted data)
         writePending(spark, dir, "retire", intoLabel,
           s"""{"retired":[${dels.map(l => s""""$l"""").mkString(",")}]}""")
-        val base = baseRead(spark, dir, man.live)
+        val base = baseRead(spark, dir, man.live, man.schemaJson)
         val snapshot =
           if (dels.isEmpty) base
           else RowDeletes.applyEqualityDeletes(base,
@@ -397,19 +461,28 @@ object GraftTable {
         // the epilogue drops.
         val unseen = fresh.live.filterNot(man.live.contains)
         if (unseen.nonEmpty) {
-          // un-announce first: the abort leaves the rewrite dir an
-          // orphan, and a standing sidecar would shield it from
-          // vacuum forever (an aborted label may never be retried)
-          clearPending(spark, dir, "retire", intoLabel)
+          // ABANDON: delete the rewrite dir together with its sidecar
+          // (dir first). Un-announcing alone would leave an existing-
+          // but-unannounced directory: a retried optimize re-announces
+          // and Overwrites it, but a vacuum that read sidecars before
+          // the re-announce could sweep it mid-rewrite.
+          abandonPending(spark, dir, "retire", intoLabel,
+            s"${dataPath(dir)}/batch=$intoLabel")
           throw new java.util.ConcurrentModificationException(
             s"optimize($intoLabel) aborted: batches [${unseen.mkString(",")}]" +
               " committed during the rewrite and are not in its data —" +
               " rerun optimize against the new state (no commit was" +
-              " written; the rewrite directory is vacuum's to sweep)")
+              " written; the rewrite directory has been removed)")
         }
         commitManifest(spark, dir,
           Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
-            fresh.commit + 1),
+            fresh.commit + 1,
+            // carry the pinned union; a LEGACY table gets pinned here
+            // (the rewrite's input schema IS the union, footer-merged
+            // one final time by the baseRead above)
+            fresh.schemaJson.orElse(Some(toNullable(
+              org.apache.spark.sql.types.StructType(base.schema.fields))
+              .asInstanceOf[StructType].json))),
           "optimize", intoLabel,
           delLive(spark, dir).filterNot(dels.contains), retired = dels)
         dels
@@ -503,7 +576,17 @@ object GraftTable {
           pending.getOrElse("delete", Set.empty) ++
           delPending.getOrElse("append", Set.empty) ++
           delPending.getOrElse("compact", Set.empty)
-        sweep(delCandidates, keepDel)
+        val n = sweep(delCandidates, keepDel)
+        // crash-leaked sidecars under the DELETE STORE whose label
+        // provably committed (ledger read AFTER the pending read):
+        // nothing in the table lifecycle runs DeleteStore.vacuum, so
+        // without this sweep an append/compact sidecar leaked between
+        // the store's manifest swap and its un-announce shields the —
+        // eventually superseded — delete dir from this vacuum forever
+        StoreIO.clearCommittedPending(spark, delPath(dir), delPending,
+          (kind, l) => (kind == "append" || kind == "compact") &&
+            delMan.applied.contains(l))
+        n
       }
     // crash-leaked sidecars whose label PROVABLY committed are stale —
     // clear them so the (eventually superseded) dirs stay sweepable.
@@ -537,8 +620,78 @@ object GraftTable {
 
   // ---- manifest + commit-snapshot plumbing (the ScdStore shape) -------
 
+  /** `schemaJson` is the PINNED UNION SCHEMA of the live data (the
+    * data columns only, all nullable, serialized `StructType.json`) —
+    * written by every commit since the first append, evolved by
+    * [[mergeSchemas]] at append time. Read paths resolve the schema
+    * from HERE (one manifest/snapshot read), never by merging parquet
+    * footers over the live files — the Iceberg rule (schema lives in
+    * table metadata, data files are never opened to plan a read; the
+    * reference administers exactly that design through its catalog's
+    * schema endpoints, backend/internal/iceberg_client.go:352-384).
+    * At 100 TB the difference is ~49 µs × O(live files) of footer GETs
+    * per uncached read (SCALE.md) vs one metadata read. `None` only on
+    * pre-schema manifests (legacy tables, the handcrafted-snapshot
+    * repair spec): those reads fall back to the footer merge, and the
+    * next append or optimize pins the schema. */
   private[operators] case class Manifest(applied: Seq[String],
-      live: Seq[String], commit: Long)
+      live: Seq[String], commit: Long, schemaJson: Option[String] = None)
+
+  private def pinnedSchema(j: Option[String]): Option[StructType] =
+    j.map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** Parquet reads surface every column nullable; the pinned schema
+    * must agree or conformTo/evolution gaps would flip nullability. */
+  private def toNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = toNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = toNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = toNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** The union-evolution merge, parquet-mergeSchema semantics re-stated
+    * over committed metadata: `a`'s columns in order, then `b`'s new
+    * columns appended; a column present in only one side is nullable
+    * (the other side's batches surface typed NULLs); same-name columns
+    * must agree on type (structs/arrays/maps recurse). Conflicts fail
+    * HERE — at append time, before any data byte — not at read time
+    * deep in a footer merge. */
+  private[operators] def mergeSchemas(a: StructType,
+      b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case None => fa.copy(nullable = true)
+        case Some(fb) => fa.copy(
+          dataType = mergeTypes(fa.name, fa.dataType, fb.dataType),
+          nullable = fa.nullable || fb.nullable)
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    StructType(merged ++
+      b.fields.filterNot(f => aNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
+  private def mergeTypes(path: String, x: DataType, y: DataType): DataType =
+    (x, y) match {
+      case (sx: StructType, sy: StructType) => mergeSchemas(sx, sy)
+      case (ax: ArrayType, ay: ArrayType) => ArrayType(
+        mergeTypes(s"$path.element", ax.elementType, ay.elementType),
+        ax.containsNull || ay.containsNull)
+      case (mx: MapType, my: MapType) => MapType(
+        mergeTypes(s"$path.key", mx.keyType, my.keyType),
+        mergeTypes(s"$path.value", mx.valueType, my.valueType),
+        mx.valueContainsNull || my.valueContainsNull)
+      case _ if x == y => x
+      case _ => throw new IllegalArgumentException(
+        s"schema evolution conflict on column '$path': committed type " +
+          s"${x.simpleString} vs appended ${y.simpleString} — evolution " +
+          "may add columns, never change a column's type")
+    }
 
   private def parseArr(raw: String, field: String): Seq[String] =
     StoreIO.jsonArr(raw, field)
@@ -546,30 +699,49 @@ object GraftTable {
   private def parseManifest(raw: String): Manifest = {
     val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
       .map(_.group(1).toLong).getOrElse(1L)
-    Manifest(parseArr(raw, "applied"), parseArr(raw, "live"), c)
+    Manifest(parseArr(raw, "applied"), parseArr(raw, "live"), c,
+      schemaOf(raw))
+  }
+
+  /** The `"schema":{...}` field is serialized LAST in both the
+    * manifest and every commit snapshot, so the (regex-based) parsers
+    * never have to balance its nested braces: everything from the
+    * marker to the closing brace IS the StructType JSON. The marker
+    * cannot occur earlier — labels/kinds are allowlisted (no quotes or
+    * colons) and every prior field name is fixed. */
+  private def schemaOf(raw: String): Option[String] = {
+    val i = raw.indexOf(""""schema":""")
+    if (i < 0) None else Some(raw.substring(i + 9, raw.length - 1))
   }
 
   private[operators] def manifest(spark: SparkSession,
       dir: String): Manifest =
     parseManifest(readString(spark, manifestPath(dir)))
 
-  private def manifestBody(m: Manifest): String =
+  private def manifestCore(m: Manifest): String =
     s"""{"commit":${m.commit},""" +
       s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
-      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]}"""
+      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]"""
+
+  // schema LAST, always (see [[schemaOf]])
+  private def schemaPart(m: Manifest): String =
+    m.schemaJson.map(s => s""","schema":$s""").getOrElse("")
 
   /** One commit = one immutable snapshot (manifest + what the commit
-    * did + the delete store's live labels at that instant) + the
-    * pointer swap, in that order — the ScdStore crash discipline. */
+    * did + the delete store's live labels at that instant + the pinned
+    * union schema) + the pointer swap, in that order — the ScdStore
+    * crash discipline. */
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
       kind: String, label: String, delLabels: Seq[String],
       retired: Seq[String] = Nil): Unit = {
-    val snap = manifestBody(m).dropRight(1) +
+    val snap = manifestCore(m) +
       s""","kind":"$kind","label":"$label",""" +
       s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}],""" +
-      s""""retired":[${retired.map(l => s""""$l"""").mkString(",")}]}"""
+      s""""retired":[${retired.map(l => s""""$l"""").mkString(",")}]""" +
+      schemaPart(m) + "}"
     writeString(spark, commitPath(dir, m.commit), snap, atomic = true)
-    writeString(spark, manifestPath(dir), manifestBody(m), atomic = true)
+    writeString(spark, manifestPath(dir), manifestCore(m) + schemaPart(m) + "}",
+      atomic = true)
   }
 
   /** A committed snapshot: live data batches, the delete store's live
@@ -610,7 +782,9 @@ object GraftTable {
     val snap = commitAt(spark, dir, c)
     require(snap.manifest.live.nonEmpty,
       s"commit $c has no committed data (kind ${snap.kind})")
-    val base = baseRead(spark, dir, snap.manifest.live)
+    // the SNAPSHOT's pinned schema: travel reads plan footer-free too
+    val base = baseRead(spark, dir, snap.manifest.live,
+      snap.manifest.schemaJson)
     if (snap.delLive.isEmpty) base
     else RowDeletes.applyEqualityDeletes(base,
       DeleteStore.deletesOf(spark, delPath(dir), snap.delLive),
@@ -640,14 +814,15 @@ object GraftTable {
       s"commits ($from, $to] contain an optimize — its rewrite folds " +
         "the per-batch dirs this read is priced on; consume CDC before " +
         "running maintenance")
-    // ONE full-live frame: its (merged) schema conforms every branch,
-    // and the empty/delete branches reuse it — a second mergeSchema
-    // read would pay another footer-merge job over every live file
-    val full = baseRead(spark, dir, ct.manifest.live)
+    // ONE full-live frame under the `to`-snapshot's pinned schema: it
+    // conforms every branch, and the window reads reuse the same pin —
+    // CDC planning opens zero footers like every other read
+    val full = baseRead(spark, dir, ct.manifest.live,
+      ct.manifest.schemaJson)
     val inserts0 = {
       val labels = window.filter(_.kind == "append").map(_.label)
       if (labels.isEmpty) full.where(lit(false))
-      else baseRead(spark, dir, labels)
+      else baseRead(spark, dir, labels, ct.manifest.schemaJson)
     }
     // rows appended in the window under a key a PRE-WINDOW delete
     // still holds live at `to` were never visible — emitting them as

@@ -126,6 +126,24 @@ private[graft] object StoreIO {
     if (fs.exists(p)) { fs.delete(p, false); () }
   }
 
+  /** ABANDON an announced label that will never commit (an empty
+    * write, an aborted rewrite, a detected concurrent-commit race):
+    * delete its data directory FIRST, then the sidecar. The reverse
+    * order would leave an existing-but-unannounced directory — a
+    * violation of "announce before the first data byte": a retry of
+    * the same label re-announces and Overwrites the directory, but a
+    * vacuum that listed candidates and read sidecars before the
+    * re-announce could sweep it mid-rewrite, leaving the retry's
+    * commit pointing at deleted data. Crash paths never call this —
+    * there the sidecar must KEEP standing to shield the orphan until
+    * the label is replayed. */
+  def abandonPending(spark: SparkSession, dir: String, kind: String,
+      label: String, dataDir: String): Unit = {
+    val (fs, p) = hadoopFs(spark, dataDir)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    clearPending(spark, dir, kind, label)
+  }
+
   /** Clear standing sidecars the caller can PROVE stale: `committed`
     * decides from a ledger read taken AFTER the pending read whether a
     * (kind, label) already committed and carries no further protocol

@@ -81,6 +81,13 @@ class GraftTableConcurrencySpec extends SparkSpec {
         beforeCommit = () => append(extra, dir, "b3"))
     }
     assert(ex.getMessage.contains("b3"))
+    // the abort ABANDONED the rewrite: dir and sidecar both gone — an
+    // existing-but-unannounced directory would violate the announce
+    // protocol (a vacuum racing the retry could sweep it mid-rewrite)
+    assert(!new java.io.File(s"$dir/data/batch=opt-1").exists(),
+      "aborted optimize left its rewrite directory behind")
+    assert(!new java.io.File(s"$dir/_pending_retire_opt-1.json").exists(),
+      "aborted optimize left its announcement standing")
     // no optimize commit was written; the append survives in full
     val man = manifest(spark, dir)
     assert(man.live == Seq("b1", "b2", "b3"))
@@ -178,6 +185,28 @@ class GraftTableConcurrencySpec extends SparkSpec {
     append(li.limit(1), dir, "b2") // applied → early-return replay
     assert(!new java.io.File(s"$dir/_pending_append_b2.json").exists(),
       "replay of a committed label left its sidecar standing")
+  }
+
+  test("a crash-leaked DELETE-STORE sidecar of a committed label is cleared by table vacuum") {
+    import spark.implicits._
+    val dir = tmp()
+    build(dir) // erase-1 committed in the delete store
+    // simulate the crash window between DeleteStore.append's manifest
+    // swap and its un-announce: label committed, announcement standing.
+    // Nothing in the table lifecycle runs DeleteStore.vacuum, so only
+    // the table vacuum's del sweep can ever clear this.
+    StoreIO.writePending(spark, s"$dir/del", "append", "erase-1")
+    optimize(spark, dir, "opt-1") // materializes + retires erase-1
+    expireCommits(spark, dir, keepLast = 1) // drop snapshots pinning it
+    // first vacuum: the sidecar was in the keep set (announce-order
+    // read), but erase-1 is provably committed (store ledger) → cleared
+    vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/del/_pending_append_erase-1.json")
+      .exists(), "table vacuum left a provably-stale delete-store sidecar")
+    // second vacuum: nothing shields the retired delete dir any more
+    vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/del/deletes/batch=erase-1").exists(),
+      "retired delete dir still shielded after its stale sidecar cleared")
   }
 
   test("a commit snapshot orphaned ABOVE the pointer does not satisfy the delete replay") {

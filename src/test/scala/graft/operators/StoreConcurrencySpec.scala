@@ -275,4 +275,41 @@ class StoreConcurrencySpec extends SparkSpec {
     val (orphans, _) = IntervalIndexStore.vacuum(spark, dir)
     assert(orphans == 1)
   }
+
+  // ---- GraftTable: racing appends -------------------------------------
+
+  test("GraftTable: an append racing another append's commit aborts loudly, loses nothing") {
+    import spark.implicits._
+    import GraftTable._
+    val dir = tmp("gt-race-")
+    val li = Tables.lineitem(spark, sfDir)
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.where($"l_orderkey" % 2 === 0), dir, "b1")
+    val a = li.orderBy($"l_orderkey", $"l_linenumber").limit(60)
+      .withColumn("l_orderkey", $"l_orderkey" + 3000000L)
+    val b = li.orderBy($"l_orderkey", $"l_linenumber").limit(40)
+      .withColumn("l_orderkey", $"l_orderkey" + 4000000L)
+    val before = rows(read(spark, dir))
+    // writer B commits in A's write window (the two-appends-race, the
+    // exact interleaving where last-swap-wins would silently drop A's
+    // label from the ledger: both read commit=2, both write c3)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      append(a, dir, "rA", beforeCommit = () => append(b, dir, "rB"))
+    }
+    assert(ex.getMessage.contains("rA"))
+    // B's commit survives in full; A committed nothing and ABANDONED
+    // its dir + sidecar (never an existing-but-unannounced directory)
+    val man = manifest(spark, dir)
+    assert(man.live == Seq("b1", "rB"))
+    assert(!man.applied.contains("rA"))
+    assert(!new java.io.File(s"$dir/data/batch=rA").exists(),
+      "aborted append left its batch directory behind")
+    assert(!new java.io.File(s"$dir/_pending_append_rA.json").exists(),
+      "aborted append left its announcement standing")
+    assert(rows(read(spark, dir)) == (before ++ rows(b)).sorted)
+    // the retry against the new state succeeds and nothing is lost
+    append(a, dir, "rA")
+    assert(manifest(spark, dir).live == Seq("b1", "rB", "rA"))
+    assert(rows(read(spark, dir)) == (before ++ rows(b) ++ rows(a)).sorted)
+  }
 }
