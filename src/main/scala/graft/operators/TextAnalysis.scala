@@ -578,7 +578,7 @@ object TextAnalysis {
         org.apache.spark.unsafe.types.UTF8String.fromString(s),
         org.apache.spark.sql.types.StringType, 42L)
       java.lang.Long.valueOf(((h % b) + b) % b)
-    })
+    }, dfKey = c => pmod(xxhash64(c), lit(b)))
   }
 
   /** Shared scoring kernel: per-document bigrams probe the FAMILIAR SET
@@ -597,36 +597,75 @@ object TextAnalysis {
     * its own tokens. No Generate, no join, no aggregation exchange;
     * the only shuffle left is the output sort. (r13→r14: 2.07 s →
     * map-only at sf0.1; the 10× probe scales with the token scan.) */
-  private def familiarityScoreKeyed(docs: DataFrame, counts: DataFrame,
-      key: String => Any): DataFrame = {
+  /** Driver-memory bound for the map-only spelling's familiar-set
+    * collect (≈ tens of MB of strings at the cap). The hashed form is
+    * bucket-capped (2^20 < this) and never trips it; the exact form's
+    * set is vocabulary-bounded but grows with the corpus (Heaps' law),
+    * so past the cap scoring FAILS OVER to the join spelling below —
+    * graceful shuffle-join degradation instead of a driver OOM. */
+  private[operators] val ExactFamiliarCap = 1 << 21
+
+  private[operators] def familiarityScoreKeyed(docs: DataFrame,
+      counts: DataFrame, key: String => Any,
+      dfKey: Column => Column = identity,
+      cap: Int = ExactFamiliarCap): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val stats = counts.agg(sum($"n").as("n_total"), count(lit(1)).as("n_distinct"))
-    val familiar: Set[Any] = counts.crossJoin(broadcast(stats))
+    val famFrame = counts.crossJoin(broadcast(stats))
       .where($"n" * $"n_distinct" >= $"n_total")
-      .select($"bigram").collect().map(_.get(0)).toSet
-    val fam = spark.sparkContext.broadcast(familiar)
-    val scored = docs.where($"text".isNotNull)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .mapPartitions { it =>
-        val set = fam.value
-        it.flatMap { case (id, t) =>
-          // same tokenize as the counts side (bigramCountsOf):
-          // jvmTokens — trailing empties kept, Locale.ROOT lowercase —
-          // bigram = "tokA tokB"
-          val toks = jvmTokens(t)
-          var nb = 0; var nf = 0; var i = 0
-          while (i + 1 < toks.length) {
-            nb += 1
-            if (set.contains(key(toks(i) + " " + toks(i + 1)))) nf += 1
-            i += 1
-          }
-          // <2 tokens → no bigrams → score undefined, doc excluded
-          if (nb == 0) Iterator.empty
-          else Iterator.single((id, nb.toLong, nf.toLong))
+      .select($"bigram")
+    // the plan-shape decision is driver-side, so constructing this
+    // frame EAGERLY runs the corpus count aggregation (building q104
+    // without acting on it already pays one pass) — the price of
+    // picking map-only vs join by the measured set size, not a guess
+    val famRows = famFrame.limit(cap + 1).collect()
+    val scored = if (famRows.length > cap) {
+      // JOIN SPELLING (the over-cap fallback): explode per-doc bigrams,
+      // probe the familiar frame through a join AQE sizes (broadcast
+      // while it fits, shuffle join beyond — no driver collect), and
+      // re-aggregate per doc_id. Strictly worse than map-only (Generate
+      // + join + exchange) but degrades instead of OOMing.
+      val docBigrams = docs.where($"text".isNotNull)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          jvmTokens(t).sliding(2).withFilter(_.length == 2)
+            .map(g => (id, g.mkString(" ")))
         }
-      }
-      .toDF("doc_id", "n_bigrams", "n_familiar")
+        .toDF("doc_id", "bigram")
+      val marked = famFrame.select($"bigram".as("__fam_key"),
+        lit(1L).as("__fam"))
+      docBigrams
+        .join(marked, dfKey(docBigrams("bigram")) === marked("__fam_key"),
+          "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce($"__fam", lit(0L))).as("n_familiar"))
+    } else {
+      val fam = spark.sparkContext.broadcast(
+        famRows.map(_.get(0)).toSet: Set[Any])
+      docs.where($"text".isNotNull)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          val set = fam.value
+          it.flatMap { case (id, t) =>
+            // same tokenize as the counts side (bigramCountsOf):
+            // jvmTokens — trailing empties kept, Locale.ROOT lowercase —
+            // bigram = "tokA tokB"
+            val toks = jvmTokens(t)
+            var nb = 0; var nf = 0; var i = 0
+            while (i + 1 < toks.length) {
+              nb += 1
+              if (set.contains(key(toks(i) + " " + toks(i + 1)))) nf += 1
+              i += 1
+            }
+            // <2 tokens → no bigrams → score undefined, doc excluded
+            if (nb == 0) Iterator.empty
+            else Iterator.single((id, nb.toLong, nf.toLong))
+          }
+        }
+        .toDF("doc_id", "n_bigrams", "n_familiar")
+    }
     val quotient =
       $"n_familiar".cast("double") / $"n_bigrams".cast("double")
     scored.select($"doc_id", $"n_bigrams", $"n_familiar",

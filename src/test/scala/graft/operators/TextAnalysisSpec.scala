@@ -193,4 +193,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shared.contains((1L, 2L)))
     assert(!shared.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("over-cap familiarity fails over to the join spelling with identical scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.jvmTokens
+    val docs = graft.sources.Tables.documents(spark, sfDirMid)
+      .where($"doc_id" % 10 === 0)
+    val counts = docs.where($"text".isNotNull).select($"text").as[String]
+      .flatMap(t => jvmTokens(t).sliding(2).withFilter(_.length == 2)
+        .map(_.mkString(" ")))
+      .toDF("bigram").groupBy($"bigram").agg(count(lit(1)).as("n"))
+    val mapOnly = TextAnalysis
+      .familiarityScoreKeyed(docs, counts, identity)
+      .collect().map(_.toString).sorted.toSeq
+    // cap=0 forces the over-vocabulary-cap path: the Generate→join→
+    // re-aggregate fallback (no driver collect) must score identically
+    val joined = TextAnalysis
+      .familiarityScoreKeyed(docs, counts, identity, cap = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(mapOnly.nonEmpty && mapOnly == joined,
+      "join-spelling fallback diverged from the map-only kernel")
+  }
 }
