@@ -54,8 +54,12 @@ class ScaleProbeSpec extends SparkSpec {
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {
-    assume(new java.io.File(s"$probeDir/lineitem.parquet").exists(),
-      s"probe dir $probeDir absent — run tools/gen_scale_probe.py")
+    // self-generating fixture (ScaleProbeGen): only an absent SOURCE
+    // dir can cancel this now — a missing probe dir is built on the
+    // spot, so clean-environment `sbt test` asserts instead of skipping
+    assume(graft.util.ScaleProbeGen.ensure(spark, "/root/testdata/sf0.1",
+      probeDir),
+      s"source dir /root/testdata/sf0.1 absent — cannot build $probeDir")
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -103,8 +107,9 @@ class ScaleProbeSpec extends SparkSpec {
     *    pair sets are supersets under replication, exactly 10× or more.
     */
   test("10x probe: shared pair kernels keep their replication invariants") {
-    assume(new java.io.File(s"$probeDir/documents.parquet").exists(),
-      s"probe dir $probeDir absent — run tools/gen_scale_probe.py")
+    assume(graft.util.ScaleProbeGen.ensure(spark, "/root/testdata/sf0.1",
+      probeDir),
+      s"source dir /root/testdata/sf0.1 absent — cannot build $probeDir")
     import graft.operators.Dedup
     val srcDir = "/root/testdata/sf0.1"
     val nVecs0 = spark.read.parquet(s"$srcDir/embeddings.parquet").count()

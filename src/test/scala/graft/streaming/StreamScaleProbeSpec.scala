@@ -28,8 +28,12 @@ class StreamScaleProbeSpec extends SparkSpec {
     sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
 
   private def gate(): Unit =
-    assume(new java.io.File(s"$probeDir/events.parquet").exists(),
-      s"probe dir $probeDir absent — run tools/gen_scale_probe.py")
+    // self-generating fixture (ScaleProbeGen): only an absent SOURCE
+    // dir can cancel these now — a missing probe dir is built on the
+    // spot, so clean-environment `sbt test` asserts instead of skipping
+    assume(graft.util.ScaleProbeGen.ensure(spark, "/root/testdata/sf0.1",
+      probeDir),
+      s"source dir /root/testdata/sf0.1 absent — cannot build $probeDir")
 
   private val nChunks = 8
 
