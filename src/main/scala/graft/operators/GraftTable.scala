@@ -142,7 +142,8 @@ object GraftTable {
       commitManifest(spark, dir,
         Manifest(fresh.applied :+ label, fresh.live :+ label,
           fresh.commit + 1, Some(unionSchema.json)),
-        "append", label, delLive(spark, dir))
+        "append", label, delLive(spark, dir),
+        rows = dirRowCount(spark, s"${dataPath(dir)}/batch=$label"))
     }
     // cleared only on the success path: a crash (or injected throw)
     // leaves the announcement standing, so vacuum keeps shielding the
@@ -284,6 +285,29 @@ object GraftTable {
       }
     }
     out.result()
+  }
+
+  /** Row count of ONE batch dir from its parquet footers (driver-side,
+    * batch-bounded, no Spark job) — taken at WRITE time so commit
+    * snapshots carry per-commit row stats and [[history]] never scans
+    * data. Footer reads here are fine: the writer just wrote these
+    * files; it is READ planning that must stay footer-free. */
+  private def dirRowCount(spark: SparkSession, path: String): Long = {
+    val (fs, p) = StoreIO.hadoopFs(spark, path)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") ||
+          f.getPath.getName.startsWith("part-")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f,
+            spark.sparkContext.hadoopConfiguration))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
   }
 
   /** Normalized data-file paths under the LIVE batch dirs only. */
@@ -484,7 +508,8 @@ object GraftTable {
               org.apache.spark.sql.types.StructType(base.schema.fields))
               .asInstanceOf[StructType].json))),
           "optimize", intoLabel,
-          delLive(spark, dir).filterNot(dels.contains), retired = dels)
+          delLive(spark, dir).filterNot(dels.contains), retired = dels,
+          rows = dirRowCount(spark, s"${dataPath(dir)}/batch=$intoLabel"))
         dels
       } else {
         // replay: the pending sidecar (crash before the epilogue), or
@@ -733,9 +758,9 @@ object GraftTable {
     * crash discipline. */
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
       kind: String, label: String, delLabels: Seq[String],
-      retired: Seq[String] = Nil): Unit = {
+      retired: Seq[String] = Nil, rows: Long = 0L): Unit = {
     val snap = manifestCore(m) +
-      s""","kind":"$kind","label":"$label",""" +
+      s""","kind":"$kind","label":"$label","rows":$rows,""" +
       s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}],""" +
       s""""retired":[${retired.map(l => s""""$l"""").mkString(",")}]""" +
       schemaPart(m) + "}"
@@ -746,10 +771,14 @@ object GraftTable {
 
   /** A committed snapshot: live data batches, the delete store's live
     * labels at the commit, what the commit did
-    * (create/append/delete/optimize), and — for optimize — which
-    * delete labels its rewrite materialized. */
+    * (create/append/delete/optimize), which delete labels an optimize
+    * materialized, and the DATA ROWS the commit wrote (`rows` — the
+    * Iceberg snapshot-summary idea: per-commit stats recorded at
+    * commit time, so history audits never scan data; 0 on legacy
+    * snapshots and non-writing kinds). */
   private[operators] case class Commit(manifest: Manifest, kind: String,
-      label: String, delLive: Seq[String], retired: Seq[String])
+      label: String, delLive: Seq[String], retired: Seq[String],
+      rows: Long)
 
   private[operators] def commitAt(spark: SparkSession, dir: String,
       c: Long): Commit = {
@@ -762,8 +791,10 @@ object GraftTable {
       }
     val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
     val label = """"label":"([^"]*)"""".r.findFirstMatchIn(raw).get.group(1)
+    val rows = """"rows":(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong).getOrElse(0L)
     Commit(parseManifest(raw), kind, label, parseArr(raw, "delLive"),
-      parseArr(raw, "retired"))
+      parseArr(raw, "retired"), rows)
   }
 
   private def listCommits(spark: SparkSession, dir: String): Seq[Long] = {
@@ -935,6 +966,23 @@ object GraftTable {
       .findFirstMatchIn(readString(spark, s"$mirrorDir/_sync.json"))
       .get.group(1).toLong
     spark.read.parquet(s"$mirrorDir/v$c")
+  }
+
+  /** The SNAPSHOT LOG as a queryable frame — one row per RETAINED
+    * commit: what it did, the live-batch and live-delete-label counts
+    * it left, and the data rows it wrote (recorded at commit time —
+    * the Iceberg snapshot-summary design, reference-administered via
+    * its catalog's snapshot endpoints). ZERO data scans: the frame is
+    * built from the commit log alone, so the table-history audit costs
+    * O(retained commits) metadata reads at any data size. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    listCommits(spark, dir).map { i =>
+      val c = commitAt(spark, dir, i)
+      (i, c.kind, c.label, c.manifest.live.size.toLong,
+        c.delLive.size.toLong, c.rows)
+    }.toDF("commit_id", "kind", "label", "n_live", "n_del_live",
+      "rows_added")
   }
 
   /** M2 for the snapshot log: keep the newest `keepLast` commit
@@ -1111,6 +1159,36 @@ object GraftTable {
       |              WHERE o.o_orderkey = l.l_orderkey
       |                AND o.o_orderstatus = 'F')
       |GROUP BY 2 ORDER BY 1, 2""".stripMargin
+
+  /** q175: the SNAPSHOT LOG of the composed lifecycle — commit kinds,
+    * live-batch counts, and per-commit rows written, served entirely
+    * from commit metadata (zero data scans; the rows were recorded at
+    * commit time from the written batch's own footers). The oracle
+    * restates each commit's row count from the raw tables: a history
+    * that scanned, re-counted wrong, or lost a commit all hash
+    * differently. */
+  def q175TableHistory(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    history(spark, q168Dir(spark, d))
+      .select($"commit_id", $"kind", $"n_live", $"rows_added")
+      .orderBy($"commit_id")
+  }
+
+  val q175Sql: String =
+    """WITH mid AS (SELECT CAST(max(l_orderkey) AS BIGINT) // 2 AS m
+      |             FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS commit_id, 'create' AS kind,
+      |         CAST(0 AS BIGINT) AS n_live, CAST(0 AS BIGINT) AS rows_added
+      |  UNION ALL
+      |  SELECT 2, 'append', 1,
+      |         (SELECT count(*) FROM lineitem, mid WHERE l_orderkey <= m)
+      |  UNION ALL
+      |  SELECT 3, 'append', 2,
+      |         (SELECT count(*) FROM lineitem, mid WHERE l_orderkey > m)
+      |  UNION ALL
+      |  SELECT 4, 'delete', 2, 0
+      |) ORDER BY commit_id""".stripMargin
 
   /** A lifecycle whose CDC feed drives a MIRROR: baseline sync after
     * the first append, then b2 + the erasure land, then a second sync

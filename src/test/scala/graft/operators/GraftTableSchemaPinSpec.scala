@@ -149,6 +149,38 @@ class GraftTableSchemaPinSpec extends SparkSpec {
     assert(legacyMs > 0 && pinnedMs > 0)
   }
 
+  test("history() serves per-commit row stats from metadata alone — zero jobs, zero scans") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val half = li.where($"l_orderkey" % 2 === 0)
+    append(half, dir, "b1") // commit 2
+    append(li.where($"l_orderkey" % 2 === 1), dir, "b2") // commit 3
+    delete(li.select($"l_orderkey").distinct().orderBy($"l_orderkey")
+      .limit(3), dir, "erase-1") // commit 4
+    optimize(spark, dir, "opt-1") // commit 5: folded rows
+    val h = history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5))).toList
+    assert(h.map(x => (x._1, x._2)) == List((1L, "create"),
+      (2L, "append"), (3L, "append"), (4L, "delete"), (5L, "optimize")))
+    assert(h(1)._3 == half.count(), "append commit lost its row stat")
+    // the optimize snapshot's rows = the folded (delete-applied) data
+    assert(h(4)._3 == read(spark, dir).count(),
+      "optimize commit's rows != the rewritten table")
+    // the history BUILD is metadata-only: commit-log parse, no scans
+    assert(jobsDuring { history(spark, dir); () } == 0,
+      "history() construction scanned data")
+    // a LEGACY snapshot (no rows field — the orphan-repair spec's
+    // handcrafted shape) reads as rows_added=0, never an error
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_commits/c99.json"),
+      """{"commit":99,"applied":[],"live":[],"kind":"append",""" +
+        """"label":"x","delLive":[],"retired":[]}""")
+    assert(history(spark, dir).where($"commit_id" === 99)
+      .head().getLong(5) == 0L)
+  }
+
   test("a type-conflicting append fails at the writer, before any data byte") {
     import spark.implicits._
     val dir = tmp()
