@@ -94,10 +94,14 @@ object GraftTable {
       s"append is missing indexed column '$c'"))
     require(!df.columns.contains("batch"),
       "'batch' is the table's partition label column")
+    if (df.isEmpty) return // an empty committed dir would grow reads forever
     // evolve the PINNED union schema before any data byte is written:
     // a type conflict fails here, at the writer, never at read time
     // inside a footer merge. A legacy (pre-schema) manifest self-heals
-    // through one last footer merge; every commit after carries it.
+    // through one last footer merge — which is why this sits AFTER the
+    // isEmpty return: an empty batch on exactly the many-file legacy
+    // table the pin rescues must not pay a table-sized footer job for
+    // a commit that will never happen. Every commit after carries it.
     val unionSchema = {
       val dfs = toNullable(org.apache.spark.sql.types.StructType(
         df.schema.fields)).asInstanceOf[StructType]
@@ -106,7 +110,6 @@ object GraftTable {
           else Some(baseRead(spark, dir, man0.live, None).schema))
         .map(mergeSchemas(_, dfs)).getOrElse(dfs)
     }
-    if (df.isEmpty) return // an empty committed dir would grow reads forever
     writePending(spark, dir, "append", label)
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"${dataPath(dir)}/batch=$label")
@@ -139,11 +142,19 @@ object GraftTable {
             " is the contract — retry the append (nothing was committed;" +
             " the batch directory has been removed)")
       }
-      commitManifest(spark, dir,
+      try commitManifest(spark, dir,
         Manifest(fresh.applied :+ label, fresh.live :+ label,
           fresh.commit + 1, Some(unionSchema.json)),
         "append", label, delLive(spark, dir),
         rows = dirRowCount(spark, s"${dataPath(dir)}/batch=$label"))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // the slot CAS lost to an in-flight writer: same abandon as
+          // the version-check abort above — nothing was committed
+          abandonPending(spark, dir, "append", label,
+            s"${dataPath(dir)}/batch=$label")
+          throw e
+      }
     }
     // cleared only on the success path: a crash (or injected throw)
     // leaves the announcement standing, so vacuum keeps shielding the
@@ -160,8 +171,25 @@ object GraftTable {
     if (meta(spark, dir).delKeys.isEmpty) Nil
     else DeleteStore.manifest(spark, delPath(dir)).live
 
+  // INDEX-MAINTENANCE serialization: the index's stats dir is ONE
+  // parquet dataset shared by every append's delta refresh, and two
+  // concurrent Spark Append jobs into the same directory share a
+  // _temporary staging dir — the first committing job deletes it under
+  // the other's still-running tasks (FileNotFoundException in
+  // commitJob). The index is DERIVED state (qualify() reads unknown
+  // files conservatively, so a missed refresh is staleness, never a
+  // wrong answer), but racing refreshes would fail jobs spuriously.
+  // Same-process writers — the retry path the commit-slot CAS makes
+  // legal — serialize here; cross-process index maintenance stays
+  // under the single-writer contract, and optimize's full rebuild
+  // repairs any staleness.
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexLock(dir: String): Object =
+    indexLocks.computeIfAbsent(dir, _ => new Object)
+
   private def refreshIndex(spark: SparkSession, dir: String,
-      m: Meta): Unit = {
+      m: Meta): Unit = indexLock(dir).synchronized {
     val (fs, p) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
     val live = liveFileStatuses(spark, dir, manifest(spark, dir).live)
       .map(_.getPath.toString)
@@ -238,7 +266,10 @@ object GraftTable {
     val (qualifying, unknown) =
       SkippingIndex.qualify(spark, indexPath(dir), ranges, equalities, nullness)
     val live = liveFiles(spark, dir, man.live)
-    val paths = (qualifying ++ unknown).filter(live)
+    // distinct: duplicate stat rows (e.g. a file statted twice by
+    // overlapping refreshes) must never read a file's data twice —
+    // the transparent scan is already set-based (SkippingScan)
+    val paths = (qualifying ++ unknown).distinct.filter(live)
     // the result schema must not vary with the predicate: a prune that
     // drops every file carrying an evolved column would otherwise
     // narrow the frame (and could un-resolve the delete key) — the
@@ -498,7 +529,7 @@ object GraftTable {
               " rerun optimize against the new state (no commit was" +
               " written; the rewrite directory has been removed)")
         }
-        commitManifest(spark, dir,
+        try commitManifest(spark, dir,
           Manifest(fresh.applied :+ intoLabel, Seq(intoLabel),
             fresh.commit + 1,
             // carry the pinned union; a LEGACY table gets pinned here
@@ -510,6 +541,16 @@ object GraftTable {
           "optimize", intoLabel,
           delLive(spark, dir).filterNot(dels.contains), retired = dels,
           rows = dirRowCount(spark, s"${dataPath(dir)}/batch=$intoLabel"))
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            // slot CAS lost to an in-flight writer: same abandon as the
+            // unseen-batch abort above — nothing was committed, and an
+            // aborted label may never be retried, so nothing may shield
+            // the orphan rewrite
+            abandonPending(spark, dir, "retire", intoLabel,
+              s"${dataPath(dir)}/batch=$intoLabel")
+            throw e
+        }
         dels
       } else {
         // replay: the pending sidecar (crash before the epilogue), or
@@ -531,10 +572,12 @@ object GraftTable {
     if (m.delKeys.nonEmpty && materialized.nonEmpty)
       DeleteStore.retire(spark, delPath(dir), materialized)
     clearPending(spark, dir, "retire", intoLabel)
-    SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
-      m.zoneCols, m.bloomCols,
-      only = Some(liveFileStatuses(spark, dir,
-        manifest(spark, dir).live).map(_.getPath.toString)))
+    indexLock(dir).synchronized {
+      SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
+        m.zoneCols, m.bloomCols,
+        only = Some(liveFileStatuses(spark, dir,
+          manifest(spark, dir).live).map(_.getPath.toString)))
+    }
   }
 
   /** M3: sweep data batch dirs and delete batch dirs that neither the
@@ -686,6 +729,16 @@ object GraftTable {
     * deep in a footer merge. */
   private[operators] def mergeSchemas(a: StructType,
       b: StructType): StructType = {
+    // evolution NEVER adds a name differing only in case: Spark's
+    // default case-insensitive resolution would reject the resulting
+    // union as a duplicate column at READ time (SchemaUtils) — exactly
+    // the read-time failure this writer-side merge exists to prevent
+    val aLower = a.fieldNames.map(n => n.toLowerCase -> n).toMap
+    b.fieldNames.foreach { n =>
+      aLower.get(n.toLowerCase).foreach(prior => require(prior == n,
+        s"schema evolution conflict: appended column '$n' collides " +
+          s"case-insensitively with committed column '$prior'"))
+    }
     val bByName = b.fields.map(f => f.name -> f).toMap
     val merged = a.fields.map { fa =>
       bByName.get(fa.name) match {
@@ -736,7 +789,12 @@ object GraftTable {
     * colons) and every prior field name is fixed. */
   private def schemaOf(raw: String): Option[String] = {
     val i = raw.indexOf(""""schema":""")
-    if (i < 0) None else Some(raw.substring(i + 9, raw.length - 1))
+    // bound on the LAST '}' (the document's outer brace), not on raw
+    // length: a hand-edited manifest round-tripped through an editor
+    // or jq picks up a trailing newline, and a length-bound substring
+    // would keep the outer brace inside the schema JSON and fail every
+    // subsequent read's parse
+    if (i < 0) None else Some(raw.substring(i + 9, raw.lastIndexOf('}')))
   }
 
   private[operators] def manifest(spark: SparkSession,
@@ -755,7 +813,24 @@ object GraftTable {
   /** One commit = one immutable snapshot (manifest + what the commit
     * did + the delete store's live labels at that instant + the pinned
     * union schema) + the pointer swap, in that order — the ScdStore
-    * crash discipline. */
+    * crash discipline.
+    *
+    * The commit SLOT `c<N>.json` is claimed by EXCLUSIVE CREATE (an
+    * actual filesystem CAS — hard-link publish locally,
+    * create(overwrite=false) on Hadoop FS), so two writers racing the
+    * same slot cannot both swap: the fresh-read version check in the
+    * callers catches completed races, and this closes the remaining
+    * read-to-swap window (last-swap-wins would erase the first
+    * writer's label from the ledger AFTER its append returned
+    * success). A claim failure distinguishes three occupants by the
+    * announce protocol: our OWN crashed attempt (same kind+label — a
+    * replay repairing a commit that died between its two writes:
+    * overwrite), a DEAD orphan (no standing announcement for its
+    * label: its writer crashed pre-swap and was replayed under a
+    * later slot, or the snapshot was handcrafted: overwrite), or an
+    * IN-FLIGHT writer (announcement standing: abort loudly — the
+    * single-writer contract was violated, or the crashed writer's
+    * label awaits replay). */
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
       kind: String, label: String, delLabels: Seq[String],
       retired: Seq[String] = Nil, rows: Long = 0L): Unit = {
@@ -764,7 +839,44 @@ object GraftTable {
       s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}],""" +
       s""""retired":[${retired.map(l => s""""$l"""").mkString(",")}]""" +
       schemaPart(m) + "}"
-    writeString(spark, commitPath(dir, m.commit), snap, atomic = true)
+    val slot = commitPath(dir, m.commit)
+    var attempts = 0
+    while (!StoreIO.writeStringExclusive(spark, slot, snap)) {
+      // POINTER FIRST: a slot at or below the current pointer is a
+      // COMMITTED snapshot — the occupant won, swapped, and (rightly)
+      // un-announced; treating it as a dead orphan would overwrite a
+      // visible commit and erase the winner's label from the ledger.
+      if (manifest(spark, dir).commit >= m.commit)
+        throw new java.util.ConcurrentModificationException(
+          s"commit slot c${m.commit} was won by another writer (the " +
+            "pointer has moved past it) — single writer is the " +
+            "contract; retry against the new state")
+      val existing =
+        try Some(commitAt(spark, dir, m.commit))
+        catch { case _: Exception => None } // unparseable = dead orphan
+      val inFlight = existing.exists { c =>
+        !(c.kind == kind && c.label == label) && {
+          val sidecar = c.kind match {
+            case "append" => "append"
+            case "delete" => "delete"
+            case "optimize" => "retire"
+            case _ => ""
+          }
+          sidecar.nonEmpty && pendingExists(spark, dir, sidecar, c.label)
+        }
+      }
+      if (inFlight)
+        throw new java.util.ConcurrentModificationException(
+          s"commit slot c${m.commit} is claimed by an in-flight " +
+            s"'${existing.get.kind}' commit (label '${existing.get.label}')" +
+            " — single writer is the contract; retry against the new state")
+      attempts += 1
+      require(attempts <= 3,
+        s"commit slot c${m.commit} in $dir cannot be claimed " +
+          s"(occupant: ${existing.map(c => c.kind + "/" + c.label)})")
+      val (fs, p) = StoreIO.hadoopFs(spark, slot)
+      fs.delete(p, false)
+    }
     writeString(spark, manifestPath(dir), manifestCore(m) + schemaPart(m) + "}",
       atomic = true)
   }
@@ -958,6 +1070,97 @@ object GraftTable {
     }
     (last, live)
   }
+
+  /** INCREMENTAL VIEW MAINTENANCE over the CDC feed: maintain a
+    * downstream GROUPED AGGREGATE of the table (count per key + sums
+    * of `sumCols`) at `aggDir` from the commit log — the materialized-
+    * view consumer contract, one tier up from [[syncMirror]]'s row
+    * mirror. Each sync reads `changesBetween(last, live)` as SIGNED
+    * deltas (+1 insert, −1 delete preimage — an insert-then-delete
+    * inside the window nets to zero), aggregates them per group key,
+    * and folds them into the stored aggregate with ONE null-safe full
+    * outer join; groups whose count reaches zero are dropped, never
+    * emitted as zero rows. Steady-state cost = delta-sized CDC read +
+    * AGGREGATE-sized merge — never a table scan; only the first sync
+    * or an optimize window (no exact delta; same recovery as
+    * syncMirror) re-baselines from read(). Versions are immutable
+    * `v<commit>/` dirs behind a `_sync.json` pointer swap.
+    *
+    * count and sum are the self-maintainable aggregates under deletes;
+    * min/max are not (a deleted extremum cannot be repaired from the
+    * delta) — a view needing them re-baselines by design. Sums are
+    * maintained as DECIMAL(28,2) so version schemas cannot drift
+    * through Spark's sum-precision widening, and float sums stay
+    * engine-portable (the oracle-parity rule). Returns
+    * (fromCommit, toCommit); equal means no-op. */
+  def syncAggMirror(spark: SparkSession, dir: String, aggDir: String,
+      keys: Seq[String], sumCols: Seq[String]): (Long, Long) = {
+    (keys ++ sumCols).foreach(requireColName)
+    require(keys.nonEmpty, "at least one group key")
+    val srcMan = manifest(spark, dir)
+    val live = srcMan.commit
+    val syncPath = s"$aggDir/_sync.json"
+    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
+    val last: Long =
+      if (!fs.exists(sp)) 0L
+      else """"commit":(\d+)""".r
+        .findFirstMatchIn(readString(spark, syncPath)).get.group(1).toLong
+    if (last == live) return (last, live)
+    if (srcMan.live.isEmpty) return (last, last)
+    val dec = "decimal(28,2)"
+    def aggOf(df: DataFrame): DataFrame = {
+      val exprs = count(lit(1)).as("n") +:
+        sumCols.map(c => sum(col(c).cast(dec)).cast(dec).as(s"sum_$c"))
+      df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    }
+    def commitAgg(df: DataFrame): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$aggDir/v$live")
+      writeString(spark, syncPath, s"""{"commit":$live}""", atomic = true)
+      val (afs, aroot) = StoreIO.hadoopFs(spark, aggDir)
+      afs.listStatus(aroot).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") && p.getName != s"v$live")
+        .foreach(afs.delete(_, true))
+    }
+    val delta =
+      if (last == 0) None
+      else
+        try Some(changesBetween(spark, dir, last, live))
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("optimize") ||
+                e.getMessage.contains("not retained") => None
+        }
+    delta match {
+      case None => commitAgg(aggOf(read(spark, dir))) // (re-)baseline
+      case Some(d) =>
+        val sign = when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)
+        val dExprs = sum(sign).as("n") +:
+          sumCols.map(c =>
+            sum(sign * col(c).cast(dec)).cast(dec).as(s"sum_$c"))
+        val dAgg = d.groupBy(keys.map(col): _*)
+          .agg(dExprs.head, dExprs.tail: _*)
+        val cur = spark.read.parquet(s"$aggDir/v$last")
+        // null-safe key match: a NULL group is a real group
+        val cond = keys.map(k => cur(k) <=> dAgg(k)).reduce(_ && _)
+        val joined = cur.join(dAgg, cond, "full_outer")
+        val outCols =
+          keys.map(k => coalesce(cur(k), dAgg(k)).as(k)) ++
+            ((coalesce(cur("n"), lit(0L)) + coalesce(dAgg("n"), lit(0L)))
+              .as("n") +:
+              sumCols.map(c =>
+                (coalesce(cur(s"sum_$c"), lit(0).cast(dec)) +
+                  coalesce(dAgg(s"sum_$c"), lit(0).cast(dec)))
+                  .cast(dec).as(s"sum_$c")))
+        commitAgg(joined.select(outCols: _*).where(col("n") > 0))
+    }
+    (last, live)
+  }
+
+  /** The aggregate mirror's current contents (whatever
+    * [[syncAggMirror]] last committed). */
+  def aggMirrorRead(spark: SparkSession, aggDir: String): DataFrame =
+    mirrorRead(spark, aggDir) // same pointer/version layout
 
   /** The mirror's current contents (whatever [[syncMirror]] last
     * committed). */
@@ -1243,6 +1446,57 @@ object GraftTable {
       |                  WHERE o.o_orderkey = l.l_orderkey
       |                    AND o.o_orderstatus = 'F')
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q176's lifecycle: like q173's, but the CDC consumer is the
+    * AGGREGATE view — baseline sync after b1, then b2 + the erasure
+    * land, then a delta sync whose window carries both inserts and
+    * delete preimages into the signed-merge path (never the
+    * re-baseline). */
+  private def buildAggMirrorLifecycle(spark: SparkSession,
+      d: String): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-aggmirror-").toString
+    val dir = s"$root/table"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Nil, deleteKeys = Seq("l_orderkey"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    val keys = Seq("l_returnflag")
+    val sums = Seq("l_orderkey", "l_quantity")
+    append(li.where($"l_orderkey" <= mid), dir, "b1") // commit 2
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums) // baseline at 2
+    append(li.where($"l_orderkey" > mid), dir, "b2") // commit 3
+    delete(graft.sources.Tables.orders(spark, d)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1") // commit 4
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums) // DELTA (2, 4]
+    root
+  }
+
+  private def q176Root(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("aggmirror:" + d,
+      _ => buildAggMirrorLifecycle(spark, d))
+
+  /** q176: the MAINTAINED AGGREGATE VIEW after an incremental CDC
+    * sync — materialized-view maintenance hash-checked end to end.
+    * The window carried b2's inserts AND the erasure's preimages as
+    * signed deltas, so the oracle is the full-table aggregate minus
+    * the F-order lines: a view that re-baselined, missed the delete
+    * side, or double-applied the inserts all hash differently (and a
+    * group-by re-scan of the table would not be delta-sized — the
+    * merge is one agg-sized outer join). */
+  def q176AggMirror(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    aggMirrorRead(spark, s"${q176Root(spark, d)}/agg")
+      .select($"l_returnflag", $"n",
+        $"sum_l_orderkey".cast("bigint").as("key_sum"),
+        $"sum_l_quantity".cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Same restatement as q173: two consumer contracts, one answer. */
+  val q176Sql: String = q173Sql
 
   /** A lifecycle whose second batch EVOLVES the schema: b1 carries the
     * four base columns, b2 adds `l_note` (l_linestatus renamed). The

@@ -49,6 +49,41 @@ private[graft] object StoreIO {
     }
   }
 
+  /** EXCLUSIVE create: returns false (writing nothing) if `path`
+    * already exists — the filesystem CAS a commit-slot mutex needs.
+    * Local FS: write a private tmp, then PUBLISH via hard link —
+    * link(2) is atomic, fails with EEXIST on an existing target, and
+    * the published file is complete by construction (a plain rename
+    * would silently replace on POSIX; a CREATE_NEW stream could
+    * expose partial content to a concurrent reader). Hadoop FS:
+    * create(overwrite=false). On object stores without atomic
+    * create-exclusive this degrades to best-effort — the same caveat
+    * every manifest-pointer table format documents. */
+  def writeStringExclusive(spark: SparkSession, path: String,
+      body: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, path)
+    if (fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = dst.resolveSibling(
+        dst.getFileName.toString + s".tmp-${Thread.currentThread().getId}")
+      java.nio.file.Files.writeString(tmp, body)
+      try { java.nio.file.Files.createLink(dst, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    } else {
+      if (fs.exists(p)) return false
+      try {
+        val out = fs.create(p, false)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+  }
+
   def hasDataFiles(spark: SparkSession, path: String): Boolean = {
     val (fs, p) = hadoopFs(spark, path)
     fs.exists(p) && {

@@ -633,8 +633,12 @@ object TextAnalysis {
             .map(g => (id, g.mkString(" ")))
         }
         .toDF("doc_id", "bigram")
-      val marked = famFrame.select($"bigram".as("__fam_key"),
-        lit(1L).as("__fam"))
+      // DISTINCT for set parity with the map-only spelling: a caller-
+      // supplied count table with duplicate bigram keys (e.g. unioned
+      // per-shard counts) would otherwise fan out the join and double-
+      // count both n_bigrams and n_familiar
+      val marked = famFrame.select($"bigram".as("__fam_key")).distinct()
+        .withColumn("__fam", lit(1L))
       docBigrams
         .join(marked, dfKey(docBigrams("bigram")) === marked("__fam_key"),
           "left_outer")

@@ -209,6 +209,83 @@ class GraftTableConcurrencySpec extends SparkSpec {
       "retired delete dir still shielded after its stale sidecar cleared")
   }
 
+  test("the commit-slot CAS: an in-flight occupant aborts the claim; a dead orphan is overwritten") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.where($"l_orderkey" % 2 === 0), dir, "b1") // commit 2
+    val extra = li.orderBy($"l_orderkey", $"l_linenumber").limit(30)
+      .withColumn("l_orderkey", $"l_orderkey" + 5000000L)
+    // occupy slot c3 with an IN-FLIGHT foreign commit: snapshot written,
+    // pointer not yet swapped, announcement standing — the exact window
+    // where last-swap-wins would erase one writer's label
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_commits/c3.json"),
+      """{"commit":3,"applied":["b1","zz"],"live":["b1","zz"],""" +
+        """"kind":"append","label":"zz","rows":1,"delLive":[],"retired":[]}""")
+    StoreIO.writePending(spark, dir, "append", "zz")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      append(extra, dir, "b3")
+    }
+    assert(ex.getMessage.contains("zz"))
+    assert(manifest(spark, dir).commit == 2L, "CAS loser swapped anyway")
+    assert(!new java.io.File(s"$dir/data/batch=b3").exists(),
+      "CAS loser left its batch directory behind")
+    assert(!new java.io.File(s"$dir/_pending_append_b3.json").exists(),
+      "CAS loser left its announcement standing")
+    // the occupant's writer dies and its label is never replayed: once
+    // its announcement is gone the snapshot is a DEAD orphan — the next
+    // claim overwrites it and the table moves on
+    StoreIO.clearPending(spark, dir, "append", "zz")
+    append(extra, dir, "b3")
+    val c3 = commitAt(spark, dir, 3L)
+    assert(c3.kind == "append" && c3.label == "b3",
+      "dead orphan was not overwritten by the next claim")
+    assert(manifest(spark, dir).live == Seq("b1", "b3"))
+  }
+
+  test("two appends racing from real threads both land after one retry (CAS converges)") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.where($"l_orderkey" % 2 === 0), dir, "b1")
+    val a = li.orderBy($"l_orderkey", $"l_linenumber").limit(40)
+      .withColumn("l_orderkey", $"l_orderkey" + 6000000L)
+    val b = li.orderBy($"l_orderkey", $"l_linenumber").limit(20)
+      .withColumn("l_orderkey", $"l_orderkey" + 7000000L)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def appendWithRetry(df: org.apache.spark.sql.DataFrame,
+        label: String): Unit = {
+      gate.countDown(); gate.await() // maximize overlap
+      var done = false
+      var tries = 0
+      while (!done) {
+        try { append(df, dir, label); done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            tries += 1; assert(tries <= 5, s"$label livelocked")
+        }
+      }
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(appendWithRetry(a, "rA"))
+    val fb = Future(appendWithRetry(b, "rB"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    // whatever the interleaving, the converged state holds BOTH labels
+    // exactly once, a parseable commit chain, and the full row set
+    val man = manifest(spark, dir)
+    assert(man.applied.count(_ == "rA") == 1)
+    assert(man.applied.count(_ == "rB") == 1)
+    assert(man.live.toSet == Set("b1", "rA", "rB"))
+    val expect = (sortedRows(li.where($"l_orderkey" % 2 === 0)) ++
+      sortedRows(a) ++ sortedRows(b)).sorted
+    assert(sortedRows(read(spark, dir)) == expect,
+      "racing appends lost or duplicated rows")
+    (1L to man.commit).foreach(c => commitAt(spark, dir, c)) // parseable
+  }
+
   test("a commit snapshot orphaned ABOVE the pointer does not satisfy the delete replay") {
     import spark.implicits._
     val dir = tmp()

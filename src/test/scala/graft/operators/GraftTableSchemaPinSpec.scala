@@ -196,4 +196,38 @@ class GraftTableSchemaPinSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/_pending_append_bad.json").exists(),
       "conflicting append announced before failing")
   }
+
+  test("a column differing only in case is rejected at the writer (it would brick reads)") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.where($"l_orderkey" % 2 === 0)
+      .withColumn("l_note", lit("x")), dir, "b1")
+    // L_NOTE would merge as a NEW column case-sensitively; then every
+    // read's user-schema would fail Spark's case-insensitive duplicate
+    // check — the exact read-time failure the writer-side merge exists
+    // to prevent
+    val ex = intercept[IllegalArgumentException] {
+      append(li.where($"l_orderkey" % 2 === 1)
+        .withColumn("L_NOTE", lit("y")), dir, "b2")
+    }
+    assert(ex.getMessage.contains("L_NOTE"))
+    assert(read(spark, dir).count() ==
+      li.where($"l_orderkey" % 2 === 0).count(), "table bricked")
+  }
+
+  test("a manifest with a trailing newline (hand-edited) still parses its schema") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    append(li.where($"l_orderkey" % 2 === 0), dir, "b1")
+    val expect = read(spark, dir).count()
+    val p = java.nio.file.Paths.get(s"$dir/_live.json")
+    java.nio.file.Files.writeString(p,
+      java.nio.file.Files.readString(p) + "\n") // jq/editor round-trip
+    assert(manifest(spark, dir).schemaJson.isDefined)
+    assert(jobsDuring { read(spark, dir); () } == 0,
+      "trailing newline knocked the read off the pinned path")
+    assert(read(spark, dir).count() == expect)
+  }
 }

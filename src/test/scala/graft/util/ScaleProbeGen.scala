@@ -61,9 +61,16 @@ object ScaleProbeGen {
           .agg(max(col("user_id"))).head().getLong(0) + 1L))
     tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
+      // derive the embedding dimension from the data (the python twin
+      // hardcodes 64; a regenerated fixture with another dim would make
+      // a hardcoded roll truncate arrays and silently break the
+      // replica-geometry invariants the probe specs assert)
+      val dim =
+        if (t != "embeddings") 0
+        else df.select(size(col("embedding"))).head().getInt(0)
       val out =
         if (t == "region" || t == "nation") df
-        else (0 until k).map(replica(t, df, _, strides))
+        else (0 until k).map(replica(t, df, _, strides, dim))
           .reduce(_ unionByName _)
       out.write.mode(SaveMode.Overwrite).parquet(s"$tmp/$t.parquet")
     }
@@ -73,7 +80,7 @@ object ScaleProbeGen {
   }
 
   private def replica(t: String, df: DataFrame, i: Int,
-      strides: Map[String, Long]): DataFrame = {
+      strides: Map[String, Long], dim: Int): DataFrame = {
     var d = df
     offsets.getOrElse(t, Map.empty).foreach { case (c, srcT) =>
       d = d.withColumn(c, col(c) + lit(i.toLong * strides(srcT)))
@@ -86,7 +93,7 @@ object ScaleProbeGen {
     }
     if (t == "embeddings" && i > 0)
       d = d.withColumn("embedding",
-        concat(slice(col("embedding"), i + 1, 64 - i),
+        concat(slice(col("embedding"), i + 1, dim - i),
           slice(col("embedding"), 1, i)).cast("array<float>"))
     d
   }
