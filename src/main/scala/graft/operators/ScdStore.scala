@@ -34,7 +34,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object ScdStore {
 
   private def historyPath(dir: String) = s"$dir/history"
-  private def currentPath(dir: String, v: Long) = s"$dir/current/v$v"
+  // current dirs are named `v<version>-<label>` (v1 for init) — the
+  // never-reuse-a-filename rule real formats follow: two writers
+  // racing the same version write DIFFERENT directories, so a loser
+  // can never clobber the winner's committed current partition (with
+  // a shared `v<N+1>` name, the loser's Overwrite silently corrupted
+  // the winner's data even though its own commit aborted loudly). The
+  // manifest names the live dir (`curDir`); `version` stays the
+  // monotone counter that detects drift.
+  private def currentPath(dir: String, name: String) = s"$dir/current/$name"
   private def metaPath(dir: String) = s"$dir/_meta.json"
   private def manifestPath(dir: String) = s"$dir/_live.json"
   private def commitPath(dir: String, c: Long) = s"$dir/_commits/c$c.json"
@@ -53,13 +61,13 @@ object ScdStore {
     scd.where(col("valid_to").isNotNull)
       .write.mode(SaveMode.Overwrite).parquet(s"${historyPath(dir)}/batch=base")
     scd.where(col("valid_to").isNull)
-      .write.mode(SaveMode.Overwrite).parquet(currentPath(dir, 1L))
+      .write.mode(SaveMode.Overwrite).parquet(currentPath(dir, "v1"))
     val meta = s"""{"key":"$key","ts":"$ts",""" +
       s""""values":[${values.map(v => s""""$v"""").mkString(",")}],""" +
       s""""carry":[${carry.map(c => s""""$c"""").mkString(",")}]}"""
     writeString(spark, metaPath(dir), meta, atomic = false)
     commitManifest(spark, dir,
-      Manifest(1L, Seq("base"), Seq("base"), 1L), "init", "base")
+      Manifest(1L, Seq("base"), Seq("base"), 1L, "v1"), "init", "base")
   }
 
   /** Apply one change batch under `label`. Committed labels are
@@ -75,26 +83,27 @@ object ScdStore {
     if (man.applied.contains(label)) {
       // replay of a committed label: clear sidecars a crash between
       // the commit and the un-announce may have leaked — the batch's
-      // own, and any "current" announcement at or below the pointer
-      // (committed versions are protected by manifest+snapshots; only
-      // a version ABOVE the pointer can still be in-flight)
+      // own, and any "current" announcement whose version prefix is at
+      // or below the pointer (committed current dirs are protected by
+      // manifest+snapshots; only a prefix ABOVE the pointer can still
+      // be in-flight)
       StoreIO.clearPending(spark, dir, "batch", label)
       StoreIO.pendingLabels(spark, dir).getOrElse("current", Set.empty)
         .foreach { v =>
-          val n = v.stripPrefix("v")
-          if (n.forall(_.isDigit) && n.toLong <= man.version)
+          if (curVersionOf(v).exists(_ <= man.version))
             StoreIO.clearPending(spark, dir, "current", v)
         }
       return // committed = immutable
     }
     val m = meta(spark, dir)
+    val newCur = s"v${man.version + 1}-$label"
     // announce BOTH directories this batch writes (StoreIO's shared
     // protocol) so a concurrent [[vacuum]] can tell them from crashed
     // orphans — without it, a vacuum racing the writes sweeps the
     // fully-written history/current dirs and the commit below points
     // at deleted data
     StoreIO.writePending(spark, dir, "batch", label)
-    StoreIO.writePending(spark, dir, "current", s"v${man.version + 1}")
+    StoreIO.writePending(spark, dir, "current", newCur)
     // `materialize = localCheckpoint` pins the windowed merge to ONE
     // execution shared by both writes (and detaches them from a
     // current version the commit below is about to supersede)
@@ -104,13 +113,13 @@ object ScdStore {
     closedDelta.write.mode(SaveMode.Overwrite)
       .parquet(s"${historyPath(dir)}/batch=$label")
     newCurrent.write.mode(SaveMode.Overwrite)
-      .parquet(currentPath(dir, man.version + 1))
+      .parquet(currentPath(dir, newCur))
     beforeCommit()
     // fresh pointer read before the swap, but the committed version
-    // must name the directory THIS batch wrote (man.version + 1) — a
-    // drifted counter means the single-writer contract was violated,
-    // and committing fresh.version + 1 would point every later read at
-    // a directory nobody wrote. Fail loudly instead.
+    // must follow the one THIS batch merged against — a drifted
+    // counter means the single-writer contract was violated and this
+    // merge's output is stale (it did not see the winner's changes).
+    // Fail loudly instead; the retry re-merges against the new state.
     val fresh = manifest(spark, dir)
     if (!fresh.applied.contains(label)) {
       require(fresh.version == man.version,
@@ -119,17 +128,23 @@ object ScdStore {
           "the contract — replay the batch")
       commitManifest(spark, dir,
         Manifest(man.version + 1, fresh.applied :+ label,
-          fresh.histLive :+ label, fresh.commit + 1), "batch", label)
+          fresh.histLive :+ label, fresh.commit + 1, newCur),
+        "batch", label)
     }
     // success path only: a crash leaves the announcements standing so
     // vacuum keeps shielding the orphans until the label is replayed
     StoreIO.clearPending(spark, dir, "batch", label)
-    StoreIO.clearPending(spark, dir, "current", s"v${man.version + 1}")
+    StoreIO.clearPending(spark, dir, "current", newCur)
   }
+
+  /** The version prefix of a current-dir name (`v<N>` or
+    * `v<N>-<label>`); None for foreign names. */
+  private def curVersionOf(name: String): Option[Long] =
+    """^v(\d+)(?:-.*)?$""".r.findFirstMatchIn(name).map(_.group(1).toLong)
 
   /** The live current partition (≈ one row per key, `valid_to` NULL). */
   def current(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(currentPath(dir, manifest(spark, dir).version))
+    spark.read.parquet(currentPath(dir, manifest(spark, dir).curDir))
 
   /** The full SCD2 table: live history label dirs ∪ live current.
     * (`histLive` names the DATA directories; `applied` is the replay
@@ -147,7 +162,7 @@ object ScdStore {
   private def tableOf(spark: SparkSession, dir: String,
       man: Manifest): DataFrame =
     histOf(spark, dir, man.histLive)
-      .unionByName(spark.read.parquet(currentPath(dir, man.version)))
+      .unionByName(spark.read.parquet(currentPath(dir, man.curDir)))
 
   /** TIME TRAVEL: the full SCD2 table exactly as commit `c` saw it —
     * the snapshot's history label set ∪ the snapshot's current version
@@ -160,7 +175,7 @@ object ScdStore {
   /** The current partition as of commit `c` (≤1 row per key then). */
   def currentAt(spark: SparkSession, dir: String, c: Long): DataFrame =
     spark.read.parquet(
-      currentPath(dir, commitAt(spark, dir, c).manifest.version))
+      currentPath(dir, commitAt(spark, dir, c).manifest.curDir))
 
   /** CDC READ: what changed between commit `from` (exclusive) and
     * commit `to` (inclusive), as SCD2 rows tagged `_change_type`:
@@ -184,8 +199,8 @@ object ScdStore {
     val cf = commitAt(spark, dir, from).manifest
     val ct = commitAt(spark, dir, to).manifest
     val window = ((from + 1) to to).map(commitAt(spark, dir, _))
-    val curF = spark.read.parquet(currentPath(dir, cf.version))
-    val curT = spark.read.parquet(currentPath(dir, ct.version))
+    val curF = spark.read.parquet(currentPath(dir, cf.curDir))
+    val curT = spark.read.parquet(currentPath(dir, ct.curDir))
     // identity of a validity row: (key, valid_from, tie-break ts column
     // carries inside valid_from already; event identity disambiguates
     // same-instant changes)
@@ -279,7 +294,7 @@ object ScdStore {
     // only the history label set, so it must not advance it
     commitManifest(spark, dir,
       Manifest(man.version, man.applied :+ intoLabel, Seq(intoLabel),
-        man.commit + 1), "compact", intoLabel)
+        man.commit + 1, man.curDir), "compact", intoLabel)
     StoreIO.clearPending(spark, dir, "batch", intoLabel)
   }
 
@@ -314,8 +329,8 @@ object ScdStore {
       .map(_.manifest)
     val keepHist = (man.histLive ++ retained.flatMap(_.histLive)).toSet ++
       pending.getOrElse("batch", Set.empty)
-    val keepVers = (retained.map(_.version) :+ man.version)
-      .map(v => s"v$v").toSet ++ pending.getOrElse("current", Set.empty)
+    val keepVers = (retained.map(_.curDir) :+ man.curDir).toSet ++
+      pending.getOrElse("current", Set.empty)
     def sweep(victims: Seq[Path], keep: String => Boolean): Int = {
       val dead = victims.filterNot(d => keep(d.getName))
       dead.foreach(d => d.getFileSystem(conf).delete(d, true))
@@ -328,9 +343,7 @@ object ScdStore {
     // versions are stale — clear them so superseded dirs stay sweepable
     StoreIO.clearCommittedPending(spark, dir, pending, {
       case ("batch", l) => man.applied.contains(l)
-      case ("current", v) =>
-        val n = v.stripPrefix("v")
-        n.forall(_.isDigit) && n.nonEmpty && n.toLong <= man.version
+      case ("current", v) => curVersionOf(v).exists(_ <= man.version)
       case _ => false
     })
     (h, c)
@@ -375,8 +388,12 @@ object ScdStore {
     * immutable snapshot of the manifest it swapped in lives under
     * `_commits/c<N>.json` (Iceberg's snapshot log: the pointer is the
     * present, the snapshots are the past). */
+  /** `curDir` NAMES the live current directory (`v<N>-<label>`, `v1`
+    * for init; legacy manifests without the field fall back to
+    * `v<version>`). */
   private[operators] case class Manifest(version: Long,
-      applied: Seq[String], histLive: Seq[String], commit: Long)
+      applied: Seq[String], histLive: Seq[String], commit: Long,
+      curDir: String)
 
   private def parseManifest(raw: String): Manifest = {
     val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
@@ -387,7 +404,9 @@ object ScdStore {
     val applied = arr("applied").get
     val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
       .map(_.group(1).toLong).getOrElse(1L) // pre-snapshot stores
-    Manifest(v, applied, arr("histLive").getOrElse(applied), c)
+    val cur = """"curDir":"([^"]+)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).getOrElse(s"v$v") // pre-curDir stores
+    Manifest(v, applied, arr("histLive").getOrElse(applied), c, cur)
   }
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest =
@@ -395,6 +414,7 @@ object ScdStore {
 
   private def manifestBody(m: Manifest): String =
     s"""{"version":${m.version},"commit":${m.commit},""" +
+      s""""curDir":"${m.curDir}",""" +
       s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
       s""""histLive":[${m.histLive.map(l => s""""$l"""").mkString(",")}]}"""
 
@@ -405,12 +425,44 @@ object ScdStore {
   /** One commit = one immutable snapshot + the pointer swap, in that
     * order: a crash between the two leaves an orphan snapshot no read
     * resolves, and the batch replay overwrites it — the applyBatch
-    * crash discipline extended to the snapshot log. */
+    * crash discipline extended to the snapshot log.
+    *
+    * The SLOT is claimed by exclusive create, the GraftTable CAS: the
+    * version check catches completed races; this closes the
+    * read-to-swap window where two writers both swap and the loser's
+    * label silently vanishes. Claim failures resolve POINTER FIRST (a
+    * slot at/below the pointer is a committed winner → abort), then
+    * own-crashed-attempt (same kind+label → overwrite), standing
+    * "batch" announcement (in-flight writer → abort), else dead orphan
+    * (→ overwrite). */
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
       kind: String, label: String): Unit = {
     val snap = manifestBody(m).dropRight(1) +
       s""","kind":"$kind","label":"$label"}"""
-    writeString(spark, commitPath(dir, m.commit), snap, atomic = true)
+    val slot = commitPath(dir, m.commit)
+    var attempts = 0
+    while (!StoreIO.writeStringExclusive(spark, slot, snap)) {
+      if (manifest(spark, dir).commit >= m.commit)
+        throw new java.util.ConcurrentModificationException(
+          s"ScdStore commit slot c${m.commit} was won by another writer" +
+            " — single writer is the contract; replay the batch")
+      val existing =
+        try Some(commitAt(spark, dir, m.commit))
+        catch { case _: Exception => None } // unparseable = dead orphan
+      val inFlight = existing.exists(c =>
+        !(c.kind == kind && c.label == label) &&
+          StoreIO.pendingExists(spark, dir, "batch", c.label))
+      if (inFlight)
+        throw new java.util.ConcurrentModificationException(
+          s"ScdStore commit slot c${m.commit} is claimed by an in-flight" +
+            s" '${existing.get.kind}' commit (label" +
+            s" '${existing.get.label}') — single writer is the contract")
+      attempts += 1
+      require(attempts <= 3,
+        s"ScdStore commit slot c${m.commit} in $dir cannot be claimed")
+      val (fs, p) = StoreIO.hadoopFs(spark, slot)
+      fs.delete(p, false)
+    }
     writeManifest(spark, dir, m)
   }
 

@@ -114,6 +114,51 @@ class StoreConcurrencySpec extends SparkSpec {
     intercept[Exception] { ScdStore.tableAt(spark, dir, 1L).collect() }
   }
 
+  test("ScdStore: racing applyBatches write DISTINCT current dirs; the loser corrupts nothing") {
+    import spark.implicits._
+    val dir = tmp("scd-race-")
+    val cut = lit("2024-01-16").cast("timestamp")
+    ScdStore.init(scdLog.where($"ts" < cut), dir, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    // KEY-disjoint racing batches (time-sliced ones could not legally
+    // retry: the loser's earlier-in-time changes would trip the
+    // out-of-order guard for keys the winner already advanced)
+    val sliceA = scdLog.where($"ts" >= cut && $"user_id" % 2 === 0)
+    val sliceB = scdLog.where($"ts" >= cut && $"user_id" % 2 === 1)
+    // B fully commits inside A's commit window: both merged against v1,
+    // both wrote their next-current — under a SHARED v2 name the loser's
+    // Overwrite would silently replace the winner's committed current
+    // partition; unique names make the two writes disjoint directories
+    val ex = intercept[IllegalArgumentException] {
+      ScdStore.applyBatch(sliceA, dir, "bA",
+        beforeCommit = () => ScdStore.applyBatch(sliceB, dir, "bB"))
+    }
+    assert(ex.getMessage.contains("concurrent"))
+    assert(new java.io.File(s"$dir/current/v2-bB").exists(),
+      "winner's current dir missing")
+    assert(new java.io.File(s"$dir/current/v2-bA").exists(),
+      "loser's (announced, uncommitted) current dir missing")
+    // the WINNER's committed state is exactly init+B — bit-untouched by
+    // the loser's racing write
+    assert(rows(ScdStore.table(spark, dir)) ==
+      rows(ScdMerge.compress(
+        scdLog.where($"ts" < cut || $"user_id" % 2 === 1),
+        "user_id", "ts", Seq("event_type"), Seq("event_id"))),
+      "loser's racing write corrupted the winner's committed current")
+    // the loser re-merges against the new state and converges
+    ScdStore.applyBatch(sliceA, dir, "bA")
+    assert(rows(ScdStore.table(spark, dir)) ==
+      rows(ScdMerge.compress(scdLog, "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))),
+      "retry after the detected race diverged from the one-pass model")
+    // the orphaned race dir is vacuum's: its stale announcement is
+    // cleared (version prefix <= pointer), then the dir is swept
+    ScdStore.vacuum(spark, dir)
+    ScdStore.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/current/v2-bA").exists(),
+      "orphaned race current dir never became sweepable")
+  }
+
   // ---- DeleteStore ----------------------------------------------------
 
   private def liTable: DataFrame = Tables.lineitem(spark, sfDir)
@@ -206,7 +251,7 @@ class StoreConcurrencySpec extends SparkSpec {
         ScdStore.vacuum(spark, dir)
         assert(new java.io.File(s"$dir/history/batch=b1").exists(),
           "vacuum swept the in-flight history delta")
-        assert(new java.io.File(s"$dir/current/v2").exists(),
+        assert(new java.io.File(s"$dir/current/v2-b1").exists(),
           "vacuum swept the in-flight current version")
       })
     // the batch committed and serves the full compression
