@@ -44,7 +44,7 @@ object DeleteStore {
     writeString(spark, metaPath(dir),
       s"""{"keys":[${keys.map(k => s""""$k"""").mkString(",")}]}""",
       atomic = false)
-    writeManifest(spark, dir, Manifest(Nil, Nil))
+    writeManifest(spark, dir, Manifest(Nil, Nil, 1L), "init")
   }
 
   /** Commit one delete batch under `label`. Committed labels are
@@ -83,8 +83,17 @@ object DeleteStore {
     beforeCommit()
     val fresh = manifest(spark, dir)
     if (!fresh.applied.contains(label))
-      writeManifest(spark, dir,
-        Manifest(fresh.applied :+ label, fresh.live :+ label))
+      try writeManifest(spark, dir,
+        Manifest(fresh.applied :+ label, fresh.live :+ label,
+          fresh.version + 1), "append", label)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // swap CAS lost: abandon (dir WITH sidecar) and let the
+          // caller retry against the new state — nothing committed
+          StoreIO.abandonPending(spark, dir, "append", label,
+            s"${deletesPath(dir)}/batch=$label")
+          throw e
+      }
     StoreIO.clearPending(spark, dir, "append", label) // success path only
   }
 
@@ -156,8 +165,15 @@ object DeleteStore {
     liveDeletes(spark, dir).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${deletesPath(dir)}/batch=$intoLabel")
-    writeManifest(spark, dir,
-      Manifest(man.applied :+ intoLabel, Seq(intoLabel)))
+    try writeManifest(spark, dir,
+      Manifest(man.applied :+ intoLabel, Seq(intoLabel), man.version + 1),
+      "compact", intoLabel)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        StoreIO.abandonPending(spark, dir, "compact", intoLabel,
+          s"${deletesPath(dir)}/batch=$intoLabel")
+        throw e
+    }
     StoreIO.clearPending(spark, dir, "compact", intoLabel)
   }
 
@@ -167,7 +183,8 @@ object DeleteStore {
     * be deleted again on the next read. */
   def reset(spark: SparkSession, dir: String): Unit = {
     val man = manifest(spark, dir)
-    writeManifest(spark, dir, Manifest(man.applied, Nil))
+    writeManifest(spark, dir, Manifest(man.applied, Nil, man.version + 1),
+      "reset")
   }
 
   /** [[reset]] for a NAMED label set: drop exactly the labels a
@@ -178,7 +195,8 @@ object DeleteStore {
   def retire(spark: SparkSession, dir: String, labels: Seq[String]): Unit = {
     val man = manifest(spark, dir)
     writeManifest(spark, dir,
-      Manifest(man.applied, man.live.filterNot(labels.contains)))
+      Manifest(man.applied, man.live.filterNot(labels.contains),
+        man.version + 1), "retire")
   }
 
   /** Delete non-live label directories (crashed appends, compacted or
@@ -208,6 +226,8 @@ object DeleteStore {
     // so superseded dirs stay sweepable
     StoreIO.clearCommittedPending(spark, dir, pending,
       (_, l) => man.applied.contains(l))
+    // swap slots at or below the live version are spent claims
+    StoreIO.sweepSwapSlots(spark, dir, man.version)
     victims.length
   }
 
@@ -220,16 +240,35 @@ object DeleteStore {
       lit(man.applied.size).cast("long").as("applied_labels"))
   }
 
-  private[operators] case class Manifest(applied: Seq[String], live: Seq[String])
+  /** `version` is the monotone SWAP counter ([[StoreIO.claimSwapSlot]]
+    * keys on it; 0 on legacy manifests without the field). */
+  private[operators] case class Manifest(applied: Seq[String],
+      live: Seq[String], version: Long = 0L)
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
     val raw = readString(spark, manifestPath(dir))
-    Manifest(StoreIO.jsonArr(raw, "applied"), StoreIO.jsonArr(raw, "live"))
+    Manifest(StoreIO.jsonArr(raw, "applied"), StoreIO.jsonArr(raw, "live"),
+      """"v":(\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong).getOrElse(0L))
   }
 
+  /** Pointer swap behind the log-less-store CAS: the slot for the new
+    * version is claimed by exclusive create first, so two writers
+    * racing the same swap cannot both win — last-swap-wins would
+    * silently erase the loser's label (inside [[GraftTable.delete]],
+    * a lost ERASURE batch). */
   private[operators] def writeManifest(spark: SparkSession, dir: String,
-      m: Manifest): Unit = {
-    val body = s"""{"applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
+      m: Manifest, kind: String = "swap", label: String = ""): Unit = {
+    StoreIO.claimSwapSlot(spark, dir, m.version, kind, label,
+      currentVersion = () => {
+        val (fs, p) = StoreIO.hadoopFs(spark, manifestPath(dir))
+        if (!fs.exists(p)) 0L else manifest(spark, dir).version
+      },
+      occupantInFlight = (k, l) =>
+        (k == "append" || k == "compact") &&
+          StoreIO.pendingExists(spark, dir, k, l))
+    val body = s"""{"v":${m.version},""" +
+      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
       s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]}"""
     writeString(spark, manifestPath(dir), body, atomic = true)
   }

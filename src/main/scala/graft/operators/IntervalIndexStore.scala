@@ -160,8 +160,16 @@ object IntervalIndexStore {
     // tiny window the pre-snapshot design had)
     val man = manifest(spark, dir)
     if (!man.live.contains(label))
-      writeManifest(spark, dir, man.copy(version = man.version + 1,
-        live = man.live :+ label))
+      try writeManifest(spark, dir, man.copy(version = man.version + 1,
+        live = man.live :+ label), "append", label)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // the swap CAS lost to another writer: abandon (dir WITH its
+          // sidecar — never an existing-but-unannounced directory) and
+          // let the caller retry against the new state
+          StoreIO.abandonPending(spark, dir, "append", label, labelDir)
+          throw e
+      }
     StoreIO.clearPending(spark, dir, "append", label) // success path only
   }
 
@@ -227,8 +235,24 @@ object IntervalIndexStore {
   }
 
   /** Single-file swap = the commit point (local: temp + ATOMIC_MOVE;
-    * object store: one PUT). */
-  private[operators] def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    * object store: one PUT). The swap SLOT for the new version is
+    * claimed first by exclusive create ([[StoreIO.claimSwapSlot]] —
+    * the log-less-store CAS): two writers racing the same swap cannot
+    * both win, so last-swap-wins can never silently erase the loser's
+    * label from the live set. `kind`/`label` identify the claimant for
+    * occupant resolution (a still-announced occupant aborts the claim;
+    * a dead orphan is overwritten; pointer-first catches a committed
+    * winner). */
+  private[operators] def writeManifest(spark: SparkSession, dir: String,
+      m: Manifest, kind: String = "swap", label: String = ""): Unit = {
+    StoreIO.claimSwapSlot(spark, dir, m.version, kind, label,
+      currentVersion = () => {
+        val (fs, p) = hadoopFs(spark, manifestPath(dir))
+        if (!fs.exists(p)) 0L else manifest(spark, dir).version
+      },
+      occupantInFlight = (k, l) =>
+        (k == "append" || k == "compact") &&
+          StoreIO.pendingExists(spark, dir, k, l))
     val body = s"""{"version":${m.version},""" +
       s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]""" +
       m.minBand.map(b => s""","minBand":$b""").getOrElse("") + "}"
@@ -348,7 +372,15 @@ object IntervalIndexStore {
     StoreIO.writePending(spark, dir, "compact", intoLabel) // announce
     merged.write.mode(SaveMode.Overwrite).partitionBy("band")
       .parquet(s"${intervalsPath(dir)}/ingest_batch=$intoLabel")
-    writeManifest(spark, dir, man.copy(version = man.version + 1, live = Seq(intoLabel)))
+    try writeManifest(spark, dir,
+      man.copy(version = man.version + 1, live = Seq(intoLabel)),
+      "compact", intoLabel)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        StoreIO.abandonPending(spark, dir, "compact", intoLabel,
+          s"${intervalsPath(dir)}/ingest_batch=$intoLabel")
+        throw e
+    }
     StoreIO.clearPending(spark, dir, "compact", intoLabel)
     // a PRIOR compact's crash-leaked sidecar names a label this commit
     // just superseded (single writer: no other compact is in flight) —
@@ -375,7 +407,8 @@ object IntervalIndexStore {
     val cutBand = (cutoff.getTime * 1000L) / (m.bandSeconds * 1000000L)
     val man = manifest(spark, dir)
     writeManifest(spark, dir, man.copy(version = man.version + 1,
-      minBand = Some(man.minBand.fold(cutBand)(math.max(_, cutBand)))))
+      minBand = Some(man.minBand.fold(cutBand)(math.max(_, cutBand)))),
+      "expire", "")
   }
 
   /** M3 for the store: delete (1) label directories not in the manifest
@@ -431,6 +464,8 @@ object IntervalIndexStore {
     // cleared by compact itself (this manifest has no applied ledger)
     StoreIO.clearCommittedPending(spark, dir, pending,
       (_, l) => man.live.contains(l))
+    // swap slots at or below the live version are spent claims
+    StoreIO.sweepSwapSlots(spark, dir, man.version)
     (orphan.length, expired.length)
   }
 

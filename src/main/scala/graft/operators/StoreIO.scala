@@ -179,6 +179,75 @@ private[graft] object StoreIO {
     clearPending(spark, dir, kind, label)
   }
 
+  // ---- versioned-manifest CAS (stores with a pointer, no commit log) --
+  // GraftTable/ScdStore CAS their commit SNAPSHOT file; the log-less
+  // stores (DeleteStore, IntervalIndexStore) have only the pointer, so
+  // the pointer swap itself gets a slot: claim `_swap/s<target>.json`
+  // by exclusive create BEFORE writing `_live.json`. Two writers racing
+  // the same swap cannot both win — without this, last-swap-wins
+  // silently erases the loser's label from the manifest AFTER its
+  // append returned success (inside GraftTable.delete, that is a lost
+  // erasure batch).
+
+  /** Claim the swap slot for `target` (= base version + 1) or throw
+    * ConcurrentModificationException. Occupant resolution mirrors the
+    * commit-log CAS: pointer first (currentVersion() >= target ⇒ a
+    * committed winner), own previous crashed claim (same kind+label ⇒
+    * reuse), a still-announced occupant (⇒ in-flight, abort), else a
+    * dead orphan (⇒ overwrite). Slots at or below the live version are
+    * [[sweepSwapSlots]]'s to clean. */
+  def claimSwapSlot(spark: SparkSession, dir: String, target: Long,
+      kind: String, label: String, currentVersion: () => Long,
+      occupantInFlight: (String, String) => Boolean): Unit = {
+    val slot = s"$dir/_swap/s$target.json"
+    val body = s"""{"kind":"$kind","label":"$label"}"""
+    var attempts = 0
+    while (!writeStringExclusive(spark, slot, body)) {
+      if (currentVersion() >= target)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest swap s$target in $dir was won by another writer — " +
+            "single writer is the contract; retry against the new state")
+      val raw =
+        try Some(readString(spark, slot))
+        catch { case _: Exception => None } // vanished/unreadable
+      val oKind = raw.flatMap(r =>
+        """"kind":"([^"]*)"""".r.findFirstMatchIn(r).map(_.group(1)))
+      val oLabel = raw.flatMap(r =>
+        """"label":"([^"]*)"""".r.findFirstMatchIn(r).map(_.group(1)))
+      if (oKind.contains(kind) && oLabel.contains(label))
+        return // our own crashed claim at the same version: reuse it
+      if (oKind.exists(k => occupantInFlight(k, oLabel.getOrElse(""))))
+        throw new java.util.ConcurrentModificationException(
+          s"manifest swap s$target in $dir is claimed by an in-flight " +
+            s"'${oKind.get}' writer (label '${oLabel.getOrElse("")}') — " +
+            "single writer is the contract")
+      attempts += 1
+      require(attempts <= 3,
+        s"swap slot s$target in $dir cannot be claimed")
+      val (fs, p) = hadoopFs(spark, slot)
+      fs.delete(p, false) // dead orphan (crashed, never-replayed swap)
+      ()
+    }
+  }
+
+  /** Sweep claimed swap slots at or below the live version (their
+    * swaps are visible in the pointer; keeping them would only shield
+    * nothing). Returns the count removed. */
+  def sweepSwapSlots(spark: SparkSession, dir: String, upTo: Long): Int = {
+    val (fs, root) = hadoopFs(spark, s"$dir/_swap")
+    if (!fs.exists(root)) return 0
+    val re = """s(\d+)\.json""".r
+    var n = 0
+    fs.listStatus(root).foreach { st =>
+      re.findFirstMatchIn(st.getPath.getName).foreach { m0 =>
+        if (m0.group(1).toLong <= upTo) {
+          fs.delete(st.getPath, false); n += 1
+        }
+      }
+    }
+    n
+  }
+
   /** Clear standing sidecars the caller can PROVE stale: `committed`
     * decides from a ledger read taken AFTER the pending read whether a
     * (kind, label) already committed and carries no further protocol

@@ -143,11 +143,14 @@ class IntervalIndexStoreSpec extends SparkSpec {
       "user_id", "w_start", "w_end", bandSeconds = 3L * 86400L)
     val baseOnly = pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
     // crash between the parquet write and the manifest commit: run the
-    // append, then restore the pre-append manifest — on-disk state is
-    // exactly what a crash in between leaves behind
-    val preCrash = IntervalIndexStore.manifest(spark, dir)
+    // append, then restore the pre-append manifest FILE — on-disk state
+    // is exactly what a crash in between leaves behind (raw file
+    // restore, not the API: writeManifest's swap-slot CAS rightly
+    // refuses to move the pointer backward)
+    val manifestFile = java.nio.file.Paths.get(s"$dir/_live.json")
+    val preCrash = java.nio.file.Files.readString(manifestFile)
     IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "delta1")
-    IntervalIndexStore.writeManifest(spark, dir, preCrash)
+    java.nio.file.Files.writeString(manifestFile, preCrash)
     assert(new java.io.File(s"$dir/intervals/ingest_batch=delta1").exists())
     assert(pairs(IntervalIndexStore.lookup(spark, dir, purchases, "ts")) == baseOnly,
       "uncommitted append leaked into lookups")

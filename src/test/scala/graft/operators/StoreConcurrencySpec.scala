@@ -321,6 +321,91 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(orphans == 1)
   }
 
+  test("DeleteStore: the swap-slot CAS — in-flight occupant aborts; dead orphan overwritten; threads converge") {
+    import spark.implicits._
+    val dir = tmp("del-cas-")
+    DeleteStore.init(spark, dir, Seq("l_orderkey"))
+    val k1 = liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(4)
+    DeleteStore.append(k1, dir, "d1") // version 2
+    // occupy the NEXT swap slot with an in-flight foreign writer
+    // (claim written, pointer not swapped, announcement standing) —
+    // the window where last-swap-wins would erase a committed label
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_swap"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_swap/s3.json"),
+      """{"kind":"append","label":"zz"}""")
+    StoreIO.writePending(spark, dir, "append", "zz")
+    val k2 = liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey".desc).limit(4)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      DeleteStore.append(k2, dir, "d2")
+    }
+    assert(ex.getMessage.contains("zz"))
+    assert(!new java.io.File(s"$dir/deletes/batch=d2").exists(),
+      "CAS loser left its batch directory behind")
+    assert(DeleteStore.manifest(spark, dir).applied == Seq("d1"))
+    // the occupant dies un-replayed: once its announcement is gone the
+    // claim is a dead orphan — the next swap overwrites it
+    StoreIO.clearPending(spark, dir, "append", "zz")
+    DeleteStore.append(k2, dir, "d2")
+    assert(DeleteStore.manifest(spark, dir).applied == Seq("d1", "d2"))
+    // and real threads converge with retry-on-abort
+    val k3 = liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(12)
+    val a = k3.where($"l_orderkey" % 2 === 0)
+    val b = k3.where($"l_orderkey" % 2 === 1)
+    def withRetry(df: DataFrame, label: String): Unit = {
+      var done = false; var tries = 0
+      while (!done) {
+        try { DeleteStore.append(df, dir, label); done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            tries += 1; assert(tries <= 5, s"$label livelocked")
+        }
+      }
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(withRetry(a, "rA")); val fb = Future(withRetry(b, "rB"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    val man = DeleteStore.manifest(spark, dir)
+    assert(man.applied.count(_ == "rA") == 1, "racing append lost rA")
+    assert(man.applied.count(_ == "rB") == 1, "racing append lost rB")
+    val expectGone = (rows(k1) ++ rows(k2) ++ rows(a) ++ rows(b)).toSet
+    val got = rows(DeleteStore.liveDeletes(spark, dir)).toSet
+    assert(got == expectGone, "converged live delete set diverged")
+  }
+
+  test("IntervalIndexStore: the swap-slot CAS — in-flight occupant aborts the append") {
+    import spark.implicits._
+    val dir = tmp("ivl-cas-")
+    IntervalIndexStore.build(views.where($"view_id" % 2 === 0), dir,
+      "user_id", "w_start", "w_end", bandSeconds = 86400)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_swap"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_swap/s2.json"),
+      """{"kind":"append","label":"zz"}""")
+    StoreIO.writePending(spark, dir, "append", "zz")
+    val before = rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "d1")
+    }
+    assert(ex.getMessage.contains("zz"))
+    assert(!new java.io.File(s"$dir/intervals/ingest_batch=d1").exists(),
+      "CAS loser left its batch directory behind")
+    assert(rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+      == before, "aborted append changed lookups")
+    // dead orphan: un-announced occupant is overwritten by the retry
+    StoreIO.clearPending(spark, dir, "append", "zz")
+    IntervalIndexStore.append(views.where($"view_id" % 2 =!= 0), dir, "d1")
+    assert(rows(IntervalIndexStore.lookup(spark, dir, purchases, "ts"))
+      .size >= before.size)
+  }
+
   // ---- GraftTable: racing appends -------------------------------------
 
   test("GraftTable: an append racing another append's commit aborts loudly, loses nothing") {
