@@ -81,6 +81,25 @@ object Bench {
       val samples = rounds.map(_(k)).sorted
       k -> samples((samples.size - 1) / 2)
     }.toMap
+
+    // STABLE metrics pass (after the timed rounds, so the listener
+    // drains never perturb a timing): per query, the task count and
+    // shuffle bytes written — deterministic at a fixed SF, immune to
+    // the host drift that invalidated two rounds of wall-clock triage
+    // (same binary, 80→110 s, empty plan diff — SCALE.md). The triage
+    // rule: a seconds move WITHOUT a tasks/shuffle_bytes move on an
+    // unchanged plan digest is machine noise, not a regression.
+    val stable: Map[String, (Long, Long, Long)] =
+      benchQueries.map { case (name, fn) =>
+        val (tasks, shuf, rows) =
+          try graft.util.StableMetrics.measure(spark) {
+            fn(spark, sfDir).count()
+          } catch { case _: Throwable => (-1L, -1L, -1L) }
+        name -> ((tasks, shuf, rows))
+      }
+    val stableJson = stable.toSeq.sortBy(_._1).map { case (n, (t, s, r)) =>
+      s""""$n":{"tasks":$t,"shuffle_bytes":$s,"rows":$r}"""
+    }.mkString("{", ",", "}")
     def fmt(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
@@ -166,6 +185,7 @@ object Bench {
     val artifact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,
          |"queries":${fmt(results.toSeq.sortBy(_._1))},
+         |"stable":$stableJson,
          |"plans":$plansJson,
          |"plan_diff":$planDiffJson,
          |"sf":"$sfDir"}""".stripMargin.replace("\n", "")

@@ -42,7 +42,7 @@ object DeleteStore {
     require(keys.nonEmpty, "at least one equality-delete key column")
     keys.foreach(requireColName)
     writeString(spark, metaPath(dir),
-      s"""{"keys":[${keys.map(k => s""""$k"""").mkString(",")}]}""",
+      StoreIO.renderJson(StoreIO.putArr(_, "keys", keys)),
       atomic = false)
     writeManifest(spark, dir, Manifest(Nil, Nil, 1L), "init")
   }
@@ -246,10 +246,10 @@ object DeleteStore {
       live: Seq[String], version: Long = 0L)
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
-    val raw = readString(spark, manifestPath(dir))
-    Manifest(StoreIO.jsonArr(raw, "applied"), StoreIO.jsonArr(raw, "live"),
-      """"v":(\d+)""".r.findFirstMatchIn(raw)
-        .map(_.group(1).toLong).getOrElse(0L))
+    val n = StoreIO.parseJson(readString(spark, manifestPath(dir)))
+    Manifest(StoreIO.jArr(n, "applied").getOrElse(Nil),
+      StoreIO.jArr(n, "live").getOrElse(Nil),
+      StoreIO.jLong(n, "v").getOrElse(0L))
   }
 
   /** Pointer swap behind the log-less-store CAS: the slot for the new
@@ -267,20 +267,18 @@ object DeleteStore {
       occupantInFlight = (k, l) =>
         (k == "append" || k == "compact") &&
           StoreIO.pendingExists(spark, dir, k, l))
-    val body = s"""{"v":${m.version},""" +
-      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
-      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]}"""
-    writeString(spark, manifestPath(dir), body, atomic = true)
+    writeString(spark, manifestPath(dir),
+      StoreIO.renderJson { o =>
+        o.put("v", m.version)
+        StoreIO.putArr(o, "applied", m.applied)
+        StoreIO.putArr(o, "live", m.live)
+      }, atomic = true)
   }
 
   private[operators] case class Meta(keys: Seq[String])
 
-  private[operators] def meta(spark: SparkSession, dir: String): Meta = {
-    val raw = readString(spark, metaPath(dir))
-    Meta(""""keys":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq)
-  }
+  private[operators] def meta(spark: SparkSession, dir: String): Meta =
+    Meta(StoreIO.jsonArr(readString(spark, metaPath(dir)), "keys"))
 
   // ---- q163: the standing delete store, hash-checked -----------------
 

@@ -61,10 +61,12 @@ object GraftTable {
       deleteKeys: Seq[String] = Nil): Unit = {
     require(zoneCols.nonEmpty, "at least one zone column (it drives layout)")
     (zoneCols ++ bloomCols ++ deleteKeys).foreach(requireColName)
-    def arr(s: Seq[String]) = s.map(c => s""""$c"""").mkString(",")
     writeString(spark, metaPath(dir),
-      s"""{"zoneCols":[${arr(zoneCols)}],"bloomCols":[${arr(bloomCols)}],""" +
-        s""""delKeys":[${arr(deleteKeys)}]}""",
+      StoreIO.renderJson { o =>
+        StoreIO.putArr(o, "zoneCols", zoneCols)
+        StoreIO.putArr(o, "bloomCols", bloomCols)
+        StoreIO.putArr(o, "delKeys", deleteKeys)
+      },
       atomic = false)
     if (deleteKeys.nonEmpty) DeleteStore.init(spark, delPath(dir), deleteKeys)
     commitManifest(spark, dir, Manifest(Nil, Nil, 1L), "create", "", Nil)
@@ -483,7 +485,7 @@ object GraftTable {
         // vacuum (which would otherwise sweep it as an orphan and
         // leave the commit below pointing at deleted data)
         writePending(spark, dir, "retire", intoLabel,
-          s"""{"retired":[${dels.map(l => s""""$l"""").mkString(",")}]}""")
+          StoreIO.renderJson(StoreIO.putArr(_, "retired", dels)))
         val base = baseRead(spark, dir, man.live, man.schemaJson)
         val snapshot =
           if (dels.isEmpty) base
@@ -771,44 +773,30 @@ object GraftTable {
           "may add columns, never change a column's type")
     }
 
-  private def parseArr(raw: String, field: String): Seq[String] =
-    StoreIO.jsonArr(raw, field)
-
+  // Manifests and snapshots parse through StoreIO's shared Jackson
+  // helpers (one parser for all four stores): field order is free,
+  // escaping is the parser's problem, and the old "schema must be
+  // serialized LAST" contract no longer exists.
   private def parseManifest(raw: String): Manifest = {
-    val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
-      .map(_.group(1).toLong).getOrElse(1L)
-    Manifest(parseArr(raw, "applied"), parseArr(raw, "live"), c,
-      schemaOf(raw))
-  }
-
-  /** The `"schema":{...}` field is serialized LAST in both the
-    * manifest and every commit snapshot, so the (regex-based) parsers
-    * never have to balance its nested braces: everything from the
-    * marker to the closing brace IS the StructType JSON. The marker
-    * cannot occur earlier — labels/kinds are allowlisted (no quotes or
-    * colons) and every prior field name is fixed. */
-  private def schemaOf(raw: String): Option[String] = {
-    val i = raw.indexOf(""""schema":""")
-    // bound on the LAST '}' (the document's outer brace), not on raw
-    // length: a hand-edited manifest round-tripped through an editor
-    // or jq picks up a trailing newline, and a length-bound substring
-    // would keep the outer brace inside the schema JSON and fail every
-    // subsequent read's parse
-    if (i < 0) None else Some(raw.substring(i + 9, raw.lastIndexOf('}')))
+    val n = StoreIO.parseJson(raw)
+    Manifest(
+      StoreIO.jArr(n, "applied").getOrElse(Nil),
+      StoreIO.jArr(n, "live").getOrElse(Nil),
+      StoreIO.jLong(n, "commit").getOrElse(1L),
+      StoreIO.jObjJson(n, "schema"))
   }
 
   private[operators] def manifest(spark: SparkSession,
       dir: String): Manifest =
     parseManifest(readString(spark, manifestPath(dir)))
 
-  private def manifestCore(m: Manifest): String =
-    s"""{"commit":${m.commit},""" +
-      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
-      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]"""
-
-  // schema LAST, always (see [[schemaOf]])
-  private def schemaPart(m: Manifest): String =
-    m.schemaJson.map(s => s""","schema":$s""").getOrElse("")
+  private def putManifest(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      m: Manifest): Unit = {
+    o.put("commit", m.commit)
+    StoreIO.putArr(o, "applied", m.applied)
+    StoreIO.putArr(o, "live", m.live)
+    m.schemaJson.foreach(StoreIO.putRawObj(o, "schema", _))
+  }
 
   /** One commit = one immutable snapshot (manifest + what the commit
     * did + the delete store's live labels at that instant + the pinned
@@ -834,11 +822,12 @@ object GraftTable {
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
       kind: String, label: String, delLabels: Seq[String],
       retired: Seq[String] = Nil, rows: Long = 0L): Unit = {
-    val snap = manifestCore(m) +
-      s""","kind":"$kind","label":"$label","rows":$rows,""" +
-      s""""delLive":[${delLabels.map(l => s""""$l"""").mkString(",")}],""" +
-      s""""retired":[${retired.map(l => s""""$l"""").mkString(",")}]""" +
-      schemaPart(m) + "}"
+    val snap = StoreIO.renderJson { o =>
+      putManifest(o, m)
+      o.put("kind", kind); o.put("label", label); o.put("rows", rows)
+      StoreIO.putArr(o, "delLive", delLabels)
+      StoreIO.putArr(o, "retired", retired)
+    }
     val slot = commitPath(dir, m.commit)
     var attempts = 0
     while (!StoreIO.writeStringExclusive(spark, slot, snap)) {
@@ -846,7 +835,12 @@ object GraftTable {
       // COMMITTED snapshot — the occupant won, swapped, and (rightly)
       // un-announced; treating it as a dead orphan would overwrite a
       // visible commit and erase the winner's label from the ledger.
-      if (manifest(spark, dir).commit >= m.commit)
+      // A missing manifest (only possible while repairing a CRASHED
+      // create — its slot written, the pointer never) reads as 0.
+      val pointer =
+        try manifest(spark, dir).commit
+        catch { case _: java.io.FileNotFoundException => 0L }
+      if (pointer >= m.commit)
         throw new java.util.ConcurrentModificationException(
           s"commit slot c${m.commit} was won by another writer (the " +
             "pointer has moved past it) — single writer is the " +
@@ -854,15 +848,29 @@ object GraftTable {
       val existing =
         try Some(commitAt(spark, dir, m.commit))
         catch { case _: Exception => None } // unparseable = dead orphan
-      val inFlight = existing.exists { c =>
-        !(c.kind == kind && c.label == label) && {
-          val sidecar = c.kind match {
-            case "append" => "append"
-            case "delete" => "delete"
-            case "optimize" => "retire"
-            case _ => ""
-          }
-          sidecar.nonEmpty && pendingExists(spark, dir, sidecar, c.label)
+      // Occupant resolution per the state machine on
+      // [[StoreIO.claimSwapSlot]]: own crashed claim (same kind +
+      // same NON-EMPTY label — a replay repairing a commit that died
+      // between its two writes) is never in-flight: the loop deletes
+      // the stale slot, rewrites it, and completes the pointer swap.
+      // `create` has no replay identity, so a foreign create occupant
+      // resolves as a dead orphan too (converging a crashed create's
+      // replay). An UNKNOWN kind aborts conservatively — a future
+      // commit kind added without a sidecar mapping must fail loudly
+      // here, never silently bypass in-flight detection.
+      val own = existing.exists(c =>
+        c.kind == kind && c.label == label && label.nonEmpty)
+      val inFlight = !own && existing.exists { c =>
+        c.kind match {
+          case "append" => pendingExists(spark, dir, "append", c.label)
+          case "delete" => pendingExists(spark, dir, "delete", c.label)
+          case "optimize" => pendingExists(spark, dir, "retire", c.label)
+          case "create" => false // first commit; no announce protocol
+          case other => throw new java.util.ConcurrentModificationException(
+            s"commit slot c${m.commit} in $dir holds a snapshot of " +
+              s"unknown kind '$other' — refusing to classify it as a " +
+              "dead orphan; remove the slot manually if its writer is " +
+              "known dead")
         }
       }
       if (inFlight)
@@ -877,8 +885,8 @@ object GraftTable {
       val (fs, p) = StoreIO.hadoopFs(spark, slot)
       fs.delete(p, false)
     }
-    writeString(spark, manifestPath(dir), manifestCore(m) + schemaPart(m) + "}",
-      atomic = true)
+    writeString(spark, manifestPath(dir),
+      StoreIO.renderJson(putManifest(_, m)), atomic = true)
   }
 
   /** A committed snapshot: live data batches, the delete store's live
@@ -901,12 +909,15 @@ object GraftTable {
           s"commit $c is not retained in $dir (expired, or never " +
             s"committed — live commit is ${manifest(spark, dir).commit})", e)
       }
-    val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
-    val label = """"label":"([^"]*)"""".r.findFirstMatchIn(raw).get.group(1)
-    val rows = """"rows":(\d+)""".r.findFirstMatchIn(raw)
-      .map(_.group(1).toLong).getOrElse(0L)
-    Commit(parseManifest(raw), kind, label, parseArr(raw, "delLive"),
-      parseArr(raw, "retired"), rows)
+    val n = StoreIO.parseJson(raw)
+    Commit(parseManifest(raw),
+      StoreIO.jStr(n, "kind").getOrElse(sys.error(
+        s"commit snapshot c$c in $dir has no 'kind'")),
+      StoreIO.jStr(n, "label").getOrElse(sys.error(
+        s"commit snapshot c$c in $dir has no 'label'")),
+      StoreIO.jArr(n, "delLive").getOrElse(Nil),
+      StoreIO.jArr(n, "retired").getOrElse(Nil),
+      StoreIO.jLong(n, "rows").getOrElse(0L))
   }
 
   private def listCommits(spark: SparkSession, dir: String): Seq[Long] = {
@@ -1013,30 +1024,51 @@ object GraftTable {
     * 100 TB: steady-state sync cost is delta-sized (the window's batch
     * dirs + the mirror rewrite); only the re-baseline is table-sized —
     * which is why consumers schedule syncs ahead of maintenance. */
+  /** The `_sync.json` pointer both mirror families swap (0 = never
+    * synced). */
+  private def syncPointer(spark: SparkSession, syncPath: String): Long = {
+    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
+    if (!fs.exists(sp)) 0L
+    else StoreIO.jLong(StoreIO.parseJson(readString(spark, syncPath)),
+      "commit").getOrElse(sys.error(s"$syncPath has no 'commit' pointer"))
+  }
+
+  /** RETENTION for mirror versions: keep the live version plus the
+    * newest `keepLast` superseded ones, sweep the rest. keepLast=1 (the
+    * default) is the concurrent-reader allowance: a frame resolved
+    * against the version a sync just superseded finishes its scan — the
+    * same discipline expireCommits+vacuum give the main table, with
+    * keepLast as the knob (the Iceberg rule: retention ≥ max reader
+    * duration). keepLast=0 restores the old sweep-immediately behavior
+    * for a strictly single-consumer mirror. */
+  private def sweepMirrorVersions(spark: SparkSession, rootDir: String,
+      live: Long, keepLast: Int): Unit = {
+    val (mfs, mroot) = StoreIO.hadoopFs(spark, rootDir)
+    val versioned = mfs.listStatus(mroot).filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap(p => """^v(\d+)$""".r.findFirstMatchIn(p.getName)
+        .map(m0 => (m0.group(1).toLong, p)))
+      .sortBy(-_._1)
+    versioned.filter(_._1 != live).drop(keepLast)
+      .foreach { case (_, p) => mfs.delete(p, true) }
+  }
+
   def syncMirror(spark: SparkSession, dir: String,
-      mirrorDir: String): (Long, Long) = {
+      mirrorDir: String, keepLast: Int = 1): (Long, Long) = {
+    require(keepLast >= 0, "keepLast must be >= 0")
     val srcMan = manifest(spark, dir)
     val live = srcMan.commit
     val syncPath = s"$mirrorDir/_sync.json"
-    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
-    val last: Long =
-      if (!fs.exists(sp)) 0L
-      else """"commit":(\d+)""".r
-        .findFirstMatchIn(readString(spark, syncPath)).get.group(1).toLong
+    val last = syncPointer(spark, syncPath)
     if (last == live) return (last, live)
     // nothing committed yet (a sync scheduled ahead of the first
     // append): there is no table to mirror — report no progress
     if (srcMan.live.isEmpty) return (last, last)
     def commitMirror(df: DataFrame): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$mirrorDir/v$live")
-      writeString(spark, syncPath, s"""{"commit":$live}""", atomic = true)
-      // the pointer swap retired every older version: sweep them (the
-      // mirror is single-consumer by contract — a reader mid-scan of a
-      // superseded version re-resolves the pointer on its next read)
-      val (mfs, mroot) = StoreIO.hadoopFs(spark, mirrorDir)
-      mfs.listStatus(mroot).filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith("v") && p.getName != s"v$live")
-        .foreach(mfs.delete(_, true))
+      writeString(spark, syncPath,
+        StoreIO.renderJson { o => o.put("commit", live); () }, atomic = true)
+      sweepMirrorVersions(spark, mirrorDir, live, keepLast)
     }
     val m = meta(spark, dir)
     val delta =
@@ -1073,53 +1105,64 @@ object GraftTable {
 
   /** INCREMENTAL VIEW MAINTENANCE over the CDC feed: maintain a
     * downstream GROUPED AGGREGATE of the table (count per key + sums
-    * of `sumCols`) at `aggDir` from the commit log — the materialized-
-    * view consumer contract, one tier up from [[syncMirror]]'s row
-    * mirror. Each sync reads `changesBetween(last, live)` as SIGNED
-    * deltas (+1 insert, −1 delete preimage — an insert-then-delete
-    * inside the window nets to zero), aggregates them per group key,
-    * and folds them into the stored aggregate with ONE null-safe full
-    * outer join; groups whose count reaches zero are dropped, never
-    * emitted as zero rows. Steady-state cost = delta-sized CDC read +
-    * AGGREGATE-sized merge — never a table scan; only the first sync
-    * or an optimize window (no exact delta; same recovery as
-    * syncMirror) re-baselines from read(). Versions are immutable
-    * `v<commit>/` dirs behind a `_sync.json` pointer swap.
+    * of `sumCols` + optional min/max of `minCols`/`maxCols`) at
+    * `aggDir` from the commit log — the materialized-view consumer
+    * contract, one tier up from [[syncMirror]]'s row mirror. Each sync
+    * reads `changesBetween(last, live)` as SIGNED deltas (+1 insert,
+    * −1 delete preimage — an insert-then-delete inside the window nets
+    * to zero), aggregates them per group key, and folds them into the
+    * stored aggregate with ONE null-safe full outer join; groups whose
+    * count reaches zero are dropped, never emitted as zero rows.
+    * Steady-state cost = delta-sized CDC read + AGGREGATE-sized merge
+    * — never a table scan; only the first sync or an optimize window
+    * (no exact delta; same recovery as syncMirror) re-baselines from
+    * read(). Versions are immutable `v<commit>/` dirs behind a
+    * `_sync.json` pointer swap; [[sweepMirrorVersions]] applies the
+    * `keepLast` retention.
     *
-    * count and sum are the self-maintainable aggregates under deletes;
-    * min/max are not (a deleted extremum cannot be repaired from the
-    * delta) — a view needing them re-baselines by design. Sums are
-    * maintained as DECIMAL(28,2) so version schemas cannot drift
-    * through Spark's sum-precision widening, and float sums stay
-    * engine-portable (the oracle-parity rule). Returns
-    * (fromCommit, toCommit); equal means no-op. */
+    * count and sum are self-maintainable under deletes. min/max are
+    * not (a deleted extremum cannot be repaired from the delta alone)
+    * — but a full re-baseline is stronger than necessary: only the
+    * GROUPS whose stored extremum a window delete reached are dirty,
+    * so the sync RESCANS EXACTLY THOSE (delta-group keys ⋈ table, a
+    * broadcast semi-join) and recomputes their min/max; every other
+    * group folds inserts with least/greatest, and an INSERT-ONLY
+    * window triggers no rescan at all (decided eagerly on the
+    * agg-sized merge, so the plan that executes really is scan-free).
+    * `repairSeam` receives the rescan frame — the spec's seam for
+    * counting repair-scan rows. Sums are maintained as DECIMAL(28,2)
+    * so version schemas cannot drift through Spark's sum-precision
+    * widening, and float sums stay engine-portable (the oracle-parity
+    * rule). Returns (fromCommit, toCommit); equal means no-op. */
   def syncAggMirror(spark: SparkSession, dir: String, aggDir: String,
-      keys: Seq[String], sumCols: Seq[String]): (Long, Long) = {
-    (keys ++ sumCols).foreach(requireColName)
+      keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      keepLast: Int = 1,
+      repairSeam: DataFrame => Unit = _ => ()): (Long, Long) = {
+    (keys ++ sumCols ++ minCols ++ maxCols).foreach(requireColName)
     require(keys.nonEmpty, "at least one group key")
+    require(keepLast >= 0, "keepLast must be >= 0")
     val srcMan = manifest(spark, dir)
     val live = srcMan.commit
     val syncPath = s"$aggDir/_sync.json"
-    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
-    val last: Long =
-      if (!fs.exists(sp)) 0L
-      else """"commit":(\d+)""".r
-        .findFirstMatchIn(readString(spark, syncPath)).get.group(1).toLong
+    val last = syncPointer(spark, syncPath)
     if (last == live) return (last, live)
     if (srcMan.live.isEmpty) return (last, last)
     val dec = "decimal(28,2)"
+    val extremaCols = minCols.map(c => s"min_$c") ++
+      maxCols.map(c => s"max_$c")
     def aggOf(df: DataFrame): DataFrame = {
       val exprs = count(lit(1)).as("n") +:
-        sumCols.map(c => sum(col(c).cast(dec)).cast(dec).as(s"sum_$c"))
+        (sumCols.map(c => sum(col(c).cast(dec)).cast(dec).as(s"sum_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c")))
       df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
     }
     def commitAgg(df: DataFrame): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$aggDir/v$live")
-      writeString(spark, syncPath, s"""{"commit":$live}""", atomic = true)
-      val (afs, aroot) = StoreIO.hadoopFs(spark, aggDir)
-      afs.listStatus(aroot).filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.startsWith("v") && p.getName != s"v$live")
-        .foreach(afs.delete(_, true))
+      writeString(spark, syncPath,
+        StoreIO.renderJson { o => o.put("commit", live); () }, atomic = true)
+      sweepMirrorVersions(spark, aggDir, live, keepLast)
     }
     val delta =
       if (last == 0) None
@@ -1133,26 +1176,96 @@ object GraftTable {
     delta match {
       case None => commitAgg(aggOf(read(spark, dir))) // (re-)baseline
       case Some(d) =>
+        val cur = spark.read.parquet(s"$aggDir/v$last")
+        extremaCols.foreach(c => require(cur.columns.contains(c),
+          s"stored aggregate at $aggDir has no '$c' — the view was " +
+            "synced with different min/max columns; re-baseline " +
+            "(delete the mirror) or pass the original column set"))
         val sign = when(col("_change_type") === "insert", 1L)
           .otherwise(-1L)
+        val isIns = col("_change_type") === "insert"
         val dExprs = sum(sign).as("n") +:
-          sumCols.map(c =>
-            sum(sign * col(c).cast(dec)).cast(dec).as(s"sum_$c"))
+          (sumCols.map(c =>
+            sum(sign * col(c).cast(dec)).cast(dec).as(s"sum_$c")) ++
+            minCols.flatMap(c => Seq(
+              min(when(isIns, col(c))).as(s"ins_min_$c"),
+              min(when(!isIns, col(c))).as(s"del_min_$c"))) ++
+            maxCols.flatMap(c => Seq(
+              max(when(isIns, col(c))).as(s"ins_max_$c"),
+              max(when(!isIns, col(c))).as(s"del_max_$c"))))
         val dAgg = d.groupBy(keys.map(col): _*)
           .agg(dExprs.head, dExprs.tail: _*)
-        val cur = spark.read.parquet(s"$aggDir/v$last")
         // null-safe key match: a NULL group is a real group
         val cond = keys.map(k => cur(k) <=> dAgg(k)).reduce(_ && _)
         val joined = cur.join(dAgg, cond, "full_outer")
-        val outCols =
-          keys.map(k => coalesce(cur(k), dAgg(k)).as(k)) ++
-            ((coalesce(cur("n"), lit(0L)) + coalesce(dAgg("n"), lit(0L)))
-              .as("n") +:
-              sumCols.map(c =>
-                (coalesce(cur(s"sum_$c"), lit(0).cast(dec)) +
-                  coalesce(dAgg(s"sum_$c"), lit(0).cast(dec)))
-                  .cast(dec).as(s"sum_$c")))
-        commitAgg(joined.select(outCols: _*).where(col("n") > 0))
+        val outKeys = keys.map(k => coalesce(cur(k), dAgg(k)).as(k))
+        val outCore =
+          (coalesce(cur("n"), lit(0L)) + coalesce(dAgg("n"), lit(0L)))
+            .as("n") +:
+            sumCols.map(c =>
+              (coalesce(cur(s"sum_$c"), lit(0).cast(dec)) +
+                coalesce(dAgg(s"sum_$c"), lit(0).cast(dec)))
+                .cast(dec).as(s"sum_$c"))
+        if (minCols.isEmpty && maxCols.isEmpty) {
+          // the sum/count-only plan, unchanged (and digest-stable)
+          commitAgg(joined.select((outKeys ++ outCore): _*)
+            .where(col("n") > 0))
+        } else {
+          // a group is DIRTY iff a window delete reached its stored
+          // extremum (or the group is new and window deletes touched
+          // it); clean groups fold inserts with null-skipping
+          // least/greatest
+          val dirty = (minCols.map(c => dAgg(s"del_min_$c").isNotNull &&
+            (cur(s"min_$c").isNull ||
+              dAgg(s"del_min_$c") <= cur(s"min_$c"))) ++
+            maxCols.map(c => dAgg(s"del_max_$c").isNotNull &&
+              (cur(s"max_$c").isNull ||
+                dAgg(s"del_max_$c") >= cur(s"max_$c"))))
+            .reduce(_ || _)
+          val folded = minCols.map(c =>
+            least(cur(s"min_$c"), dAgg(s"ins_min_$c")).as(s"min_$c")) ++
+            maxCols.map(c =>
+              greatest(cur(s"max_$c"), dAgg(s"ins_max_$c")).as(s"max_$c"))
+          val merged = joined.select((outKeys ++ outCore ++ folded :+
+            coalesce(dirty, lit(false)).as("__repair")): _*)
+            .where(col("n") > 0)
+            .cache()
+          try {
+            // EAGER dirty check on the agg-sized merge: an insert-only
+            // window must not even plan a table scan
+            val anyDirty = merged.where(col("__repair")).limit(1)
+              .count() > 0
+            val next =
+              if (!anyDirty) merged.drop("__repair")
+              else {
+                val rKeys = merged.where(col("__repair"))
+                  .select(keys.map(col): _*)
+                val base = read(spark, dir)
+                val rescan = base.join(broadcast(rKeys),
+                  keys.map(k => base(k) <=> rKeys(k)).reduce(_ && _),
+                  "left_semi")
+                repairSeam(rescan)
+                val rExprs =
+                  minCols.map(c => min(col(c)).as(s"min_$c")) ++
+                    maxCols.map(c => max(col(c)).as(s"max_$c"))
+                val rAgg = rescan.groupBy(keys.map(col): _*)
+                  .agg(rExprs.head, rExprs.tail: _*)
+                val rCond = keys.map(k => merged(k) <=> rAgg(k))
+                  .reduce(_ && _)
+                val patched = merged.join(rAgg, rCond, "left_outer")
+                patched.select((keys.map(k => merged(k).as(k)) ++
+                  (merged("n").as("n") +:
+                    sumCols.map(c => merged(s"sum_$c").as(s"sum_$c"))) ++
+                  minCols.map(c => when(merged("__repair"),
+                    rAgg(s"min_$c")).otherwise(merged(s"min_$c"))
+                    .as(s"min_$c")) ++
+                  maxCols.map(c => when(merged("__repair"),
+                    rAgg(s"max_$c")).otherwise(merged(s"max_$c"))
+                    .as(s"max_$c"))): _*)
+              }
+            commitAgg(next)
+          } finally { merged.unpersist(); () }
+        }
     }
     (last, live)
   }
@@ -1165,9 +1278,8 @@ object GraftTable {
   /** The mirror's current contents (whatever [[syncMirror]] last
     * committed). */
   def mirrorRead(spark: SparkSession, mirrorDir: String): DataFrame = {
-    val c = """"commit":(\d+)""".r
-      .findFirstMatchIn(readString(spark, s"$mirrorDir/_sync.json"))
-      .get.group(1).toLong
+    val c = syncPointer(spark, s"$mirrorDir/_sync.json")
+    require(c > 0, s"mirror at $mirrorDir has never been synced")
     spark.read.parquet(s"$mirrorDir/v$c")
   }
 
@@ -1497,6 +1609,64 @@ object GraftTable {
 
   /** Same restatement as q173: two consumer contracts, one answer. */
   val q176Sql: String = q173Sql
+
+  /** q177's lifecycle: q176's shape with MIN/MAX columns maintained —
+    * the erasure deletes every F-order line, which removes group
+    * extrema of `l_extendedprice`, so the delta sync exercises the
+    * PER-GROUP REPAIR path (deleted-extremum groups rescanned via the
+    * broadcast semi-join), never a full re-baseline. */
+  private def buildMinMaxLifecycle(spark: SparkSession,
+      d: String): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-minmax-").toString
+    val dir = s"$root/table"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Nil, deleteKeys = Seq("l_orderkey"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    val keys = Seq("l_returnflag")
+    val sums = Seq("l_quantity")
+    val mm = Seq("l_extendedprice")
+    append(li.where($"l_orderkey" <= mid), dir, "b1") // commit 2
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums, mm, mm) // baseline
+    append(li.where($"l_orderkey" > mid), dir, "b2") // commit 3
+    delete(graft.sources.Tables.orders(spark, d)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1") // commit 4
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums, mm, mm) // DELTA
+    root
+  }
+
+  private def q177Root(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("minmax:" + d,
+      _ => buildMinMaxLifecycle(spark, d))
+
+  /** q177: the maintained MIN/MAX VIEW after an incremental sync whose
+    * window deleted extremum rows — hash-checked end to end. A view
+    * that kept a deleted extremum (no repair), repaired the wrong
+    * groups, or re-baselined instead of delta-merging all hash
+    * differently against the same full-table-minus-F-lines oracle. */
+  def q177AggMinMax(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    aggMirrorRead(spark, s"${q177Root(spark, d)}/agg")
+      .select($"l_returnflag", $"n",
+        $"min_l_extendedprice".cast("double").as("min_price"),
+        $"max_l_extendedprice".cast("double").as("max_price"),
+        $"sum_l_quantity".cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q177Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+      |       CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A lifecycle whose second batch EVOLVES the schema: b1 carries the
     * four base columns, b2 adds `l_note` (l_linestatus renamed). The

@@ -106,10 +106,12 @@ object IntervalIndexStore {
     // reject it here, by listing (no data read), with one that does
     require(hasDataFiles(spark, s"${intervalsPath(dir)}/ingest_batch=base"),
       "no valid intervals to index: every row was NULL-bounded or start > end")
-    val meta = s"""{"key":"$key","start":"$start","end":"$end",""" +
-      s""""bandSeconds":$bandSeconds,"openEnded":$openEnded,""" +
-      s""""maxBands":$maxBandsPerInterval}"""
-    writeString(spark, metaPath(dir), meta, atomic = false)
+    writeString(spark, metaPath(dir),
+      StoreIO.renderJson { o =>
+        o.put("key", key); o.put("start", start); o.put("end", end)
+        o.put("bandSeconds", bandSeconds); o.put("openEnded", openEnded)
+        o.put("maxBands", maxBandsPerInterval); ()
+      }, atomic = false)
     writeManifest(spark, dir, Manifest(1L, Seq("base"), None))
   }
 
@@ -206,17 +208,16 @@ object IntervalIndexStore {
       bandSeconds: Long, openEnded: Boolean, maxBands: Long)
 
   private[operators] def meta(spark: SparkSession, dir: String): Meta = {
-    val raw = readString(spark, metaPath(dir))
-    def s(field: String) =
-      s""""$field":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
-    val b = """"bandSeconds":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    val open = """"openEnded":(true|false)""".r.findFirstMatchIn(raw)
-      .exists(_.group(1) == "true")
-    // a store whose meta predates the cap had none: default to
-    // unlimited rather than retroactively wedging its ingest
-    val cap = """"maxBands":(\d+)""".r.findFirstMatchIn(raw)
-      .map(_.group(1).toLong).getOrElse(Long.MaxValue)
-    Meta(s("key"), s("start"), s("end"), b, open, cap)
+    val n = StoreIO.parseJson(readString(spark, metaPath(dir)))
+    def s(field: String) = StoreIO.jStr(n, field).getOrElse(
+      sys.error(s"IntervalIndexStore meta at $dir has no '$field'"))
+    Meta(s("key"), s("start"), s("end"),
+      StoreIO.jLong(n, "bandSeconds").getOrElse(
+        sys.error(s"IntervalIndexStore meta at $dir has no 'bandSeconds'")),
+      StoreIO.jBool(n, "openEnded").getOrElse(false),
+      // a store whose meta predates the cap had none: default to
+      // unlimited rather than retroactively wedging its ingest
+      StoreIO.jLong(n, "maxBands").getOrElse(Long.MaxValue))
   }
 
   /** The commit pointer: which `ingest_batch` labels are live, plus the
@@ -225,13 +226,12 @@ object IntervalIndexStore {
       minBand: Option[Long])
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest = {
-    val raw = readString(spark, manifestPath(dir))
-    val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    val live = """"live":\[([^\]]*)\]""".r.findFirstMatchIn(raw).get.group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-    val mb = """"minBand":(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
-    Manifest(v, live, mb)
+    val n = StoreIO.parseJson(readString(spark, manifestPath(dir)))
+    Manifest(
+      StoreIO.jLong(n, "version").getOrElse(
+        sys.error(s"IntervalIndexStore manifest at $dir has no 'version'")),
+      StoreIO.jArr(n, "live").getOrElse(Nil),
+      StoreIO.jLong(n, "minBand"))
   }
 
   /** Single-file swap = the commit point (local: temp + ATOMIC_MOVE;
@@ -253,10 +253,12 @@ object IntervalIndexStore {
       occupantInFlight = (k, l) =>
         (k == "append" || k == "compact") &&
           StoreIO.pendingExists(spark, dir, k, l))
-    val body = s"""{"version":${m.version},""" +
-      s""""live":[${m.live.map(l => s""""$l"""").mkString(",")}]""" +
-      m.minBand.map(b => s""","minBand":$b""").getOrElse("") + "}"
-    writeString(spark, manifestPath(dir), body, atomic = true)
+    writeString(spark, manifestPath(dir),
+      StoreIO.renderJson { o =>
+        o.put("version", m.version)
+        StoreIO.putArr(o, "live", m.live)
+        m.minBand.foreach { b => o.put("minBand", b); () }
+      }, atomic = true)
   }
 
   /** The store as lookups see it: live labels only (explicit paths under

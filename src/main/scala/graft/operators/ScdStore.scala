@@ -62,10 +62,12 @@ object ScdStore {
       .write.mode(SaveMode.Overwrite).parquet(s"${historyPath(dir)}/batch=base")
     scd.where(col("valid_to").isNull)
       .write.mode(SaveMode.Overwrite).parquet(currentPath(dir, "v1"))
-    val meta = s"""{"key":"$key","ts":"$ts",""" +
-      s""""values":[${values.map(v => s""""$v"""").mkString(",")}],""" +
-      s""""carry":[${carry.map(c => s""""$c"""").mkString(",")}]}"""
-    writeString(spark, metaPath(dir), meta, atomic = false)
+    writeString(spark, metaPath(dir),
+      StoreIO.renderJson { o =>
+        o.put("key", key); o.put("ts", ts)
+        StoreIO.putArr(o, "values", values)
+        StoreIO.putArr(o, "carry", carry)
+      }, atomic = false)
     commitManifest(spark, dir,
       Manifest(1L, Seq("base"), Seq("base"), 1L, "v1"), "init", "base")
   }
@@ -371,14 +373,12 @@ object ScdStore {
       values: Seq[String], carry: Seq[String])
 
   private[operators] def meta(spark: SparkSession, dir: String): Meta = {
-    val raw = readString(spark, metaPath(dir))
-    def s(field: String) =
-      s""""$field":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
-    def arr(field: String) =
-      s""""$field":\\[([^\\]]*)\\]""".r.findFirstMatchIn(raw).get.group(1)
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
-    Meta(s("key"), s("ts"), arr("values"), arr("carry"))
+    val n = StoreIO.parseJson(readString(spark, metaPath(dir)))
+    def s(field: String) = StoreIO.jStr(n, field).getOrElse(
+      sys.error(s"ScdStore meta at $dir has no '$field'"))
+    Meta(s("key"), s("ts"),
+      StoreIO.jArr(n, "values").getOrElse(Nil),
+      StoreIO.jArr(n, "carry").getOrElse(Nil))
   }
 
   /** `applied` is the REPLAY LEDGER (every label ever committed —
@@ -395,28 +395,33 @@ object ScdStore {
       applied: Seq[String], histLive: Seq[String], commit: Long,
       curDir: String)
 
+  // Jackson parse/render through StoreIO's shared helpers (the one
+  // manifest parser rule — see StoreIO's JSON section).
   private def parseManifest(raw: String): Manifest = {
-    val v = """"version":(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
-    def arr(field: String): Option[Seq[String]] =
-      (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-        _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq)
-    val applied = arr("applied").get
-    val c = """"commit":(\d+)""".r.findFirstMatchIn(raw)
-      .map(_.group(1).toLong).getOrElse(1L) // pre-snapshot stores
-    val cur = """"curDir":"([^"]+)"""".r.findFirstMatchIn(raw)
-      .map(_.group(1)).getOrElse(s"v$v") // pre-curDir stores
-    Manifest(v, applied, arr("histLive").getOrElse(applied), c, cur)
+    val n = StoreIO.parseJson(raw)
+    val v = StoreIO.jLong(n, "version").getOrElse(
+      sys.error("ScdStore manifest has no 'version'"))
+    val applied = StoreIO.jArr(n, "applied").getOrElse(
+      sys.error("ScdStore manifest has no 'applied'"))
+    Manifest(v, applied,
+      StoreIO.jArr(n, "histLive").getOrElse(applied),
+      StoreIO.jLong(n, "commit").getOrElse(1L), // pre-snapshot stores
+      StoreIO.jStr(n, "curDir").getOrElse(s"v$v")) // pre-curDir stores
   }
 
   private[operators] def manifest(spark: SparkSession, dir: String): Manifest =
     parseManifest(readString(spark, manifestPath(dir)))
 
+  private def putManifest(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      m: Manifest): Unit = {
+    o.put("version", m.version); o.put("commit", m.commit)
+    o.put("curDir", m.curDir)
+    StoreIO.putArr(o, "applied", m.applied)
+    StoreIO.putArr(o, "histLive", m.histLive)
+  }
+
   private def manifestBody(m: Manifest): String =
-    s"""{"version":${m.version},"commit":${m.commit},""" +
-      s""""curDir":"${m.curDir}",""" +
-      s""""applied":[${m.applied.map(l => s""""$l"""").mkString(",")}],""" +
-      s""""histLive":[${m.histLive.map(l => s""""$l"""").mkString(",")}]}"""
+    StoreIO.renderJson(putManifest(_, m))
 
   private[operators] def writeManifest(spark: SparkSession, dir: String,
       m: Manifest): Unit =
@@ -437,8 +442,10 @@ object ScdStore {
     * (→ overwrite). */
   private def commitManifest(spark: SparkSession, dir: String, m: Manifest,
       kind: String, label: String): Unit = {
-    val snap = manifestBody(m).dropRight(1) +
-      s""","kind":"$kind","label":"$label"}"""
+    val snap = StoreIO.renderJson { o =>
+      putManifest(o, m)
+      o.put("kind", kind); o.put("label", label); ()
+    }
     val slot = commitPath(dir, m.commit)
     var attempts = 0
     while (!StoreIO.writeStringExclusive(spark, slot, snap)) {
@@ -480,9 +487,12 @@ object ScdStore {
           s"commit $c is not retained in $dir (expired, or never " +
             s"committed — live commit is ${manifest(spark, dir).commit})", e)
       }
-    val kind = """"kind":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
-    val label = """"label":"([^"]+)"""".r.findFirstMatchIn(raw).get.group(1)
-    Commit(parseManifest(raw), kind, label)
+    val n = StoreIO.parseJson(raw)
+    Commit(parseManifest(raw),
+      StoreIO.jStr(n, "kind").getOrElse(sys.error(
+        s"ScdStore commit snapshot c$c in $dir has no 'kind'")),
+      StoreIO.jStr(n, "label").getOrElse(sys.error(
+        s"ScdStore commit snapshot c$c in $dir has no 'label'")))
   }
 
   private def listCommits(spark: SparkSession, dir: String): Seq[Long] = {

@@ -127,11 +127,13 @@ object SkippingIndex {
     // orphaned files still on disk aren't statted as dead weight
     statsOf(spark, tablePath, cols, bloomCols, bloomBits, only)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
-    val meta = s"""{"table":${jsonStr(tablePath)},""" +
-      s""""cols":[${cols.map(jsonStr).mkString(",")}],""" +
-      s""""bloomCols":[${bloomCols.map(jsonStr).mkString(",")}],""" +
-      s""""bloomBits":$bloomBits}"""
-    writeString(spark, metaPath(dir), meta, atomic = false)
+    writeString(spark, metaPath(dir),
+      StoreIO.renderJson { o =>
+        o.put("table", tablePath)
+        StoreIO.putArr(o, "cols", cols)
+        StoreIO.putArr(o, "bloomCols", bloomCols)
+        o.put("bloomBits", bloomBits); ()
+      }, atomic = false)
   }
 
   /** Re-stat ONLY files the index does not know yet (delta-sized, the
@@ -363,20 +365,17 @@ object SkippingIndex {
     out.result()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
   private[graft] case class Meta(table: String, cols: Seq[String],
       bloomCols: Seq[String], bloomBits: Int)
 
   private[graft] def meta(spark: SparkSession, dir: String): Meta = {
-    val raw = readString(spark, metaPath(dir))
-    val table = """"table":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(raw)
-      .get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-    def arr(field: String): Seq[String] = StoreIO.jsonArr(raw, field)
-    val bits = """"bloomBits":(\d+)""".r.findFirstMatchIn(raw)
-      .map(_.group(1).toInt).getOrElse(0)
-    Meta(table, arr("cols"), arr("bloomCols"), bits)
+    val n = StoreIO.parseJson(readString(spark, metaPath(dir)))
+    Meta(
+      StoreIO.jStr(n, "table").getOrElse(
+        sys.error(s"SkippingIndex meta at $dir has no 'table'")),
+      StoreIO.jArr(n, "cols").getOrElse(Nil),
+      StoreIO.jArr(n, "bloomCols").getOrElse(Nil),
+      StoreIO.jLong(n, "bloomBits").getOrElse(0L).toInt)
   }
 
   // ---- q158: the skipping scan, hash-checked against a full scan ----

@@ -56,31 +56,46 @@ private[graft] object StoreIO {
     * the published file is complete by construction (a plain rename
     * would silently replace on POSIX; a CREATE_NEW stream could
     * expose partial content to a concurrent reader). Hadoop FS:
-    * create(overwrite=false). On object stores without atomic
-    * create-exclusive this degrades to best-effort — the same caveat
-    * every manifest-pointer table format documents. */
+    * write a private tmp, then PUBLISH via rename — HDFS rename
+    * refuses (returns false) when the destination exists, so the swap
+    * is both exclusive AND content-atomic: a visible slot file is
+    * complete by construction, never a half-written body a racing
+    * claimant could misread as a dead orphan. On object stores
+    * without atomic rename this degrades to best-effort — the same
+    * caveat every manifest-pointer table format documents.
+    *
+    * Tmp names carry pid + a UUID, never just a thread id: thread ids
+    * are unique per JVM only, and two PROCESSES racing the same slot
+    * (both drivers' main threads are commonly id 1) would share one
+    * tmp path — writer B's write could replace writer A's body
+    * between A's write and A's publish, so A would publish B's (or a
+    * torn) snapshot under the slot and still report success. */
   def writeStringExclusive(spark: SparkSession, path: String,
       body: String): Boolean = {
     val (fs, p) = hadoopFs(spark, path)
+    val tmpName = p.getName +
+      s".tmp-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
     if (fs.getScheme == "file") {
       val dst = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(dst.getParent)
-      val tmp = dst.resolveSibling(
-        dst.getFileName.toString + s".tmp-${Thread.currentThread().getId}")
+      val tmp = dst.resolveSibling(tmpName)
       java.nio.file.Files.writeString(tmp, body)
       try { java.nio.file.Files.createLink(dst, tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally { java.nio.file.Files.deleteIfExists(tmp); () }
     } else {
       if (fs.exists(p)) return false
-      try {
-        val out = fs.create(p, false)
-        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      }
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, tmpName)
+      val out = fs.create(tmp, false)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val won =
+        try fs.rename(tmp, p)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      if (!won) { fs.delete(tmp, false); () }
+      won
     }
   }
 
@@ -95,13 +110,64 @@ private[graft] object StoreIO {
     }
   }
 
+  // ---- manifest/snapshot JSON (one parser, one renderer) --------------
+  // Jackson (already on Spark's classpath — zero new deps) replaces the
+  // regex field-plucking this layer used through round 15. Two of that
+  // round's review fixes (trailing-newline tolerance, case-collision
+  // rejection) were patches to string discipline a real parser never
+  // needs; with readTree there is no field-ordering contract (the old
+  // "schema must be serialized LAST" rule is gone) and no
+  // escape-sensitivity. Every store's manifest, commit snapshot, meta,
+  // and sync pointer reads/writes through THESE helpers — one copy, the
+  // same rule as the rest of this object. ObjectMapper is thread-safe
+  // for readTree/writeValueAsString after construction.
+
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.ObjectNode
+
+  private val jsonMapper = new ObjectMapper()
+
+  /** Parse one JSON document (trailing whitespace/newlines from a
+    * hand-edit or a jq round-trip are fine — readTree consumes the
+    * first value). Throws on malformed input: a manifest that does not
+    * parse is a defect to surface, never to limp past. */
+  def parseJson(raw: String): JsonNode = jsonMapper.readTree(raw)
+
+  /** Render one JSON object (insertion-ordered, correctly escaped). */
+  def renderJson(build: ObjectNode => Unit): String = {
+    val o = jsonMapper.createObjectNode(); build(o)
+    jsonMapper.writeValueAsString(o)
+  }
+
+  def putArr(o: ObjectNode, field: String, vals: Seq[String]): Unit = {
+    val a = o.putArray(field); vals.foreach(a.add); ()
+  }
+
+  /** Embed a pre-serialized JSON document (e.g. `StructType.json`) as
+    * a structured field — parsed, so it nests correctly and re-reads
+    * through [[jObjJson]]. */
+  def putRawObj(o: ObjectNode, field: String, json: String): Unit = {
+    o.set[JsonNode](field, jsonMapper.readTree(json)); ()
+  }
+
+  def jStr(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filter(_.isTextual).map(_.asText)
+  def jLong(n: JsonNode, field: String): Option[Long] =
+    Option(n.get(field)).filter(_.isNumber).map(_.asLong)
+  def jBool(n: JsonNode, field: String): Option[Boolean] =
+    Option(n.get(field)).filter(_.isBoolean).map(_.asBoolean)
+  def jArr(n: JsonNode, field: String): Option[Seq[String]] =
+    Option(n.get(field)).filter(_.isArray).map(a =>
+      (0 until a.size).map(i => a.get(i).asText).toSeq)
+  /** A nested object/array field re-serialized as its own document. */
+  def jObjJson(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.toString)
+
   /** Parse a `"field":["a","b"]` string array out of store metadata
     * JSON (absent field → Nil). One copy for every store's manifest
     * and meta reader — the same rule as the rest of this object. */
   def jsonArr(raw: String, field: String): Seq[String] =
-    (""""""" + field + """":\[([^\]]*)\]""").r.findFirstMatchIn(raw).map(
-      _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    jArr(parseJson(raw), field).getOrElse(Nil)
 
   // Labels become directory names AND manifest JSON string values.
   val LabelRx = "[A-Za-z0-9][A-Za-z0-9._-]*".r
@@ -144,7 +210,8 @@ private[graft] object StoreIO {
   def writePending(spark: SparkSession, dir: String, kind: String,
       label: String, body: String = ""): Unit =
     writeString(spark, pendingPath(dir, kind, label),
-      if (body.nonEmpty) body else s"""{"label":"$label"}""", atomic = true)
+      if (body.nonEmpty) body
+      else renderJson { o => o.put("label", label); () }, atomic = true)
 
   def pendingPath(dir: String, kind: String, label: String): String =
     s"$dir/_pending_${kind}_$label.json"
@@ -190,42 +257,90 @@ private[graft] object StoreIO {
   // erasure batch).
 
   /** Claim the swap slot for `target` (= base version + 1) or throw
-    * ConcurrentModificationException. Occupant resolution mirrors the
-    * commit-log CAS: pointer first (currentVersion() >= target ⇒ a
-    * committed winner), own previous crashed claim (same kind+label ⇒
-    * reuse), a still-announced occupant (⇒ in-flight, abort), else a
-    * dead orphan (⇒ overwrite). Slots at or below the live version are
-    * [[sweepSwapSlots]]'s to clean. */
+    * ConcurrentModificationException.
+    *
+    * OCCUPANT STATE MACHINE — the one table for every CAS in the
+    * engine (this slot CAS for the log-less DeleteStore /
+    * IntervalIndexStore, and the structurally identical commit-slot
+    * loops in GraftTable.commitManifest / ScdStore.commitManifest).
+    * When the exclusive create fails, the occupant is classified in
+    * this order, first match wins:
+    *
+    *  1. COMMITTED WINNER — the pointer has reached `target`
+    *     (`currentVersion() >= target`): the occupant won and swapped.
+    *     → abort (CME); the caller retries against the new state.
+    *  2. OWN CRASHED CLAIM — same kind AND same NON-EMPTY label: a
+    *     replay of a labeled op (append/compact/batch/…) repairing a
+    *     commit that died between its slot write and its pointer
+    *     swap. Labels identify a logical batch, so the replay may
+    *     reuse (overwrite) the slot. → reuse.
+    *  3. IN-FLIGHT (announced) — `occupantInFlight(kind, label)`: the
+    *     occupant's pending sidecar still stands, so its writer is
+    *     either alive mid-swap or crashed awaiting replay under this
+    *     same label. → abort (CME).
+    *  4. IN-FLIGHT (unlabeled, young) — ops with no replay identity
+    *     (retire / reset / expire / init) announce nothing, so a live
+    *     claim and a dead one look alike; the slot's mtime decides: an
+    *     occupant younger than `unlabeledGraceMs` is presumed alive.
+    *     → abort (CME). Without this, two concurrent retires would
+    *     both classify the other as dead, both swap, and the CAS
+    *     degrades to exactly the last-swap-wins it exists to prevent
+    *     (one writer's live-set filter silently lost).
+    *  5. DEAD ORPHAN — anything else: a crashed, never-replayed claim
+    *     (unlabeled and older than the grace, or labeled with its
+    *     announcement gone), or an unreadable/handcrafted slot. With
+    *     rename/hard-link publish a visible slot is complete by
+    *     construction, so "unparseable" really does mean handcrafted,
+    *     never a half-written in-flight winner. → delete and retry
+    *     (bounded attempts).
+    *
+    * Slots at or below the live version are [[sweepSwapSlots]]'s to
+    * clean. */
   def claimSwapSlot(spark: SparkSession, dir: String, target: Long,
       kind: String, label: String, currentVersion: () => Long,
-      occupantInFlight: (String, String) => Boolean): Unit = {
+      occupantInFlight: (String, String) => Boolean,
+      unlabeledGraceMs: Long = 60000L): Unit = {
     val slot = s"$dir/_swap/s$target.json"
-    val body = s"""{"kind":"$kind","label":"$label"}"""
+    val body = renderJson { o => o.put("kind", kind); o.put("label", label); () }
     var attempts = 0
     while (!writeStringExclusive(spark, slot, body)) {
       if (currentVersion() >= target)
         throw new java.util.ConcurrentModificationException(
           s"manifest swap s$target in $dir was won by another writer — " +
             "single writer is the contract; retry against the new state")
-      val raw =
-        try Some(readString(spark, slot))
+      val occ =
+        try Some(parseJson(readString(spark, slot)))
         catch { case _: Exception => None } // vanished/unreadable
-      val oKind = raw.flatMap(r =>
-        """"kind":"([^"]*)"""".r.findFirstMatchIn(r).map(_.group(1)))
-      val oLabel = raw.flatMap(r =>
-        """"label":"([^"]*)"""".r.findFirstMatchIn(r).map(_.group(1)))
-      if (oKind.contains(kind) && oLabel.contains(label))
-        return // our own crashed claim at the same version: reuse it
+      val oKind = occ.flatMap(jStr(_, "kind"))
+      val oLabel = occ.flatMap(jStr(_, "label"))
+      if (label.nonEmpty && oKind.contains(kind) && oLabel.contains(label))
+        return // case 2: our own crashed claim at the same version
       if (oKind.exists(k => occupantInFlight(k, oLabel.getOrElse(""))))
         throw new java.util.ConcurrentModificationException(
           s"manifest swap s$target in $dir is claimed by an in-flight " +
             s"'${oKind.get}' writer (label '${oLabel.getOrElse("")}') — " +
             "single writer is the contract")
+      if (occ.isDefined && oLabel.forall(_.isEmpty)) {
+        // case 4: an unlabeled occupant has no announcement and no
+        // replay identity — its slot's age is the only liveness signal
+        val age =
+          try {
+            val (fs, p) = hadoopFs(spark, slot)
+            System.currentTimeMillis() - fs.getFileStatus(p)
+              .getModificationTime
+          } catch { case _: Exception => Long.MaxValue } // vanished: retry
+        if (age < unlabeledGraceMs)
+          throw new java.util.ConcurrentModificationException(
+            s"manifest swap s$target in $dir is claimed by a concurrent " +
+              s"unlabeled '${oKind.getOrElse("?")}' writer (${age} ms old," +
+              s" grace ${unlabeledGraceMs} ms) — single writer is the " +
+              "contract")
+      }
       attempts += 1
       require(attempts <= 3,
         s"swap slot s$target in $dir cannot be claimed")
       val (fs, p) = hadoopFs(spark, slot)
-      fs.delete(p, false) // dead orphan (crashed, never-replayed swap)
+      fs.delete(p, false) // case 5: dead orphan (crashed, never replayed)
       ()
     }
   }

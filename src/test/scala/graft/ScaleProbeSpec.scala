@@ -51,6 +51,12 @@ class ScaleProbeSpec extends SparkSpec {
     "q164_bloom_scan", "q165_transparent_scan", "q166_scd2_time_travel",
     "q167_scd2_changes", "q168_composed_table", "q169_optimized_table",
     "q170_transparent_table", "q171_table_travel", "q172_table_changes",
+    // round-16: the CDC consumers (mirror / aggregate view / min-max
+    // view with per-group repair) and the metadata-only history — the
+    // repair path's broadcast semi-join must stay broadcast at 10×,
+    // never flip to a table-shuffling join
+    "q173_table_mirror", "q174_table_evolution", "q175_table_history",
+    "q176_agg_mirror", "q177_agg_minmax",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {

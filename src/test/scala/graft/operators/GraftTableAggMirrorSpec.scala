@@ -80,6 +80,132 @@ class GraftTableAggMirrorSpec extends SparkSpec {
     assert(rows(view) == rows(scratch(spark, dir)))
   }
 
+  // ---- min/max maintenance (per-group repair, never a full rescan) ---
+
+  private val mm = Seq("l_extendedprice")
+
+  private def scratchMM(dir: String): DataFrame =
+    read(spark, dir).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(28,2)"))
+          .cast("decimal(28,2)").as("sum_l_quantity"),
+        min(col("l_extendedprice")).as("min_l_extendedprice"),
+        max(col("l_extendedprice")).as("max_l_extendedprice"))
+
+  test("min/max IVM: insert-only windows rescan nothing; a deleted extremum repairs ONLY its groups") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/t"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    var seamCalls = 0
+    var seamRows = -1L
+    def sync(): Unit = {
+      syncAggMirror(spark, dir, s"$root/agg", keys, sums, mm, mm,
+        repairSeam = df => { seamCalls += 1; seamRows = df.count() })
+      ()
+    }
+    sync() // baseline (a full aggregation, but not a "repair")
+    assert(seamCalls == 0)
+    assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+      rows(scratchMM(dir)), "baseline min/max diverged")
+    // window 1: INSERT-ONLY — folding with least/greatest needs no
+    // table access; the eager dirty check must skip the rescan branch
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    sync()
+    assert(seamCalls == 0, "insert-only window planned a repair rescan")
+    assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+      rows(scratchMM(dir)), "insert-only min/max fold diverged")
+    // window 2: delete the orderkey holding group R's MAX price — the
+    // repair must rescan exactly the groups whose stored extremum the
+    // preimages reached, and nothing else
+    val at3 = read(spark, dir)
+    val stored = at3.groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("mn"), max($"l_extendedprice").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val victim = at3.where($"l_returnflag" === "R")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey").limit(1)
+      .select($"l_orderkey").head().getLong(0)
+    val pre = at3.where($"l_orderkey" === victim)
+    // the test's own dirty rule, computed from DATA (<=/>= — the same
+    // conservative trigger the merge uses)
+    val dirtyGroups = pre.groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice").as("dmn"), max($"l_extendedprice").as("dmx"))
+      .collect().filter { r =>
+        val (mn, mx) = stored(r.getString(0))
+        r.getDouble(1) <= mn || r.getDouble(2) >= mx
+      }.map(_.getString(0)).toSet
+    assert(dirtyGroups.contains("R"), "test setup: R's max must be deleted")
+    delete(pre.select($"l_orderkey").distinct(), dir, "e1")
+    sync()
+    assert(seamCalls == 1, "deleted extremum did not trigger a repair")
+    val expectRows = read(spark, dir)
+      .where($"l_returnflag".isin(dirtyGroups.toSeq: _*)).count()
+    assert(seamRows == expectRows,
+      s"repair rescanned $seamRows rows, expected exactly the " +
+        s"${dirtyGroups.size} dirty group(s) = $expectRows rows")
+    assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+      rows(scratchMM(dir)), "post-repair min/max diverged")
+    // window 3: delete rows that are NO group's extremum — no repair
+    val safe = read(spark, dir)
+      .groupBy($"l_orderkey").agg(min($"l_extendedprice").as("mn"),
+        max($"l_extendedprice").as("mx"))
+      .join(read(spark, dir).groupBy($"l_returnflag")
+        .agg(min($"l_extendedprice").as("gmn"),
+          max($"l_extendedprice").as("gmx")).agg(
+          max($"gmn").as("anyMn"), min($"gmx").as("anyMx")))
+      .where($"mn" > $"anyMn" && $"mx" < $"anyMx")
+      .select($"l_orderkey").orderBy($"l_orderkey").limit(3)
+    if (safe.count() > 0) {
+      delete(safe, dir, "e2")
+      sync()
+      assert(seamCalls == 1, "a non-extremum delete triggered a repair")
+      assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+        rows(scratchMM(dir)), "non-extremum delete window diverged")
+    }
+  }
+
+  test("min/max IVM: syncing with a different column set fails loudly, never silently drifts") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/t"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums) // no min/max
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    val e = intercept[IllegalArgumentException] {
+      syncAggMirror(spark, dir, s"$root/agg", keys, sums, mm, mm)
+    }
+    assert(e.getMessage.contains("min_l_extendedprice"))
+  }
+
+  test("a reader holding the superseded version survives one sync (keepLast retention)") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/t"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums)
+    val preScratch = rows(scratch(spark, dir))
+    val held = aggMirrorRead(spark, s"$root/agg") // resolves v2's files
+    // a sync commits v3 while the reader's frame is outstanding: with
+    // keepLast=1 (default) v2 must survive the sweep and the held scan
+    // completes against the state it resolved
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    syncAggMirror(spark, dir, s"$root/agg", keys, sums)
+    assert(rows(held) == preScratch,
+      "held frame broke (or drifted) across a concurrent sync commit")
+    assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+      rows(scratch(spark, dir)), "fresh read does not see the new sync")
+  }
+
   test("an optimize in the window re-baselines and still matches from-scratch") {
     import spark.implicits._
     val root = tmp()

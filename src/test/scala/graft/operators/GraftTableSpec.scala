@@ -486,7 +486,7 @@ class GraftTableSpec extends SparkSpec {
     assert(sortedRows(read(spark, dir)) == sortedRows(expected))
   }
 
-  test("syncMirror before any data is a no-op; superseded mirror versions are swept") {
+  test("syncMirror before any data is a no-op; keepLast bounds superseded versions") {
     import spark.implicits._
     val dir = tmp()
     val mirror = tmp()
@@ -496,9 +496,23 @@ class GraftTableSpec extends SparkSpec {
     syncMirror(spark, dir, mirror)
     append(li.limit(400), dir, "b2")
     syncMirror(spark, dir, mirror)
-    val vdirs = new java.io.File(mirror).listFiles()
+    def vdirs = new java.io.File(mirror).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
-    assert(vdirs.toSeq == Seq("v3"), s"superseded versions not swept: ${vdirs.mkString(",")}")
+      .sorted.toSeq
+    // default keepLast=1: the live version plus ONE superseded version
+    // stay (the concurrent-reader allowance — a frame resolved against
+    // v2 finishes its scan across the v3 sync)
+    assert(vdirs == Seq("v2", "v3"),
+      s"keepLast=1 should retain exactly one superseded version: ${vdirs.mkString(",")}")
+    append(li.limit(600), dir, "b3")
+    syncMirror(spark, dir, mirror)
+    assert(vdirs == Seq("v3", "v4"),
+      s"the oldest superseded version must roll off: ${vdirs.mkString(",")}")
+    // keepLast=0 restores sweep-immediately for a single-consumer mirror
+    append(li.limit(800), dir, "b4")
+    syncMirror(spark, dir, mirror, keepLast = 0)
+    assert(vdirs == Seq("v5"),
+      s"keepLast=0 should sweep every superseded version: ${vdirs.mkString(",")}")
     assert(mirrorRead(spark, mirror).count() == read(spark, dir).count())
   }
 

@@ -406,6 +406,76 @@ class StoreConcurrencySpec extends SparkSpec {
       .size >= before.size)
   }
 
+  test("ScdStore: a crashed writer's commit slot is resolved by a DIFFERENT-label writer") {
+    import spark.implicits._
+    val dir = tmp("scd-orphan-")
+    val cut = lit("2024-01-16").cast("timestamp")
+    ScdStore.init(scdLog.where($"ts" < cut), dir, "user_id", "ts",
+      Seq("event_type"), Seq("event_id"))
+    // a foreign writer claimed commit slot c2 and died pre-swap; its
+    // announcement still stands → a different-label writer must ABORT
+    // (the occupant may be alive mid-swap, or awaits replay)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_commits"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_commits/c2.json"),
+      """{"version":2,"commit":2,"curDir":"v2-zz","applied":["base","zz"],""" +
+        """"histLive":["base","zz"],"kind":"batch","label":"zz"}""")
+    StoreIO.writePending(spark, dir, "batch", "zz")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      ScdStore.applyBatch(scdLog.where($"ts" >= cut), dir, "b1")
+    }
+    assert(ex.getMessage.contains("zz"))
+    assert(ScdStore.manifest(spark, dir).commit == 1L,
+      "aborted claim advanced the pointer")
+    // the occupant dies for good (announcement cleared, never replayed):
+    // the same different-label writer now resolves the slot as a DEAD
+    // ORPHAN, overwrites it, and commits — the GraftTable dead-orphan
+    // path, mirrored for ScdStore
+    StoreIO.clearPending(spark, dir, "batch", "zz")
+    ScdStore.applyBatch(scdLog.where($"ts" >= cut), dir, "b1")
+    val man = ScdStore.manifest(spark, dir)
+    assert(man.commit == 2L && man.applied == Seq("base", "b1"),
+      "dead-orphan slot was not reclaimed by the different-label writer")
+    assert(ScdStore.commitAt(spark, dir, 2L).label == "b1",
+      "the orphan snapshot body survived under the new commit")
+    // and the committed table equals the one-pass model
+    assert(rows(ScdStore.table(spark, dir)) ==
+      rows(ScdMerge.compress(scdLog, "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))))
+  }
+
+  test("swap-slot CAS: a FRESH unlabeled occupant aborts; a STALE one is a dead orphan (mtime grace)") {
+    import spark.implicits._
+    val dir = tmp("del-grace-")
+    DeleteStore.init(spark, dir, Seq("l_orderkey"))
+    DeleteStore.append(liTable.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(4), dir, "d1") // version 2
+    // an unlabeled op (retire/reset/expire) has no announcement and no
+    // replay identity — two concurrent retires look identical, so the
+    // slot's AGE is the liveness signal. Fresh occupant: presumed an
+    // in-flight concurrent writer → abort (without this, both retires
+    // would classify each other as dead, both swap, and one live-set
+    // filter would be silently lost — the CAS's whole reason to exist).
+    val slot = java.nio.file.Paths.get(s"$dir/_swap/s3.json")
+    java.nio.file.Files.createDirectories(slot.getParent)
+    java.nio.file.Files.writeString(slot, """{"kind":"retire","label":""}""")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      DeleteStore.retire(spark, dir, Seq("d1"))
+    }
+    assert(ex.getMessage.contains("unlabeled"))
+    assert(DeleteStore.manifest(spark, dir).live == Seq("d1"),
+      "aborted retire changed the live set")
+    // the same slot, aged past the grace window: a crashed, never-to-
+    // be-replayed claim — resolved as a dead orphan and overwritten
+    java.nio.file.Files.setLastModifiedTime(slot,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    DeleteStore.retire(spark, dir, Seq("d1"))
+    assert(DeleteStore.manifest(spark, dir).live.isEmpty,
+      "stale unlabeled occupant blocked the retire forever")
+  }
+
   // ---- GraftTable: racing appends -------------------------------------
 
   test("GraftTable: an append racing another append's commit aborts loudly, loses nothing") {

@@ -1,0 +1,108 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+
+/** 30×/10× measurement harness for the CDC-consumer paths (SCALE.md
+  * entries; run by hand, not in `sbt test` — the 30× replica needs a
+  * 24g driver):
+  *
+  *   SPARK_DRIVER_MEM=24g sbt -batch \
+  *     "Test/runMain graft.util.IvmScaleProbe /tmp/graft_sf3"
+  *
+  * Measures, median-of-3 where cheap and single-shot where the setup
+  * dominates:
+  *  1. syncAggMirror STEADY-STATE delta sync (count+sum, and the
+  *     min/max variant with a deleted-extremum repair) vs a from-
+  *     scratch re-aggregation of the same table — the "aggregate-sized
+  *     merge, never a table scan" claim priced at scale.
+  *  2. history() at a few hundred retained commits — an O(commits)
+  *     sequential driver loop by design; this prices the constant.
+  * Prints one JSON line per measurement. */
+object IvmScaleProbe {
+
+  private def timed[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = graft.Sessions.local("graft-ivm-probe")
+    import spark.implicits._
+    import graft.operators.GraftTable._
+
+    val li = graft.sources.Tables.lineitem(spark, src)
+    val keys = Seq("l_returnflag")
+    val sums = Seq("l_quantity")
+    val mm = Seq("l_extendedprice")
+
+    // ---- 1. steady-state sync vs re-aggregation ----------------------
+    val root = java.nio.file.Files.createTempDirectory("ivm-probe-")
+      .toString
+    val dir = s"$root/t"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val (tLoad, _) = timed { append(li, dir, "b1") }
+    val (tBase, _) = timed {
+      syncAggMirror(spark, dir, s"$root/agg", keys, sums)
+      syncAggMirror(spark, dir, s"$root/aggmm", keys, sums, mm, mm)
+    }
+    // delta window: a rekeyed sf0.001-sized append + a 50-key erasure
+    // that INCLUDES a group extremum (forcing the min/max repair path)
+    val small = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("l_orderkey", $"l_orderkey" + 900000000L)
+    val deltaRows = small.count()
+    append(small, dir, "b2")
+    val extremum = li.orderBy($"l_extendedprice".desc).limit(1)
+      .select($"l_orderkey").as[Long].head()
+    val victims = li.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(49)
+      .union(Seq(extremum).toDF("l_orderkey"))
+    delete(victims, dir, "e1")
+    var repairRows = -1L
+    val (tSync, _) = timed {
+      syncAggMirror(spark, dir, s"$root/agg", keys, sums)
+    }
+    val (tSyncMM, _) = timed {
+      syncAggMirror(spark, dir, s"$root/aggmm", keys, sums, mm, mm,
+        repairSeam = df => repairRows = df.count())
+    }
+    val (tReagg, nGroups) = timed {
+      read(spark, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(28,2)")).as("s"),
+          min(col("l_extendedprice")), max(col("l_extendedprice")))
+        .count()
+    }
+    val tableRows = read(spark, dir).count()
+    println(s"""{"probe":"ivm_steady_state","src":"$src",""" +
+      s""""table_rows":$tableRows,"delta_rows":$deltaRows,""" +
+      s""""load_s":${f"$tLoad%.2f"},"baseline_sync_s":${f"$tBase%.2f"},""" +
+      s""""delta_sync_s":${f"$tSync%.2f"},""" +
+      s""""delta_sync_minmax_s":${f"$tSyncMM%.2f"},""" +
+      s""""repair_rescan_rows":$repairRows,""" +
+      s""""reagg_s":${f"$tReagg%.2f"},"groups":$nGroups}""")
+
+    // ---- 2. history() at a few hundred retained commits --------------
+    val hroot = java.nio.file.Files.createTempDirectory("ivm-hist-")
+      .toString
+    val hdir = s"$hroot/t"
+    create(spark, hdir, zoneCols = Seq("k"))
+    val tiny = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val nCommits = 200
+    val (tCommits, _) = timed {
+      (1 to nCommits).foreach(i => append(tiny, hdir, s"c$i"))
+    }
+    val times = (1 to 3).map { _ =>
+      timed { history(spark, hdir).collect().length }._1
+    }.sorted
+    println(s"""{"probe":"history_commits","commits":${nCommits + 1},""" +
+      s""""build_s":${f"$tCommits%.2f"},""" +
+      s""""history_median_s":${f"${times(1)}%.3f"}}""")
+
+    graft.operators.StoreIO.deleteLocalDirs(java.util.List.of(root, hroot))
+    spark.stop()
+  }
+}
