@@ -136,38 +136,45 @@ object Bench {
     // plan_diff unconditionally, baseline or not.
     val errored = plans.filter(_._2 == "error").keys.toSeq.sorted
     val errorDiff = errored.map(n => s"$n: PLAN ERROR")
-    val goodPlansJson = plans.toSeq.filter(_._2 != "error").sortBy(_._1)
-      .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
-      .mkString("{", ",", "}")
     // The baseline filename keys on the sfDir BASENAME; two distinct
     // dirs with equal basenames would silently diff against each
     // other's plans. Stamp the full path inside the file and treat a
-    // mismatch as no-baseline (refresh, don't cross-compare).
-    def stamped(json: String): String = {
-      // No trailing comma when the object is otherwise empty (every
-      // query errored) — the in-repo regex reader tolerates one, but
-      // the baseline should stay valid JSON for external parsers.
-      val sep = if (json == "{}") "" else ","
-      json.patch(1, "\"__sfdir__\":\"" + sfDir + "\"" + sep, 0)
-    }
-    val baseRaw =
+    // mismatch as no-baseline (refresh, don't cross-compare). Baseline
+    // read/write goes through the same Jackson helpers as the store
+    // manifests (graft.operators.StoreIO) — no regex JSON anywhere.
+    def stamped(entries: Seq[(String, String)]): String =
+      graft.operators.StoreIO.renderJson { o =>
+        o.put("__sfdir__", sfDir)
+        entries.foreach { case (k, v) => o.put(k, v) }
+        ()
+      }
+    val baseNode =
       if (java.nio.file.Files.exists(baselinePath))
-        Some(java.nio.file.Files.readString(baselinePath))
+        scala.util.Try(graft.operators.StoreIO.parseJson(
+          java.nio.file.Files.readString(baselinePath))).toOption
       else None
-    val baseMatchesDir = baseRaw.exists { b =>
-      val m = "\"__sfdir__\":\"([^\"]+)\"".r.findFirstMatchIn(b)
-      m.forall(_.group(1) == sfDir) // legacy unstamped baselines pass
-    }
+    val baseMatchesDir = baseNode.exists(n =>
+      // legacy unstamped baselines pass
+      graft.operators.StoreIO.jStr(n, "__sfdir__").forall(_ == sfDir))
     val planDiff: Seq[String] = errorDiff ++ (
       if (only.isDefined) Seq.empty // filtered probe: no baseline I/O
       else if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
-          baseRaw.isEmpty || !baseMatchesDir) {
-        java.nio.file.Files.writeString(baselinePath, stamped(goodPlansJson))
+          baseNode.isEmpty || !baseMatchesDir) {
+        java.nio.file.Files.writeString(baselinePath,
+          stamped(plans.toSeq.filter(_._2 != "error").sortBy(_._1)))
         Seq.empty
       } else {
-        val base = baseRaw.get
-        val entry = "\"([^\"]+)\":\"([0-9a-f]+|error)\"".r
-        val baseMap = entry.findAllMatchIn(base).map(m => m.group(1) -> m.group(2)).toMap
+        val base = baseNode.get
+        val baseMap = {
+          val it = base.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey != "__sfdir__" && e.getValue.isTextual)
+              b += (e.getKey -> e.getValue.asText)
+          }
+          b.result()
+        }
         // "error" rows are already reported above; exclude them here so
         // a broken query shows once as PLAN ERROR, not also as a hash
         // mismatch against whatever baseline it had when healthy.

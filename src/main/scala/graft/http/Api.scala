@@ -528,9 +528,12 @@ object Api {
   final class BadRequest(msg: String) extends RuntimeException(msg)
 }
 
-/** Hand-rolled JSON: render helpers + a micro-parser for the flat
-  * `{"key": "value" | number}` request bodies the reference's endpoints
-  * take — no JSON dependency ships in this environment. */
+/** Request/response JSON: render helpers (stable field ordering and
+  * spacing — the response snapshots in ApiSpec pin the exact bytes) +
+  * a Jackson-backed parser for request bodies (Jackson ships on
+  * Spark's classpath; the typed [[JVal]] tree is this layer's small
+  * stable surface, the parser behind it is not hand-rolled — same
+  * rationale as the manifest layer's StoreIO JSON helpers). */
 object Json {
   def str(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
@@ -547,16 +550,20 @@ object Json {
     fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
   def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
 
-  private val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+(?:\.\d+)?))""".r
-
   /** Parse a flat JSON object of string/number values into a string map
-    * (numbers keep their literal form). Nested values are not needed by
-    * most reference endpoint bodies; the batch/callback routes use
-    * [[parse]] instead. */
+    * (numbers keep their text form). A blank body binds as an empty map
+    * (endpoints with all-default fields accept it); non-object bodies
+    * and nested values are simply not in the map — absent-key defaults
+    * or NoSuchElementException→400 handle them, as before. */
   def parseFlat(body: String): Map[String, String] =
-    pair.findAllMatchIn(body).map { m =>
-      unescape(m.group(1)) -> (if (m.group(2) != null) unescape(m.group(2)) else m.group(3))
-    }.toMap
+    if (body.trim.isEmpty) Map.empty
+    else parse(body) match {
+      case JObj(f) => f.collect {
+        case (k, JStr(s)) => k -> s
+        case (k, JNum(raw)) => k -> raw
+      }
+      case _ => Map.empty
+    }
 
   /** Minimal JSON value tree for the request bodies that carry arrays
     * (maintenance batches: `tables: [...]`; procedure callback:
@@ -569,81 +576,45 @@ object Json {
   final case class JObj(fields: Map[String, JVal]) extends JVal
   final case class JArr(items: Seq[JVal]) extends JVal
 
-  /** Recursive-descent parse of one JSON value; throws
-    * IllegalArgumentException on malformed input (the bind layer maps
-    * that to a 400). */
-  def parse(body: String): JVal = {
-    var i = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"bad json at offset $i: $msg")
-    def ws(): Unit = while (i < body.length && body.charAt(i).isWhitespace) i += 1
-    def expect(c: Char): Unit = {
-      if (i >= body.length || body.charAt(i) != c) fail(s"expected '$c'")
-      i += 1
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Jackson parse of one JSON value into the [[JVal]] tree; throws
+    * IllegalArgumentException on malformed input — including trailing
+    * content after the value — and the bind layer maps that to a 400. */
+  def parse(body: String): JVal =
+    try {
+      val p = mapper.createParser(body)
+      try {
+        val node = mapper.readTree[com.fasterxml.jackson.databind.JsonNode](p)
+        if (node == null)
+          throw new IllegalArgumentException("bad json: empty body")
+        if (p.nextToken() != null)
+          throw new IllegalArgumentException("bad json: trailing content")
+        fromNode(node)
+      } finally p.close()
+    } catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"bad json: ${Option(e.getOriginalMessage).getOrElse("malformed")}")
     }
-    def string(): String = {
-      expect('"')
-      val start = i
-      while (i < body.length && body.charAt(i) != '"') {
-        if (body.charAt(i) == '\\') i += 1
-        i += 1
+
+  private def fromNode(n: com.fasterxml.jackson.databind.JsonNode): JVal =
+    if (n.isTextual) JStr(n.asText)
+    else if (n.isNumber) JNum(n.asText)
+    else if (n.isBoolean) JBool(n.asBoolean)
+    else if (n.isNull) JNull
+    else if (n.isObject) {
+      val it = n.fields()
+      val fields = Map.newBuilder[String, JVal]
+      while (it.hasNext) {
+        val e = it.next()
+        fields += e.getKey -> fromNode(e.getValue)
       }
-      if (i >= body.length) fail("unterminated string")
-      val raw = body.substring(start, i)
-      i += 1
-      unescape(raw)
-    }
-    def value(): JVal = {
-      ws()
-      if (i >= body.length) fail("unexpected end")
-      body.charAt(i) match {
-        case '"' => JStr(string())
-        case '{' =>
-          i += 1; ws()
-          val fields = Map.newBuilder[String, JVal]
-          if (i < body.length && body.charAt(i) == '}') i += 1
-          else {
-            var more = true
-            while (more) {
-              ws(); val k = string(); ws(); expect(':')
-              fields += k -> value()
-              ws()
-              if (i < body.length && body.charAt(i) == ',') i += 1
-              else { expect('}'); more = false }
-            }
-          }
-          JObj(fields.result())
-        case '[' =>
-          i += 1; ws()
-          val items = Seq.newBuilder[JVal]
-          if (i < body.length && body.charAt(i) == ']') i += 1
-          else {
-            var more = true
-            while (more) {
-              items += value()
-              ws()
-              if (i < body.length && body.charAt(i) == ',') i += 1
-              else { expect(']'); more = false }
-            }
-          }
-          JArr(items.result())
-        case 't' if body.startsWith("true", i) => i += 4; JBool(true)
-        case 'f' if body.startsWith("false", i) => i += 5; JBool(false)
-        case 'n' if body.startsWith("null", i) => i += 4; JNull
-        case c if c == '-' || c.isDigit =>
-          val start = i
-          i += 1
-          while (i < body.length &&
-            (body.charAt(i).isDigit || "+-.eE".indexOf(body.charAt(i)) >= 0)) i += 1
-          JNum(body.substring(start, i))
-        case c => fail(s"unexpected '$c'")
-      }
-    }
-    val v = value()
-    ws()
-    if (i != body.length) fail("trailing content")
-    v
-  }
+      JObj(fields.result())
+    } else if (n.isArray)
+      JArr((0 until n.size).map(i => fromNode(n.get(i))))
+    else throw new IllegalArgumentException(
+      s"bad json: unsupported node type ${n.getNodeType}")
 
   /** Convenience accessors over a parsed body; absent/mistyped keys
     * throw NoSuchElementException → 400 via bind. */
@@ -666,22 +637,4 @@ object Json {
     case _ => throw new NoSuchElementException("expected a number")
   }
 
-  private def unescape(s: String): String = {
-    val out = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => out += '\n'; i += 2
-          case 'r' => out += '\r'; i += 2
-          case 't' => out += '\t'; i += 2
-          case 'u' if i + 6 <= s.length =>
-            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case other => out += other; i += 2
-        }
-      } else { out += c; i += 1 }
-    }
-    out.toString
-  }
 }

@@ -707,6 +707,12 @@ object GraftTable {
   private[operators] case class Manifest(applied: Seq[String],
       live: Seq[String], commit: Long, schemaJson: Option[String] = None)
 
+  /** Max dirty-group keys routed through the index-pruned repair read
+    * (an IN-list the zone/bloom qualify evaluates per file); beyond it
+    * the repair falls back to the broadcast semi-join, which handles
+    * any cardinality. */
+  private val RepairPruneCap = 1024
+
   private def pinnedSchema(j: Option[String]): Option[StructType] =
     j.map(DataType.fromJson(_).asInstanceOf[StructType])
 
@@ -1103,6 +1109,100 @@ object GraftTable {
     (last, live)
   }
 
+  /** FILTERED + PROJECTED mirror: maintain a downstream copy of
+    * `SELECT columns FROM table WHERE predicateSql` from the commit
+    * log — the selective-materialized-view consumer (a training-data
+    * pipeline's "mirror just this slice" shape). Maintenance is
+    * delta-sized: the predicate and projection apply to the WINDOW's
+    * inserts, and delete preimages anti-join out by key. Rows in this
+    * table format are immutable (no updates — a change is
+    * delete+insert), so a row's predicate verdict never changes: the
+    * filtered delta IS the delta of the filtered table, with no
+    * transition-in/transition-out cases to repair.
+    *
+    * `columns` must include the table's delete keys (the mirror can't
+    * apply a delete it cannot address — checked loudly). The view
+    * DEFINITION (predicate + columns) is fingerprinted in
+    * `_sync.json`; a sync with a different definition fails loudly
+    * rather than silently maintaining a different view. Re-baseline
+    * triggers are syncMirror's (first sync, optimize window, expired
+    * log). Returns (fromCommit, toCommit); equal means no-op. */
+  def syncMirrorWhere(spark: SparkSession, dir: String, mirrorDir: String,
+      predicateSql: String, columns: Seq[String],
+      keepLast: Int = 1): (Long, Long) = {
+    require(columns.nonEmpty, "at least one projected column")
+    columns.foreach(requireColName)
+    require(predicateSql.trim.nonEmpty, "an empty predicate is read()'s job")
+    val m = meta(spark, dir)
+    val missingKeys = m.delKeys.filterNot(columns.contains)
+    require(missingKeys.isEmpty,
+      s"projection must keep the delete key(s) ${missingKeys.mkString(",")}" +
+        " — the mirror cannot apply a delete it cannot address")
+    val srcMan = manifest(spark, dir)
+    val live = srcMan.commit
+    val syncPath = s"$mirrorDir/_sync.json"
+    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
+    val last: Long =
+      if (!fs.exists(sp)) 0L
+      else {
+        val n = StoreIO.parseJson(readString(spark, syncPath))
+        // definition drift = a DIFFERENT view: refuse, never silently
+        // maintain the wrong one on top of the old rows
+        val storedPred = StoreIO.jStr(n, "pred")
+        val storedCols = StoreIO.jArr(n, "cols")
+        require(storedPred.forall(_ == predicateSql) &&
+          storedCols.forall(_ == columns),
+          s"mirror at $mirrorDir was defined as WHERE " +
+            s"${storedPred.getOrElse("?")} SELECT " +
+            s"${storedCols.getOrElse(Nil).mkString(",")} — delete the " +
+            "mirror to redefine it")
+        StoreIO.jLong(n, "commit").getOrElse(
+          sys.error(s"$syncPath has no 'commit' pointer"))
+      }
+    if (last == live) return (last, live)
+    if (srcMan.live.isEmpty) return (last, last)
+    val pred = expr(predicateSql)
+    def shape(df: DataFrame): DataFrame =
+      df.where(pred).select(columns.map(col): _*)
+    def commitMirror(df: DataFrame): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$mirrorDir/v$live")
+      writeString(spark, syncPath,
+        StoreIO.renderJson { o =>
+          o.put("commit", live); o.put("pred", predicateSql)
+          StoreIO.putArr(o, "cols", columns)
+        }, atomic = true)
+      sweepMirrorVersions(spark, mirrorDir, live, keepLast)
+    }
+    val delta =
+      if (last == 0) None
+      else
+        try Some(changesBetween(spark, dir, last, live))
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("optimize") ||
+                e.getMessage.contains("not retained") => None
+        }
+    delta match {
+      case None => commitMirror(shape(read(spark, dir))) // (re-)baseline
+      case Some(d) =>
+        val cur = spark.read.parquet(s"$mirrorDir/v$last")
+        val inserts = shape(d.where(col("_change_type") === "insert"))
+        val upserted = cur.unionByName(inserts, allowMissingColumns = true)
+        val next =
+          if (m.delKeys.isEmpty) upserted
+          else
+            // preimages are filtered by the SAME predicate: a deleted
+            // row that never satisfied it was never in the mirror
+            // (immutable rows — its verdict cannot have changed), so
+            // the filter only shrinks the broadcast, never the result
+            RowDeletes.applyEqualityDeletes(upserted,
+              d.where(col("_change_type") === "delete").where(pred)
+                .select(m.delKeys.map(col): _*), m.delKeys)
+        commitMirror(next)
+    }
+    (last, live)
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE over the CDC feed: maintain a
     * downstream GROUPED AGGREGATE of the table (count per key + sums
     * of `sumCols` + optional min/max of `minCols`/`maxCols`) at
@@ -1231,19 +1331,44 @@ object GraftTable {
             .where(col("n") > 0)
             .cache()
           try {
+            // PRUNED repair: the dirty keys are bounded by the window's
+            // delta groups, so when the view groups by one
+            // zone/bloom-indexed column they become an IN-list the
+            // skipping index can prune on — the rescan then READS only
+            // the files that can hold a dirty group. The semi-join
+            // spelling is exact too, but its probe side scans every
+            // live file to emit a handful of rows (measured at 30×:
+            // 317-row repair output, table-sized read). NULL dirty
+            // keys or an oversized list fall back to the semi-join.
+            val mm = meta(spark, dir)
+            val indexedSingle = keys.size == 1 &&
+              (mm.zoneCols.contains(keys.head) ||
+                mm.bloomCols.contains(keys.head))
+            val dirtyProbe: Option[Array[Any]] =
+              if (!indexedSingle) None
+              else Some(merged.where(col("__repair"))
+                .select(col(keys.head)).limit(RepairPruneCap + 1)
+                .collect().map(_.get(0)))
             // EAGER dirty check on the agg-sized merge: an insert-only
             // window must not even plan a table scan
-            val anyDirty = merged.where(col("__repair")).limit(1)
-              .count() > 0
+            val anyDirty = dirtyProbe.map(_.nonEmpty).getOrElse(
+              merged.where(col("__repair")).limit(1).count() > 0)
             val next =
               if (!anyDirty) merged.drop("__repair")
               else {
-                val rKeys = merged.where(col("__repair"))
-                  .select(keys.map(col): _*)
-                val base = read(spark, dir)
-                val rescan = base.join(broadcast(rKeys),
-                  keys.map(k => base(k) <=> rKeys(k)).reduce(_ && _),
-                  "left_semi")
+                val rescan = dirtyProbe match {
+                  case Some(vals) if vals.length <= RepairPruneCap &&
+                      !vals.contains(null) =>
+                    readWhere(spark, dir, equalities =
+                      Seq(ColumnEquals(keys.head, vals.toSeq)))
+                  case _ =>
+                    val rKeys = merged.where(col("__repair"))
+                      .select(keys.map(col): _*)
+                    val base = read(spark, dir)
+                    base.join(broadcast(rKeys),
+                      keys.map(k => base(k) <=> rKeys(k)).reduce(_ && _),
+                      "left_semi")
+                }
                 repairSeam(rescan)
                 val rExprs =
                   minCols.map(c => min(col(c)).as(s"min_$c")) ++
@@ -1664,6 +1789,62 @@ object GraftTable {
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem l
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey
+      |                    AND o.o_orderstatus = 'F')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q178's lifecycle: q173's windows, but the consumer is a FILTERED
+    * + PROJECTED mirror (`WHERE l_partkey BETWEEN 100 AND 299`, four
+    * columns) — the delta sync must filter/project b2's inserts and
+    * anti-join the erasure's preimage keys, never re-baseline. */
+  private def buildWhereMirrorLifecycle(spark: SparkSession,
+      d: String): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-wmirror-").toString
+    val dir = s"$root/table"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Nil, deleteKeys = Seq("l_orderkey"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    val pred = "l_partkey BETWEEN 100 AND 299"
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    append(li.where($"l_orderkey" <= mid), dir, "b1") // commit 2
+    syncMirrorWhere(spark, dir, s"$root/mirror", pred, cols) // baseline
+    append(li.where($"l_orderkey" > mid), dir, "b2") // commit 3
+    delete(graft.sources.Tables.orders(spark, d)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1") // commit 4
+    syncMirrorWhere(spark, dir, s"$root/mirror", pred, cols) // DELTA
+    root
+  }
+
+  private def q178Root(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("wmirror:" + d,
+      _ => buildWhereMirrorLifecycle(spark, d))
+
+  /** q178: the FILTERED+PROJECTED mirror after an incremental sync —
+    * the selective-MV consumer hash-checked end to end. The oracle is
+    * the band slice of the table minus the F-order lines: a mirror
+    * that filtered the wrong side, dropped the band on the delta, or
+    * missed the preimage keys all hash differently. */
+  def q178FilteredMirror(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mirrorRead(spark, s"${q178Root(spark, d)}/mirror")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_orderkey").as("key_sum"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q178Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |WHERE l.l_partkey BETWEEN 100 AND 299
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_orderkey = l.l_orderkey
       |                    AND o.o_orderstatus = 'F')
       |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -56,7 +56,7 @@ class ScaleProbeSpec extends SparkSpec {
     // repair path's broadcast semi-join must stay broadcast at 10×,
     // never flip to a table-shuffling join
     "q173_table_mirror", "q174_table_evolution", "q175_table_history",
-    "q176_agg_mirror", "q177_agg_minmax",
+    "q176_agg_mirror", "q177_agg_minmax", "q178_filtered_mirror",
   )
 
   test("10x probe: no heavy query degrades to a nested-loop or cartesian plan") {

@@ -516,6 +516,42 @@ class GraftTableSpec extends SparkSpec {
     assert(mirrorRead(spark, mirror).count() == read(spark, dir).count())
   }
 
+  test("syncMirrorWhere: delta windows maintain the filtered projection; drift and lost keys fail loudly") {
+    import spark.implicits._
+    val dir = tmp()
+    val mirror = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    val pred = "l_partkey BETWEEN 100 AND 299"
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    def shape = read(spark, dir)
+      .where(expr(pred)).select(cols.map(col): _*)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1")
+    syncMirrorWhere(spark, dir, mirror, pred, cols) // baseline
+    assert(sortedRows(mirrorRead(spark, mirror)) == sortedRows(shape))
+    // a window with inserts AND deletes maintains through the delta
+    // path (filter+project the inserts, anti-join the preimage keys)
+    append(li.where($"l_orderkey" > mid), dir, "b2")
+    delete(li.where($"l_partkey".between(100, 299))
+      .select($"l_orderkey").distinct().orderBy($"l_orderkey").limit(5),
+      dir, "e1")
+    syncMirrorWhere(spark, dir, mirror, pred, cols)
+    assert(sortedRows(mirrorRead(spark, mirror)) == sortedRows(shape),
+      "filtered mirror diverged from the filtered table after a delta sync")
+    // a DIFFERENT definition must refuse, even on a no-op sync
+    val drift = intercept[IllegalArgumentException] {
+      syncMirrorWhere(spark, dir, mirror, "l_partkey < 50", cols)
+    }
+    assert(drift.getMessage.contains("delete the mirror"))
+    // a projection that drops the delete key cannot apply deletes
+    val lost = intercept[IllegalArgumentException] {
+      syncMirrorWhere(spark, dir, tmp(), pred,
+        Seq("l_partkey", "l_quantity"))
+    }
+    assert(lost.getMessage.contains("l_orderkey"))
+  }
+
   test("audit reports batches, deletes, and index coverage") {
     val dir = tmp()
     build(dir)

@@ -44,9 +44,16 @@ object IvmScaleProbe {
     create(spark, dir, zoneCols = Seq("l_partkey"),
       deleteKeys = Seq("l_orderkey"))
     val (tLoad, _) = timed { append(li, dir, "b1") }
+    // two min/max views: 3 giant groups (l_returnflag — a dirty group
+    // is a third of the table, the worst case for repair) and the
+    // realistic high-cardinality grouping (l_partkey — a dirty group is
+    // ~rows/partkeys, where the repair's rows-of-dirty-groups bound
+    // actually bites)
+    val hiKeys = Seq("l_partkey")
     val (tBase, _) = timed {
       syncAggMirror(spark, dir, s"$root/agg", keys, sums)
       syncAggMirror(spark, dir, s"$root/aggmm", keys, sums, mm, mm)
+      syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm)
     }
     // delta window: a rekeyed sf0.001-sized append + a 50-key erasure
     // that INCLUDES a group extremum (forcing the min/max repair path)
@@ -69,6 +76,11 @@ object IvmScaleProbe {
       syncAggMirror(spark, dir, s"$root/aggmm", keys, sums, mm, mm,
         repairSeam = df => repairRows = df.count())
     }
+    var repairRowsHi = -1L
+    val (tSyncMMHi, _) = timed {
+      syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm,
+        repairSeam = df => repairRowsHi = df.count())
+    }
     val (tReagg, nGroups) = timed {
       read(spark, dir).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -83,6 +95,8 @@ object IvmScaleProbe {
       s""""delta_sync_s":${f"$tSync%.2f"},""" +
       s""""delta_sync_minmax_s":${f"$tSyncMM%.2f"},""" +
       s""""repair_rescan_rows":$repairRows,""" +
+      s""""delta_sync_minmax_hicard_s":${f"$tSyncMMHi%.2f"},""" +
+      s""""repair_rescan_rows_hicard":$repairRowsHi,""" +
       s""""reagg_s":${f"$tReagg%.2f"},"groups":$nGroups}""")
 
     // ---- 2. history() at a few hundred retained commits --------------

@@ -21,10 +21,13 @@ def main():
     b = json.loads((ROOT / "BENCH.json").read_text())
     total, n = b["value"], b["n_queries"]
     reps = b.get("reps", 1)
+    # label the SF the artifact actually carries — hardcoding "sf0.1"
+    # mislabeled any smoke-run BENCH.json (observed with an sf0.001 run)
+    sf = Path(b.get("sf", "sf0.1")).name
     line = (
         f"{BEGIN}\n"
         f"Builder-run closing bench (secondary; rewritten from BENCH.json "
-        f"by tools/readme_status.py): sf0.1 bench {total} s over {n} "
+        f"by tools/readme_status.py): {sf} bench {total} s over {n} "
         f"queries (median-of-{reps}, local[32]) = {total / n:.3f} s/query.\n"
         f"{END}"
     )
