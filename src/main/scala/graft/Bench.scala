@@ -100,6 +100,62 @@ object Bench {
     val stableJson = stable.toSeq.sortBy(_._1).map { case (n, (t, s, r)) =>
       s""""$n":{"tasks":$t,"shuffle_bytes":$s,"rows":$r}"""
     }.mkString("{", ",", "}")
+
+    // Stable-metrics regression gate, the plans-baseline twin: diff
+    // this run's {tasks, shuffle_bytes, rows} against the committed
+    // per-SF baseline. Rows are exact (a row-count move is a semantics
+    // change); tasks and shuffle bytes get small tolerances (AQE
+    // coalescing and compression can wiggle a partition count/byte
+    // total without a plan change). SPARK_GRAFT_UPDATE_PLANS refreshes
+    // both baselines — one knob, one intent ("the plans moved on
+    // purpose").
+    val stableBaselinePath = java.nio.file.Paths.get(
+      s"STABLE_BASELINE.${new java.io.File(sfDir).getName}.json")
+    val stableDiff: Seq[String] =
+      if (only.isDefined) Seq.empty // filtered probe: no baseline I/O
+      else {
+        val node =
+          if (java.nio.file.Files.exists(stableBaselinePath))
+            scala.util.Try(graft.operators.StoreIO.parseJson(
+              java.nio.file.Files.readString(stableBaselinePath))).toOption
+          else None
+        val matchesDir = node.exists(n =>
+          graft.operators.StoreIO.jStr(n, "__sfdir__").forall(_ == sfDir))
+        if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
+            node.isEmpty || !matchesDir) {
+          java.nio.file.Files.writeString(stableBaselinePath,
+            graft.operators.StoreIO.renderJson { o =>
+              o.put("__sfdir__", sfDir)
+              stable.toSeq.filter(_._2._1 >= 0).sortBy(_._1).foreach {
+                case (n0, (t, s, r)) =>
+                  val e = o.putObject(n0)
+                  e.put("tasks", t); e.put("shuffle_bytes", s)
+                  e.put("rows", r); ()
+              }
+            })
+          Seq.empty
+        } else {
+          val base = node.get
+          def tol(a: Long, b: Long, pct: Double): Boolean =
+            math.abs(a - b) > math.max(2.0, pct * math.max(a, b))
+          stable.toSeq.sortBy(_._1).flatMap { case (n0, (t, s, r)) =>
+            Option(base.get(n0)).filter(_.isObject).flatMap { e =>
+              val bt = e.get("tasks").asLong
+              val bs = e.get("shuffle_bytes").asLong
+              val br = e.get("rows").asLong
+              if (r >= 0 && br >= 0 && r != br)
+                Some(s"$n0: rows $br -> $r")
+              else if (t >= 0 && tol(t, bt, 0.10))
+                Some(s"$n0: tasks $bt -> $t")
+              else if (s >= 0 && tol(s, bs, 0.05))
+                Some(s"$n0: shuffle_bytes $bs -> $s")
+              else None
+            }
+          }
+        }
+      }
+    val stableDiffJson = stableDiff.map(s => "\"" + s + "\"")
+      .mkString("[", ",", "]")
     def fmt(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
@@ -193,6 +249,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,
          |"queries":${fmt(results.toSeq.sortBy(_._1))},
          |"stable":$stableJson,
+         |"stable_diff":$stableDiffJson,
          |"plans":$plansJson,
          |"plan_diff":$planDiffJson,
          |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
@@ -200,6 +257,8 @@ object Bench {
     println(s"""{"metric":"plans","plans":$plansJson,"sf":"$sfDir"}""")
     if (planDiff.nonEmpty)
       println(s"""{"metric":"plan_diff","changed":${planDiff.size},"entries":$planDiffJson}""")
+    if (stableDiff.nonEmpty)
+      println(s"""{"metric":"stable_diff","changed":${stableDiff.size},"entries":$stableDiffJson}""")
     println(s"""{"metric":"detail","queries":${fmt(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
     val slowest = results.toSeq.sortBy(-_._2).take(15)
     val totalLine =
