@@ -55,17 +55,25 @@ object GraftTable {
 
   /** Initialize an empty table. `zoneCols` get min/max/value-count
     * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
-    * Bloom filters, `deleteKeys` are the equality-delete address. */
+    * Bloom filters of `bloomBits` bits (size to the expected rows PER
+    * FILE — an undersized bloom false-positives its prune away: 2^17
+    * suits ~10k-row files; ~100k-row files want 2^20), `deleteKeys`
+    * are the equality-delete address. */
   def create(spark: SparkSession, dir: String, zoneCols: Seq[String],
       bloomCols: Seq[String] = Nil,
-      deleteKeys: Seq[String] = Nil): Unit = {
+      deleteKeys: Seq[String] = Nil,
+      bloomBits: Int = 1 << 17): Unit = {
     require(zoneCols.nonEmpty, "at least one zone column (it drives layout)")
     (zoneCols ++ bloomCols ++ deleteKeys).foreach(requireColName)
+    if (bloomCols.nonEmpty)
+      require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
+        s"bloomBits must be a power of two >= 64 (got $bloomBits)")
     writeString(spark, metaPath(dir),
       StoreIO.renderJson { o =>
         StoreIO.putArr(o, "zoneCols", zoneCols)
         StoreIO.putArr(o, "bloomCols", bloomCols)
         StoreIO.putArr(o, "delKeys", deleteKeys)
+        o.put("bloomBits", bloomBits); ()
       },
       atomic = false)
     if (deleteKeys.nonEmpty) DeleteStore.init(spark, delPath(dir), deleteKeys)
@@ -199,7 +207,7 @@ object GraftTable {
       SkippingIndex.refresh(spark, indexPath(dir),
         candidates = Some(live.toSet))
     else SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
-      m.zoneCols, m.bloomCols, only = Some(live))
+      m.zoneCols, m.bloomCols, bloomBits = m.bloomBits, only = Some(live))
     ()
   }
 
@@ -576,7 +584,7 @@ object GraftTable {
     clearPending(spark, dir, "retire", intoLabel)
     indexLock(dir).synchronized {
       SkippingIndex.build(spark, dataPath(dir), indexPath(dir),
-        m.zoneCols, m.bloomCols,
+        m.zoneCols, m.bloomCols, bloomBits = m.bloomBits,
         only = Some(liveFileStatuses(spark, dir,
           manifest(spark, dir).live).map(_.getPath.toString)))
     }
@@ -1004,8 +1012,12 @@ object GraftTable {
         // mirror would diverge from read()
         val keys = DeleteStore.deletesOf(spark, delPath(dir), delLabels)
           .select(m.delKeys.map(k => col(k).as(s"__d_$k")): _*).distinct()
-        val hit = full.join(keys,
-          m.delKeys.map(k => full(k) <=> keys(s"__d_$k")).reduce(_ && _),
+        val probe = preimageBase(spark, dir, m, ct.manifest.live,
+          ct.manifest.schemaJson, full,
+          keys.select(col(s"__d_${m.delKeys.head}"))
+            .limit(RepairPruneCap + 1).collect().map(_.get(0)))
+        val hit = probe.join(keys,
+          m.delKeys.map(k => probe(k) <=> keys(s"__d_$k")).reduce(_ && _),
           "left_semi")
         if (cf.delLive.isEmpty) hit
         else RowDeletes.applyEqualityDeletes(hit,
@@ -1014,6 +1026,47 @@ object GraftTable {
     conformTo(full.schema, inserts).withColumn("_change_type", lit("insert"))
       .unionByName(conformTo(full.schema, deletes)
         .withColumn("_change_type", lit("delete")))
+  }
+
+  /** The frame the delete-preimage semi-join PROBES: by default the
+    * full live read — which makes every delete-carrying CDC window pay
+    * a table-sized scan to emit a delete-batch-sized preimage set (the
+    * 30× probe's dominant steady-state IVM cost). When the single
+    * delete key is a zone/bloom-indexed column and the window's
+    * distinct keys fit a driver IN-list, the skipping index prunes the
+    * probe to the files that can hold ANY of the keys. Coverage stays
+    * conservative at any index staleness: qualify() returns on-disk
+    * files the index has NO row for as `unknown`, so a
+    * crash-window-unindexed batch or a superseded-but-snapshot-live
+    * dir is still read; the exact null-safe predicate is re-applied by
+    * the semi-join either way. NULL keys (they address data NULLs —
+    * no index opinion) and oversized key sets fall back to the full
+    * probe. `keyVals` is by-name: the driver collect only runs once
+    * the cheap gates pass. */
+  private def preimageBase(spark: SparkSession, dir: String, m: Meta,
+      live: Seq[String], schemaJson: Option[String], full: DataFrame,
+      keyVals: => Array[Any]): DataFrame = {
+    val (fs, metaP) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
+    if (m.delKeys.size != 1 || !fs.exists(metaP)) return full
+    val im = SkippingIndex.meta(spark, indexPath(dir))
+    val k = m.delKeys.head
+    if (!im.cols.contains(k) && !im.bloomCols.contains(k)) return full
+    val vals = keyVals
+    if (vals.isEmpty || vals.length > RepairPruneCap || vals.contains(null))
+      return full
+    val (qual, unknown) = SkippingIndex.qualify(spark, indexPath(dir),
+      Nil, Seq(ColumnEquals(k, vals.toSeq)), Nil)
+    val liveSet = liveFiles(spark, dir, live)
+    val paths = (qual ++ unknown).distinct.filter(liveSet)
+    if (paths.isEmpty) full.where(lit(false))
+    else pinnedSchema(schemaJson) match {
+      case Some(st) =>
+        spark.read.schema(st).option("basePath", dataPath(dir))
+          .parquet(paths: _*).drop("batch")
+      case None => conformTo(full.schema,
+        spark.read.option("basePath", dataPath(dir))
+          .option("mergeSchema", "true").parquet(paths: _*).drop("batch"))
+    }
   }
 
   /** The CDC feed's consumer contract, shipped as code: incrementally
@@ -1440,12 +1493,16 @@ object GraftTable {
   }
 
   private[operators] case class Meta(zoneCols: Seq[String],
-      bloomCols: Seq[String], delKeys: Seq[String])
+      bloomCols: Seq[String], delKeys: Seq[String],
+      bloomBits: Int = 1 << 17)
 
   private[operators] def meta(spark: SparkSession, dir: String): Meta = {
-    val raw = readString(spark, metaPath(dir))
-    Meta(StoreIO.jsonArr(raw, "zoneCols"), StoreIO.jsonArr(raw, "bloomCols"),
-      StoreIO.jsonArr(raw, "delKeys"))
+    val n = StoreIO.parseJson(readString(spark, metaPath(dir)))
+    Meta(StoreIO.jArr(n, "zoneCols").getOrElse(Nil),
+      StoreIO.jArr(n, "bloomCols").getOrElse(Nil),
+      StoreIO.jArr(n, "delKeys").getOrElse(Nil),
+      // pre-knob tables carry no field: the old fixed default
+      StoreIO.jLong(n, "bloomBits").getOrElse(1L << 17).toInt)
   }
 
   // ---- q168/q169: the composed table, hash-checked --------------------

@@ -206,6 +206,41 @@ class GraftTableAggMirrorSpec extends SparkSpec {
       rows(scratch(spark, dir)), "fresh read does not see the new sync")
   }
 
+  test("a CDC consumer driven from the ingest stream is exactly-once across epochs and replays") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/t"
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    create(spark, dir, zoneCols = Seq("l_partkey"))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    li.where($"l_orderkey" <= mid).coalesce(1).write.parquet(s"$src/c1")
+    li.where($"l_orderkey" > mid).coalesce(1).write.parquet(s"$src/c2")
+    var syncs = 0
+    // the packaged composition: one committed append per micro-batch,
+    // the aggregate view synced from the commit log after each epoch —
+    // the streaming twin of the q176 consumer, exactly-once end to end
+    ingestStream(
+      spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/c*"),
+      dir, ckpt,
+      afterAppend = _ => {
+        syncAggMirror(spark, dir, s"$root/agg", keys, sums)
+        syncs += 1
+      }).awaitTermination()
+    assert(syncs == 2, s"expected one sync per epoch, got $syncs")
+    assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+      rows(scratch(spark, dir)),
+      "stream-driven view diverged from the table aggregate")
+    // a replayed epoch (at-least-once delivery) is absorbed by the
+    // label ledger AND by the sync pointer: nothing double-counts
+    append(spark.read.parquet(s"$src/c2"), dir, "epoch-1")
+    val (from, to) = syncAggMirror(spark, dir, s"$root/agg", keys, sums)
+    assert(from == to, "a replayed epoch advanced the view")
+    assert(rows(aggMirrorRead(spark, s"$root/agg")) ==
+      rows(scratch(spark, dir)))
+  }
+
   test("an optimize in the window re-baselines and still matches from-scratch") {
     import spark.implicits._
     val root = tmp()

@@ -516,6 +516,38 @@ class GraftTableSpec extends SparkSpec {
     assert(mirrorRead(spark, mirror).count() == read(spark, dir).count())
   }
 
+  test("CDC delete preimages stay exact when the probe is index-pruned (bloom-indexed delete key)") {
+    import spark.implicits._
+    val dir = tmp()
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"),
+      bloomBits = 1 << 18)
+    // the sizing knob persists and reaches the index build
+    assert(meta(spark, dir).bloomBits == (1 << 18))
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1") // commit 2
+    append(li.where($"l_orderkey" > mid), dir, "b2") // commit 3
+    // a small erasure (≤ the IN-list cap, bloom-indexed key): the
+    // preimage probe takes the PRUNED path; the preimages must still
+    // be exactly the deleted keys' rows
+    val victims = li.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(7)
+    delete(victims, dir, "e1") // commit 4
+    assert(SkippingIndex.meta(spark, s"$dir/index").bloomBits == (1 << 18),
+      "create's bloomBits did not reach the skipping-index build")
+    val d = changesBetween(spark, dir, 3L, 4L)
+    val preimages = d.where($"_change_type" === "delete")
+      .drop("_change_type")
+    val expect = li.join(victims, Seq("l_orderkey"), "left_semi")
+    assert(sortedRows(preimages) == sortedRows(
+      expect.select(preimages.columns.map(col): _*)),
+      "index-pruned preimages diverged from the deleted rows")
+    // and the full-frame invariant: read() == b1+b2 minus the victims
+    assert(sortedRows(read(spark, dir)) == sortedRows(
+      li.join(victims, Seq("l_orderkey"), "left_anti")
+        .select(read(spark, dir).columns.map(col): _*)))
+  }
+
   test("syncMirrorWhere: delta windows maintain the filtered projection; drift and lost keys fail loudly") {
     import spark.implicits._
     val dir = tmp()

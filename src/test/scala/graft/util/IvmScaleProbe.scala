@@ -41,8 +41,13 @@ object IvmScaleProbe {
     val root = java.nio.file.Files.createTempDirectory("ivm-probe-")
       .toString
     val dir = s"$root/t"
+    // the delete key is BLOOM-indexed, so the CDC delete-preimage
+    // probe takes the index-pruned path for the ≤cap-key erasure
+    // below; blooms sized for ~100k-row files (2^20 bits — the default
+    // 2^17 false-positives away its prune at this file size)
     create(spark, dir, zoneCols = Seq("l_partkey"),
-      deleteKeys = Seq("l_orderkey"))
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"),
+      bloomBits = 1 << 20)
     val (tLoad, _) = timed { append(li, dir, "b1") }
     // two min/max views: 3 giant groups (l_returnflag — a dirty group
     // is a third of the table, the worst case for repair) and the
@@ -81,6 +86,22 @@ object IvmScaleProbe {
       syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm,
         repairSeam = df => repairRowsHi = df.count())
     }
+    // deterministic read-volume evidence for the preimage prune (wall
+    // times on this host drift ±30% run-over-run; file counts do not):
+    // how many live files can hold ANY of the erasure's keys, per the
+    // bloom qualify, vs the total the unpruned semi-join probe reads
+    val victimVals = victims.collect().map(_.get(0)).toSeq
+    val (pq, pu) = graft.operators.SkippingIndex.qualify(spark,
+      s"$dir/index", Nil,
+      Seq(graft.operators.SkippingIndex.ColumnEquals(
+        "l_orderkey", victimVals)), Nil)
+    // the single-key (GDPR-shaped) erasure, the prune's home turf
+    val (sq, su) = graft.operators.SkippingIndex.qualify(spark,
+      s"$dir/index", Nil,
+      Seq(graft.operators.SkippingIndex.ColumnEquals(
+        "l_orderkey", Seq(extremum))), Nil)
+    val liveFilesN = spark.read.parquet(s"$dir/index/stats")
+      .select("file").distinct().count()
     val (tReagg, nGroups) = timed {
       read(spark, dir).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -97,9 +118,19 @@ object IvmScaleProbe {
       s""""repair_rescan_rows":$repairRows,""" +
       s""""delta_sync_minmax_hicard_s":${f"$tSyncMMHi%.2f"},""" +
       s""""repair_rescan_rows_hicard":$repairRowsHi,""" +
+      s""""preimage_files_qualifying":${(pq ++ pu).distinct.size},""" +
+      s""""preimage_files_one_key":${(sq ++ su).distinct.size},""" +
+      s""""live_files":$liveFilesN,""" +
       s""""reagg_s":${f"$tReagg%.2f"},"groups":$nGroups}""")
 
     // ---- 2. history() at a few hundred retained commits --------------
+    // (skippable with a second arg "nohist" — the 200-commit build
+    // dominates a re-run that only needs the steady-state numbers)
+    if (args.length > 1 && args(1) == "nohist") {
+      graft.operators.StoreIO.deleteLocalDirs(java.util.List.of(root))
+      spark.stop()
+      return
+    }
     val hroot = java.nio.file.Files.createTempDirectory("ivm-hist-")
       .toString
     val hdir = s"$hroot/t"
