@@ -1080,84 +1080,284 @@ object GraftTable {
     * — no exact delta across a rewrite), re-baselines with a full
     * copy. Returns (fromCommit, toCommit); equal means no-op.
     *
-    * 100 TB: steady-state sync cost is delta-sized (the window's batch
-    * dirs + the mirror rewrite); only the re-baseline is table-sized —
-    * which is why consumers schedule syncs ahead of maintenance. */
-  /** The `_sync.json` pointer both mirror families swap (0 = never
-    * synced). */
-  private def syncPointer(spark: SparkSession, syncPath: String): Long = {
+    * 100 TB: steady-state sync COMPUTE is delta-sized (the window's
+    * batch dirs + the dirty-bucket merge) and the WRITE is
+    * dirty-bucket-sized (the bucketed layout below — a 50-key erasure
+    * against a table-scale per-user mirror rewrites ~50 buckets, not
+    * the view); only the re-baseline is table-sized — which is why
+    * consumers schedule syncs ahead of maintenance. */
+  // ---- downstream views: the bucketed versioned layout -----------------
+  //
+  // All four CDC consumers (row mirror, filtered+projected mirror,
+  // dim-enriched join mirror, grouped aggregate) share one storage
+  // layout: the view is hash-bucketed by its ADDRESSING key (the
+  // table's delete keys for row-shaped views, the group keys for the
+  // aggregate) into `nBuckets` buckets, and each sync writes ONLY the
+  // buckets the window touched into the next `v<commit>/gbkt=<k>/`
+  // dirs, carrying every untouched bucket forward BY REFERENCE — the
+  // `_sync.json` pointer maps each bucket to the version dir holding
+  // its current rows. Steady-state sync WRITE volume is therefore
+  // dirty-bucket-sized, never view-sized (r16's one structural
+  // residual: the maintenance COMPUTE was delta-sized, the write was
+  // not — a 50-key erasure against a per-user mirror paid a
+  // table-scale rewrite for a 50-row change). The pointer also pins
+  // the view's SCHEMA, so multi-version reads plan footer-free and a
+  // bucket written before a schema evolution surfaces typed NULLs.
+  //
+  // Retention: versions referenced by the live bucket map are pinned;
+  // the version SETS referenced by the last `keepLast` superseded
+  // pointers stay readable too (`prevRefs`) — the same
+  // concurrent-reader allowance the old linear layout gave (a frame
+  // resolved against the just-superseded pointer finishes its scan),
+  // restated for a non-linear version set. keepLast=0 sweeps every
+  // unreferenced version immediately.
+
+  /** One parsed `_sync.json`: the consumer FAMILY (fail-loud identity —
+    * pointing one sync flavor at another flavor's directory must
+    * refuse, never silently maintain the wrong view), the bucket map,
+    * reader-retention refs, the pinned view schema, and the
+    * family-specific definition fields (where: pred+cols; join:
+    * pred=joinOn, cols=dimCols, dimCommit). `family=="legacy"` marks a
+    * pre-bucketed pointer (flat `v<commit>/` dir): readable as-is, and
+    * the next sync re-baselines it into the bucketed layout. */
+  private[operators] case class ViewState(commit: Long, family: String,
+      nBuckets: Int, buckets: Map[Int, Long], prevRefs: Seq[Seq[Long]],
+      schemaJson: Option[String], pred: Option[String],
+      cols: Option[Seq[String]], dimCommit: Option[Long])
+
+  /** The bucket partition column (becomes `gbkt=<k>/` dir names — NOT
+    * underscore-prefixed, which Spark's listing would hide). */
+  private val BucketCol = "gbkt"
+
+  private[operators] def readViewState(spark: SparkSession,
+      syncPath: String): Option[ViewState] = {
     val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
-    if (!fs.exists(sp)) 0L
-    else StoreIO.jLong(StoreIO.parseJson(readString(spark, syncPath)),
-      "commit").getOrElse(sys.error(s"$syncPath has no 'commit' pointer"))
+    if (!fs.exists(sp)) return None
+    val n = StoreIO.parseJson(readString(spark, syncPath))
+    val buckets: Map[Int, Long] = Option(n.get("buckets"))
+      .filter(_.isObject).map { b =>
+        val it = b.fields(); val out = Map.newBuilder[Int, Long]
+        while (it.hasNext) {
+          val e = it.next(); out += (e.getKey.toInt -> e.getValue.asLong)
+        }
+        out.result()
+      }.getOrElse(Map.empty)
+    val prevRefs: Seq[Seq[Long]] = Option(n.get("prevRefs"))
+      .filter(_.isArray).map { a =>
+        (0 until a.size).map { i =>
+          val inner = a.get(i)
+          (0 until inner.size).map(j => inner.get(j).asLong).toSeq
+        }.toSeq
+      }.getOrElse(Nil)
+    Some(ViewState(
+      StoreIO.jLong(n, "commit").getOrElse(
+        sys.error(s"$syncPath has no 'commit' pointer")),
+      StoreIO.jStr(n, "family").getOrElse("legacy"),
+      StoreIO.jLong(n, "nBuckets").getOrElse(0L).toInt,
+      buckets, prevRefs,
+      StoreIO.jObjJson(n, "schema"),
+      StoreIO.jStr(n, "pred"),
+      StoreIO.jArr(n, "cols"),
+      StoreIO.jLong(n, "dimCommit")))
   }
 
-  /** RETENTION for mirror versions: keep the live version plus the
-    * newest `keepLast` superseded ones, sweep the rest. keepLast=1 (the
-    * default) is the concurrent-reader allowance: a frame resolved
-    * against the version a sync just superseded finishes its scan — the
-    * same discipline expireCommits+vacuum give the main table, with
-    * keepLast as the knob (the Iceberg rule: retention ≥ max reader
-    * duration). keepLast=0 restores the old sweep-immediately behavior
-    * for a strictly single-consumer mirror. */
-  private def sweepMirrorVersions(spark: SparkSession, rootDir: String,
-      live: Long, keepLast: Int): Unit = {
+  private def writeViewState(spark: SparkSession, syncPath: String,
+      st: ViewState): Unit =
+    writeString(spark, syncPath, StoreIO.renderJson { o =>
+      o.put("commit", st.commit)
+      o.put("family", st.family)
+      o.put("nBuckets", st.nBuckets)
+      val b = o.putObject("buckets")
+      st.buckets.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        b.put(k.toString, v); ()
+      }
+      val pr = o.putArray("prevRefs")
+      st.prevRefs.foreach { refs =>
+        val inner = pr.addArray(); refs.sorted.foreach(inner.add); ()
+      }
+      st.schemaJson.foreach(StoreIO.putRawObj(o, "schema", _))
+      st.pred.foreach { p => o.put("pred", p); () }
+      st.cols.foreach(cs => StoreIO.putArr(o, "cols", cs))
+      st.dimCommit.foreach { dc => o.put("dimCommit", dc); () }
+    }, atomic = true)
+
+  /** Deterministic bucket of a row: Murmur3 over the addressing
+    * columns, mod `n`. An empty column set (a delete-key-less table
+    * whose schema is all map-typed — `hash` rejects maps) degrades to
+    * one bucket: still correct, just unpruned. */
+  private def bucketExprOf(bucketCols: Seq[String],
+      n: Int): org.apache.spark.sql.Column =
+    if (bucketCols.isEmpty) lit(0)
+    else pmod(hash(bucketCols.map(col): _*), lit(n))
+
+  /** Columns `hash()` accepts (maps are rejected by Spark) — the
+    * bucket-address fallback for tables without delete keys, where
+    * placement is never probed again (no deletes can exist). */
+  private def hashableCols(schema: StructType): Seq[String] = {
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    schema.fields.filterNot(f => hasMap(f.dataType)).map(_.name).toSeq
+  }
+
+  /** The distinct buckets any row of `frames` addresses — the window's
+    * DIRTY set. Driver-bounded by nBuckets (the collect is over a
+    * delta-sized distinct of at most n integers). */
+  private def dirtyBucketsOf(frames: Seq[(DataFrame, Seq[String])],
+      n: Int): Set[Int] =
+    frames.flatMap { case (df, bc) =>
+      df.select(bucketExprOf(bc, n).as("b")).distinct()
+        .collect().map(_.getInt(0))
+    }.toSet
+
+  /** Current content of the view's `only` buckets, read through the
+    * pointer's PINNED schema (multi-version bucket dirs may straddle a
+    * schema evolution; the pin nulls the gaps and plans footer-free). */
+  private def readViewBuckets(spark: SparkSession, rootDir: String,
+      st: ViewState, only: Set[Int]): DataFrame = {
+    val paths = st.buckets.toSeq.filter(kv => only.contains(kv._1))
+      .sortBy(_._1)
+      .map { case (k, v) => s"$rootDir/v$v/$BucketCol=$k" }
+    val schema = pinnedSchema(st.schemaJson)
+    if (paths.isEmpty)
+      schema.map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(sys.error(
+          s"view at $rootDir has no schema and no buckets"))
+    else schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** One view commit: write `df` (rows of DIRTY buckets only, by
+    * construction) partitioned by bucket into `v<live>/`, carry every
+    * untouched bucket forward by reference, swap the pointer, sweep
+    * unreferenced versions past the `keepLast` reader allowance. */
+  private def commitViewVersion(spark: SparkSession, rootDir: String,
+      prior: Option[ViewState], live: Long, family: String,
+      nBuckets: Int, df: DataFrame, bucketCols: Seq[String],
+      dirty: Set[Int], keepLast: Int, pred: Option[String] = None,
+      cols: Option[Seq[String]] = None,
+      dimCommit: Option[Long] = None): Unit = {
+    val schema = toNullable(StructType(df.schema.fields))
+      .asInstanceOf[StructType]
+    require(!df.columns.contains(BucketCol),
+      s"'$BucketCol' is the view layout's bucket column")
+    if (dirty.nonEmpty)
+      df.withColumn(BucketCol, bucketExprOf(bucketCols, nBuckets))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(s"$rootDir/v$live")
+    // buckets that materialized rows; a dirty bucket whose rows all
+    // deleted produces no dir and leaves the map
+    val present: Set[Int] = {
+      val (fs, p) = StoreIO.hadoopFs(spark, s"$rootDir/v$live")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
+    }
+    val oldMap = prior.map(_.buckets).getOrElse(Map.empty)
+    val newMap = (oldMap -- dirty) ++ present.map(_ -> live)
+    // reader retention: the version set the superseded pointer
+    // referenced (a legacy pointer referenced its flat v<commit> dir)
+    val oldRefs: Seq[Long] = prior.map { p =>
+      if (p.nBuckets == 0) Seq(p.commit)
+      else p.buckets.values.toSeq.distinct
+    }.getOrElse(Nil)
+    val prevRefs = (oldRefs +: prior.map(_.prevRefs).getOrElse(Nil))
+      .filter(_.nonEmpty).take(keepLast)
+    writeViewState(spark, s"$rootDir/_sync.json",
+      ViewState(live, family, nBuckets, newMap, prevRefs,
+        Some(schema.json), pred, cols, dimCommit))
+    val keep = newMap.values.toSet ++ prevRefs.flatten.toSet + live
     val (mfs, mroot) = StoreIO.hadoopFs(spark, rootDir)
-    val versioned = mfs.listStatus(mroot).filter(_.isDirectory)
-      .map(_.getPath)
+    mfs.listStatus(mroot).filter(_.isDirectory).map(_.getPath)
       .flatMap(p => """^v(\d+)$""".r.findFirstMatchIn(p.getName)
         .map(m0 => (m0.group(1).toLong, p)))
-      .sortBy(-_._1)
-    versioned.filter(_._1 != live).drop(keepLast)
+      .filterNot(v => keep.contains(v._1))
       .foreach { case (_, p) => mfs.delete(p, true) }
   }
 
+  /** Re-baseline vs delta decision shared by every sync: `None` when
+    * there is no prior bucketed state to delta against (first sync, a
+    * legacy flat pointer) or the log cannot price the window (an
+    * optimize inside it, the last-synced commit expired). */
+  private def windowDelta(spark: SparkSession, dir: String,
+      st: Option[ViewState], last: Long, live: Long): Option[DataFrame] =
+    if (last == 0 || st.exists(_.nBuckets == 0)) None
+    else
+      try Some(changesBetween(spark, dir, last, live))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("optimize") ||
+              e.getMessage.contains("not retained") => None
+      }
+
   def syncMirror(spark: SparkSession, dir: String,
-      mirrorDir: String, keepLast: Int = 1): (Long, Long) = {
+      mirrorDir: String, keepLast: Int = 1,
+      buckets: Int = 16): (Long, Long) = {
     require(keepLast >= 0, "keepLast must be >= 0")
+    require(buckets >= 1, "buckets must be >= 1")
     val srcMan = manifest(spark, dir)
     val live = srcMan.commit
-    val syncPath = s"$mirrorDir/_sync.json"
-    val last = syncPointer(spark, syncPath)
+    val st = readViewState(spark, s"$mirrorDir/_sync.json")
+    st.foreach { s =>
+      // fail-loud family check (ADVICE r16): a pointer carrying a
+      // WHERE/join/agg definition is a DIFFERENT view — refuse, never
+      // silently maintain an unfiltered mirror on top of it
+      require(s.family == "mirror" ||
+        (s.family == "legacy" && s.pred.isEmpty && s.cols.isEmpty),
+        s"view at $mirrorDir is a '${s.family}' view" +
+          s.pred.map(p => s" (def: $p)").getOrElse("") +
+          " — syncMirror maintains plain row mirrors only; delete the" +
+          " view to redefine it")
+    }
+    val last = st.map(_.commit).getOrElse(0L)
     if (last == live) return (last, live)
     // nothing committed yet (a sync scheduled ahead of the first
     // append): there is no table to mirror — report no progress
     if (srcMan.live.isEmpty) return (last, last)
-    def commitMirror(df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$mirrorDir/v$live")
-      writeString(spark, syncPath,
-        StoreIO.renderJson { o => o.put("commit", live); () }, atomic = true)
-      sweepMirrorVersions(spark, mirrorDir, live, keepLast)
-    }
     val m = meta(spark, dir)
-    val delta =
-      if (last == 0) None
-      else
-        try Some(changesBetween(spark, dir, last, live))
-        catch {
-          // an optimize in the window (no exact delta exists) or the
-          // last-synced commit has been EXPIRED (the log can no longer
-          // price the window): both recover by re-baselining
-          case e: IllegalArgumentException
-              if e.getMessage.contains("optimize") ||
-                e.getMessage.contains("not retained") => None
-        }
-    delta match {
-      case None => commitMirror(read(spark, dir)) // (re-)baseline
-      case Some(d) =>
-        val cur = spark.read.parquet(s"$mirrorDir/v$last")
-        val inserts = d.where(col("_change_type") === "insert")
-          .drop("_change_type")
-        val upserted = cur.unionByName(inserts, allowMissingColumns = true)
-        val next =
-          if (m.delKeys.isEmpty) upserted // delete commits cannot exist
-          else
-            // null-safe, like the table's own reads (<=>): a NULL-key
-            // delete must erase mirror NULLs too
-            RowDeletes.applyEqualityDeletes(upserted,
-              d.where(col("_change_type") === "delete")
-                .select(m.delKeys.map(col): _*), m.delKeys)
-        commitMirror(next)
+    val nB = st.filter(_.nBuckets > 0).map(_.nBuckets).getOrElse(buckets)
+    windowDelta(spark, dir, st, last, live) match {
+      case None => // (re-)baseline, PINNED at `live` (a commit landing
+        // mid-sync must not leak rows the pointer's commit predates)
+        val base = tableAt(spark, dir, live)
+        val bc =
+          if (m.delKeys.nonEmpty) m.delKeys else hashableCols(base.schema)
+        commitViewVersion(spark, mirrorDir, st, live, "mirror", nB,
+          base, bc, (0 until nB).toSet, keepLast)
+      case Some(d0) =>
+        // the delta feeds the dirty-set probe AND the rewrite: pin it
+        // once so the preimage semi-join never runs twice
+        val d = d0.persist()
+        try {
+          val cur = st.get
+          val inserts = d.where(col("_change_type") === "insert")
+            .drop("_change_type")
+          val delKeyRows =
+            if (m.delKeys.isEmpty) None // delete commits cannot exist
+            else Some(d.where(col("_change_type") === "delete")
+              .select(m.delKeys.map(col): _*))
+          val bc =
+            if (m.delKeys.nonEmpty) m.delKeys
+            else hashableCols(inserts.schema)
+          val dirty = dirtyBucketsOf(
+            (inserts, bc) +: delKeyRows.map(k => (k, m.delKeys)).toSeq, nB)
+          val curDirty = readViewBuckets(spark, mirrorDir, cur, dirty)
+          val upserted = curDirty.unionByName(inserts,
+            allowMissingColumns = true)
+          // null-safe, like the table's own reads (<=>): a NULL-key
+          // delete must erase mirror NULLs too
+          val next = delKeyRows.fold(upserted)(k =>
+            RowDeletes.applyEqualityDeletes(upserted, k, m.delKeys))
+          commitViewVersion(spark, mirrorDir, Some(cur), live, "mirror",
+            nB, next, bc, dirty, keepLast)
+        } finally { d.unpersist(); () }
     }
     (last, live)
   }
@@ -1182,8 +1382,10 @@ object GraftTable {
     * log). Returns (fromCommit, toCommit); equal means no-op. */
   def syncMirrorWhere(spark: SparkSession, dir: String, mirrorDir: String,
       predicateSql: String, columns: Seq[String],
-      keepLast: Int = 1): (Long, Long) = {
+      keepLast: Int = 1, buckets: Int = 16): (Long, Long) = {
     require(columns.nonEmpty, "at least one projected column")
+    require(keepLast >= 0, "keepLast must be >= 0")
+    require(buckets >= 1, "buckets must be >= 1")
     columns.foreach(requireColName)
     require(predicateSql.trim.nonEmpty, "an empty predicate is read()'s job")
     val m = meta(spark, dir)
@@ -1193,65 +1395,163 @@ object GraftTable {
         " — the mirror cannot apply a delete it cannot address")
     val srcMan = manifest(spark, dir)
     val live = srcMan.commit
-    val syncPath = s"$mirrorDir/_sync.json"
-    val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
-    val last: Long =
-      if (!fs.exists(sp)) 0L
-      else {
-        val n = StoreIO.parseJson(readString(spark, syncPath))
-        // definition drift = a DIFFERENT view: refuse, never silently
-        // maintain the wrong one on top of the old rows
-        val storedPred = StoreIO.jStr(n, "pred")
-        val storedCols = StoreIO.jArr(n, "cols")
-        require(storedPred.forall(_ == predicateSql) &&
-          storedCols.forall(_ == columns),
-          s"mirror at $mirrorDir was defined as WHERE " +
-            s"${storedPred.getOrElse("?")} SELECT " +
-            s"${storedCols.getOrElse(Nil).mkString(",")} — delete the " +
-            "mirror to redefine it")
-        StoreIO.jLong(n, "commit").getOrElse(
-          sys.error(s"$syncPath has no 'commit' pointer"))
-      }
+    val st = readViewState(spark, s"$mirrorDir/_sync.json")
+    st.foreach { s =>
+      // definition drift = a DIFFERENT view: refuse, never silently
+      // maintain the wrong one on top of the old rows. pred/cols must
+      // be PRESENT (ADVICE r16): a pointer WITHOUT them is a plain
+      // mirror's — maintaining a filtered view on an unfiltered
+      // baseline would be exactly the silent divergence the check
+      // exists to prevent.
+      require(s.family == "where" || s.family == "legacy",
+        s"view at $mirrorDir is a '${s.family}' view — syncMirrorWhere" +
+          " maintains filtered+projected mirrors only; delete the view" +
+          " to redefine it")
+      require(s.pred.contains(predicateSql) && s.cols.contains(columns),
+        s"mirror at $mirrorDir was defined as WHERE " +
+          s"${s.pred.getOrElse("<absent>")} SELECT " +
+          s"${s.cols.getOrElse(Nil).mkString(",")} — delete the " +
+          "mirror to redefine it")
+    }
+    val last = st.map(_.commit).getOrElse(0L)
     if (last == live) return (last, live)
     if (srcMan.live.isEmpty) return (last, last)
     val pred = expr(predicateSql)
     def shape(df: DataFrame): DataFrame =
       df.where(pred).select(columns.map(col): _*)
-    def commitMirror(df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$mirrorDir/v$live")
-      writeString(spark, syncPath,
-        StoreIO.renderJson { o =>
-          o.put("commit", live); o.put("pred", predicateSql)
-          StoreIO.putArr(o, "cols", columns)
-        }, atomic = true)
-      sweepMirrorVersions(spark, mirrorDir, live, keepLast)
+    val nB = st.filter(_.nBuckets > 0).map(_.nBuckets).getOrElse(buckets)
+    val bc = if (m.delKeys.nonEmpty) m.delKeys else columns
+    windowDelta(spark, dir, st, last, live) match {
+      case None => // (re-)baseline, pinned at `live`
+        commitViewVersion(spark, mirrorDir, st, live, "where", nB,
+          shape(tableAt(spark, dir, live)), bc, (0 until nB).toSet,
+          keepLast, pred = Some(predicateSql), cols = Some(columns))
+      case Some(d0) =>
+        val d = d0.persist()
+        try {
+          val cur = st.get
+          val inserts = shape(d.where(col("_change_type") === "insert"))
+          // preimages are filtered by the SAME predicate: a deleted
+          // row that never satisfied it was never in the mirror
+          // (immutable rows — its verdict cannot have changed), so
+          // the filter only shrinks the probe, never the result
+          val delKeyRows =
+            if (m.delKeys.isEmpty) None
+            else Some(d.where(col("_change_type") === "delete")
+              .where(pred).select(m.delKeys.map(col): _*))
+          val dirty = dirtyBucketsOf(
+            (inserts, bc) +: delKeyRows.map(k => (k, m.delKeys)).toSeq, nB)
+          val curDirty = readViewBuckets(spark, mirrorDir, cur, dirty)
+          val upserted = curDirty.unionByName(inserts,
+            allowMissingColumns = true)
+          val next = delKeyRows.fold(upserted)(k =>
+            RowDeletes.applyEqualityDeletes(upserted, k, m.delKeys))
+          commitViewVersion(spark, mirrorDir, Some(cur), live, "where",
+            nB, next, bc, dirty, keepLast,
+            pred = Some(predicateSql), cols = Some(columns))
+        } finally { d.unpersist(); () }
     }
-    val delta =
-      if (last == 0) None
-      else
-        try Some(changesBetween(spark, dir, last, live))
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage.contains("optimize") ||
-                e.getMessage.contains("not retained") => None
-        }
-    delta match {
-      case None => commitMirror(shape(read(spark, dir))) // (re-)baseline
-      case Some(d) =>
-        val cur = spark.read.parquet(s"$mirrorDir/v$last")
-        val inserts = shape(d.where(col("_change_type") === "insert"))
-        val upserted = cur.unionByName(inserts, allowMissingColumns = true)
-        val next =
-          if (m.delKeys.isEmpty) upserted
-          else
-            // preimages are filtered by the SAME predicate: a deleted
-            // row that never satisfied it was never in the mirror
-            // (immutable rows — its verdict cannot have changed), so
-            // the filter only shrinks the broadcast, never the result
-            RowDeletes.applyEqualityDeletes(upserted,
-              d.where(col("_change_type") === "delete").where(pred)
-                .select(m.delKeys.map(col): _*), m.delKeys)
-        commitMirror(next)
+    (last, live)
+  }
+
+  /** DIM-ENRICHED mirror — the JOIN tier of the IVM family (row mirror
+    * → filtered/projected → grouped agg → this): maintain
+    * `fact LEFT JOIN dim ON factKey = dimKey SELECT fact.*, dimCols`
+    * from the fact table's commit log, with the dim side BROADCAST
+    * (the training-pipeline shape: documents enriched with
+    * source/license metadata). Insert deltas join the dim; delete
+    * preimages anti-join out by the fact's delete keys (fact columns
+    * are all kept, so the mirror can always address them).
+    *
+    * THE DIM BOUNDARY (documented the way q176's optimize-window
+    * boundary is): the delta path is exact only while the dim is the
+    * one the mirror was built against — a dim COMMIT re-baselines,
+    * because a changed dim row invalidates enriched rows no fact-side
+    * delta names (the same reason an optimize window re-baselines: no
+    * exact delta exists). Steady-state (fact-only windows) is
+    * delta-sized compute + dirty-bucket-sized writes, no fact scan.
+    *
+    * Both tables are GraftTables; reads pin their respective commits
+    * (`live` for the fact, `dimCommit` for the dim), and the join
+    * definition is fingerprinted in the pointer — drift fails loudly.
+    * Returns (fromCommit, toCommit); equal means no work was needed
+    * (same fact commit AND same dim commit). */
+  def syncJoinMirror(spark: SparkSession, factDir: String, dimDir: String,
+      mirrorDir: String, factKey: String, dimKey: String,
+      dimCols: Seq[String], keepLast: Int = 1,
+      buckets: Int = 16): (Long, Long) = {
+    requireColName(factKey); requireColName(dimKey)
+    require(dimCols.nonEmpty, "at least one dim payload column")
+    dimCols.foreach(requireColName)
+    require(keepLast >= 0, "keepLast must be >= 0")
+    require(buckets >= 1, "buckets must be >= 1")
+    val m = meta(spark, factDir)
+    val srcMan = manifest(spark, factDir)
+    val live = srcMan.commit
+    val dimLive = manifest(spark, dimDir).commit
+    val joinDef = s"$factKey=$dimKey"
+    val st = readViewState(spark, s"$mirrorDir/_sync.json")
+    st.foreach { s =>
+      require(s.family == "join",
+        s"view at $mirrorDir is a '${s.family}' view — syncJoinMirror" +
+          " maintains dim-enriched mirrors only; delete the view to" +
+          " redefine it")
+      require(s.pred.contains(joinDef) && s.cols.contains(dimCols),
+        s"join mirror at $mirrorDir was defined as ON " +
+          s"${s.pred.getOrElse("<absent>")} SELECT " +
+          s"${s.cols.getOrElse(Nil).mkString(",")} — delete the mirror" +
+          " to redefine it")
+    }
+    val last = st.map(_.commit).getOrElse(0L)
+    val dimMoved = st.exists(_.dimCommit.exists(_ != dimLive))
+    if (last == live && !dimMoved) return (last, live)
+    if (srcMan.live.isEmpty) return (last, last)
+    require(manifest(spark, dimDir).live.nonEmpty,
+      s"dim table at $dimDir has no committed data")
+    val dim = tableAt(spark, dimDir, dimLive)
+      .select((dimKey +: dimCols.filterNot(_ == dimKey)).map(col): _*)
+    def shape(df: DataFrame): DataFrame = {
+      val overlap = dimCols.filter(df.columns.contains)
+      require(overlap.isEmpty,
+        s"dim column(s) ${overlap.mkString(",")} collide with fact columns")
+      df.join(broadcast(dim), df(factKey) === dim(dimKey), "left")
+        .drop(dim(dimKey))
+    }
+    val nB = st.filter(_.nBuckets > 0).map(_.nBuckets).getOrElse(buckets)
+    val deltaOpt = // the dim boundary re-baselines, see the scaladoc
+      if (dimMoved) None else windowDelta(spark, factDir, st, last, live)
+    deltaOpt match {
+      case None =>
+        val base = shape(tableAt(spark, factDir, live))
+        val bc =
+          if (m.delKeys.nonEmpty) m.delKeys else hashableCols(base.schema)
+        commitViewVersion(spark, mirrorDir, st, live, "join", nB, base,
+          bc, (0 until nB).toSet, keepLast, pred = Some(joinDef),
+          cols = Some(dimCols), dimCommit = Some(dimLive))
+      case Some(d0) =>
+        val d = d0.persist()
+        try {
+          val cur = st.get
+          val inserts = shape(
+            d.where(col("_change_type") === "insert").drop("_change_type"))
+          val delKeyRows =
+            if (m.delKeys.isEmpty) None
+            else Some(d.where(col("_change_type") === "delete")
+              .select(m.delKeys.map(col): _*))
+          val bc =
+            if (m.delKeys.nonEmpty) m.delKeys
+            else hashableCols(inserts.schema)
+          val dirty = dirtyBucketsOf(
+            (inserts, bc) +: delKeyRows.map(k => (k, m.delKeys)).toSeq, nB)
+          val curDirty = readViewBuckets(spark, mirrorDir, cur, dirty)
+          val upserted = curDirty.unionByName(inserts,
+            allowMissingColumns = true)
+          val next = delKeyRows.fold(upserted)(k =>
+            RowDeletes.applyEqualityDeletes(upserted, k, m.delKeys))
+          commitViewVersion(spark, mirrorDir, Some(cur), live, "join",
+            nB, next, bc, dirty, keepLast, pred = Some(joinDef),
+            cols = Some(dimCols), dimCommit = Some(dimLive))
+        } finally { d.unpersist(); () }
     }
     (last, live)
   }
@@ -1290,17 +1590,27 @@ object GraftTable {
   def syncAggMirror(spark: SparkSession, dir: String, aggDir: String,
       keys: Seq[String], sumCols: Seq[String],
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      keepLast: Int = 1,
+      keepLast: Int = 1, buckets: Int = 16,
       repairSeam: DataFrame => Unit = _ => ()): (Long, Long) = {
     (keys ++ sumCols ++ minCols ++ maxCols).foreach(requireColName)
     require(keys.nonEmpty, "at least one group key")
     require(keepLast >= 0, "keepLast must be >= 0")
+    require(buckets >= 1, "buckets must be >= 1")
     val srcMan = manifest(spark, dir)
     val live = srcMan.commit
-    val syncPath = s"$aggDir/_sync.json"
-    val last = syncPointer(spark, syncPath)
+    val st = readViewState(spark, s"$aggDir/_sync.json")
+    st.foreach { s =>
+      require(s.family == "agg" ||
+        (s.family == "legacy" && s.pred.isEmpty && s.cols.isEmpty),
+        s"view at $aggDir is a '${s.family}' view" +
+          s.pred.map(p => s" (def: $p)").getOrElse("") +
+          " — syncAggMirror maintains grouped aggregates only; delete" +
+          " the view to redefine it")
+    }
+    val last = st.map(_.commit).getOrElse(0L)
     if (last == live) return (last, live)
     if (srcMan.live.isEmpty) return (last, last)
+    val nB = st.filter(_.nBuckets > 0).map(_.nBuckets).getOrElse(buckets)
     val dec = "decimal(28,2)"
     val extremaCols = minCols.map(c => s"min_$c") ++
       maxCols.map(c => s"max_$c")
@@ -1311,29 +1621,17 @@ object GraftTable {
           maxCols.map(c => max(col(c)).as(s"max_$c")))
       df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
     }
-    def commitAgg(df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$aggDir/v$live")
-      writeString(spark, syncPath,
-        StoreIO.renderJson { o => o.put("commit", live); () }, atomic = true)
-      sweepMirrorVersions(spark, aggDir, live, keepLast)
-    }
-    val delta =
-      if (last == 0) None
-      else
-        try Some(changesBetween(spark, dir, last, live))
-        catch {
-          case e: IllegalArgumentException
-              if e.getMessage.contains("optimize") ||
-                e.getMessage.contains("not retained") => None
-        }
-    delta match {
-      case None => commitAgg(aggOf(read(spark, dir))) // (re-)baseline
+    // every sync below pins its reads at `live` (the snapshot the
+    // pointer will record): a commit landing mid-sync must not leak
+    // post-`live` rows into the baseline or the min/max repair —
+    // _sync.json says commit=live, so the contents must BE live's
+    var dirtyB: Set[Int] = (0 until nB).toSet
+    def commitAgg(df: DataFrame): Unit =
+      commitViewVersion(spark, aggDir, st, live, "agg", nB, df, keys,
+        dirtyB, keepLast)
+    windowDelta(spark, dir, st, last, live) match {
+      case None => commitAgg(aggOf(tableAt(spark, dir, live)))
       case Some(d) =>
-        val cur = spark.read.parquet(s"$aggDir/v$last")
-        extremaCols.foreach(c => require(cur.columns.contains(c),
-          s"stored aggregate at $aggDir has no '$c' — the view was " +
-            "synced with different min/max columns; re-baseline " +
-            "(delete the mirror) or pass the original column set"))
         val sign = when(col("_change_type") === "insert", 1L)
           .otherwise(-1L)
         val isIns = col("_change_type") === "insert"
@@ -1346,104 +1644,121 @@ object GraftTable {
             maxCols.flatMap(c => Seq(
               max(when(isIns, col(c))).as(s"ins_max_$c"),
               max(when(!isIns, col(c))).as(s"del_max_$c"))))
+        // agg-sized, consumed by the dirty-bucket probe AND the merge:
+        // pin it so the delta (whose delete-preimage side is a join)
+        // executes exactly once
         val dAgg = d.groupBy(keys.map(col): _*)
-          .agg(dExprs.head, dExprs.tail: _*)
-        // null-safe key match: a NULL group is a real group
-        val cond = keys.map(k => cur(k) <=> dAgg(k)).reduce(_ && _)
-        val joined = cur.join(dAgg, cond, "full_outer")
-        val outKeys = keys.map(k => coalesce(cur(k), dAgg(k)).as(k))
-        val outCore =
-          (coalesce(cur("n"), lit(0L)) + coalesce(dAgg("n"), lit(0L)))
-            .as("n") +:
-            sumCols.map(c =>
-              (coalesce(cur(s"sum_$c"), lit(0).cast(dec)) +
-                coalesce(dAgg(s"sum_$c"), lit(0).cast(dec)))
-                .cast(dec).as(s"sum_$c"))
-        if (minCols.isEmpty && maxCols.isEmpty) {
-          // the sum/count-only plan, unchanged (and digest-stable)
-          commitAgg(joined.select((outKeys ++ outCore): _*)
-            .where(col("n") > 0))
-        } else {
-          // a group is DIRTY iff a window delete reached its stored
-          // extremum (or the group is new and window deletes touched
-          // it); clean groups fold inserts with null-skipping
-          // least/greatest
-          val dirty = (minCols.map(c => dAgg(s"del_min_$c").isNotNull &&
-            (cur(s"min_$c").isNull ||
-              dAgg(s"del_min_$c") <= cur(s"min_$c"))) ++
-            maxCols.map(c => dAgg(s"del_max_$c").isNotNull &&
-              (cur(s"max_$c").isNull ||
-                dAgg(s"del_max_$c") >= cur(s"max_$c"))))
-            .reduce(_ || _)
-          val folded = minCols.map(c =>
-            least(cur(s"min_$c"), dAgg(s"ins_min_$c")).as(s"min_$c")) ++
-            maxCols.map(c =>
-              greatest(cur(s"max_$c"), dAgg(s"ins_max_$c")).as(s"max_$c"))
-          val merged = joined.select((outKeys ++ outCore ++ folded :+
-            coalesce(dirty, lit(false)).as("__repair")): _*)
-            .where(col("n") > 0)
-            .cache()
-          try {
-            // PRUNED repair: the dirty keys are bounded by the window's
-            // delta groups, so when the view groups by one
-            // zone/bloom-indexed column they become an IN-list the
-            // skipping index can prune on — the rescan then READS only
-            // the files that can hold a dirty group. The semi-join
-            // spelling is exact too, but its probe side scans every
-            // live file to emit a handful of rows (measured at 30×:
-            // 317-row repair output, table-sized read). NULL dirty
-            // keys or an oversized list fall back to the semi-join.
-            val mm = meta(spark, dir)
-            val indexedSingle = keys.size == 1 &&
-              (mm.zoneCols.contains(keys.head) ||
-                mm.bloomCols.contains(keys.head))
-            val dirtyProbe: Option[Array[Any]] =
-              if (!indexedSingle) None
-              else Some(merged.where(col("__repair"))
-                .select(col(keys.head)).limit(RepairPruneCap + 1)
-                .collect().map(_.get(0)))
-            // EAGER dirty check on the agg-sized merge: an insert-only
-            // window must not even plan a table scan
-            val anyDirty = dirtyProbe.map(_.nonEmpty).getOrElse(
-              merged.where(col("__repair")).limit(1).count() > 0)
-            val next =
-              if (!anyDirty) merged.drop("__repair")
-              else {
-                val rescan = dirtyProbe match {
-                  case Some(vals) if vals.length <= RepairPruneCap &&
-                      !vals.contains(null) =>
-                    readWhere(spark, dir, equalities =
-                      Seq(ColumnEquals(keys.head, vals.toSeq)))
-                  case _ =>
-                    val rKeys = merged.where(col("__repair"))
-                      .select(keys.map(col): _*)
-                    val base = read(spark, dir)
-                    base.join(broadcast(rKeys),
-                      keys.map(k => base(k) <=> rKeys(k)).reduce(_ && _),
-                      "left_semi")
+          .agg(dExprs.head, dExprs.tail: _*).persist()
+        try {
+          dirtyB = dirtyBucketsOf(
+            Seq((dAgg.select(keys.map(col): _*), keys)), nB)
+          val cur = readViewBuckets(spark, aggDir, st.get, dirtyB)
+          extremaCols.foreach(c => require(cur.columns.contains(c),
+            s"stored aggregate at $aggDir has no '$c' — the view was " +
+              "synced with different min/max columns; re-baseline " +
+              "(delete the mirror) or pass the original column set"))
+          // null-safe key match: a NULL group is a real group
+          val cond = keys.map(k => cur(k) <=> dAgg(k)).reduce(_ && _)
+          val joined = cur.join(dAgg, cond, "full_outer")
+          val outKeys = keys.map(k => coalesce(cur(k), dAgg(k)).as(k))
+          val outCore =
+            (coalesce(cur("n"), lit(0L)) + coalesce(dAgg("n"), lit(0L)))
+              .as("n") +:
+              sumCols.map(c =>
+                (coalesce(cur(s"sum_$c"), lit(0).cast(dec)) +
+                  coalesce(dAgg(s"sum_$c"), lit(0).cast(dec)))
+                  .cast(dec).as(s"sum_$c"))
+          if (minCols.isEmpty && maxCols.isEmpty) {
+            // the sum/count-only plan, unchanged (and digest-stable)
+            commitAgg(joined.select((outKeys ++ outCore): _*)
+              .where(col("n") > 0))
+          } else {
+            // a group is DIRTY iff a window delete reached its stored
+            // extremum (or the group is new and window deletes touched
+            // it); clean groups fold inserts with null-skipping
+            // least/greatest
+            val dirty = (minCols.map(c => dAgg(s"del_min_$c").isNotNull &&
+              (cur(s"min_$c").isNull ||
+                dAgg(s"del_min_$c") <= cur(s"min_$c"))) ++
+              maxCols.map(c => dAgg(s"del_max_$c").isNotNull &&
+                (cur(s"max_$c").isNull ||
+                  dAgg(s"del_max_$c") >= cur(s"max_$c"))))
+              .reduce(_ || _)
+            val folded = minCols.map(c =>
+              least(cur(s"min_$c"), dAgg(s"ins_min_$c")).as(s"min_$c")) ++
+              maxCols.map(c =>
+                greatest(cur(s"max_$c"), dAgg(s"ins_max_$c")).as(s"max_$c"))
+            val merged = joined.select((outKeys ++ outCore ++ folded :+
+              coalesce(dirty, lit(false)).as("__repair")): _*)
+              .where(col("n") > 0)
+              .cache()
+            try {
+              // PRUNED repair: the dirty keys are bounded by the window's
+              // delta groups, so when the view groups by one
+              // zone/bloom-indexed column they become an IN-list the
+              // skipping index can prune on — the rescan then READS only
+              // the files that can hold a dirty group. The semi-join
+              // spelling is exact too, but its probe side scans every
+              // live file to emit a handful of rows (measured at 30×:
+              // 317-row repair output, table-sized read). NULL dirty
+              // keys or an oversized list fall back to the semi-join.
+              // Both rescans are PINNED at the `live` snapshot (ADVICE
+              // r16): a commit landing mid-sync must not leak its rows
+              // into the repaired extrema while _sync.json records
+              // commit=live.
+              val snap = commitAt(spark, dir, live)
+              val mm = meta(spark, dir)
+              val indexedSingle = keys.size == 1 &&
+                (mm.zoneCols.contains(keys.head) ||
+                  mm.bloomCols.contains(keys.head))
+              val dirtyProbe: Option[Array[Any]] =
+                if (!indexedSingle) None
+                else Some(merged.where(col("__repair"))
+                  .select(col(keys.head)).limit(RepairPruneCap + 1)
+                  .collect().map(_.get(0)))
+              // EAGER dirty check on the agg-sized merge: an insert-only
+              // window must not even plan a table scan
+              val anyDirty = dirtyProbe.map(_.nonEmpty).getOrElse(
+                merged.where(col("__repair")).limit(1).count() > 0)
+              val next =
+                if (!anyDirty) merged.drop("__repair")
+                else {
+                  val rescan = dirtyProbe match {
+                    case Some(vals) if vals.length <= RepairPruneCap &&
+                        !vals.contains(null) =>
+                      pinnedReadWhere(spark, dir, snap,
+                        Seq(ColumnEquals(keys.head, vals.toSeq)))
+                    case _ =>
+                      val rKeys = merged.where(col("__repair"))
+                        .select(keys.map(col): _*)
+                      val base = tableAt(spark, dir, live)
+                      base.join(broadcast(rKeys),
+                        keys.map(k => base(k) <=> rKeys(k)).reduce(_ && _),
+                        "left_semi")
+                  }
+                  repairSeam(rescan)
+                  val rExprs =
+                    minCols.map(c => min(col(c)).as(s"min_$c")) ++
+                      maxCols.map(c => max(col(c)).as(s"max_$c"))
+                  val rAgg = rescan.groupBy(keys.map(col): _*)
+                    .agg(rExprs.head, rExprs.tail: _*)
+                  val rCond = keys.map(k => merged(k) <=> rAgg(k))
+                    .reduce(_ && _)
+                  val patched = merged.join(rAgg, rCond, "left_outer")
+                  patched.select((keys.map(k => merged(k).as(k)) ++
+                    (merged("n").as("n") +:
+                      sumCols.map(c => merged(s"sum_$c").as(s"sum_$c"))) ++
+                    minCols.map(c => when(merged("__repair"),
+                      rAgg(s"min_$c")).otherwise(merged(s"min_$c"))
+                      .as(s"min_$c")) ++
+                    maxCols.map(c => when(merged("__repair"),
+                      rAgg(s"max_$c")).otherwise(merged(s"max_$c"))
+                      .as(s"max_$c"))): _*)
                 }
-                repairSeam(rescan)
-                val rExprs =
-                  minCols.map(c => min(col(c)).as(s"min_$c")) ++
-                    maxCols.map(c => max(col(c)).as(s"max_$c"))
-                val rAgg = rescan.groupBy(keys.map(col): _*)
-                  .agg(rExprs.head, rExprs.tail: _*)
-                val rCond = keys.map(k => merged(k) <=> rAgg(k))
-                  .reduce(_ && _)
-                val patched = merged.join(rAgg, rCond, "left_outer")
-                patched.select((keys.map(k => merged(k).as(k)) ++
-                  (merged("n").as("n") +:
-                    sumCols.map(c => merged(s"sum_$c").as(s"sum_$c"))) ++
-                  minCols.map(c => when(merged("__repair"),
-                    rAgg(s"min_$c")).otherwise(merged(s"min_$c"))
-                    .as(s"min_$c")) ++
-                  maxCols.map(c => when(merged("__repair"),
-                    rAgg(s"max_$c")).otherwise(merged(s"max_$c"))
-                    .as(s"max_$c"))): _*)
-              }
-            commitAgg(next)
-          } finally { merged.unpersist(); () }
-        }
+              commitAgg(next)
+            } finally { merged.unpersist(); () }
+          }
+        } finally { dAgg.unpersist(); () }
     }
     (last, live)
   }
@@ -1453,12 +1768,58 @@ object GraftTable {
   def aggMirrorRead(spark: SparkSession, aggDir: String): DataFrame =
     mirrorRead(spark, aggDir) // same pointer/version layout
 
-  /** The mirror's current contents (whatever [[syncMirror]] last
-    * committed). */
+  /** The mirror's current contents (whatever [[syncMirror]] /
+    * [[syncMirrorWhere]] / [[syncJoinMirror]] / [[syncAggMirror]] last
+    * committed): the pointer's bucket map resolved once — snapshot
+    * isolation, version dirs are immutable — through the pinned view
+    * schema. A pre-bucketed (legacy) pointer reads its flat version
+    * dir unchanged. */
   def mirrorRead(spark: SparkSession, mirrorDir: String): DataFrame = {
-    val c = syncPointer(spark, s"$mirrorDir/_sync.json")
-    require(c > 0, s"mirror at $mirrorDir has never been synced")
-    spark.read.parquet(s"$mirrorDir/v$c")
+    val st = readViewState(spark, s"$mirrorDir/_sync.json").getOrElse(
+      throw new IllegalArgumentException(
+        s"mirror at $mirrorDir has never been synced"))
+    require(st.commit > 0, s"mirror at $mirrorDir has never been synced")
+    if (st.nBuckets == 0) spark.read.parquet(s"$mirrorDir/v${st.commit}")
+    else readViewBuckets(spark, mirrorDir, st, st.buckets.keySet)
+  }
+
+  /** [[readWhere]] against a PINNED commit snapshot: the index prune
+    * intersected with the SNAPSHOT's live files (not the current
+    * manifest's), the snapshot's delete labels applied, the exact
+    * predicate re-applied. The min/max repair rescan runs through
+    * this so a commit landing mid-sync cannot leak into the repaired
+    * extrema (ADVICE r16). Index staleness stays conservative: files
+    * the index has no row for come back `unknown` and are read. */
+  private def pinnedReadWhere(spark: SparkSession, dir: String,
+      snap: Commit, equalities: Seq[ColumnEquals]): DataFrame = {
+    val pred = SkippingIndex.predicateOf(Nil, equalities, Nil)
+    val full = baseRead(spark, dir, snap.manifest.live,
+      snap.manifest.schemaJson)
+    val (fs, metaP) = StoreIO.hadoopFs(spark, s"${indexPath(dir)}/_meta.json")
+    val base =
+      if (!fs.exists(metaP)) full
+      else {
+        val (qual, unknown) = SkippingIndex.qualify(spark, indexPath(dir),
+          Nil, equalities, Nil)
+        val liveSet = liveFiles(spark, dir, snap.manifest.live)
+        val paths = (qual ++ unknown).distinct.filter(liveSet)
+        if (paths.isEmpty) full.where(lit(false))
+        else pinnedSchema(snap.manifest.schemaJson) match {
+          case Some(stp) => spark.read.schema(stp)
+            .option("basePath", dataPath(dir)).parquet(paths: _*)
+            .drop("batch")
+          case None => conformTo(full.schema,
+            spark.read.option("mergeSchema", "true")
+              .option("basePath", dataPath(dir)).parquet(paths: _*)
+              .drop("batch"))
+        }
+      }
+    val m = meta(spark, dir)
+    val deleted =
+      if (snap.delLive.isEmpty || m.delKeys.isEmpty) base
+      else RowDeletes.applyEqualityDeletes(base,
+        DeleteStore.deletesOf(spark, delPath(dir), snap.delLive), m.delKeys)
+    deleted.where(pred)
   }
 
   /** The SNAPSHOT LOG as a queryable frame — one row per RETAINED
@@ -1905,6 +2266,68 @@ object GraftTable {
       |                  WHERE o.o_orderkey = l.l_orderkey
       |                    AND o.o_orderstatus = 'F')
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q179's lifecycle: q173's windows, but the consumer is a
+    * DIM-ENRICHED mirror (lineitem ⋈ a slim orders dim on the order
+    * key, keeping `o_orderpriority`) — the delta sync must join b2's
+    * inserts against the broadcast dim and anti-join the erasure's
+    * preimage keys, never re-baseline (the dim never moves here; the
+    * dim-moved boundary is spec-pinned separately). */
+  private def buildJoinMirrorLifecycle(spark: SparkSession,
+      d: String): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-jmirror-").toString
+    val dir = s"$root/table"
+    val dimDir = s"$root/dim"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      bloomCols = Nil, deleteKeys = Seq("l_orderkey"))
+    create(spark, dimDir, zoneCols = Seq("o_orderkey"))
+    append(graft.sources.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderpriority"), dimDir, "dim1")
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val mid = li.agg(max($"l_orderkey")).head().getLong(0) / 2
+    append(li.where($"l_orderkey" <= mid), dir, "b1") // commit 2
+    syncJoinMirror(spark, dir, dimDir, s"$root/mirror", "l_orderkey",
+      "o_orderkey", Seq("o_orderpriority")) // baseline at 2
+    append(li.where($"l_orderkey" > mid), dir, "b2") // commit 3
+    delete(graft.sources.Tables.orders(spark, d)
+      .where($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("l_orderkey")), dir, "erase-1") // commit 4
+    syncJoinMirror(spark, dir, dimDir, s"$root/mirror", "l_orderkey",
+      "o_orderkey", Seq("o_orderpriority")) // DELTA window (2, 4]
+    root
+  }
+
+  private def q179Root(spark: SparkSession, d: String): String =
+    builtFor.computeIfAbsent("jmirror:" + d,
+      _ => buildJoinMirrorLifecycle(spark, d))
+
+  /** q179: the DIM-ENRICHED mirror after an incremental sync — the
+    * join-view IVM consumer hash-checked end to end. The oracle is the
+    * lineitem⋈orders join minus the F-order lines: a mirror that
+    * re-baselined instead of delta-joining, enriched with the wrong
+    * dim rows, or missed the preimage keys all hash differently. */
+  def q179JoinMirror(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mirrorRead(spark, s"${q179Root(spark, d)}/mirror")
+      .groupBy($"l_returnflag", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_orderkey").as("key_sum"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy($"l_returnflag", $"o_orderpriority")
+  }
+
+  val q179Sql: String =
+    """SELECT l_returnflag, o_orderpriority, count(*) AS n,
+      |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_orderkey = l.l_orderkey
+      |                    AND o2.o_orderstatus = 'F')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** A lifecycle whose second batch EVOLVES the schema: b1 carries the
     * four base columns, b2 adds `l_note` (l_linestatus renamed). The

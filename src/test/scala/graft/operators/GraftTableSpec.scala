@@ -486,7 +486,7 @@ class GraftTableSpec extends SparkSpec {
     assert(sortedRows(read(spark, dir)) == sortedRows(expected))
   }
 
-  test("syncMirror before any data is a no-op; keepLast bounds superseded versions") {
+  test("syncMirror before any data is a no-op; keepLast bounds unreferenced versions") {
     import spark.implicits._
     val dir = tmp()
     val mirror = tmp()
@@ -495,24 +495,35 @@ class GraftTableSpec extends SparkSpec {
     append(li.limit(200), dir, "b1")
     syncMirror(spark, dir, mirror)
     append(li.limit(400), dir, "b2")
+    // a frame held across the next sync: keepLast=1 (default) must
+    // keep every version dir the superseded pointer referenced
+    val held = mirrorRead(spark, mirror)
+    val heldRows = held.count()
     syncMirror(spark, dir, mirror)
     def vdirs = new java.io.File(mirror).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
       .sorted.toSeq
-    // default keepLast=1: the live version plus ONE superseded version
-    // stay (the concurrent-reader allowance — a frame resolved against
-    // v2 finishes its scan across the v3 sync)
-    assert(vdirs == Seq("v2", "v3"),
-      s"keepLast=1 should retain exactly one superseded version: ${vdirs.mkString(",")}")
-    append(li.limit(600), dir, "b3")
-    syncMirror(spark, dir, mirror)
-    assert(vdirs == Seq("v3", "v4"),
-      s"the oldest superseded version must roll off: ${vdirs.mkString(",")}")
-    // keepLast=0 restores sweep-immediately for a single-consumer mirror
+    val st = readViewState(spark, s"$mirror/_sync.json").get
+    // the live bucket map's versions are all on disk, and the
+    // superseded pointer's refs (prevRefs) survive for the held reader
+    val liveRefs = st.buckets.values.toSet.map((v: Long) => s"v$v")
+    assert(liveRefs.subsetOf(vdirs.toSet),
+      s"live-referenced versions missing: $liveRefs vs ${vdirs.mkString(",")}")
+    assert(st.prevRefs.flatten.toSet.map((v: Long) => s"v$v")
+      .subsetOf(vdirs.toSet),
+      "keepLast=1 swept a version the superseded pointer referenced")
+    assert(held.count() == heldRows,
+      "held frame broke across a sync (keepLast retention)")
+    // keepLast=0 restores sweep-immediately: after the sync, the only
+    // version dirs on disk are the ones the LIVE bucket map references
     append(li.limit(800), dir, "b4")
     syncMirror(spark, dir, mirror, keepLast = 0)
-    assert(vdirs == Seq("v5"),
-      s"keepLast=0 should sweep every superseded version: ${vdirs.mkString(",")}")
+    val st0 = readViewState(spark, s"$mirror/_sync.json").get
+    assert(st0.prevRefs.isEmpty, "keepLast=0 recorded reader refs")
+    val expect = st0.buckets.values.toSet.map((v: Long) => s"v$v")
+    assert(vdirs.toSet == expect,
+      s"keepLast=0 should keep exactly the live-referenced versions: " +
+        s"have ${vdirs.mkString(",")}, want ${expect.mkString(",")}")
     assert(mirrorRead(spark, mirror).count() == read(spark, dir).count())
   }
 
