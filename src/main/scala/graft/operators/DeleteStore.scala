@@ -259,7 +259,7 @@ object DeleteStore {
     * a lost ERASURE batch). */
   private[operators] def writeManifest(spark: SparkSession, dir: String,
       m: Manifest, kind: String = "swap", label: String = ""): Unit = {
-    StoreIO.claimSwapSlot(spark, dir, m.version, kind, label,
+    val nonce = StoreIO.claimSwapSlot(spark, dir, m.version, kind, label,
       currentVersion = () => {
         val (fs, p) = StoreIO.hadoopFs(spark, manifestPath(dir))
         if (!fs.exists(p)) 0L else manifest(spark, dir).version
@@ -273,6 +273,9 @@ object DeleteStore {
         StoreIO.putArr(o, "applied", m.applied)
         StoreIO.putArr(o, "live", m.live)
       }, atomic = true)
+    // an unlabeled op's nonce announcement is cleared strictly AFTER
+    // the swap (see claimSwapSlot's contract)
+    nonce.foreach(nx => StoreIO.clearPending(spark, dir, kind, nx))
   }
 
   private[operators] case class Meta(keys: Seq[String])

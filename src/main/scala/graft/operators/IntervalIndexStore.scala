@@ -245,7 +245,7 @@ object IntervalIndexStore {
     * winner). */
   private[operators] def writeManifest(spark: SparkSession, dir: String,
       m: Manifest, kind: String = "swap", label: String = ""): Unit = {
-    StoreIO.claimSwapSlot(spark, dir, m.version, kind, label,
+    val nonce = StoreIO.claimSwapSlot(spark, dir, m.version, kind, label,
       currentVersion = () => {
         val (fs, p) = hadoopFs(spark, manifestPath(dir))
         if (!fs.exists(p)) 0L else manifest(spark, dir).version
@@ -259,6 +259,9 @@ object IntervalIndexStore {
         StoreIO.putArr(o, "live", m.live)
         m.minBand.foreach { b => o.put("minBand", b); () }
       }, atomic = true)
+    // an unlabeled op's nonce announcement is cleared strictly AFTER
+    // the swap (see claimSwapSlot's contract)
+    nonce.foreach(nx => StoreIO.clearPending(spark, dir, kind, nx))
   }
 
   /** The store as lookups see it: live labels only (explicit paths under

@@ -257,7 +257,12 @@ private[graft] object StoreIO {
   // erasure batch).
 
   /** Claim the swap slot for `target` (= base version + 1) or throw
-    * ConcurrentModificationException.
+    * ConcurrentModificationException. Returns the NONCE sidecar label
+    * an unlabeled op announced (None for labeled ops) — the caller
+    * MUST clear it with [[clearPending]] strictly AFTER its pointer
+    * swap: cleared earlier, a racing claimant reading the slot would
+    * find the nonce unannounced, classify the live claim as a dead
+    * orphan, and both writers would swap.
     *
     * OCCUPANT STATE MACHINE — the one table for every CAS in the
     * engine (this slot CAS for the log-less DeleteStore /
@@ -274,38 +279,61 @@ private[graft] object StoreIO {
     *     commit that died between its slot write and its pointer
     *     swap. Labels identify a logical batch, so the replay may
     *     reuse (overwrite) the slot. → reuse.
-    *  3. IN-FLIGHT (announced) — `occupantInFlight(kind, label)`: the
-    *     occupant's pending sidecar still stands, so its writer is
-    *     either alive mid-swap or crashed awaiting replay under this
-    *     same label. → abort (CME).
-    *  4. IN-FLIGHT (unlabeled, young) — ops with no replay identity
-    *     (retire / reset / expire / init) announce nothing, so a live
-    *     claim and a dead one look alike; the slot's mtime decides: an
-    *     occupant younger than `unlabeledGraceMs` is presumed alive.
-    *     → abort (CME). Without this, two concurrent retires would
-    *     both classify the other as dead, both swap, and the CAS
-    *     degrades to exactly the last-swap-wins it exists to prevent
-    *     (one writer's live-set filter silently lost).
-    *  5. DEAD ORPHAN — anything else: a crashed, never-replayed claim
-    *     (unlabeled and older than the grace, or labeled with its
-    *     announcement gone), or an unreadable/handcrafted slot. With
-    *     rename/hard-link publish a visible slot is complete by
-    *     construction, so "unparseable" really does mean handcrafted,
-    *     never a half-written in-flight winner. → delete and retry
-    *     (bounded attempts).
+    *  3. IN-FLIGHT (announced, labeled) — `occupantInFlight(kind,
+    *     label)`: the occupant's pending sidecar still stands, so its
+    *     writer is either alive mid-swap or crashed awaiting replay
+    *     under this same label. → abort (CME).
+    *  4. IN-FLIGHT (announced, unlabeled) — ops with no replay
+    *     identity (retire / reset / expire) announce a per-invocation
+    *     NONCE sidecar before claiming, and their slot body carries
+    *     the nonce; the sidecar standing is the liveness signal —
+    *     exactly the announce rule labeled ops use, with the nonce as
+    *     the identity. → abort (CME). This replaces the r16 mtime
+    *     grace window: clock skew between hosts and a paused driver
+    *     could both misclassify a LIVE concurrent writer as dead, and
+    *     two retires would then both swap — the last-swap-wins loss
+    *     the CAS exists to prevent. No clocks anywhere now. A claimant
+    *     that crashed pre-swap leaves its nonce standing and wedges
+    *     the slot LOUDLY (the CME names the sidecar) — the same
+    *     recovery story as a crashed labeled writer that is never
+    *     replayed: an operator clears the sidecar once the writer is
+    *     known dead, and the next claim resolves the slot as case 5.
+    *  5. DEAD ORPHAN — anything else: a crashed claim whose
+    *     announcement is gone (labeled or nonce'd), a pre-nonce or
+    *     handcrafted unlabeled slot with no nonce at all, or an
+    *     unreadable slot. With rename/hard-link publish a visible slot
+    *     is complete by construction, so "unparseable" really does
+    *     mean handcrafted, never a half-written in-flight winner.
+    *     → delete and retry (bounded attempts).
     *
     * Slots at or below the live version are [[sweepSwapSlots]]'s to
-    * clean. */
+    * clean; a swapped-and-crashed op's stale nonce sidecar is inert
+    * (nothing references it) and bounded. */
   def claimSwapSlot(spark: SparkSession, dir: String, target: Long,
       kind: String, label: String, currentVersion: () => Long,
-      occupantInFlight: (String, String) => Boolean,
-      unlabeledGraceMs: Long = 60000L): Unit = {
+      occupantInFlight: (String, String) => Boolean): Option[String] = {
     val slot = s"$dir/_swap/s$target.json"
-    val body = renderJson { o => o.put("kind", kind); o.put("label", label); () }
+    // unlabeled ops get a per-invocation identity, announced BEFORE
+    // the claim so a racing claimant can tell this writer is alive
+    val nonce: Option[String] =
+      if (label.nonEmpty) None
+      else Some(s"nonce-${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID().toString)
+    nonce.foreach(nx => writePending(spark, dir, kind, nx))
+    def abort(msg: String): Nothing = {
+      // we announced but will not proceed: un-announce, or the dead
+      // nonce would wedge nothing yet shield garbage
+      nonce.foreach(nx => clearPending(spark, dir, kind, nx))
+      throw new java.util.ConcurrentModificationException(msg)
+    }
+    val body = renderJson { o =>
+      o.put("kind", kind); o.put("label", label)
+      nonce.foreach { nx => o.put("nonce", nx); () }
+    }
     var attempts = 0
     while (!writeStringExclusive(spark, slot, body)) {
       if (currentVersion() >= target)
-        throw new java.util.ConcurrentModificationException(
+        abort(
           s"manifest swap s$target in $dir was won by another writer — " +
             "single writer is the contract; retry against the new state")
       val occ =
@@ -313,36 +341,35 @@ private[graft] object StoreIO {
         catch { case _: Exception => None } // vanished/unreadable
       val oKind = occ.flatMap(jStr(_, "kind"))
       val oLabel = occ.flatMap(jStr(_, "label"))
+      val oNonce = occ.flatMap(jStr(_, "nonce")).filter(_.nonEmpty)
       if (label.nonEmpty && oKind.contains(kind) && oLabel.contains(label))
-        return // case 2: our own crashed claim at the same version
-      if (oKind.exists(k => occupantInFlight(k, oLabel.getOrElse(""))))
-        throw new java.util.ConcurrentModificationException(
+        return None // case 2: our own crashed claim at the same version
+      if (oLabel.exists(_.nonEmpty) &&
+          oKind.exists(k => occupantInFlight(k, oLabel.getOrElse(""))))
+        abort(
           s"manifest swap s$target in $dir is claimed by an in-flight " +
             s"'${oKind.get}' writer (label '${oLabel.getOrElse("")}') — " +
             "single writer is the contract")
-      if (occ.isDefined && oLabel.forall(_.isEmpty)) {
-        // case 4: an unlabeled occupant has no announcement and no
-        // replay identity — its slot's age is the only liveness signal
-        val age =
-          try {
-            val (fs, p) = hadoopFs(spark, slot)
-            System.currentTimeMillis() - fs.getFileStatus(p)
-              .getModificationTime
-          } catch { case _: Exception => Long.MaxValue } // vanished: retry
-        if (age < unlabeledGraceMs)
-          throw new java.util.ConcurrentModificationException(
-            s"manifest swap s$target in $dir is claimed by a concurrent " +
-              s"unlabeled '${oKind.getOrElse("?")}' writer (${age} ms old," +
-              s" grace ${unlabeledGraceMs} ms) — single writer is the " +
-              "contract")
-      }
+      if (oNonce.exists(nx => pendingExists(spark, dir,
+          oKind.getOrElse(""), nx)))
+        // case 4: the unlabeled occupant's nonce announcement stands —
+        // alive mid-swap, or crashed and awaiting operator recovery
+        abort(
+          s"manifest swap s$target in $dir is claimed by a concurrent " +
+            s"unlabeled '${oKind.getOrElse("?")}' writer (announcement " +
+            s"${pendingPath(dir, oKind.getOrElse(""), oNonce.get)} " +
+            "stands) — single writer is the contract; if its writer is " +
+            "known dead, remove that sidecar to release the slot")
       attempts += 1
-      require(attempts <= 3,
-        s"swap slot s$target in $dir cannot be claimed")
+      if (attempts > 3) {
+        nonce.foreach(nx => clearPending(spark, dir, kind, nx))
+        require(false, s"swap slot s$target in $dir cannot be claimed")
+      }
       val (fs, p) = hadoopFs(spark, slot)
       fs.delete(p, false) // case 5: dead orphan (crashed, never replayed)
       ()
     }
+    nonce
   }
 
   /** Sweep claimed swap slots at or below the live version (their

@@ -445,35 +445,57 @@ class StoreConcurrencySpec extends SparkSpec {
         Seq("event_type"), Seq("event_id"))))
   }
 
-  test("swap-slot CAS: a FRESH unlabeled occupant aborts; a STALE one is a dead orphan (mtime grace)") {
+  test("swap-slot CAS: unlabeled ops are nonce-announced — a live occupant aborts, a dead one is an orphan, no clocks") {
     import spark.implicits._
-    val dir = tmp("del-grace-")
+    val dir = tmp("del-nonce-")
     DeleteStore.init(spark, dir, Seq("l_orderkey"))
     DeleteStore.append(liTable.select($"l_orderkey").distinct()
       .orderBy($"l_orderkey").limit(4), dir, "d1") // version 2
-    // an unlabeled op (retire/reset/expire) has no announcement and no
-    // replay identity — two concurrent retires look identical, so the
-    // slot's AGE is the liveness signal. Fresh occupant: presumed an
-    // in-flight concurrent writer → abort (without this, both retires
-    // would classify each other as dead, both swap, and one live-set
-    // filter would be silently lost — the CAS's whole reason to exist).
+    // an unlabeled op (retire/reset) announces a per-invocation NONCE
+    // sidecar before claiming; the sidecar standing is the liveness
+    // signal — the same announce rule labeled ops use, with no mtime
+    // grace window (r16's clock-skew hole: a paused driver or skewed
+    // store clock could make BOTH concurrent retires classify the
+    // other as dead, both swap, and one live-set filter be silently
+    // lost). Simulate the live concurrent retire: slot + standing
+    // nonce announcement.
     val slot = java.nio.file.Paths.get(s"$dir/_swap/s3.json")
     java.nio.file.Files.createDirectories(slot.getParent)
-    java.nio.file.Files.writeString(slot, """{"kind":"retire","label":""}""")
+    java.nio.file.Files.writeString(slot,
+      """{"kind":"retire","label":"","nonce":"nonce-zz"}""")
+    StoreIO.writePending(spark, dir, "retire", "nonce-zz")
     val ex = intercept[java.util.ConcurrentModificationException] {
       DeleteStore.retire(spark, dir, Seq("d1"))
     }
-    assert(ex.getMessage.contains("unlabeled"))
+    assert(ex.getMessage.contains("unlabeled") &&
+      ex.getMessage.contains("nonce-zz"),
+      s"wrong abort: ${ex.getMessage}")
     assert(DeleteStore.manifest(spark, dir).live == Seq("d1"),
       "aborted retire changed the live set")
-    // the same slot, aged past the grace window: a crashed, never-to-
-    // be-replayed claim — resolved as a dead orphan and overwritten
-    java.nio.file.Files.setLastModifiedTime(slot,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 120000L))
+    // the loser's OWN nonce announcement was cleaned up on abort —
+    // nothing accumulates under the store root
+    assert(StoreIO.pendingLabels(spark, dir).getOrElse("retire", Set.empty)
+      == Set("nonce-zz"),
+      "the aborted claimant leaked its own nonce sidecar")
+    // the occupant's writer dies for good: the documented recovery is
+    // clearing its announcement (exactly the labeled-op recovery in
+    // the specs above) — the next retire resolves the slot as a dead
+    // orphan and proceeds. No clock is consulted anywhere.
+    StoreIO.clearPending(spark, dir, "retire", "nonce-zz")
     DeleteStore.retire(spark, dir, Seq("d1"))
     assert(DeleteStore.manifest(spark, dir).live.isEmpty,
-      "stale unlabeled occupant blocked the retire forever")
+      "orphaned unlabeled occupant blocked the retire forever")
+    // a PRE-NONCE (legacy/handcrafted) unlabeled slot has no
+    // announcement to check: dead orphan, overwritten
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_swap/s4.json"),
+      """{"kind":"reset","label":""}""")
+    DeleteStore.reset(spark, dir)
+    assert(DeleteStore.manifest(spark, dir).version == 4L,
+      "legacy unlabeled slot blocked the swap")
+    // and a completed op leaves NO standing nonce sidecars behind
+    assert(StoreIO.pendingLabels(spark, dir).getOrElse("retire", Set.empty)
+      .isEmpty, "completed retire left its nonce announcement standing")
   }
 
   // ---- GraftTable: racing appends -------------------------------------
