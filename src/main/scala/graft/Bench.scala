@@ -143,7 +143,14 @@ object Bench {
               val bt = e.get("tasks").asLong
               val bs = e.get("shuffle_bytes").asLong
               val br = e.get("rows").asLong
-              if (r >= 0 && br >= 0 && r != br)
+              // a query that ERRORED this run (measured as -1) against
+              // a healthy baseline is a crash regression — it must show
+              // in the diff even when the plan digest never moved
+              // (ADVICE r16: the old skip-negatives rule made it
+              // invisible to exactly the gate that exists to catch it)
+              if (r < 0 && br >= 0)
+                Some(s"$n0: ERROR (baseline rows=$br)")
+              else if (r >= 0 && br >= 0 && r != br)
                 Some(s"$n0: rows $br -> $r")
               else if (t >= 0 && tol(t, bt, 0.10))
                 Some(s"$n0: tasks $bt -> $t")

@@ -55,19 +55,22 @@ object GraftTable {
 
   /** Initialize an empty table. `zoneCols` get min/max/value-count
     * stats (and drive [[optimize]]'s layout), `bloomCols` get per-file
-    * Bloom filters of `bloomBits` bits (size to the expected rows PER
-    * FILE — an undersized bloom false-positives its prune away: 2^17
-    * suits ~10k-row files; ~100k-row files want 2^20), `deleteKeys`
-    * are the equality-delete address. */
+    * Bloom filters, `deleteKeys` are the equality-delete address.
+    * `bloomBits = 0` (the default) AUTO-sizes each index refresh's
+    * blooms from the observed rows-per-file — an undersized bloom
+    * false-positives its prune away (r16's 2^17 default was 4×
+    * saturated at 545k-row files, SCALE.md), and auto-sizing removes
+    * the hand-tuned knob; an explicit power of two pins the width. */
   def create(spark: SparkSession, dir: String, zoneCols: Seq[String],
       bloomCols: Seq[String] = Nil,
       deleteKeys: Seq[String] = Nil,
-      bloomBits: Int = 1 << 17): Unit = {
+      bloomBits: Int = 0): Unit = {
     require(zoneCols.nonEmpty, "at least one zone column (it drives layout)")
     (zoneCols ++ bloomCols ++ deleteKeys).foreach(requireColName)
     if (bloomCols.nonEmpty)
-      require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
-        s"bloomBits must be a power of two >= 64 (got $bloomBits)")
+      require(bloomBits == 0 ||
+        (bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0),
+        s"bloomBits must be 0 (auto) or a power of two >= 64 (got $bloomBits)")
     writeString(spark, metaPath(dir),
       StoreIO.renderJson { o =>
         StoreIO.putArr(o, "zoneCols", zoneCols)

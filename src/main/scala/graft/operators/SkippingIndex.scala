@@ -108,30 +108,75 @@ object SkippingIndex {
           bloomAgg.get(xxhash64(col(c))).as(s"bloom_$c")): _*)
   }
 
+  /** Bits for an AUTO-sized bloom: the next power of two ≥ 10× the
+    * largest observed rows-per-file among the files being statted
+    * (~10 bits/key at K=7 ≈ 1% FP), clamped to [2^17, 2^27] (16 KB –
+    * 16 MB per file — the upper end is parquet's own per-file bloom
+    * budget). Derived from the parquet FOOTERS of exactly the delta
+    * being indexed: driver-side and delta-bounded, and the caller just
+    * wrote these files (the GraftTable.dirRowCount argument — READ
+    * planning stays footer-free; index maintenance may price its own
+    * delta). The r16 motivation: a fixed 2^17 was 4× saturated at
+    * 545k-row files and false-positived its prune away until
+    * hand-tuned (SCALE.md) — sizing from observed rows removes the
+    * hand-tuning. */
+  private def autoBloomBits(spark: SparkSession, paths: Seq[String]): Int = {
+    var maxRows = 0L
+    paths.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p,
+            spark.sparkContext.hadoopConfiguration))
+        try maxRows = math.max(maxRows, r.getRecordCount)
+        finally r.close()
+      } catch { case _: Exception => () } // vanished/unreadable: skip
+    }
+    val want = 10L * math.max(1L, maxRows)
+    val pow2 = java.lang.Long.highestOneBit(math.max(1L, want - 1)) * 2
+    math.min(1L << 27, math.max(1L << 17, pow2)).toInt
+  }
+
+  /** The per-call bloom width: an explicit power of two is used as-is;
+    * 0 (AUTO, the default policy) derives from the statted files. */
+  private def resolveBits(spark: SparkSession, bloomCols: Seq[String],
+      bloomBits: Int, paths: => Seq[String]): Int =
+    if (bloomCols.isEmpty || bloomBits > 0) bloomBits
+    else autoBloomBits(spark, paths)
+
   /** Build (or rebuild) the index over the parquet table at
     * `tablePath`. `cols` are the skippable columns — in production the
     * ones the layout is clustered by (q136/ZOrder), because zones of a
     * randomly-laid-out column all overlap and prune nothing (still
-    * correct, measured in the spec). */
+    * correct, measured in the spec). `bloomBits = 0` (the default)
+    * AUTO-sizes each build/refresh's blooms from the observed
+    * rows-per-file ([[autoBloomBits]]); an explicit power of two pins
+    * the width. Mixed widths across refreshes are fine — probes derive
+    * the mask from each stored array's own length. */
   def build(spark: SparkSession, tablePath: String, dir: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 1 << 17,
+      bloomBits: Int = 0,
       only: Option[Seq[String]] = None): Unit = {
     require(cols.nonEmpty || bloomCols.nonEmpty, "at least one indexed column")
     (cols ++ bloomCols).foreach(requireColName)
     if (bloomCols.nonEmpty)
-      require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
-        s"bloomBits must be a power of two >= 64 (got $bloomBits)")
+      require(bloomBits == 0 ||
+        (bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0),
+        s"bloomBits must be 0 (auto) or a power of two >= 64 (got $bloomBits)")
     // `only` restricts the stat job to an explicit file list — a
     // manifest-committed caller passes its LIVE set so superseded or
     // orphaned files still on disk aren't statted as dead weight
-    statsOf(spark, tablePath, cols, bloomCols, bloomBits, only)
+    val bits = resolveBits(spark, bloomCols, bloomBits,
+      only.getOrElse(listDataFiles(spark, tablePath).toSeq))
+    statsOf(spark, tablePath, cols, bloomCols, bits, only)
       .write.mode(SaveMode.Overwrite).parquet(statsPath(dir))
     writeString(spark, metaPath(dir),
       StoreIO.renderJson { o =>
         o.put("table", tablePath)
         StoreIO.putArr(o, "cols", cols)
         StoreIO.putArr(o, "bloomCols", bloomCols)
+        // the POLICY is persisted (0 = auto), not a resolved width:
+        // every refresh re-derives for its own delta
         o.put("bloomBits", bloomBits); ()
       }, atomic = false)
   }
@@ -153,10 +198,14 @@ object SkippingIndex {
       .getOrElse(listDataFiles(spark, m.table))
       .filterNot(have).toSeq
     if (unknown.nonEmpty) {
+      // auto policy (bloomBits=0): width derived from THIS refresh's
+      // delta files, so growing files get growing blooms with no
+      // hand-tuned knob
+      val bits = resolveBits(spark, m.bloomCols, m.bloomBits, unknown)
       // checkpoint: the delta stats are consumed twice (the statted-set
       // collect below and the append write) — the stat job over the
       // new files must run once, or "delta-sized" is a half-truth
-      val delta = statsOf(spark, m.table, m.cols, m.bloomCols, m.bloomBits,
+      val delta = statsOf(spark, m.table, m.cols, m.bloomCols, bits,
         only = Some(unknown))
         .localCheckpoint()
       // a ZERO-ROW file produces no aggregation row, but must still be
@@ -172,7 +221,7 @@ object SkippingIndex {
             f +: 0L +: (m.cols.flatMap(_ => Seq(null, null, 0L)) ++
               // an empty file's bloom is all-zero: every probe misses,
               // so the file is skipped — correct, it has no rows
-              m.bloomCols.map(_ => new Array[Byte](m.bloomBits / 8))))
+              m.bloomCols.map(_ => new Array[Byte](bits / 8))))
         }
         delta.unionByName(spark.createDataFrame(
           new java.util.ArrayList(

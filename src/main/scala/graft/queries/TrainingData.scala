@@ -50,7 +50,9 @@ object TrainingData {
     // the cutoff the auto-sized IVF (nLists ~ sqrt(n), probes from the
     // recall target) takes over — the 10x scale probe measured the
     // pinned config at 14x cost for 10x data, the auto path ~linear.
-    val n = graft.sources.Tables.embeddings(spark, d).count()
+    // n comes from the parquet footers (driver-side metadata), not a
+    // count() job: the config choice must not cost a table scan.
+    val n = graft.sources.Tables.rowCount(spark, d, "embeddings")
     if (n <= 4096)
       Dedup.embeddingNearDupIvf(spark, d, threshold = 0.4,
         nCentroids = 16, nAssign = 8)

@@ -19,6 +19,38 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** A table's row count from its parquet FOOTERS — driver-side, no
+    * Spark job. For config decisions that only need n (e.g. q24's IVF
+    * sizing), a full `count()` pre-pass is an extra table scan per
+    * invocation; the footers already carry the answer (file-count-
+    * bounded metadata reads — the same budget a catalog's row-count
+    * stat would cost). Handles both a single parquet file and a
+    * directory of part files. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    var n = 0L
+    val statuses: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.getFileStatus(root).isFile) Seq(fs.getFileStatus(root))
+      else {
+        val it = fs.listFiles(root, true)
+        val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet") ||
+              f.getPath.getName.startsWith("part-")) out += f
+        }
+        out.result()
+      }
+    statuses.foreach { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try n += r.getRecordCount finally r.close()
+    }
+    n
+  }
+
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")

@@ -410,4 +410,59 @@ class SkippingIndexSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not indexed"))
   }
+
+  test("bloomBits=0 auto-sizes per refresh from observed rows-per-file; explicit bits still pin") {
+    import spark.implicits._
+    val root = tmp("skip-auto")
+    // small files first: ~n rows/file across 4 files
+    val li = Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    li.repartition(4, $"l_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/table")
+    build(spark, s"$root/table", s"$root/index",
+      cols = Seq("l_orderkey"), bloomCols = Seq("l_orderkey"))
+    // the persisted POLICY is auto (0); the stored arrays carry the
+    // derived width: next pow2 >= 10x(max rows/file), floor 2^17
+    assert(meta(spark, s"$root/index").bloomBits == 0)
+    def widths: Set[Long] =
+      spark.read.parquet(s"$root/index/stats")
+        .select(octet_length($"bloom_l_orderkey").cast("long"))
+        .distinct().as[Long].collect().toSet
+    val perFile = total / 4
+    val expect0 = math.max(1L << 17,
+      java.lang.Long.highestOneBit(math.max(1L, 10 * perFile - 1)) * 2)
+    assert(widths == Set(expect0 / 8),
+      s"auto width ${widths.map(_ * 8)} != expected $expect0 for ~$perFile rows/file")
+    // a LARGER delta file: the next refresh derives a wider bloom for
+    // it, while the existing files keep theirs (mixed widths probe by
+    // their own length)
+    li.union(li).union(li).union(li).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$root/table")
+    assert(refresh(spark, s"$root/index") == 1)
+    val expect1 = math.max(1L << 17,
+      java.lang.Long.highestOneBit(math.max(1L, 10 * total * 4 - 1)) * 2)
+    assert(widths == Set(expect0 / 8, expect1 / 8),
+      s"refresh did not auto-widen: ${widths.map(_ * 8)}")
+    // and the mixed-width index still prunes correctly: an absent key
+    // reads nothing, a present key's rows are exact
+    val absent = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("l_orderkey", Seq(-1L))))
+    assert(absent.count() == 0L)
+    val k = li.agg(min($"l_orderkey")).head().getLong(0)
+    val hit = prunedRead(spark, s"$root/index", ranges = Nil,
+      equalities = Seq(ColumnEquals("l_orderkey", Seq(k))))
+    assert(hit.count() ==
+      spark.read.parquet(s"$root/table")
+        .where($"l_orderkey" === k).count())
+    // explicit bits still pin the width exactly
+    val root2 = tmp("skip-pin")
+    val table2 = clustered(root2, nFiles = 4)
+    build(spark, table2, s"$root2/index", cols = Seq("l_orderkey"),
+      bloomCols = Seq("l_orderkey"), bloomBits = 1 << 18)
+    assert(meta(spark, s"$root2/index").bloomBits == (1 << 18))
+    val w2 = spark.read.parquet(s"$root2/index/stats")
+      .select(octet_length($"bloom_l_orderkey").cast("long"))
+      .distinct().as[Long].collect().toSet
+    assert(w2 == Set((1L << 18) / 8))
+  }
 }

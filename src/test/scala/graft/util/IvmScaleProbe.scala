@@ -43,11 +43,11 @@ object IvmScaleProbe {
     val dir = s"$root/t"
     // the delete key is BLOOM-indexed, so the CDC delete-preimage
     // probe takes the index-pruned path for the ≤cap-key erasure
-    // below; blooms sized for ~100k-row files (2^20 bits — the default
-    // 2^17 false-positives away its prune at this file size)
+    // below. NO hand-tuned bloomBits (the r16 run needed 2^20 by
+    // hand): the auto policy sizes each refresh's blooms from the
+    // observed rows-per-file — the prune below must hold regardless.
     create(spark, dir, zoneCols = Seq("l_partkey"),
-      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"),
-      bloomBits = 1 << 20)
+      bloomCols = Seq("l_orderkey"), deleteKeys = Seq("l_orderkey"))
     val (tLoad, _) = timed { append(li, dir, "b1") }
     // two min/max views: 3 giant groups (l_returnflag — a dirty group
     // is a third of the table, the worst case for repair) and the
