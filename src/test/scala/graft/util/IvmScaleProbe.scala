@@ -74,6 +74,16 @@ object IvmScaleProbe {
       .union(Seq(extremum).toDF("l_orderkey"))
     delete(victims, dir, "e1")
     var repairRows = -1L
+    // rows each delta sync physically WRITES (its new version dir
+    // alone — carried-forward buckets are references): the r17
+    // bucketed layout's claim is write volume ~flat in view size
+    def vWritten(viewDir: String): Long = {
+      val man = graft.operators.StoreIO.parseJson(
+        graft.operators.StoreIO.readString(spark, s"$viewDir/_sync.json"))
+      val c = graft.operators.StoreIO.jLong(man, "commit").get
+      val d = new java.io.File(s"$viewDir/v$c")
+      if (!d.exists) 0L else spark.read.parquet(d.toString).count()
+    }
     val (tSync, _) = timed {
       syncAggMirror(spark, dir, s"$root/agg", keys, sums)
     }
@@ -86,6 +96,25 @@ object IvmScaleProbe {
       syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm,
         repairSeam = df => repairRowsHi = df.count())
     }
+    val aggHiRows = aggMirrorRead(spark, s"$root/aggmm2").count()
+    val aggHiWritten = vWritten(s"$root/aggmm2")
+    // a ROW mirror over the same table: baseline, then one more tiny
+    // window so its delta sync prices the write-volume claim at the
+    // table-scale view shape (the GDPR-mirror story)
+    val (tMirrorBase, _) = timed {
+      syncMirror(spark, dir, s"$root/mirror", buckets = 64)
+    }
+    val small2 = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("l_orderkey", $"l_orderkey" + 950000000L)
+    append(small2, dir, "b3")
+    delete(li.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey".desc).limit(5), dir, "e2")
+    val (tMirrorSync, _) = timed {
+      syncMirror(spark, dir, s"$root/mirror")
+    }
+    val mirrorRows = mirrorRead(spark, s"$root/mirror").count()
+    val mirrorWritten = vWritten(s"$root/mirror")
     // deterministic read-volume evidence for the preimage prune (wall
     // times on this host drift ±30% run-over-run; file counts do not):
     // how many live files can hold ANY of the erasure's keys, per the
@@ -118,6 +147,10 @@ object IvmScaleProbe {
       s""""repair_rescan_rows":$repairRows,""" +
       s""""delta_sync_minmax_hicard_s":${f"$tSyncMMHi%.2f"},""" +
       s""""repair_rescan_rows_hicard":$repairRowsHi,""" +
+      s""""agg_hicard_rows":$aggHiRows,"agg_hicard_written":$aggHiWritten,""" +
+      s""""mirror_baseline_s":${f"$tMirrorBase%.2f"},""" +
+      s""""mirror_delta_sync_s":${f"$tMirrorSync%.2f"},""" +
+      s""""mirror_rows":$mirrorRows,"mirror_written":$mirrorWritten,""" +
       s""""preimage_files_qualifying":${(pq ++ pu).distinct.size},""" +
       s""""preimage_files_one_key":${(sq ++ su).distinct.size},""" +
       s""""live_files":$liveFilesN,""" +
