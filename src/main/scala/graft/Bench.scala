@@ -121,11 +121,21 @@ object Bench {
           else None
         val matchesDir = node.exists(n =>
           graft.operators.StoreIO.jStr(n, "__sfdir__").forall(_ == sfDir))
+        // tasks and map-side shuffle output scale with the session's
+        // core count (leaf-split sizing divides by defaultParallelism),
+        // so a baseline written on an 8-core host diffs ~everything on
+        // a 32-core one with rows exact (observed r16→r17: 125 entries,
+        // all tasks/shuffle, zero rows). Stamp the cores and treat a
+        // mismatch as no-baseline — refresh, don't cry wolf.
+        val matchesCores = node.exists(n =>
+          graft.operators.StoreIO.jLong(n, "__cores__")
+            .forall(_.toString == cpus))
         if (sys.env.contains("SPARK_GRAFT_UPDATE_PLANS") ||
-            node.isEmpty || !matchesDir) {
+            node.isEmpty || !matchesDir || !matchesCores) {
           java.nio.file.Files.writeString(stableBaselinePath,
             graft.operators.StoreIO.renderJson { o =>
               o.put("__sfdir__", sfDir)
+              o.put("__cores__", cpus.toLong)
               stable.toSeq.filter(_._2._1 >= 0).sortBy(_._1).foreach {
                 case (n0, (t, s, r)) =>
                   val e = o.putObject(n0)

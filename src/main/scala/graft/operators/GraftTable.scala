@@ -1251,7 +1251,13 @@ object GraftTable {
     require(!df.columns.contains(BucketCol),
       s"'$BucketCol' is the view layout's bucket column")
     if (dirty.nonEmpty)
+      // repartition BY the bucket column before the partitioned write:
+      // without it every input task writes a file into every bucket it
+      // holds rows for (tasks × dirty-buckets small files at scale);
+      // with it a bucket's rows land in ~one task → ~one file, and the
+      // shuffle is dirty-data-sized, which the write already was
       df.withColumn(BucketCol, bucketExprOf(bucketCols, nBuckets))
+        .repartition(math.max(1, dirty.size), col(BucketCol))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(s"$rootDir/v$live")
     // buckets that materialized rows; a dirty bucket whose rows all
