@@ -120,10 +120,38 @@ class GraftTableModelSpec extends SparkSpec {
       if (appliedOps.nonEmpty)
         appliedOps(rnd.nextInt(appliedOps.size))() // must be a no-op
 
+    // the WHOLE consumer family syncs on every doSync, each with its
+    // own bucket count (1 exercises the degenerate single-bucket
+    // layout), and each is compared against a from-scratch restatement
+    // of the live table — baseline, delta, optimize-window re-baseline,
+    // and expired-log re-baseline paths all land here at random
+    val aggM = java.nio.file.Files
+      .createTempDirectory(s"gt-aggm-$seed-").toString
+    val whereM = java.nio.file.Files
+      .createTempDirectory(s"gt-wherem-$seed-").toString
+    val bucketChoices = Seq(1, 2, 4, 16)
     def doSync(): Unit = {
-      syncMirror(spark, dir, mirror)
+      syncMirror(spark, dir, mirror,
+        buckets = bucketChoices(rnd.nextInt(bucketChoices.size)))
       assert(readRows(mirrorRead(spark, mirror)) == readRows(read(spark, dir)),
         s"seed=$seed: mirror diverged from read()")
+      syncAggMirror(spark, dir, aggM, Seq("part"), Seq("qty"),
+        Seq("qty"), Seq("qty"),
+        buckets = bucketChoices(rnd.nextInt(bucketChoices.size)))
+      val scratch = read(spark, dir).groupBy(col("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast("decimal(28,2)")).cast("decimal(28,2)")
+            .as("sum_qty"),
+          min(col("qty")).as("min_qty"), max(col("qty")).as("max_qty"))
+      assert(aggMirrorRead(spark, aggM).collect().map(_.toString).sorted.toSeq
+        == scratch.collect().map(_.toString).sorted.toSeq,
+        s"seed=$seed: agg mirror diverged from the from-scratch aggregate")
+      syncMirrorWhere(spark, dir, whereM, "part < 50",
+        Seq("id", "part", "qty"),
+        buckets = bucketChoices(rnd.nextInt(bucketChoices.size)))
+      assert(readRows(mirrorRead(spark, whereM)) ==
+        readRows(read(spark, dir).where(col("part") < 50)),
+        s"seed=$seed: filtered mirror diverged from the filtered read")
     }
 
     doAppend() // the table needs data before most ops are legal
