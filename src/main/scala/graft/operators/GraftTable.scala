@@ -1122,11 +1122,28 @@ object GraftTable {
     * family-specific definition fields (where: pred+cols; join:
     * pred=joinOn, cols=dimCols, dimCommit). `family=="legacy"` marks a
     * pre-bucketed pointer (flat `v<commit>/` dir): readable as-is, and
-    * the next sync re-baselines it into the bucketed layout. */
+    * the next sync re-baselines it into the bucketed layout.
+    *
+    * `buckets` maps each bucket to its SEGMENT LIST, oldest first: a
+    * bucket's rows are the union of `v<version>/gbkt=<k>/` across its
+    * list. Insert-only windows APPEND a segment (delta-sized write);
+    * only buckets a delete reached — or whose list hit
+    * [[MaxViewSegments]] — are FOLDED into one segment. The LSM split
+    * is what makes sync writes delta-proportional in BOTH dimensions:
+    * without it a broad append (keys scatter across every bucket, the
+    * normal case) re-wrote the whole view to add delta rows. */
   private[operators] case class ViewState(commit: Long, family: String,
-      nBuckets: Int, buckets: Map[Int, Long], prevRefs: Seq[Seq[Long]],
+      nBuckets: Int, buckets: Map[Int, Seq[Long]],
+      prevRefs: Seq[Seq[Long]],
       schemaJson: Option[String], pred: Option[String],
       cols: Option[Seq[String]], dimCommit: Option[Long])
+
+  /** Per-bucket segment-list bound: an insert-only sync that would push
+    * a bucket past this folds it instead — read amplification stays
+    * ≤ MaxViewSegments small files per bucket, and fold cost amortizes
+    * to O(bucket) per MaxViewSegments appends (the LSM compaction
+    * argument). */
+  private val MaxViewSegments = 8
 
   /** The bucket partition column (becomes `gbkt=<k>/` dir names — NOT
     * underscore-prefixed, which Spark's listing would hide). */
@@ -1137,11 +1154,15 @@ object GraftTable {
     val (fs, sp) = StoreIO.hadoopFs(spark, syncPath)
     if (!fs.exists(sp)) return None
     val n = StoreIO.parseJson(readString(spark, syncPath))
-    val buckets: Map[Int, Long] = Option(n.get("buckets"))
+    val buckets: Map[Int, Seq[Long]] = Option(n.get("buckets"))
       .filter(_.isObject).map { b =>
-        val it = b.fields(); val out = Map.newBuilder[Int, Long]
+        val it = b.fields(); val out = Map.newBuilder[Int, Seq[Long]]
         while (it.hasNext) {
-          val e = it.next(); out += (e.getKey.toInt -> e.getValue.asLong)
+          val e = it.next()
+          val v = e.getValue
+          out += (e.getKey.toInt ->
+            (if (v.isArray) (0 until v.size).map(i => v.get(i).asLong).toSeq
+             else Seq(v.asLong))) // a pre-segment scalar entry
         }
         out.result()
       }.getOrElse(Map.empty)
@@ -1171,8 +1192,8 @@ object GraftTable {
       o.put("family", st.family)
       o.put("nBuckets", st.nBuckets)
       val b = o.putObject("buckets")
-      st.buckets.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        b.put(k.toString, v); ()
+      st.buckets.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+        val a = b.putArray(k.toString); vs.foreach(a.add); ()
       }
       val pr = o.putArray("prevRefs")
       st.prevRefs.foreach { refs =>
@@ -1223,7 +1244,9 @@ object GraftTable {
       st: ViewState, only: Set[Int]): DataFrame = {
     val paths = st.buckets.toSeq.filter(kv => only.contains(kv._1))
       .sortBy(_._1)
-      .map { case (k, v) => s"$rootDir/v$v/$BucketCol=$k" }
+      .flatMap { case (k, vs) =>
+        vs.map(v => s"$rootDir/v$v/$BucketCol=$k")
+      }
     val schema = pinnedSchema(st.schemaJson)
     if (paths.isEmpty)
       schema.map(s => spark.createDataFrame(
@@ -1236,32 +1259,40 @@ object GraftTable {
     }
   }
 
-  /** One view commit: write `df` (rows of DIRTY buckets only, by
-    * construction) partitioned by bucket into `v<live>/`, carry every
-    * untouched bucket forward by reference, swap the pointer, sweep
-    * unreferenced versions past the `keepLast` reader allowance. */
+  /** One view commit: write `df` — the FOLDED content of `fold`
+    * buckets plus the NEW rows of `append` buckets, and nothing else,
+    * by construction — partitioned by bucket into `v<live>/`; fold
+    * buckets' segment lists collapse to this version, append buckets
+    * gain it as one more segment, every untouched bucket carries
+    * forward by reference; swap the pointer; sweep versions no
+    * retained pointer references past the `keepLast` reader
+    * allowance. */
   private def commitViewVersion(spark: SparkSession, rootDir: String,
       prior: Option[ViewState], live: Long, family: String,
       nBuckets: Int, df: DataFrame, bucketCols: Seq[String],
-      dirty: Set[Int], keepLast: Int, pred: Option[String] = None,
+      fold: Set[Int], append: Set[Int], keepLast: Int,
+      pred: Option[String] = None,
       cols: Option[Seq[String]] = None,
       dimCommit: Option[Long] = None): Unit = {
+    require((fold & append).isEmpty,
+      s"fold/append overlap: ${(fold & append).mkString(",")}")
     val schema = toNullable(StructType(df.schema.fields))
       .asInstanceOf[StructType]
     require(!df.columns.contains(BucketCol),
       s"'$BucketCol' is the view layout's bucket column")
-    if (dirty.nonEmpty)
+    if (fold.nonEmpty || append.nonEmpty)
       // repartition BY the bucket column before the partitioned write:
       // without it every input task writes a file into every bucket it
       // holds rows for (tasks × dirty-buckets small files at scale);
       // with it a bucket's rows land in ~one task → ~one file, and the
       // shuffle is dirty-data-sized, which the write already was
       df.withColumn(BucketCol, bucketExprOf(bucketCols, nBuckets))
-        .repartition(math.max(1, dirty.size), col(BucketCol))
+        .repartition(math.max(1, fold.size + append.size), col(BucketCol))
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(s"$rootDir/v$live")
-    // buckets that materialized rows; a dirty bucket whose rows all
-    // deleted produces no dir and leaves the map
+    // buckets that materialized rows; a fold bucket whose rows all
+    // deleted produces no dir and leaves the map, an append bucket
+    // with no surviving rows keeps its old segments unchanged
     val present: Set[Int] = {
       val (fs, p) = StoreIO.hadoopFs(spark, s"$rootDir/v$live")
       if (!fs.exists(p)) Set.empty
@@ -1270,25 +1301,41 @@ object GraftTable {
         .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
     }
     val oldMap = prior.map(_.buckets).getOrElse(Map.empty)
-    val newMap = (oldMap -- dirty) ++ present.map(_ -> live)
+    val newMap = (oldMap -- fold) ++
+      fold.intersect(present).map(_ -> Seq(live)) ++
+      append.intersect(present).map(k =>
+        k -> (oldMap.getOrElse(k, Nil) :+ live))
     // reader retention: the version set the superseded pointer
     // referenced (a legacy pointer referenced its flat v<commit> dir)
     val oldRefs: Seq[Long] = prior.map { p =>
       if (p.nBuckets == 0) Seq(p.commit)
-      else p.buckets.values.toSeq.distinct
+      else p.buckets.values.flatten.toSeq.distinct
     }.getOrElse(Nil)
     val prevRefs = (oldRefs +: prior.map(_.prevRefs).getOrElse(Nil))
       .filter(_.nonEmpty).take(keepLast)
     writeViewState(spark, s"$rootDir/_sync.json",
       ViewState(live, family, nBuckets, newMap, prevRefs,
         Some(schema.json), pred, cols, dimCommit))
-    val keep = newMap.values.toSet ++ prevRefs.flatten.toSet + live
+    val keep = newMap.values.flatten.toSet ++ prevRefs.flatten.toSet + live
     val (mfs, mroot) = StoreIO.hadoopFs(spark, rootDir)
     mfs.listStatus(mroot).filter(_.isDirectory).map(_.getPath)
       .flatMap(p => """^v(\d+)$""".r.findFirstMatchIn(p.getName)
         .map(m0 => (m0.group(1).toLong, p)))
       .filterNot(v => keep.contains(v._1))
       .foreach { case (_, p) => mfs.delete(p, true) }
+  }
+
+  /** The fold/append split for a row-shaped view delta: buckets a
+    * delete key reached must FOLD (their standing rows are rewritten
+    * minus the keys); buckets receiving only inserts APPEND a
+    * delta-sized segment — unless their segment list is at
+    * [[MaxViewSegments]], which promotes them to fold (compaction). */
+  private def splitDelta(cur: ViewState, insertBuckets: Set[Int],
+      deleteBuckets: Set[Int]): (Set[Int], Set[Int]) = {
+    val compact = (insertBuckets -- deleteBuckets)
+      .filter(k => cur.buckets.getOrElse(k, Nil).size >= MaxViewSegments)
+    val fold = deleteBuckets ++ compact
+    (fold, insertBuckets -- fold)
   }
 
   /** Re-baseline vs delta decision shared by every sync: `None` when
@@ -1339,9 +1386,9 @@ object GraftTable {
         val bc =
           if (m.delKeys.nonEmpty) m.delKeys else hashableCols(base.schema)
         commitViewVersion(spark, mirrorDir, st, live, "mirror", nB,
-          base, bc, (0 until nB).toSet, keepLast)
+          base, bc, (0 until nB).toSet, Set.empty, keepLast)
       case Some(d0) =>
-        // the delta feeds the dirty-set probe AND the rewrite: pin it
+        // the delta feeds the dirty-set probes AND the rewrite: pin it
         // once so the preimage semi-join never runs twice
         val d = d0.persist()
         try {
@@ -1355,17 +1402,23 @@ object GraftTable {
           val bc =
             if (m.delKeys.nonEmpty) m.delKeys
             else hashableCols(inserts.schema)
-          val dirty = dirtyBucketsOf(
-            (inserts, bc) +: delKeyRows.map(k => (k, m.delKeys)).toSeq, nB)
-          val curDirty = readViewBuckets(spark, mirrorDir, cur, dirty)
-          val upserted = curDirty.unionByName(inserts,
+          val insB = dirtyBucketsOf(Seq((inserts, bc)), nB)
+          val delB = delKeyRows.map(k =>
+            dirtyBucketsOf(Seq((k, m.delKeys)), nB)).getOrElse(Set.empty)
+          val (foldB, appendB) = splitDelta(cur, insB, delB)
+          // fold buckets are read and rewritten; append buckets
+          // contribute ONLY their new rows (an insert can never match
+          // a window delete key outside the fold set — bucketing is BY
+          // the delete keys, so equal keys share a bucket)
+          val curFold = readViewBuckets(spark, mirrorDir, cur, foldB)
+          val upserted = curFold.unionByName(inserts,
             allowMissingColumns = true)
           // null-safe, like the table's own reads (<=>): a NULL-key
           // delete must erase mirror NULLs too
           val next = delKeyRows.fold(upserted)(k =>
             RowDeletes.applyEqualityDeletes(upserted, k, m.delKeys))
           commitViewVersion(spark, mirrorDir, Some(cur), live, "mirror",
-            nB, next, bc, dirty, keepLast)
+            nB, next, bc, foldB, appendB, keepLast)
         } finally { d.unpersist(); () }
     }
     (last, live)
@@ -1434,7 +1487,8 @@ object GraftTable {
       case None => // (re-)baseline, pinned at `live`
         commitViewVersion(spark, mirrorDir, st, live, "where", nB,
           shape(tableAt(spark, dir, live)), bc, (0 until nB).toSet,
-          keepLast, pred = Some(predicateSql), cols = Some(columns))
+          Set.empty, keepLast,
+          pred = Some(predicateSql), cols = Some(columns))
       case Some(d0) =>
         val d = d0.persist()
         try {
@@ -1448,15 +1502,17 @@ object GraftTable {
             if (m.delKeys.isEmpty) None
             else Some(d.where(col("_change_type") === "delete")
               .where(pred).select(m.delKeys.map(col): _*))
-          val dirty = dirtyBucketsOf(
-            (inserts, bc) +: delKeyRows.map(k => (k, m.delKeys)).toSeq, nB)
-          val curDirty = readViewBuckets(spark, mirrorDir, cur, dirty)
-          val upserted = curDirty.unionByName(inserts,
+          val insB = dirtyBucketsOf(Seq((inserts, bc)), nB)
+          val delB = delKeyRows.map(k =>
+            dirtyBucketsOf(Seq((k, m.delKeys)), nB)).getOrElse(Set.empty)
+          val (foldB, appendB) = splitDelta(cur, insB, delB)
+          val curFold = readViewBuckets(spark, mirrorDir, cur, foldB)
+          val upserted = curFold.unionByName(inserts,
             allowMissingColumns = true)
           val next = delKeyRows.fold(upserted)(k =>
             RowDeletes.applyEqualityDeletes(upserted, k, m.delKeys))
           commitViewVersion(spark, mirrorDir, Some(cur), live, "where",
-            nB, next, bc, dirty, keepLast,
+            nB, next, bc, foldB, appendB, keepLast,
             pred = Some(predicateSql), cols = Some(columns))
         } finally { d.unpersist(); () }
     }
@@ -1535,8 +1591,9 @@ object GraftTable {
         val bc =
           if (m.delKeys.nonEmpty) m.delKeys else hashableCols(base.schema)
         commitViewVersion(spark, mirrorDir, st, live, "join", nB, base,
-          bc, (0 until nB).toSet, keepLast, pred = Some(joinDef),
-          cols = Some(dimCols), dimCommit = Some(dimLive))
+          bc, (0 until nB).toSet, Set.empty, keepLast,
+          pred = Some(joinDef), cols = Some(dimCols),
+          dimCommit = Some(dimLive))
       case Some(d0) =>
         val d = d0.persist()
         try {
@@ -1550,16 +1607,19 @@ object GraftTable {
           val bc =
             if (m.delKeys.nonEmpty) m.delKeys
             else hashableCols(inserts.schema)
-          val dirty = dirtyBucketsOf(
-            (inserts, bc) +: delKeyRows.map(k => (k, m.delKeys)).toSeq, nB)
-          val curDirty = readViewBuckets(spark, mirrorDir, cur, dirty)
-          val upserted = curDirty.unionByName(inserts,
+          val insB = dirtyBucketsOf(Seq((inserts, bc)), nB)
+          val delB = delKeyRows.map(k =>
+            dirtyBucketsOf(Seq((k, m.delKeys)), nB)).getOrElse(Set.empty)
+          val (foldB, appendB) = splitDelta(cur, insB, delB)
+          val curFold = readViewBuckets(spark, mirrorDir, cur, foldB)
+          val upserted = curFold.unionByName(inserts,
             allowMissingColumns = true)
           val next = delKeyRows.fold(upserted)(k =>
             RowDeletes.applyEqualityDeletes(upserted, k, m.delKeys))
           commitViewVersion(spark, mirrorDir, Some(cur), live, "join",
-            nB, next, bc, dirty, keepLast, pred = Some(joinDef),
-            cols = Some(dimCols), dimCommit = Some(dimLive))
+            nB, next, bc, foldB, appendB, keepLast,
+            pred = Some(joinDef), cols = Some(dimCols),
+            dimCommit = Some(dimLive))
         } finally { d.unpersist(); () }
     }
     (last, live)
@@ -1634,10 +1694,14 @@ object GraftTable {
     // pointer will record): a commit landing mid-sync must not leak
     // post-`live` rows into the baseline or the min/max repair —
     // _sync.json says commit=live, so the contents must BE live's
+    // the AGG view always FOLDS its dirty buckets (a delta group
+    // mutates its standing row — count/sum fold, min/max repair — so
+    // there is no insert-only append segment to take); untouched
+    // buckets carry forward, same as the row families
     var dirtyB: Set[Int] = (0 until nB).toSet
     def commitAgg(df: DataFrame): Unit =
       commitViewVersion(spark, aggDir, st, live, "agg", nB, df, keys,
-        dirtyB, keepLast)
+        dirtyB, Set.empty, keepLast)
     windowDelta(spark, dir, st, last, live) match {
       case None => commitAgg(aggOf(tableAt(spark, dir, live)))
       case Some(d) =>

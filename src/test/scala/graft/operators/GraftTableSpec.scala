@@ -506,7 +506,7 @@ class GraftTableSpec extends SparkSpec {
     val st = readViewState(spark, s"$mirror/_sync.json").get
     // the live bucket map's versions are all on disk, and the
     // superseded pointer's refs (prevRefs) survive for the held reader
-    val liveRefs = st.buckets.values.toSet.map((v: Long) => s"v$v")
+    val liveRefs = st.buckets.values.flatten.toSet.map((v: Long) => s"v$v")
     assert(liveRefs.subsetOf(vdirs.toSet),
       s"live-referenced versions missing: $liveRefs vs ${vdirs.mkString(",")}")
     assert(st.prevRefs.flatten.toSet.map((v: Long) => s"v$v")
@@ -520,7 +520,7 @@ class GraftTableSpec extends SparkSpec {
     syncMirror(spark, dir, mirror, keepLast = 0)
     val st0 = readViewState(spark, s"$mirror/_sync.json").get
     assert(st0.prevRefs.isEmpty, "keepLast=0 recorded reader refs")
-    val expect = st0.buckets.values.toSet.map((v: Long) => s"v$v")
+    val expect = st0.buckets.values.flatten.toSet.map((v: Long) => s"v$v")
     assert(vdirs.toSet == expect,
       s"keepLast=0 should keep exactly the live-referenced versions: " +
         s"have ${vdirs.mkString(",")}, want ${expect.mkString(",")}")

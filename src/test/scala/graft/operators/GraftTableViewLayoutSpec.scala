@@ -51,22 +51,47 @@ class GraftTableViewLayoutSpec extends SparkSpec {
       s"a 3-key erasure wrote $written of $viewRows view rows — the " +
         "write is view-sized, not dirty-bucket-sized")
     val st = readViewState(spark, s"$root/m/_sync.json").get
-    assert(st.buckets.values.count(_ == 2L) >= 13,
+    assert(st.buckets.values.count(_ == Seq(2L)) >= 13,
       s"untouched buckets were not carried forward by reference: " +
         st.buckets.values.groupBy(identity).view.mapValues(_.size).toMap)
     // and the mirror still equals the table, bit for bit
     assert(rows(mirrorRead(spark, s"$root/m")) == rows(read(spark, dir)),
       "dirty-bucket sync diverged from the table")
-    // an insert-only window: writes bounded by the delta's buckets
+    // an insert-only window APPENDS segments: the write is EXACTLY the
+    // delta, regardless of which buckets its keys scatter across (the
+    // LSM split — whole-bucket rewrite would pay the buckets' standing
+    // rows for a 20-row append)
     val tiny = li.orderBy($"l_orderkey", $"l_linenumber").limit(20)
       .withColumn("l_orderkey", $"l_orderkey" + 7000000L)
     append(tiny, dir, "b2") // commit 4
     syncMirror(spark, dir, s"$root/m")
-    // 20 fresh keys touch at most 16 buckets; each carries its bucket's
-    // standing rows — still far below the whole view
-    assert(rowsWritten(s"$root/m", 4L) < viewRows / 2,
-      "an insert-only window rewrote most of the view")
+    assert(rowsWritten(s"$root/m", 4L) == 20L,
+      s"an insert-only window wrote ${rowsWritten(s"$root/m", 4L)} rows" +
+        " for a 20-row delta")
     assert(rows(mirrorRead(spark, s"$root/m")) == rows(read(spark, dir)))
+  }
+
+  test("segment lists stay bounded: the MaxViewSegments-th append folds its bucket") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/t"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    append(li.limit(200), dir, "b0")
+    // ONE bucket so every window hits the same segment list
+    syncMirror(spark, dir, s"$root/m", buckets = 1)
+    (1 to 12).foreach { i =>
+      val tiny = li.orderBy($"l_orderkey", $"l_linenumber").limit(5)
+        .withColumn("l_orderkey", $"l_orderkey" + 7000000L + i * 100L)
+      append(tiny, dir, s"b$i")
+      syncMirror(spark, dir, s"$root/m")
+      val segs = readViewState(spark, s"$root/m/_sync.json").get
+        .buckets.values.map(_.size).maxOption.getOrElse(0)
+      assert(segs <= 8,
+        s"segment list grew unbounded: $segs after window $i")
+      assert(rows(mirrorRead(spark, s"$root/m")) == rows(read(spark, dir)),
+        s"mirror diverged after window $i")
+    }
   }
 
   test("agg-mirror sync writes only the buckets of delta groups") {
@@ -166,6 +191,27 @@ class GraftTableViewLayoutSpec extends SparkSpec {
       "the superseded legacy dir was swept under the default keepLast")
   }
 
+  test("a crashed sync's orphan version dir is swept by the next sync; the pointer never sees it") {
+    import spark.implicits._
+    val root = tmp()
+    val dir = s"$root/t"
+    create(spark, dir, zoneCols = Seq("l_partkey"),
+      deleteKeys = Seq("l_orderkey"))
+    append(li.limit(400), dir, "b1") // commit 2
+    syncMirror(spark, dir, s"$root/m")
+    val before = rows(mirrorRead(spark, s"$root/m"))
+    // simulate a sync that wrote its version dir and died before the
+    // pointer swap: a stray version dir no pointer references
+    li.limit(10).write.parquet(s"$root/m/v999/gbkt=0")
+    assert(rows(mirrorRead(spark, s"$root/m")) == before,
+      "an unreferenced version dir leaked into the pointer read")
+    append(li.limit(600), dir, "b2") // commit 3
+    syncMirror(spark, dir, s"$root/m")
+    assert(!new java.io.File(s"$root/m/v999").exists(),
+      "the next sync did not sweep the crashed sync's orphan version")
+    assert(rows(mirrorRead(spark, s"$root/m")) == rows(read(spark, dir)))
+  }
+
   test("join mirror: fact-only windows are delta-maintained; a dim commit re-baselines") {
     import spark.implicits._
     val root = tmp()
@@ -200,7 +246,7 @@ class GraftTableViewLayoutSpec extends SparkSpec {
     syncJoinMirror(spark, dir, dimDir, s"$root/m", "l_orderkey",
       "o_orderkey", Seq("o_orderpriority"))
     val st = readViewState(spark, s"$root/m/_sync.json").get
-    assert(st.buckets.values.count(_ == 2L) >= 13,
+    assert(st.buckets.values.count(_ == Seq(2L)) >= 13,
       "a fact-only window re-baselined the join mirror")
     val d3 = new java.io.File(s"$root/m/v3")
     val written =

@@ -55,10 +55,14 @@ object IvmScaleProbe {
     // ~rows/partkeys, where the repair's rows-of-dirty-groups bound
     // actually bites)
     val hiKeys = Seq("l_partkey")
+    // bucket counts sized for the view scale (the knob a deployment
+    // sets from key cardinality): 1024 for the ~200k-group agg view,
+    // so an erasure's dirty-group rewrite is ~1/1024-grained
     val (tBase, _) = timed {
       syncAggMirror(spark, dir, s"$root/agg", keys, sums)
       syncAggMirror(spark, dir, s"$root/aggmm", keys, sums, mm, mm)
-      syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm)
+      syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm,
+        buckets = 1024)
     }
     // delta window: a rekeyed sf0.001-sized append + a 50-key erasure
     // that INCLUDES a group extremum (forcing the min/max repair path)
@@ -98,11 +102,14 @@ object IvmScaleProbe {
     }
     val aggHiRows = aggMirrorRead(spark, s"$root/aggmm2").count()
     val aggHiWritten = vWritten(s"$root/aggmm2")
-    // a ROW mirror over the same table: baseline, then one more tiny
-    // window so its delta sync prices the write-volume claim at the
-    // table-scale view shape (the GDPR-mirror story)
+    // a ROW mirror over the same table (the table-scale GDPR-mirror
+    // shape, bucketed 1024): two steady-state windows priced by WRITE
+    // volume — (a) a broad append + small erasure (inserts APPEND
+    // segments, only the erasure's buckets fold), (b) a pure-erasure
+    // window (the per-user deletion request: fold volume =
+    // dirty-buckets' standing rows, ~keys/1024 of the view)
     val (tMirrorBase, _) = timed {
-      syncMirror(spark, dir, s"$root/mirror", buckets = 64)
+      syncMirror(spark, dir, s"$root/mirror", buckets = 1024)
     }
     val small2 = graft.sources.Tables
       .lineitem(spark, "/root/testdata/sf0.001")
@@ -115,6 +122,20 @@ object IvmScaleProbe {
     }
     val mirrorRows = mirrorRead(spark, s"$root/mirror").count()
     val mirrorWritten = vWritten(s"$root/mirror")
+    // (b) the pure-erasure window, for the mirror AND the hi-card agg:
+    // absorb the (b3, e2) window into the agg first so e3 stands alone
+    syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm)
+    delete(li.select($"l_orderkey").distinct()
+      .orderBy(($"l_orderkey" % 97).asc, $"l_orderkey".asc).limit(20),
+      dir, "e3")
+    val (tMirrorErase, _) = timed {
+      syncMirror(spark, dir, s"$root/mirror")
+    }
+    val mirrorEraseWritten = vWritten(s"$root/mirror")
+    val (tAggErase, _) = timed {
+      syncAggMirror(spark, dir, s"$root/aggmm2", hiKeys, sums, mm, mm)
+    }
+    val aggEraseWritten = vWritten(s"$root/aggmm2")
     // deterministic read-volume evidence for the preimage prune (wall
     // times on this host drift ±30% run-over-run; file counts do not):
     // how many live files can hold ANY of the erasure's keys, per the
@@ -151,6 +172,10 @@ object IvmScaleProbe {
       s""""mirror_baseline_s":${f"$tMirrorBase%.2f"},""" +
       s""""mirror_delta_sync_s":${f"$tMirrorSync%.2f"},""" +
       s""""mirror_rows":$mirrorRows,"mirror_written":$mirrorWritten,""" +
+      s""""mirror_erase_sync_s":${f"$tMirrorErase%.2f"},""" +
+      s""""mirror_erase_written":$mirrorEraseWritten,""" +
+      s""""agg_erase_sync_s":${f"$tAggErase%.2f"},""" +
+      s""""agg_erase_written":$aggEraseWritten,""" +
       s""""preimage_files_qualifying":${(pq ++ pu).distinct.size},""" +
       s""""preimage_files_one_key":${(sq ++ su).distinct.size},""" +
       s""""live_files":$liveFilesN,""" +
