@@ -1132,11 +1132,18 @@ object GraftTable {
     * is what makes sync writes delta-proportional in BOTH dimensions:
     * without it a broad append (keys scatter across every bucket, the
     * normal case) re-wrote the whole view to add delta rows. */
+  /** `ver` is the view's OWN monotone version counter (the number in
+    * `v<ver>/` dir names), decoupled from the source commit: a sync
+    * can run without a source commit (the join family's dim-moved
+    * re-baseline), and writing such a version under `v<commit>` would
+    * OVERWRITE the live version in place — mutating exactly the dirs
+    * held readers and `prevRefs` reference. Absent (legacy) → commit. */
   private[operators] case class ViewState(commit: Long, family: String,
       nBuckets: Int, buckets: Map[Int, Seq[Long]],
       prevRefs: Seq[Seq[Long]],
       schemaJson: Option[String], pred: Option[String],
-      cols: Option[Seq[String]], dimCommit: Option[Long])
+      cols: Option[Seq[String]], dimCommit: Option[Long],
+      ver: Long)
 
   /** Per-bucket segment-list bound: an insert-only sync that would push
     * a bucket past this folds it instead — read amplification stays
@@ -1173,22 +1180,24 @@ object GraftTable {
           (0 until inner.size).map(j => inner.get(j).asLong).toSeq
         }.toSeq
       }.getOrElse(Nil)
-    Some(ViewState(
-      StoreIO.jLong(n, "commit").getOrElse(
-        sys.error(s"$syncPath has no 'commit' pointer")),
+    val commit = StoreIO.jLong(n, "commit").getOrElse(
+      sys.error(s"$syncPath has no 'commit' pointer"))
+    Some(ViewState(commit,
       StoreIO.jStr(n, "family").getOrElse("legacy"),
       StoreIO.jLong(n, "nBuckets").getOrElse(0L).toInt,
       buckets, prevRefs,
       StoreIO.jObjJson(n, "schema"),
       StoreIO.jStr(n, "pred"),
       StoreIO.jArr(n, "cols"),
-      StoreIO.jLong(n, "dimCommit")))
+      StoreIO.jLong(n, "dimCommit"),
+      StoreIO.jLong(n, "ver").getOrElse(commit)))
   }
 
   private def writeViewState(spark: SparkSession, syncPath: String,
       st: ViewState): Unit =
     writeString(spark, syncPath, StoreIO.renderJson { o =>
       o.put("commit", st.commit)
+      o.put("ver", st.ver)
       o.put("family", st.family)
       o.put("nBuckets", st.nBuckets)
       val b = o.putObject("buckets")
@@ -1280,6 +1289,10 @@ object GraftTable {
       .asInstanceOf[StructType]
     require(!df.columns.contains(BucketCol),
       s"'$BucketCol' is the view layout's bucket column")
+    // the view's own next version number — strictly above every dir
+    // the prior state could reference (incl. a legacy flat v<commit>),
+    // so a sync NEVER writes into a dir a reader may hold
+    val ver = prior.map(p => math.max(p.ver, p.commit) + 1).getOrElse(live)
     if (fold.nonEmpty || append.nonEmpty)
       // repartition BY the bucket column before the partitioned write:
       // without it every input task writes a file into every bucket it
@@ -1289,12 +1302,12 @@ object GraftTable {
       df.withColumn(BucketCol, bucketExprOf(bucketCols, nBuckets))
         .repartition(math.max(1, fold.size + append.size), col(BucketCol))
         .write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol).parquet(s"$rootDir/v$live")
+        .partitionBy(BucketCol).parquet(s"$rootDir/v$ver")
     // buckets that materialized rows; a fold bucket whose rows all
     // deleted produces no dir and leaves the map, an append bucket
     // with no surviving rows keeps its old segments unchanged
     val present: Set[Int] = {
-      val (fs, p) = StoreIO.hadoopFs(spark, s"$rootDir/v$live")
+      val (fs, p) = StoreIO.hadoopFs(spark, s"$rootDir/v$ver")
       if (!fs.exists(p)) Set.empty
       else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith(s"$BucketCol="))
@@ -1302,9 +1315,9 @@ object GraftTable {
     }
     val oldMap = prior.map(_.buckets).getOrElse(Map.empty)
     val newMap = (oldMap -- fold) ++
-      fold.intersect(present).map(_ -> Seq(live)) ++
+      fold.intersect(present).map(_ -> Seq(ver)) ++
       append.intersect(present).map(k =>
-        k -> (oldMap.getOrElse(k, Nil) :+ live))
+        k -> (oldMap.getOrElse(k, Nil) :+ ver))
     // reader retention: the version set the superseded pointer
     // referenced (a legacy pointer referenced its flat v<commit> dir)
     val oldRefs: Seq[Long] = prior.map { p =>
@@ -1315,8 +1328,8 @@ object GraftTable {
       .filter(_.nonEmpty).take(keepLast)
     writeViewState(spark, s"$rootDir/_sync.json",
       ViewState(live, family, nBuckets, newMap, prevRefs,
-        Some(schema.json), pred, cols, dimCommit))
-    val keep = newMap.values.flatten.toSet ++ prevRefs.flatten.toSet + live
+        Some(schema.json), pred, cols, dimCommit, ver))
+    val keep = newMap.values.flatten.toSet ++ prevRefs.flatten.toSet + ver
     val (mfs, mroot) = StoreIO.hadoopFs(spark, rootDir)
     mfs.listStatus(mroot).filter(_.isDirectory).map(_.getPath)
       .flatMap(p => """^v(\d+)$""".r.findFirstMatchIn(p.getName)

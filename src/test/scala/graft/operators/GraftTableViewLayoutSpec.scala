@@ -26,10 +26,11 @@ class GraftTableViewLayoutSpec extends SparkSpec {
   private def rows(d: DataFrame): Seq[String] =
     d.collect().map(_.toString).sorted.toSeq
 
-  /** Rows the sync for commit `c` physically wrote (its version dir
+  /** Rows the LATEST sync physically wrote (the pointer's `ver` dir
     * alone — carried-forward buckets live in OLDER dirs by design). */
-  private def rowsWritten(mirror: String, c: Long): Long = {
-    val d = new java.io.File(s"$mirror/v$c")
+  private def lastWritten(mirror: String): Long = {
+    val v = readViewState(spark, s"$mirror/_sync.json").get.ver
+    val d = new java.io.File(s"$mirror/v$v")
     if (!d.exists) 0L else spark.read.parquet(d.toString).count()
   }
 
@@ -46,7 +47,7 @@ class GraftTableViewLayoutSpec extends SparkSpec {
     delete(li.select($"l_orderkey").distinct()
       .orderBy($"l_orderkey").limit(3), dir, "e1") // commit 3
     syncMirror(spark, dir, s"$root/m")
-    val written = rowsWritten(s"$root/m", 3L)
+    val written = lastWritten(s"$root/m")
     assert(written < viewRows / 2,
       s"a 3-key erasure wrote $written of $viewRows view rows — the " +
         "write is view-sized, not dirty-bucket-sized")
@@ -65,8 +66,8 @@ class GraftTableViewLayoutSpec extends SparkSpec {
       .withColumn("l_orderkey", $"l_orderkey" + 7000000L)
     append(tiny, dir, "b2") // commit 4
     syncMirror(spark, dir, s"$root/m")
-    assert(rowsWritten(s"$root/m", 4L) == 20L,
-      s"an insert-only window wrote ${rowsWritten(s"$root/m", 4L)} rows" +
+    assert(lastWritten(s"$root/m") == 20L,
+      s"an insert-only window wrote ${lastWritten(s"$root/m")} rows" +
         " for a 20-row delta")
     assert(rows(mirrorRead(spark, s"$root/m")) == rows(read(spark, dir)))
   }
@@ -109,7 +110,7 @@ class GraftTableViewLayoutSpec extends SparkSpec {
       .orderBy($"l_orderkey").limit(3), dir, "e1") // commit 3
     syncAggMirror(spark, dir, s"$root/agg", Seq("l_partkey"),
       Seq("l_quantity"))
-    val written = rowsWritten(s"$root/agg", 3L)
+    val written = lastWritten(s"$root/agg")
     assert(written < groups / 2,
       s"a 3-key erasure rewrote $written of $groups groups")
     val expect = read(spark, dir).groupBy($"l_partkey")
@@ -248,9 +249,7 @@ class GraftTableViewLayoutSpec extends SparkSpec {
     val st = readViewState(spark, s"$root/m/_sync.json").get
     assert(st.buckets.values.count(_ == Seq(2L)) >= 13,
       "a fact-only window re-baselined the join mirror")
-    val d3 = new java.io.File(s"$root/m/v3")
-    val written =
-      if (!d3.exists) 0L else spark.read.parquet(d3.toString).count()
+    val written = lastWritten(s"$root/m")
     assert(written < viewRows / 2,
       s"fact-only window wrote $written of $viewRows rows")
     assert(rows(mirrorRead(spark, s"$root/m")) == rows(expected))

@@ -84,7 +84,8 @@ object IvmScaleProbe {
     def vWritten(viewDir: String): Long = {
       val man = graft.operators.StoreIO.parseJson(
         graft.operators.StoreIO.readString(spark, s"$viewDir/_sync.json"))
-      val c = graft.operators.StoreIO.jLong(man, "commit").get
+      val c = graft.operators.StoreIO.jLong(man, "ver").orElse(
+        graft.operators.StoreIO.jLong(man, "commit")).get
       val d = new java.io.File(s"$viewDir/v$c")
       if (!d.exists) 0L else spark.read.parquet(d.toString).count()
     }
