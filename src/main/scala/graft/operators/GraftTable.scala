@@ -1143,7 +1143,7 @@ object GraftTable {
       prevRefs: Seq[Seq[Long]],
       schemaJson: Option[String], pred: Option[String],
       cols: Option[Seq[String]], dimCommit: Option[Long],
-      ver: Long)
+      ver: Long, bucketCols: Seq[String])
 
   /** Per-bucket segment-list bound: an insert-only sync that would push
     * a bucket past this folds it instead — read amplification stays
@@ -1190,7 +1190,8 @@ object GraftTable {
       StoreIO.jStr(n, "pred"),
       StoreIO.jArr(n, "cols"),
       StoreIO.jLong(n, "dimCommit"),
-      StoreIO.jLong(n, "ver").getOrElse(commit)))
+      StoreIO.jLong(n, "ver").getOrElse(commit),
+      StoreIO.jArr(n, "bucketCols").getOrElse(Nil)))
   }
 
   private def writeViewState(spark: SparkSession, syncPath: String,
@@ -1212,6 +1213,7 @@ object GraftTable {
       st.pred.foreach { p => o.put("pred", p); () }
       st.cols.foreach(cs => StoreIO.putArr(o, "cols", cs))
       st.dimCommit.foreach { dc => o.put("dimCommit", dc); () }
+      StoreIO.putArr(o, "bucketCols", st.bucketCols)
     }, atomic = true)
 
   /** Deterministic bucket of a row: Murmur3 over the addressing
@@ -1328,7 +1330,7 @@ object GraftTable {
       .filter(_.nonEmpty).take(keepLast)
     writeViewState(spark, s"$rootDir/_sync.json",
       ViewState(live, family, nBuckets, newMap, prevRefs,
-        Some(schema.json), pred, cols, dimCommit, ver))
+        Some(schema.json), pred, cols, dimCommit, ver, bucketCols))
     val keep = newMap.values.flatten.toSet ++ prevRefs.flatten.toSet + ver
     val (mfs, mroot) = StoreIO.hadoopFs(spark, rootDir)
     mfs.listStatus(mroot).filter(_.isDirectory).map(_.getPath)
@@ -1867,6 +1869,36 @@ object GraftTable {
     require(st.commit > 0, s"mirror at $mirrorDir has never been synced")
     if (st.nBuckets == 0) spark.read.parquet(s"$mirrorDir/v${st.commit}")
     else readViewBuckets(spark, mirrorDir, st, st.buckets.keySet)
+  }
+
+  /** Housekeeping for a bucketed view — the [[optimize]] analog:
+    * fold every multi-segment bucket back to ONE segment (read
+    * amplification returns to one file per bucket) without changing
+    * contents or the synced commit. Append-heavy consumers run it on
+    * the same cadence they'd run table optimize; the per-sync
+    * [[MaxViewSegments]] bound keeps reads sane in between, this
+    * removes the amplification entirely. keepLast retention applies
+    * (a held reader survives the fold). Returns buckets folded;
+    * 0 = nothing to do (incl. legacy flat pointers — already one
+    * dir). */
+  def compactView(spark: SparkSession, rootDir: String,
+      keepLast: Int = 1): Int = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val st = readViewState(spark, s"$rootDir/_sync.json").getOrElse(
+      throw new IllegalArgumentException(
+        s"view at $rootDir has never been synced"))
+    if (st.nBuckets == 0) return 0
+    val multi = st.buckets.filter(_._2.size > 1).keySet
+    if (multi.isEmpty) return 0
+    require(st.bucketCols.nonEmpty || st.nBuckets == 1,
+      s"view at $rootDir predates the bucketCols pointer field — " +
+        "re-baseline it (delete the view and re-sync) to compact")
+    val cur = readViewBuckets(spark, rootDir, st, multi)
+    commitViewVersion(spark, rootDir, Some(st), st.commit, st.family,
+      st.nBuckets, cur, st.bucketCols, fold = multi, append = Set.empty,
+      keepLast = keepLast, pred = st.pred, cols = st.cols,
+      dimCommit = st.dimCommit)
+    multi.size
   }
 
   /** [[readWhere]] against a PINNED commit snapshot: the index prune
