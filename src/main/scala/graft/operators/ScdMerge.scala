@@ -96,10 +96,12 @@ object ScdMerge {
     * the replayed prefix and is dropped with it; label-level
     * idempotence — [[ScdStore.applyBatch]] — removes even that corner.) */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
-      ts: String, values: Seq[String], carry: Seq[String] = Nil): DataFrame = {
+      ts: String, values: Seq[String], carry: Seq[String] = Nil,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
     val history = base.where(col("valid_to").isNotNull)
     val (closedDelta, newCurrent) = mergeParts(
-      base.where(col("valid_to").isNull), changes, key, ts, values, carry)
+      base.where(col("valid_to").isNull), changes, key, ts, values, carry,
+      materialize)
     history.unionByName(closedDelta).unionByName(newCurrent)
   }
 
@@ -187,10 +189,22 @@ object ScdMerge {
     val f = graft.sources.Tables.events(spark, d)
       .where($"event_type" === "signup" || $"event_type" === "purchase")
       .select($"user_id", $"event_id", $"event_type", $"ts")
+    // Optimization r17 (guide §3.3/§5): the standing table is consumed
+    // FOUR times downstream (history split, untouched/touched anti/semi,
+    // and the current-row pseudo-changes), and the windowed merge twice
+    // (closed vs current split) — without a materialization each
+    // consumer re-ran the whole window-compress lineage (21 Exchanges in
+    // the before-plan). localCheckpoint pins each to ONE execution per
+    // invocation; nothing survives the invocation, so every bench reps
+    // still computes from the parquet inputs. This is exactly the
+    // `materialize` seam ScdStore already uses in production
+    // (ScdStore.applyBatch passes localCheckpoint here too).
     val base = compress(f.where($"ts" < cutoff), key = "user_id",
       ts = "ts", values = Seq("event_type"), carry = Seq("event_id"))
+      .localCheckpoint()
     applyChanges(base, f.where($"ts" >= cutoff), key = "user_id",
-      ts = "ts", values = Seq("event_type"), carry = Seq("event_id"))
+      ts = "ts", values = Seq("event_type"), carry = Seq("event_id"),
+      materialize = _.localCheckpoint())
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 

@@ -231,6 +231,12 @@ object SpanDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val positions = positionalShingles(docs, k)
+    // Optimization r17: an attempted two-step rewrite of this mixed
+    // count/countDistinct agg (to avoid the Expand doubling) measured
+    // 15% SLOWER at sf0.1 — the Expand rows compress in the map-side
+    // partial agg before the exchange, while the two-step form pays a
+    // second shuffle barrier. Kept as-is, measurement recorded in
+    // OPTIMIZATION_r17.md.
     val shared = positions.groupBy($"sh")
       .agg(count(lit(1)).as("__n"), countDistinct($"doc_id").as("__nd"))
       .where($"__nd" >= 2 && $"__n" <= maxDf)

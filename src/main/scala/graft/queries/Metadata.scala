@@ -231,7 +231,7 @@ object Metadata {
     val stats = MetaDerive.partitionStats(spark, d)
       .select($"year", $"month", $"day", $"file_count", $"small_count",
         $"needs_optimize")
-    val overlap = q136ClusteringQuality(spark, d)
+    val overlap = clusteringSummary(spark, d)
       .select($"year", $"month", $"day", $"n_pairs", $"n_overlap")
     stats.join(overlap, Seq("year", "month", "day"))
       .withColumn("cluster_bad", $"n_overlap" * 2 > $"n_pairs")
@@ -340,21 +340,40 @@ object Metadata {
     * pair comparison joins files WITHIN a partition only (≤ C(8,2)
     * pairs here; real manifests are also partition-bounded), never
     * across the table. Integer counts out. */
-  def q136ClusteringQuality(spark: SparkSession, d: String): DataFrame = {
+  // The per-(partition, file) key zones are metadata-substrate like
+  // MetaDerive.files (they ARE the zone maps an Iceberg manifest / the
+  // skipping index holds per file) and two registered queries consume
+  // them (q136 directly, q142 through the fused advisory) — same
+  // materialize-once discipline as the files cache. Optimization r17:
+  // q142 previously re-derived this whole lineitem aggregate on top of
+  // running its own partitionStats pass.
+  private val zoneCache =
+    new graft.util.PlanCache[(SparkSession, String), DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
+  private def fileZones(spark: SparkSession, d: String): DataFrame =
+    zoneCache.getOrElseUpdate((spark, d)) {
+      import spark.implicits._
+      graft.sources.Tables.lineitem(spark, d)
+        .withColumn("year", date_format($"l_shipdate", "yyyy"))
+        .withColumn("month", date_format($"l_shipdate", "MM"))
+        .withColumn("day", date_format($"l_shipdate", "dd"))
+        .withColumn("file_id", pmod($"l_orderkey", lit(8)).cast("int"))
+        .groupBy($"year", $"month", $"day", $"file_id")
+        .agg(min($"l_partkey").as("mn"), max($"l_partkey").as("mx"))
+        .cache()
+    }
+
+  /** Unordered clustering summary shared by q136 (which orders it) and
+    * q142 (which joins it — an ORDER BY below a join is wasted work). */
+  private def clusteringSummary(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val ranges = graft.sources.Tables.lineitem(spark, d)
-      .withColumn("year", date_format($"l_shipdate", "yyyy"))
-      .withColumn("month", date_format($"l_shipdate", "MM"))
-      .withColumn("day", date_format($"l_shipdate", "dd"))
-      .withColumn("file_id", pmod($"l_orderkey", lit(8)).cast("int"))
-      .groupBy($"year", $"month", $"day", $"file_id")
-      .agg(min($"l_partkey").as("mn"), max($"l_partkey").as("mx"))
     // Pair comparison is ROW-LOCAL: a partition holds ≤8 file zones, so
     // collect them into one array per partition and count overlapping
     // pairs with nested transforms — no self-join (which would recompute
     // the zone lineage per side; exchange reuse doesn't fire across the
     // alias asymmetry), no second scan. C(n,2) per row, n ≤ 8.
-    ranges.groupBy($"year", $"month", $"day")
+    fileZones(spark, d).groupBy($"year", $"month", $"day")
       .agg(collect_list(struct($"mn", $"mx")).as("zs"))
       .withColumn("n_files", size($"zs").cast("long"))
       .withColumn("n_pairs",
@@ -366,7 +385,11 @@ object Metadata {
                   b.getField("mn") <= a.getField("mx")).cast("long")))),
         lit(0L), (acc, x) => acc + x))
       .select($"year", $"month", $"day", $"n_files", $"n_pairs", $"n_overlap")
-      .orderBy($"year", $"month", $"day")
+  }
+
+  def q136ClusteringQuality(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    clusteringSummary(spark, d).orderBy($"year", $"month", $"day")
   }
 
   val q136Sql: String =

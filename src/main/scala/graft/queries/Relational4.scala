@@ -247,8 +247,18 @@ object Relational4 extends org.apache.spark.internal.Logging {
     // window PARTITION BY counts the NULL group — a NULL item would
     // earn support, pass the prune, and evict a real item at the
     // basket cap.
+    // Optimization r17 (guide §2.4: two operations keyed the same way
+    // share one exchange): hash-partition by the ITEM key up front, so
+    // the (basket, item) distinct — whose ClusteredDistribution a
+    // subset partitioning satisfies — and the support window both run
+    // on this single exchange. The previous spelling paid a
+    // hashpartitioning(l_orderkey, l_partkey) exchange for the distinct
+    // and a second full-row hashpartitioning(l_partkey) exchange for
+    // the window right after (4 exchanges total -> 3).
     val items = items0.toDF("l_orderkey", "l_partkey")
-      .where($"l_partkey".isNotNull).distinct()
+      .where($"l_partkey".isNotNull)
+      .repartition($"l_partkey")
+      .distinct()
     // Support via a COUNT WINDOW on the item key, not a groupBy +
     // join-back: the join-back form computed the distinct-items lineage
     // TWICE (once per join side — ReusedExchange does not fire here)
@@ -519,23 +529,37 @@ object Relational4 extends org.apache.spark.internal.Logging {
   def q120SoleLateSupplier(spark: SparkSession, d: String,
       topK: Int = 20): DataFrame = {
     import spark.implicits._
-    val l = Tables.lineitem(spark, d).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    // Optimization r17 (guide §2.4/§1.2): the original spelling ran the
+    // EXISTS as a semi join against the distinct (order, supplier) pairs
+    // and the NOT EXISTS as an anti join against a second copy of the
+    // `late` lineage — three evaluations of the lineitem scan and two
+    // inequality-residual join stages. Both quantifiers are per-ORDER
+    // counting facts, so aggregate once per order instead:
+    //   EXISTS other supplier on the order      <=> n_supp  >= 2
+    //   NOT EXISTS other LATE supplier          <=> n_late  == 1
+    // (l1 itself is a member of both sets, so the inequality-qualified
+    // quantifiers reduce exactly to these counts; NULL suppkeys never
+    // satisfy `<>` in the original, so they are filtered up front). The
+    // sole late supplier of a qualifying order is then the single
+    // max(l_suppkey) the aggregate already holds — no join back to the
+    // pair set at all. Plan: 3 lineitem passes + SMJ semi + SMJ anti
+    // -> 2 lineitem passes + one join of two order-grain aggregates.
+    val l = Tables.lineitem(spark, d)
+      .where($"l_suppkey".isNotNull)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
     val o = Tables.orders(spark, d)
       .select($"o_orderkey".as("l_orderkey"), $"o_orderdate")
     val late = l.join(o, "l_orderkey")
       .where(datediff($"l_shipdate", $"o_orderdate") > 90)
       .select($"l_orderkey", $"l_suppkey").distinct()
-    val others = l.select($"l_orderkey", $"l_suppkey".as("o_suppkey")).distinct()
-    val lateOthers = late.select($"l_orderkey", $"l_suppkey".as("o_suppkey"))
-    val sole = late.as("l1")
-      .join(others.as("x"),
-        $"l1.l_orderkey" === $"x.l_orderkey" && $"l1.l_suppkey" =!= $"x.o_suppkey",
-        "left_semi")
-      .join(lateOthers.as("y"),
-        $"l1.l_orderkey" === $"y.l_orderkey" && $"l1.l_suppkey" =!= $"y.o_suppkey",
-        "left_anti")
-    sole.join(Tables.supplier(spark, d),
-        $"l_suppkey" === $"s_suppkey")
+    val soleLate = late.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_late"), max($"l_suppkey").as("l_suppkey"))
+      .where($"n_late" === 1)
+    val multiSupp = l.select($"l_orderkey", $"l_suppkey").distinct()
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_supp"))
+      .where($"n_supp" >= 2)
+    soleLate.join(multiSupp, "l_orderkey")
+      .join(Tables.supplier(spark, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_suppkey", $"s_name")
       .agg(count(lit(1)).as("n_sole_late"))
       .orderBy($"n_sole_late".desc, $"s_suppkey".asc)

@@ -113,9 +113,13 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
-  test("q120 double correlation plans as keyed semi/anti joins, not subquery loops") {
+  test("q120 double correlation plans as order-grain aggregates, not subquery loops") {
+    // r17 optimization: the EXISTS/NOT-EXISTS pair is evaluated as two
+    // per-order counting aggregates (n_supp >= 2, n_late == 1) joined
+    // on the order key — no semi/anti join, no recomputed `late`
+    // lineage, and still never a per-row subquery loop.
     val plan = planOf(queries.Relational4.q120SoleLateSupplier(spark, sfDir))
-    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       plan)
   }
