@@ -54,6 +54,25 @@ object Dedup {
     new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
       maxEntries = 8, onEvict = _.unpersist())
 
+  // Per-doc shingle-set sizes: every similarity denominator in the
+  // family (Jaccard, containment, the yield sweep, top-k search, LSH
+  // verify) divides by |S_doc| — five call sites previously re-ran a
+  // full aggregate over the 1M+-row shingle index (and re-broadcast the
+  // result) per consumer per invocation. One row per document — the
+  // cheapest frame in the family to pin. (Optimization r17, guide §2.4.)
+  private val shingleCountCache =
+    new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+      maxEntries = 8, onEvict = _.unpersist())
+
+  /** Per-doc distinct-shingle counts (doc_id, n) over a shingle frame —
+    * the shared denominator index of the Jaccard family. */
+  def docShingleCounts(sh: DataFrame): DataFrame =
+    shingleCountCache.getOrElseUpdate(sh.queryExecution.analyzed.canonicalized) {
+      val spark = sh.sparkSession
+      import spark.implicits._
+      sh.groupBy($"doc_id").agg(count(lit(1)).as("n")).cache()
+    }
+
   /** Drop every cached derived index (session teardown, or when the
     * underlying documents table changed within a session). */
   def clearCaches(): Unit = {
@@ -62,6 +81,7 @@ object Dedup {
     pairCache.clear()
     simhashCache.clear()
     interCache.clear()
+    shingleCountCache.clear()
   }
 
   /** Materialized pairwise shingle-intersection counts:
@@ -187,7 +207,7 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     val sh = docShingles(docs)
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts = docShingleCounts(sh)
     jaccardOf(docPairIntersections(docs), counts, threshold)
   }
 
@@ -241,7 +261,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docShingles(docs)
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts = docShingleCounts(sh)
     val inter = docPairIntersections(docs)
     val both = inter.select($"id_a".as("doc_id"), $"id_b".as("container_id"), $"inter")
       .unionByName(
@@ -317,7 +337,7 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     val sh = docShingles(docs)
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts = docShingleCounts(sh)
     val jac = docPairIntersections(docs)
       .join(counts.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
       .join(counts.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
@@ -365,7 +385,7 @@ object Dedup {
       nQueries: Int = 20): DataFrame = {
     import spark.implicits._
     val sh = docShingles(Tables.documents(spark, d))
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts = docShingleCounts(sh)
     val qsh = sh.where($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"sh")
     val inter = qsh.join(sh.where($"doc_id" >= nQueries)
@@ -477,7 +497,7 @@ object Dedup {
   def verifyCandidates(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val counts = docShingleCounts(sh)
     val inter = cand
       .join(sh.as("sa"), $"sa.doc_id" === $"id_a")
       .join(sh.as("sb"), $"sb.doc_id" === $"id_b" && $"sb.sh" === $"sa.sh")

@@ -23,12 +23,10 @@ import graft.sources.Tables
   */
 object Redact {
 
-  /** (name, pattern, replacement) in application order. */
-  val patterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
-    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
-    ("phone", "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+  /** (name, pattern, replacement) in application order — source of
+    * truth moved to [[graft.functions.PiiScrub]] (r17: the fused
+    * codegen expression and the column chain must share one list). */
+  val patterns: Seq[(String, String, String)] = graft.functions.PiiScrub.patterns
 
   /** All patterns applied in order. */
   def scrub(c: Column): Column =
@@ -74,14 +72,18 @@ object Redact {
         when($"doc_id" % 17 === 0,
           concat(lit(" call +1 (555) 0"), $"doc_id".cast("string")))
           .otherwise(lit(""))))
-    val counted = matchCounts($"pii_text").foldLeft(planted) {
-      case (df, (name, c)) => df.withColumn(s"n_$name", c)
-    }
-    counted
-      .withColumn("redacted", scrub($"pii_text"))
-      .where($"n_email" + $"n_id" + $"n_ipv4" + $"n_phone" > 0)
-      .select($"doc_id", $"source", $"redacted",
-        $"n_email", $"n_id", $"n_ipv4", $"n_phone")
+    // Optimization r17: one fused scrub+count expression per row — see
+    // PiiScrubExpr. The previous staged column chain was copied whole
+    // into the pushed-down filter, so every row paid the regex cascade
+    // twice (plans/r17/q65_pii_redact_before.txt: the chain appears in
+    // Filter (2) AND Project (4)).
+    graft.functions.PiiScrub.register(spark)
+    planted
+      .withColumn("__pii", call_function(graft.functions.PiiScrub.name, $"pii_text"))
+      .where($"__pii.n_email" + $"__pii.n_id" + $"__pii.n_ipv4" + $"__pii.n_phone" > 0)
+      .select($"doc_id", $"source", $"__pii.redacted".as("redacted"),
+        $"__pii.n_email".as("n_email"), $"__pii.n_id".as("n_id"),
+        $"__pii.n_ipv4".as("n_ipv4"), $"__pii.n_phone".as("n_phone"))
       .orderBy($"doc_id")
   }
 
@@ -145,9 +147,14 @@ object Redact {
   def piiRiskBySource(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counted = matchCounts($"text").foldLeft(docs) {
-      case (df, (name, c)) => df.withColumn(s"n_$name", c)
-    }
+    // r17: same fused single-pass counting as q65 (no redacted text
+    // needed here, but the counts ARE the staged counts by contract).
+    graft.functions.PiiScrub.register(spark)
+    val counted = docs
+      .withColumn("__pii", call_function(graft.functions.PiiScrub.name, $"text"))
+      .select($"source",
+        $"__pii.n_email".as("n_email"), $"__pii.n_id".as("n_id"),
+        $"__pii.n_ipv4".as("n_ipv4"), $"__pii.n_phone".as("n_phone"))
     counted
       .withColumn("has_pii",
         when($"n_email" + $"n_id" + $"n_ipv4" + $"n_phone" > 0, 1L).otherwise(0L))
