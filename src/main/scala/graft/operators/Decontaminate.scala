@@ -27,7 +27,10 @@ object Decontaminate {
       evalSh: DataFrame, minOverlap: Double): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val totals = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    // r17: the per-doc totals are the shared denominator index
+    // (Dedup.docShingleCounts) — previously re-aggregated per invocation.
+    val totals = Dedup.docShingleCounts(sh)
+      .withColumnRenamed("n", "n_shingles")
     val hits = hitsInput.join(broadcast(evalSh), "sh")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
     totals.join(hits, Seq("doc_id"))
@@ -44,7 +47,12 @@ object Decontaminate {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = Dedup.docShingles(docs)
-    val evalSh = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    // r17: cache the distinct eval-shingle set on the exact path too —
+    // the bloom path already did (evalShCache); the exact path re-ran
+    // the select+distinct shuffle per invocation.
+    val distinct = Dedup.docShingles(evalDocs).select($"sh").distinct()
+    val evalSh = evalShCache.getOrElseUpdate(
+      distinct.queryExecution.analyzed.canonicalized)(distinct.cache())
     assembleReport(sh, sh, evalSh, minOverlap)
   }
 
