@@ -998,7 +998,9 @@ object Dedup {
         }
         verts.iterator.map(v => (v, find(v)))
       }.toDF("id", "label")
-      return labels.orderBy($"id")
+      // r17: no trailing sort — every consumer aggregates or joins the
+      // labels; a global orderBy here was a wasted exchange per use.
+      return labels
     }
     val edges =
       if (targetParts < edges0.rdd.getNumPartitions)
@@ -1052,7 +1054,8 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $CcMaxRounds rounds")
-    labels.orderBy($"id")
+    // r17: same as the fast path — consumers never need the sort.
+    labels
   }
 
   /** Cluster summary over any near-dup pair frame — component keeper,
