@@ -82,6 +82,7 @@ object Dedup {
     simhashCache.clear()
     interCache.clear()
     shingleCountCache.clear()
+    segCache.clear()
   }
 
   /** Materialized pairwise shingle-intersection counts:
@@ -1150,10 +1151,26 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // Segment frames are the fourth shared cut of the corpus (after
+  // shingles, bands, positions): q69 first-occurrence dedup, q96
+  // boilerplate removal, q111 template share, and CleanCorpus's strip
+  // stage all consume the identical (doc_id, seg_idx, seg) frame — and
+  // several of them reference it on BOTH sides of a join, so an
+  // uncached frame re-ran the tokenize+slice explode per side per
+  // invocation. (Optimization r17, same discipline as shingleCache.)
+  private val segCache =
+    new graft.util.PlanCache[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame](
+      maxEntries = 4, onEvict = _.unpersist())
+
   /** Consecutive `segTokens`-token segments of each document:
     * (doc_id, seg_idx, seg) — the shared cut of the sub-document passes
     * ([[dedupSegments]], [[removeBoilerplate]]). */
-  private def segmentsOf(docs: DataFrame, segTokens: Int): DataFrame = {
+  private def segmentsOf(docs: DataFrame, segTokens: Int): DataFrame =
+    segCache.getOrElseUpdate(
+      (docs.queryExecution.analyzed.canonicalized, segTokens))(
+      segmentsOfUncached(docs, segTokens).cache())
+
+  private def segmentsOfUncached(docs: DataFrame, segTokens: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
