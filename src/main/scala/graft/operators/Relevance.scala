@@ -52,11 +52,13 @@ object Relevance {
     val dl = toks.select($"doc_id", size($"toks").as("dl"))
     // Global length stats: 1 row, broadcast. Integer sum/count — exact.
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_dl"))
-    val tf = toks
-      .select($"doc_id", explode($"toks").as("term"))
-      .where($"term".isin(terms: _*))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
+    // r17: the per-(doc, term) counts are LmScore's cached docTokens
+    // frame (jvmTokens parity with the tokens() expression is
+    // spec-pinned) — filtering the cached frame replaces an
+    // explode+aggregate over the whole corpus per invocation.
+    val tf = LmScore.docTokens(docs)
+      .where($"tok".isin(terms: _*))
+      .select($"doc_id", $"tok".as("term"), $"u_doc".as("tf"))
     // df per term: tf is already distinct on (doc, term), so a count.
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     // avgdl and every factor below mirror the oracle SQL's association
@@ -136,10 +138,10 @@ object Relevance {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select($"doc_id", explode(tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"))
+    // r17: same shared frame as q70 (see bm25) — the whole-corpus
+    // explode+aggregate ran per invocation before.
+    val tf = LmScore.docTokens(docs)
+      .select($"doc_id", $"tok".as("term"), $"u_doc".as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term").crossJoin(broadcast(stats))
       .select($"doc_id", $"term",
