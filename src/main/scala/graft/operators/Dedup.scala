@@ -62,7 +62,7 @@ object Dedup {
   // cheapest frame in the family to pin. (Optimization r17, guide §2.4.)
   private val shingleCountCache =
     new graft.util.PlanCache[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
-      maxEntries = 8, onEvict = _.unpersist())
+      maxEntries = 4, onEvict = _.unpersist())
 
   /** Per-doc distinct-shingle counts (doc_id, n) over a shingle frame —
     * the shared denominator index of the Jaccard family. */
